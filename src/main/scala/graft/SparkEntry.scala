@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model._
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB-runnable twin in [[oracleSql]]
+  * with the SAME column names (the driver sorts columns by name before
+  * hashing values). Rule-derived queries share one source of truth for
+  * parameters: the [[FixtureRules]] instances feed both the Spark plan
+  * ([[Detectors]]) and the SQL generator ([[DetectorSql]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Canonical rule parameterization for the driver fixtures (chosen per
+    * FIXTURES.md §B.1 so both fire/no-fire branches are exercised:
+    * `value > 100` fires ≈12%, rate window 1 h with threshold 3,
+    * statistical window 5 / 2.0σ). Mirrors the shape of the reference's
+    * config/rules.yml (high_rate / high_amount / unusual_amount). */
+  object FixtureRules {
+    val threshold: ThresholdRule = ThresholdRule("high_value", "value", 100.0)
+    val rate: RateRule = RateRule("high_rate", "user_id", 3600, 2.0)
+    val statistical: StatisticalRule = StatisticalRule("unusual_value", "value", 5, 2.0)
+    val all: Seq[DetectionRule] = Seq(threshold, rate, statistical)
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full engine in batch — all three rules unioned. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Detectors.allAlerts(
+      Tables.events(spark, "/root/testdata/sf0.001"), FixtureRules.all)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "threshold_alerts" -> ((s, dir) =>
+      Detectors.thresholdAlerts(Tables.events(s, dir), FixtureRules.threshold)),
+    "rate_alerts" -> ((s, dir) =>
+      Detectors.rateAlerts(Tables.events(s, dir), FixtureRules.rate)),
+    "stat_alerts" -> ((s, dir) =>
+      Detectors.statisticalAlerts(Tables.events(s, dir), FixtureRules.statistical)),
+    "all_alerts" -> ((s, dir) =>
+      Detectors.allAlerts(Tables.events(s, dir), FixtureRules.all)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "threshold_alerts" -> DetectorSql.threshold(FixtureRules.threshold),
+    "rate_alerts" -> DetectorSql.rate(FixtureRules.rate),
+    "stat_alerts" -> DetectorSql.statistical(FixtureRules.statistical),
+    "all_alerts" -> DetectorSql.all(FixtureRules.all),
+  )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.model._
+
+/** ANSI/DuckDB SQL twins of [[Detectors]], generated from the same rule
+  * objects so parameters can never drift between the Spark plan and the
+  * oracle. The SQL reads the same parquet `events` table the driver
+  * registers; `ts` there is a nanosecond timestamp, so the exact
+  * floor-to-second clock is `epoch_ns(ts) // 1000000000` (matches Spark's
+  * `ts_ns div 1e9` on the nanos-as-long read bit-for-bit). */
+object DetectorSql {
+
+  private val tsSec = "epoch_ns(ts) // 1000000000"
+  private val keyExpr =
+    "coalesce(CAST(user_id AS VARCHAR), '__unknown__')"
+
+  def threshold(r: ThresholdRule): String = {
+    val v = r.field
+    s"""SELECT '${r.name}' AS rule_name,
+       |  $keyExpr AS "key",
+       |  $tsSec AS ts_sec,
+       |  event_id,
+       |  $v AS value,
+       |  'Threshold exceeded: ${r.field}=' || ${Fmt.sqlF(v, 2)} ||
+       |    ' (threshold: ${"%.2f".format(r.threshold)})' AS details
+       |FROM events
+       |WHERE $v IS NOT NULL AND $v > ${r.threshold}""".stripMargin
+  }
+
+  def rate(r: RateRule): String =
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    coalesce(CAST(${r.keyField} AS VARCHAR), '__unknown__') AS "key",
+       |    $tsSec AS ts_sec
+       |  FROM events
+       |), c AS (
+       |  SELECT *, count(*) OVER (PARTITION BY "key" ORDER BY ts_sec
+       |    RANGE BETWEEN ${r.windowSeconds} PRECEDING AND CURRENT ROW) AS cnt
+       |  FROM e
+       |)
+       |SELECT '${r.name}' AS rule_name, "key", ts_sec, event_id,
+       |  CAST(cnt AS DOUBLE) AS value,
+       |  'Rate spike: ' || CAST(cnt AS VARCHAR) ||
+       |    ' events in ${r.windowSeconds} seconds (threshold: ${"%.0f".format(r.threshold)})' AS details
+       |FROM c WHERE cnt > ${r.threshold}""".stripMargin
+
+  /** Exact integer-moment twin of [[Detectors.statisticalAlerts]] — the
+    * operation sequence (cents quantization, S1/S2 sums, the division and
+    * sqrt order) must stay identical so every derived double matches
+    * bit-for-bit. */
+  def statistical(r: StatisticalRule): String = {
+    val v = r.field
+    s"""WITH e AS (
+       |  SELECT event_id, $v AS v,
+       |    CAST(floor($v * 100.0 + 0.5) AS BIGINT) AS c,
+       |    $keyExpr AS "key",
+       |    $tsSec AS ts_sec
+       |  FROM events WHERE $v IS NOT NULL
+       |), s AS (
+       |  SELECT *,
+       |    sum(c) OVER w AS s1,
+       |    sum(c * c) OVER w AS s2,
+       |    count(c) OVER w AS hist
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY "key" ORDER BY event_id
+       |    ROWS BETWEEN ${r.windowSize} PRECEDING AND 1 PRECEDING)
+       |), m AS (
+       |  SELECT *,
+       |    CAST(s1 AS DOUBLE) / hist / 100.0 AS mean,
+       |    CAST(hist * s2 - s1 * s1 AS DOUBLE) AS dd,
+       |    sqrt(CAST(hist * s2 - s1 * s1 AS DOUBLE)) / hist / 100.0 AS sd
+       |  FROM s
+       |)
+       |SELECT '${r.name}' AS rule_name, "key", ts_sec, event_id, v AS value,
+       |  'Statistical outlier: ${r.field}=' || ${Fmt.sqlF("v", 2)} ||
+       |    ' (mean=' || ${Fmt.sqlF("mean", 2)} ||
+       |    ', stddev=' || ${Fmt.sqlF("sd", 2)} ||
+       |    ', factor=${"%.1f".format(r.deviationFactor)})' AS details
+       |FROM m
+       |WHERE hist >= 2 AND (CASE WHEN dd = 0 THEN abs(v - mean) > 0
+       |  ELSE abs(v - mean) > ${r.deviationFactor} * sd END)""".stripMargin
+  }
+
+  def forRule(rule: DetectionRule): String = rule match {
+    case r: ThresholdRule => threshold(r)
+    case r: RateRule => rate(r)
+    case r: StatisticalRule => statistical(r)
+  }
+
+  def all(rules: Seq[DetectionRule]): String =
+    rules.map(r => s"(${forRule(r)})").mkString("\nUNION ALL\n")
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch (DataFrame) formulation of the three detection operators.
+  *
+  * Each rule compiles to a declarative Spark plan built ONLY from
+  * codegen'd built-ins (`filter`, window functions, `format_string`) so
+  * Catalyst gets full predicate-pushdown / column-pruning / WSCG freedom —
+  * there is deliberately no UDF and no custom Expression in this path.
+  *
+  * Semantics reproduced from the reference detectors (paths relative to
+  * /root/reference/):
+  *  - threshold: strict `>` on double-coerced field
+  *    (core-engine/.../ThresholdDetector.java:46-78)
+  *  - rate: per-event trailing count window [t-w, t] per key, strict `>`
+  *    (core-engine/.../RateSpikeDetector.java:74-114)
+  *  - statistical: per-key moving mean / POPULATION sigma over the previous
+  *    `windowSize` values EXCLUDING the current one (check-before-insert),
+  *    >=2 history values, sigma==0 fires on any deviation
+  *    (core-engine/.../StatisticalOutlierDetector.java:77-156)
+  *
+  * Clock: the reference uses ingestion time (stamped at deserialize,
+  * EventDeserializationSchema.java:36). For deterministic batch/oracle runs
+  * we drive windows off the fixture's own `ts` column, floored to the
+  * second (`ts_sec`). Flooring to seconds keeps Spark (us-precision
+  * timestamps) and any ns-precision reader in exact agreement.
+  *
+  * Scale posture (100 TB): every operator here is a single hash-partitioned
+  * window over the key — one shuffle on `key`, no driver-side collection,
+  * no unbounded state. Window width is bounded (`windowSeconds` /
+  * `windowSize`), so per-partition memory is O(active window), and skewed
+  * keys are handled by AQE; the partition count follows
+  * `spark.sql.shuffle.partitions`.
+  */
+object Detectors {
+
+  /** Key semantics of the reference pipeline: string-coerce the key field,
+    * missing -> "__unknown__" (StreamSentinelJob.java:121-124). */
+  def keyCol(keyField: String): Column =
+    coalesce(col(keyField).cast("string"), lit("__unknown__"))
+
+  /** Events with the derived columns every detector needs. Column pruning
+    * still reaches the scan because these are simple projections. `ts_sec`
+    * is taken as-is when the source already provides the exact
+    * floor-to-second epoch (see [[graft.sources.Tables.events]]), else
+    * derived from a `ts` timestamp column (in-memory test fixtures). */
+  def prepareEvents(df: DataFrame, keyField: String = "user_id"): DataFrame = {
+    val withTs =
+      if (df.columns.contains("ts_sec")) df
+      else df.withColumn("ts_sec", col("ts").cast("long"))
+    withTs.withColumn("key", keyCol(keyField))
+  }
+
+  private val alertCols = Seq("rule_name", "key", "ts_sec", "event_id", "value", "details")
+
+  /** value > threshold, strict. Alert projection mirrors
+    * ThresholdDetector.java:67-74 ("Threshold exceeded: %s=%.2f
+    * (threshold: %.2f)"). */
+  def thresholdAlerts(events: DataFrame, rule: ThresholdRule): DataFrame = {
+    val v = col(rule.field).cast("double")
+    prepareEvents(events)
+      .filter(v.isNotNull && v > lit(rule.threshold))
+      .withColumn("rule_name", lit(rule.name))
+      // Same text as ThresholdDetector.java:71-72's String.format; constant
+      // parts are Java-formatted here, per-row numbers via Fmt (HALF_UP).
+      .withColumn("details", concat(
+        lit(s"Threshold exceeded: ${rule.field}="), Fmt.f(v, 2),
+        lit(" (threshold: %.2f)".format(rule.threshold))))
+      .select(alertCols.map(col): _*)
+  }
+
+  /** Trailing time-window count per key: COUNT(*) OVER (PARTITION BY key
+    * ORDER BY ts_sec RANGE BETWEEN w PRECEDING AND CURRENT ROW) > t.
+    * Inclusive lower bound matches the deque eviction `< windowStart`
+    * (RateSpikeDetector.java:85-87). NOTE on ties: events sharing a second
+    * are RANGE peers and all see each other; the streaming deque only sees
+    * earlier arrivals — the batch formulation is the set-semantics reading
+    * and is what the oracle checks. */
+  def rateAlerts(events: DataFrame, rule: RateRule): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("ts_sec")
+      .rangeBetween(-rule.windowSeconds, 0)
+    prepareEvents(events, rule.keyField)
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") > lit(rule.threshold))
+      .withColumn("rule_name", lit(rule.name))
+      .withColumn("value", col("cnt").cast("double"))
+      .withColumn("details", concat(
+        lit("Rate spike: "), col("cnt").cast("string"),
+        lit(" events in %d seconds (threshold: %.0f)"
+          .format(rule.windowSeconds, rule.threshold))))
+      .select(alertCols.map(col): _*)
+  }
+
+  /** Moving mean/sigma over the PREVIOUS windowSize values (ROWS BETWEEN
+    * windowSize PRECEDING AND 1 PRECEDING — the -1 upper bound encodes
+    * check-before-insert). Rows with a null/non-numeric field are excluded
+    * BEFORE windowing, as the reference never admits them to the deque
+    * (StatisticalOutlierDetector.java:83-86). Processing order = arrival
+    * order; the fixture's `event_id` is the arrival sequence, giving a
+    * total order that any engine reproduces exactly.
+    *
+    * Numerics: engines disagree at the ulp level on windowed
+    * `avg`/`stddev_pop` (different accumulation orders / algorithms), and
+    * 2-value windows put sigma = |a-b|/2 exactly on half-cent boundaries
+    * all the time — so we compute the moments EXACTLY. Measures are
+    * quantized to integer cents (lossless for the 2-decimal fixture
+    * domain), the window keeps integer S1 = sum(c), S2 = sum(c^2), and
+    *   mean  = S1 / n / 100
+    *   sigma = sqrt(n*S2 - S1^2) / n / 100     (population sigma, /N)
+    * where `n*S2 - S1^2` is an exact integer: every double that follows is
+    * the same IEEE operation sequence in any engine, making both the fire
+    * decision and the formatted details bit-deterministic. sigma == 0 is
+    * the exact integer test D == 0. */
+  def statisticalAlerts(events: DataFrame, rule: StatisticalRule): DataFrame = {
+    val v = col(rule.field).cast("double")
+    val w = Window.partitionBy("key").orderBy("event_id")
+      .rowsBetween(-rule.windowSize, -1)
+    prepareEvents(events)
+      .filter(v.isNotNull)
+      .withColumn("v", v)
+      .withColumn("c", floor(col("v") * 100.0 + 0.5).cast("long"))
+      .withColumn("s1", sum("c").over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .withColumn("hist", count("c").over(w))
+      .withColumn("mean", col("s1").cast("double") / col("hist") / 100.0)
+      .withColumn("dd",
+        (col("hist") * col("s2") - col("s1") * col("s1")).cast("double"))
+      .withColumn("stddev", sqrt(col("dd")) / col("hist") / 100.0)
+      .filter(col("hist") >= 2 && // MIN_HISTORY_SIZE (:45)
+        when(col("dd") === 0.0, abs(col("v") - col("mean")) > 0.0)
+          .otherwise(abs(col("v") - col("mean")) >
+            lit(rule.deviationFactor) * col("stddev")))
+      .withColumn("rule_name", lit(rule.name))
+      .withColumn("details", concat(
+        lit(s"Statistical outlier: ${rule.field}="), Fmt.f(col("v"), 2),
+        lit(" (mean="), Fmt.f(col("mean"), 2),
+        lit(", stddev="), Fmt.f(col("stddev"), 2),
+        lit(", factor=%.1f)".format(rule.deviationFactor))))
+      .select(alertCols.map(col): _*)
+  }
+
+  /** One rule -> one DataFrame transform (the batch analog of
+    * DetectorFactory.java:39-72's dispatch; exhaustive by construction). */
+  def compile(rule: DetectionRule): DataFrame => DataFrame = rule match {
+    case r: ThresholdRule => thresholdAlerts(_, r)
+    case r: RateRule => rateAlerts(_, r)
+    case r: StatisticalRule => statisticalAlerts(_, r)
+  }
+
+  /** The whole engine in batch: union of the per-rule alert streams (the
+    * reference's single process function runs all detectors per event —
+    * AnomalyProcessFunction.java:120-135 — which in set terms is exactly
+    * this union). Per-rule isolation comes free: one rule's failing query
+    * fails alone. */
+  def allAlerts(events: DataFrame, rules: Seq[DetectionRule]): DataFrame =
+    rules.map(r => compile(r)(events)).reduce(_ unionAll _)
+}
