@@ -34,7 +34,8 @@ object SparkEntry {
       Tables.events(spark, "/root/testdata/sf0.001"), FixtureRules.all)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     "threshold_alerts" -> ((s, dir) =>
       Detectors.thresholdAlerts(Tables.events(s, dir), FixtureRules.threshold)),
     "rate_alerts" -> ((s, dir) =>
@@ -43,7 +44,7 @@ object SparkEntry {
       Detectors.statisticalAlerts(Tables.events(s, dir), FixtureRules.statistical)),
     "all_alerts" -> ((s, dir) =>
       Detectors.allAlerts(Tables.events(s, dir), FixtureRules.all)),
-  )
+  ) ++ Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,5 @@ object SparkEntry {
     "rate_alerts" -> DetectorSql.rate(FixtureRules.rate),
     "stat_alerts" -> DetectorSql.statistical(FixtureRules.statistical),
     "all_alerts" -> DetectorSql.all(FixtureRules.all),
-  )
+  ) ++ Analytics.oracles
 }

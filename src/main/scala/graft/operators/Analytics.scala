@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** General analytics operators over the TPC-H-ish fixture tables plus the
+  * `events` table — the query surface a user of the engine composes with
+  * the detection rules (aggregation, joins, top-k, ranking windows,
+  * sessionization).
+  *
+  * Scale design notes (100 TB posture):
+  *  - Dimension joins (`region`, `nation`, `supplier`, `customer`) are
+  *    explicitly `broadcast()` — at production scale the fact table
+  *    (lineitem/events) shuffles zero bytes for them.
+  *  - Aggregations are plain `groupBy` — Catalyst plans partial (map-side)
+  *    aggregation before the exchange, so the shuffle carries one row per
+  *    (partition, group), not per input row.
+  *  - Filters sit directly on the scan columns so they push down to
+  *    parquet (`PushedFilters` in explain).
+  *  - Top-k uses `orderBy.limit(k)` which Spark executes as TakeOrdered
+  *    (per-partition heap + driver merge of k rows) — no global sort.
+  *
+  * Numeric determinism: money sums go through exact DECIMAL casts (double
+  * addition is not associative, so a parallel double sum is
+  * nondeterministic; decimal addition is exact and order-free). Quantities
+  * are integer-valued doubles, whose sums are exact in IEEE double by
+  * construction. Event values quantize to integer cents (see
+  * [[Detectors.statisticalAlerts]] for the same trick).
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Exact cents of a non-negative 2-decimal measure. */
+  private def cents(c: Column): Column =
+    floor(c * 100.0 + 0.5).cast("long")
+
+  /** TPC-H Q1-style pricing summary (reference has no SQL surface; this is
+    * part of the engine's general query capability per BASELINE.json's
+    * north star). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+          .cast(DecimalType(38, 4)).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order,
+      |  sum(l_quantity) / count(*) AS avg_qty
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: top 10 unshipped orders by revenue in one segment.
+    * customer is broadcast; the orders≡lineitem join shuffles on the order
+    * key. Ties broken by o_orderkey so LIMIT is deterministic. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+        .cast(DecimalType(38, 4)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o_orderpriority,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue per nation for one region/year, with the
+    * local-supplier constraint (c_nationkey = s_nationkey). All four
+    * dimension tables broadcast; only the orders⋈lineitem join shuffles. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+        .cast(DecimalType(38, 4)).cast("double").as("revenue"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  /** Ranking window: top 3 events by value per user (deterministic
+    * tie-break on event_id). */
+  def topkEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("key").orderBy(col("value").desc, col("event_id"))
+    Detectors.prepareEvents(Tables.events(spark, dir))
+      .filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("key", "rn", "event_id", "value", "ts_sec")
+  }
+
+  val topkSql: String =
+    """SELECT * FROM (
+      |  SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+      |    row_number() OVER (PARTITION BY coalesce(CAST(user_id AS VARCHAR), '__unknown__')
+      |      ORDER BY value DESC, event_id) AS rn,
+      |    event_id, value, epoch_ns(ts) // 1000000000 AS ts_sec
+      |  FROM events WHERE value IS NOT NULL
+      |) WHERE rn <= 3""".stripMargin
+
+  /** Per-user activity profile: counts, exact total (cents), min/max, and
+    * distinct event types. One shuffle; partial aggregation map-side. */
+  def userActivity(spark: SparkSession, dir: String): DataFrame =
+    Detectors.prepareEvents(Tables.events(spark, dir))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        countDistinct("event_type").as("n_types"),
+        min("ts_sec").as("first_sec"),
+        max("ts_sec").as("last_sec"))
+
+  val userActivitySql: String =
+    """SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+      |  min(value) AS min_value,
+      |  max(value) AS max_value,
+      |  count(DISTINCT event_type) AS n_types,
+      |  min(epoch_ns(ts) // 1000000000) AS first_sec,
+      |  max(epoch_ns(ts) // 1000000000) AS last_sec
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Tumbling daily counts per event type — integer day arithmetic. */
+  def dailyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day_num", expr("ts_sec div 86400"))
+      .groupBy("day_num", "event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("day_value"))
+
+  val dailyCountsSql: String =
+    """SELECT epoch_ns(ts) // 1000000000 // 86400 AS day_num, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS day_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Analytic running totals per user (exact integer cumulative sum) plus
+    * the previous value — lag/lead surface. */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("event_id")
+    Detectors.prepareEvents(Tables.events(spark, dir))
+      .filter(col("value").isNotNull)
+      .withColumn("running_value",
+        (sum(cents(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / 100.0))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .select("key", "event_id", "ts_sec", "value", "running_value", "prev_value")
+  }
+
+  val runningTotalsSql: String =
+    """SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+      |  event_id, epoch_ns(ts) // 1000000000 AS ts_sec, value,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+      |    PARTITION BY coalesce(CAST(user_id AS VARCHAR), '__unknown__')
+      |    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+      |    AS running_value,
+      |  lag(value, 1) OVER (
+      |    PARTITION BY coalesce(CAST(user_id AS VARCHAR), '__unknown__')
+      |    ORDER BY event_id) AS prev_value
+      |FROM events WHERE value IS NOT NULL""".stripMargin
+
+  /** Gap-based sessionization (30 min inactivity closes a session): the
+    * classic lag -> boundary flag -> running sum pattern, then per-session
+    * aggregates. All integer arithmetic, one shuffle on the key. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("key").orderBy("event_id")
+    Detectors.prepareEvents(Tables.events(spark, dir))
+      .withColumn("prev_sec", lag("ts_sec", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("key", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_sec").as("start_sec"),
+        max("ts_sec").as("end_sec"))
+      .withColumn("duration_sec", col("end_sec") - col("start_sec"))
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+      |    event_id, epoch_ns(ts) // 1000000000 AS ts_sec
+      |  FROM events
+      |), f AS (
+      |  SELECT *, lag(ts_sec, 1) OVER (PARTITION BY "key" ORDER BY event_id) AS prev_sec
+      |  FROM e
+      |), g AS (
+      |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM f
+      |), h AS (
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY "key" ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g
+      |)
+      |SELECT "key", session_id, count(*) AS n_events,
+      |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec,
+      |  max(ts_sec) - min(ts_sec) AS duration_sec
+      |FROM h GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "topk_events_per_user" -> (topkEventsPerUser _),
+    "user_activity" -> (userActivity _),
+    "daily_counts" -> (dailyCounts _),
+    "running_totals" -> (runningTotals _),
+    "sessionize" -> (sessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "topk_events_per_user" -> topkSql,
+    "user_activity" -> userActivitySql,
+    "daily_counts" -> dailyCountsSql,
+    "running_totals" -> runningTotalsSql,
+    "sessionize" -> sessionizeSql,
+  )
+}

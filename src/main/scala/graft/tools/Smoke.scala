@@ -10,10 +10,11 @@ object Smoke {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     e.printSchema()
     e.select("event_id", "ts_ns", "ts_sec", "ts", "user_id", "value").show(5, false)
-    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    d.printSchema()
-    val m = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    m.printSchema()
+    val dir = "/root/testdata/sf0.01"
+    println("=== q5 plan ===")
+    graft.operators.Analytics.q5LocalSupplier(spark, dir).explain("formatted")
+    println("=== q1 plan ===")
+    graft.operators.Analytics.q1PricingSummary(spark, dir).explain("formatted")
     spark.stop()
   }
 }
