@@ -44,7 +44,8 @@ object SparkEntry {
       Detectors.statisticalAlerts(Tables.events(s, dir), FixtureRules.statistical)),
     "all_alerts" -> ((s, dir) =>
       Detectors.allAlerts(Tables.events(s, dir), FixtureRules.all)),
-  ) ++ Analytics.queries
+  ) ++ Analytics.queries ++ Dedup.queries ++ TextAnalysis.queries ++
+    Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
     "rate_alerts" -> DetectorSql.rate(FixtureRules.rate),
     "stat_alerts" -> DetectorSql.statistical(FixtureRules.statistical),
     "all_alerts" -> DetectorSql.all(FixtureRules.all),
-  ) ++ Analytics.oracles
+  ) ++ Analytics.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
+    Similarity.oracles
 }

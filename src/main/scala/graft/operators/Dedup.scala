@@ -1,0 +1,363 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators over the `documents` table — the
+  * LLM-training-pipeline surface (BASELINE.json north star): exact dedup,
+  * word-shingle Jaccard near-dup, MinHash+LSH near-dup, and SimHash.
+  *
+  * Scale design (100 TB posture):
+  *  - Exact dedup groups on a 128-bit digest, never on the text itself —
+  *    the shuffle carries 16 bytes + ids per row, not documents.
+  *  - Near-dup never computes the O(n²) pair matrix: candidates come from
+  *    an inverted shingle index (ngram variant) or LSH band buckets
+  *    (minhash/simhash variants), i.e. a self-equi-join on a
+  *    hash-partitionable key. Hot shingles are capped (DF cut) so one
+  *    stop-phrase can't produce a quadratic bucket.
+  *  - All hashes are md5-derived (identical across engines) — no JVM
+  *    hashCode, no engine-specific hash().
+  *
+  * Determinism: Jaccard values are exact integer ratios; every double here
+  * is an integer-derived division, identical in any IEEE engine.
+  */
+object Dedup {
+
+  /** Shared tokenizer: lowercase, split on non-alphanumeric runs, drop
+    * empties. SQL twin in [[tokensSql]]. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokensSql(text: String): String =
+    s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Distinct word 3-shingles of a document (order-preserving construction,
+    * then set semantics). */
+  def shingles(toks: Column): Column =
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3))))
+        .otherwise(array()))
+
+  /** DuckDB twin (1-indexed lists). */
+  def shinglesSql(toks: String): String =
+    s"""list_distinct(CASE WHEN len($toks) >= 3
+       | THEN list_transform(generate_series(1, len($toks) - 2),
+       |   i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+       | ELSE [] END)""".stripMargin.replace("\n", "")
+
+  /** Distinct (doc_id, shingle) rows, computed in a primitive
+    * `mapPartitions` loop rather than the equivalent
+    * `explode(array_distinct(transform(...)))` expression chain: Catalyst
+    * higher-order functions are interpreted per element, which made
+    * shingling the single hottest stage (~10x slower than this loop).
+    * Output is a SET of rows (per-doc HashSet dedup), so emission order is
+    * irrelevant to every downstream set-semantic consumer. Tokenization
+    * matches [[tokens]] / [[tokensSql]] exactly. */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, text) =>
+          val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          val set = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i + 2 < toks.length) {
+            set.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            i += 1
+          }
+          set.iterator.map(sh => (docId, sh))
+        }
+      }.toDF("doc_id", "sh")
+  }
+
+  /** (doc_id, shingle) inverted-index rows, with hot shingles capped at a
+    * document frequency of `maxDf` (skew guard: a shingle present in >maxDf
+    * docs generates O(df²) candidate pairs and adds no discrimination). */
+  private def shingleIndex(docs: DataFrame, maxDf: Int): DataFrame = {
+    val exploded = shingleRows(docs)
+    val hot = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    exploded.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
+  private def shingleIndexSql(maxDf: Int): String =
+    s"""t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |shx AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS sh FROM t),
+       |hot AS (SELECT sh FROM shx GROUP BY sh HAVING count(*) > $maxDf),
+       |idx AS (SELECT * FROM shx ANTI JOIN hot USING (sh))""".stripMargin
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: one surviving doc_id (the smallest) per identical text;
+    * group key is the md5 digest, not the text. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------- n-gram Jaccard
+
+  private val jaccardThreshold = 0.8
+  private val maxDf = 100
+
+  /** Near-dup pairs by word-3-gram Jaccard >= 0.8 via inverted-index
+    * self-join (only docs sharing at least one shingle are ever paired). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = shingleIndex(docs, maxDf).cache()
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("d1", "d2", "common", "jaccard")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH ${shingleIndexSql(maxDf)},
+       |sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d1, d2, common,
+       |  CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+       |FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+       |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= $jaccardThreshold""".stripMargin
+
+  // ------------------------------------------------------- MinHash + LSH
+
+  private val numHashes = 16 // 4 bands x 4 rows
+  private val numBands = 4
+
+  /** Portable 60-bit hash of a string, salted: both engines read the first
+    * 15 hex chars of md5 as an unsigned integer. */
+  private def h60(salt: Column, s: Column): Column =
+    conv(substring(md5(concat(salt, lit(":"), s)), 1, 15), 16, 10).cast("long")
+
+  private def h60Sql(salt: String, s: String): String =
+    s"CAST(('0x' || substr(md5($salt || ':' || $s), 1, 15)) AS BIGINT)"
+
+  private val hashPrime = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** Universal-hash family constants: minhash_j uses (a_j*h + b_j) mod p
+    * over ONE md5-derived base hash per shingle — 1 digest + 16 integer
+    * ops instead of 16 digests. Single source of truth for the SQL twin;
+    * all intermediates stay < 2^62, exact in any int64 engine. */
+  private val hashAB: Seq[(Long, Long)] = (0 until numHashes).map { j =>
+    val a = ((j + 1) * 2654435761L) % hashPrime
+    val b = ((j + 1) * 2654777599L + 12345L) % hashPrime
+    (if (a == 0) 1L else a, b)
+  }
+
+  /** One row per doc with all 16 minhash columns (single-pass multi-agg —
+    * no per-seed explode, no extra shuffle). */
+  private def minhashSig(idx: DataFrame): DataFrame = {
+    val base = idx.withColumn("h",
+      pmod(h60(lit("mh"), col("sh")), lit(hashPrime)))
+    val aggs = hashAB.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(hashPrime))).as(s"mh$j")
+    }
+    base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def minhashSigSql: String = {
+    val cols = hashAB.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $hashPrime) AS mh$j"
+    }.mkString(",\n    ")
+    s"""mhb AS (SELECT doc_id, ${h60Sql("'mh'", "sh")} % $hashPrime AS h FROM idx),
+       |mh AS (SELECT doc_id,
+       |    $cols
+       |  FROM mhb GROUP BY 1)""".stripMargin
+  }
+
+  /** MinHash/LSH near-dup: 16 min-hashes per doc, banded 4x4; docs
+    * sharing any full band signature become candidates; candidates are
+    * verified with true shingle Jaccard >= 0.8. Output = verified pairs
+    * (identical banding in the oracle makes any LSH recall miss identical
+    * on both sides). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = shingleIndex(docs, maxDf).cache()
+    val mh = minhashSig(idx)
+    // unfold the 16 columns into 4 band-signature rows per doc
+    val bandStructs = (0 until numHashes / numBands).map { band =>
+      struct(lit(band.toLong).as("band"),
+        col(s"mh${band * numBands}").as("m0"),
+        col(s"mh${band * numBands + 1}").as("m1"),
+        col(s"mh${band * numBands + 2}").as("m2"),
+        col(s"mh${band * numBands + 3}").as("m3"))
+    }
+    val sig = mh.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.m0").as("m0"), col("bs.m1").as("m1"),
+        col("bs.m2").as("m2"), col("bs.m3").as("m3"))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
+          col("x.m2") === col("y.m2") && col("x.m3") === col("y.m3") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = idx.as("a").join(idx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("d1", "d2"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  val minhashLshSql: String = {
+    val bandSelects = (0 until numHashes / numBands).map { band =>
+      s"SELECT doc_id, CAST($band AS BIGINT) AS band, mh${band * numBands} AS m0, " +
+        s"mh${band * numBands + 1} AS m1, mh${band * numBands + 2} AS m2, " +
+        s"mh${band * numBands + 3} AS m3 FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${shingleIndexSql(maxDf)},
+       |$minhashSigSql,
+       |sig AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM sig x JOIN sig y ON x.band = y.band
+       |    AND x.m0 = y.m0 AND x.m1 = y.m1 AND x.m2 = y.m2 AND x.m3 = y.m3
+       |    AND x.doc_id < y.doc_id
+       |),
+       |sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
+       |cm AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.d1, c.d2,
+       |  CAST(cm.common AS DOUBLE) / (x.n + y.n - cm.common) AS jaccard
+       |FROM cand c
+       |JOIN cm ON c.d1 = cm.d1 AND c.d2 = cm.d2
+       |JOIN sz x ON c.d1 = x.doc_id JOIN sz y ON c.d2 = y.doc_id
+       |WHERE CAST(cm.common AS DOUBLE) / (x.n + y.n - cm.common) >= $jaccardThreshold""".stripMargin
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  private val simhashBits = 60
+  private val hammingMax = 3
+  private val chunkBits = 15 // 4 chunks of 15 bits: any pair at hamming
+                             // <= 3 shares a chunk, so recall is exact
+
+  /** 60-bit SimHash per document over its distinct word-3-shingles (far
+    * more discriminative than unigrams on a shared vocabulary): bit b of
+    * the fingerprint is the sign of sum over shingles of (+-1 at bit b).
+    * Computed as ONE md5 per shingle and a single-pass 60-way vote
+    * aggregate — no per-bit explode, no extra shuffle. */
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val th = shingleRows(docs).withColumn("h", h60(lit("sim"), col("sh")))
+    val voteAggs = (0 until simhashBits).map { b =>
+      sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"v$b")
+    }
+    val packed = (0 until simhashBits).map { b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    th.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .withColumn("simhash", expr(packed))
+      .select("doc_id", "simhash")
+  }
+
+  def simhashDocsSql: String = {
+    val votes = (0 until simhashBits).map { b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val packed = (0 until simhashBits).map { b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""tt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |t AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS tok FROM tt),
+       |th AS (SELECT doc_id, ${h60Sql("'sim'", "tok")} AS h FROM t),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM th GROUP BY 1
+       |),
+       |sh AS (
+       |  SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM v
+       |)""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of the four
+    * 15-bit chunks (pigeonhole: hamming <= 3 always shares a chunk,
+    * so recall is exact at this threshold), verified
+    * by exact popcount hamming <= 3. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashDocs(spark, dir).cache()
+    val chunks = spark.range(simhashBits / chunkBits).toDF("c")
+    val keyed = sh.crossJoin(broadcast(chunks))
+      .withColumn("chunk_val",
+        expr(s"shiftright(simhash, CAST(c * $chunkBits AS INT)) & ${(1L << chunkBits) - 1}"))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("x.simhash").as("h1"),
+        col("y.doc_id").as("d2"), col("y.simhash").as("h2"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= hammingMax)
+      .select("d1", "d2", "hamming")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH ${simhashDocsSql},
+       |k AS (
+       |  SELECT doc_id, simhash, c,
+       |    (simhash >> (c * $chunkBits)) & ${(1L << chunkBits) - 1} AS chunk_val
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${simhashBits / chunkBits - 1})) AS c)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, x.simhash AS h1,
+       |    y.doc_id AS d2, y.simhash AS h2
+       |  FROM k x JOIN k y ON x.c = y.c AND x.chunk_val = y.chunk_val
+       |    AND x.doc_id < y.doc_id
+       |)
+       |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= $hammingMax""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhashPairs _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashPairsSql,
+  )
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: per-document
+  * statistics / quality score, n-gram-lexicon language ID, token counting,
+  * and content fingerprinting. All are single-pass narrow projections —
+  * no shuffle at all except where a group-by is the point — so they scale
+  * linearly with input splits.
+  *
+  * Determinism: every ratio is a division of exact integers (counts), so
+  * doubles match across engines bit-for-bit; fingerprints are md5-derived.
+  */
+object TextAnalysis {
+
+  import Dedup.{tokens, tokensSql}
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
+    "that", "it", "for")
+
+  /** Tiny per-language function-word lexicons for the heuristic language
+    * ID (the classic stopword-hit approach; at scale you'd plug a real
+    * n-gram model into the same shape). */
+  private val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein",
+      "eine", "zu", "nicht", "auf"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
+      "for", "on", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es",
+      "los", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "dans", "que",
+      "pour", "les", "des"),
+  )
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(
+      array(words.map(lit): _*), t)))
+
+  private def countInSql(toks: String, words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toks, t -> list_contains($arr, t)))"
+  }
+
+  /** Per-document statistics + a rational-arithmetic quality score in
+    * [0,1]: length component x type-token-ratio component x stopword
+    * component (each a clipped integer ratio — deterministic in IEEE). */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop", countIn(col("toks"), stopwords).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("len_chars", length(col("text")).cast("long"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (col("len_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        (least(col("n_tokens"), lit(100L)).cast("double") / 100.0) *
+          least(col("ttr") * 2.0, lit(1.0)) *
+          (lit(0.5) + least(col("stop_ratio") * 2.0, lit(0.5))))
+      .select("doc_id", "len_chars", "n_tokens", "n_distinct", "n_stop",
+        "ttr", "stop_ratio", "avg_token_len", "quality_score")
+  }
+
+  val textStatsSql: String = {
+    val stops = countInSql("toks", stopwords)
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${tokensSql("text")} AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS len_chars,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST($stops AS BIGINT) AS n_stop
+       |  FROM t WHERE len(toks) > 0
+       |)
+       |SELECT doc_id, len_chars, n_tokens, n_distinct, n_stop,
+       |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+       |  (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) *
+       |    least(CAST(n_distinct AS DOUBLE) / n_tokens * 2.0, 1.0) *
+       |    (0.5 + least(CAST(n_stop AS DOUBLE) / n_tokens * 2.0, 0.5)) AS quality_score
+       |FROM s""".stripMargin
+  }
+
+  /** Heuristic language ID: per-language function-word hit counts, argmax
+    * with a fixed priority order (de > en > es > fr) on ties. The `lang`
+    * column rides along so downstream can measure agreement. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+    val scored = langLexicons.foldLeft(base) { case (df, (code, lex)) =>
+      df.withColumn(s"s_$code", countIn(col("toks"), lex).cast("long"))
+    }
+    scored
+      .withColumn("pred_lang",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+          col("s_de") >= col("s_fr"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .select("doc_id", "lang", "pred_lang", "s_de", "s_en", "s_es", "s_fr")
+  }
+
+  val langIdSql: String = {
+    val cols = langLexicons.map { case (code, lex) =>
+      s"CAST(${countInSql("toks", lex)} AS BIGINT) AS s_$code"
+    }.mkString(",\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, ${tokensSql("text")} AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |    $cols
+       |  FROM t
+       |)
+       |SELECT doc_id, lang,
+       |  CASE
+       |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |    WHEN s_es >= s_fr THEN 'es'
+       |    ELSE 'fr' END AS pred_lang,
+       |  s_de, s_en, s_es, s_fr
+       |FROM s""".stripMargin
+  }
+
+  /** Token counting two ways: whitespace tokens and regex word/number
+    * pieces (the BPE-ish pre-tokenization shape). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_ws_tokens",
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long"))
+      .withColumn("n_word_pieces",
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+          .cast("long"))
+      .withColumn("n_digit_runs",
+        size(filter(split(lower(col("text")), "[^0-9]+"), t => t =!= ""))
+          .cast("long"))
+      .select("doc_id", "n_ws_tokens", "n_word_pieces", "n_digit_runs")
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+       |    AS n_ws_tokens,
+       |  CAST(len(${tokensSql("text")}) AS BIGINT) AS n_word_pieces,
+       |  CAST(len(list_filter(string_split_regex(lower(text), '[^0-9]+'), x -> x <> '')) AS BIGINT)
+       |    AS n_digit_runs
+       |FROM documents""".stripMargin
+
+  /** Content fingerprints: full md5, a 60-bit integer prefix (join-friendly
+    * key), and a normalized-text md5 (whitespace-insensitive). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("md5_hex", md5(col("text")))
+      .withColumn("fp60",
+        conv(substring(col("md5_hex"), 1, 15), 16, 10).cast("long"))
+      .withColumn("norm_md5", md5(concat_ws(" ", tokens(col("text")))))
+      .select("doc_id", "md5_hex", "fp60", "norm_md5")
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id, md5(text) AS md5_hex,
+       |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp60,
+       |  md5(list_aggregate(${tokensSql("text")}, 'string_agg', ' ')) AS norm_md5
+       |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "lang_id" -> (langId _),
+    "token_count" -> (tokenCount _),
+    "doc_fingerprint" -> (fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "lang_id" -> langIdSql,
+    "token_count" -> tokenCountSql,
+    "doc_fingerprint" -> fingerprintSql,
+  )
+}
