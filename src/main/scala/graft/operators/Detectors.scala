@@ -57,13 +57,21 @@ object Detectors {
 
   private val alertCols = Seq("rule_name", "key", "ts_sec", "event_id", "value", "details")
 
+  /** Reference field coercion (Event.java:101-114): numbers and
+    * string-encoded numbers evaluate as double; anything non-parseable is
+    * as-if-missing. `try_cast` reproduces Optional.empty under ANSI mode
+    * (a plain cast would throw on garbage). */
+  private def measure(field: String): Column =
+    expr(s"try_cast(`$field` AS DOUBLE)")
+
   /** value > threshold, strict. Alert projection mirrors
     * ThresholdDetector.java:67-74 ("Threshold exceeded: %s=%.2f
     * (threshold: %.2f)"). */
   def thresholdAlerts(events: DataFrame, rule: ThresholdRule): DataFrame = {
-    val v = col(rule.field).cast("double")
+    val v = measure(rule.field)
     prepareEvents(events)
       .filter(v.isNotNull && v > lit(rule.threshold))
+      .withColumn("value", v)
       .withColumn("rule_name", lit(rule.name))
       // Same text as ThresholdDetector.java:71-72's String.format; constant
       // parts are Java-formatted here, per-row numbers via Fmt (HALF_UP).
@@ -116,12 +124,13 @@ object Detectors {
     * decision and the formatted details bit-deterministic. sigma == 0 is
     * the exact integer test D == 0. */
   def statisticalAlerts(events: DataFrame, rule: StatisticalRule): DataFrame = {
-    val v = col(rule.field).cast("double")
+    val v = measure(rule.field)
     val w = Window.partitionBy("key").orderBy("event_id")
       .rowsBetween(-rule.windowSize, -1)
     prepareEvents(events)
       .filter(v.isNotNull)
       .withColumn("v", v)
+      .withColumn("value", col("v"))
       .withColumn("c", floor(col("v") * 100.0 + 0.5).cast("long"))
       .withColumn("s1", sum("c").over(w))
       .withColumn("s2", sum(col("c") * col("c")).over(w))

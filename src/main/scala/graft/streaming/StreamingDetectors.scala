@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event shape for the stateful streaming path: the key is already
+  * string-coerced (missing -> "__unknown__", matching
+  * StreamSentinelJob.java:121-124), `tsSec` is the detector clock in epoch
+  * seconds (the reference uses ingestion time — EventDeserializationSchema
+  * .java:36; tests substitute event time exactly like the reference's own
+  * unit tests do), `eventId` is the arrival sequence used for
+  * deterministic intra-batch ordering. */
+final case class SEvent(key: String, eventId: Long, tsSec: Long,
+    value: Option[Double])
+
+/** Alert shape mirroring Alert.java:31-43 (original_event carried by id). */
+final case class SAlert(rule_name: String, key: String, ts_sec: Long,
+    event_id: Long, value: Double, details: String)
+
+/** Per-key detector state: one timestamp deque per rate rule and one value
+  * deque per statistical rule (the Spark analog of the reference's
+  * `ValueState<List<AnomalyDetector>>`, AnomalyProcessFunction.java:87-90,
+  * holding just the data, not the detector objects). */
+final case class DetState(rate: Map[String, Seq[Long]],
+    stat: Map[String, Seq[Double]])
+
+/** Structured Streaming formulation of the engine: exact per-event
+  * trailing-window semantics via `flatMapGroupsWithState`, reproducing the
+  * reference's `KeyedProcessFunction` behavior
+  * (AnomalyProcessFunction.java:106-143):
+  *  - every event is evaluated by every rule, in rule-config order;
+  *  - rate: evict timestamps < t - windowSeconds, append, fire on
+  *    count > threshold (strict; RateSpikeDetector.java:85-94);
+  *  - statistical: evaluate against the previous <=windowSize values
+  *    (check-before-insert), population sigma, >=2 history, sigma==0
+  *    fires on any deviation (StatisticalOutlierDetector.java:92-127);
+  *  - threshold: stateless strict > (ThresholdDetector.java:59).
+  *
+  * Scale posture: state per key is bounded (windowSeconds of timestamps +
+  * windowSize doubles per rule); keys are hash-partitioned by the
+  * groupByKey exchange; an optional processing-time TTL evicts idle keys —
+  * an improvement over the reference, whose keyed state grows without
+  * bound (no TTL anywhere in it).
+  */
+object StreamingDetectors {
+
+  /** Pure per-event state transition — shared by the streaming operator
+    * and directly unit-testable. Returns (alerts, newState). */
+  def processEvent(rules: Seq[DetectionRule], e: SEvent, st: DetState)
+      : (Seq[SAlert], DetState) = {
+    var rate = st.rate
+    var stat = st.stat
+    val alerts = Seq.newBuilder[SAlert]
+    rules.foreach {
+      case r: ThresholdRule =>
+        e.value.foreach { v =>
+          if (v > r.threshold) alerts += SAlert(r.name, e.key, e.tsSec,
+            e.eventId, v,
+            f"Threshold exceeded: ${r.field}%s=$v%.2f (threshold: ${r.threshold}%.2f)")
+        }
+      case r: RateRule =>
+        val windowStart = e.tsSec - r.windowSeconds
+        val kept = rate.getOrElse(r.name, Nil).filter(_ >= windowStart) :+ e.tsSec
+        rate = rate.updated(r.name, kept)
+        if (kept.size > r.threshold) alerts += SAlert(r.name, e.key, e.tsSec,
+          e.eventId, kept.size.toDouble,
+          f"Rate spike: ${kept.size}%d events in ${r.windowSeconds}%d seconds (threshold: ${r.threshold}%.0f)")
+      case r: StatisticalRule =>
+        e.value.foreach { v =>
+          val window = stat.getOrElse(r.name, Nil)
+          if (window.size >= 2) { // MIN_HISTORY_SIZE (:45)
+            val mean = window.sum / window.size
+            val variance = window.map(x => (x - mean) * (x - mean)).sum / window.size
+            val sigma = math.sqrt(variance) // population sigma (:149-156)
+            val dev = math.abs(v - mean)
+            val fires = if (sigma == 0.0) dev > 0.0
+              else dev > r.deviationFactor * sigma
+            if (fires) alerts += SAlert(r.name, e.key, e.tsSec, e.eventId, v,
+              f"Statistical outlier: ${r.field}%s=$v%.2f (mean=$mean%.2f, stddev=$sigma%.2f, factor=${r.deviationFactor}%.1f)")
+          }
+          // insert AFTER the check (StatisticalOutlierDetector.java:124-127)
+          val appended = window :+ v
+          stat = stat.updated(r.name,
+            if (appended.size > r.windowSize) appended.drop(appended.size - r.windowSize)
+            else appended)
+        }
+    }
+    (alerts.result(), DetState(rate, stat))
+  }
+
+  /** The stateful streaming operator. `idleTtl` (processing-time) evicts
+    * state for keys silent longer than the TTL; None = unbounded state
+    * like the reference.
+    *
+    * NOTE: with a TTL the query MUST run with a non-zero processing-time
+    * trigger (e.g. `.trigger(Trigger.ProcessingTime("10 seconds"))`).
+    * Under the default zero-interval trigger, registered timeouts make
+    * Spark schedule empty micro-batches back-to-back to re-evaluate them —
+    * a busy loop that also never lets `processAllAvailable` settle. */
+  def alerts(events: Dataset[SEvent], rules: Seq[DetectionRule],
+      idleTtl: Option[java.time.Duration] = None): Dataset[SAlert] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[DetState, SAlert](OutputMode.Append(), timeout) {
+        (key: String, it: Iterator[SEvent], state: GroupState[DetState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(DetState(Map.empty, Map.empty))
+            // deterministic arrival order inside the micro-batch
+            val out = it.toSeq.sortBy(e => (e.eventId, e.tsSec)).flatMap { e =>
+              val (alerts, next) = processEvent(rules, e, st)
+              st = next
+              alerts
+            }
+            state.update(st)
+            idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.iterator
+          }
+      }
+  }
+
+  /** Adapter: the fixture `events` DataFrame (from
+    * [[graft.sources.Tables.events]] or a streaming source with the same
+    * columns) -> typed [[SEvent]] stream keyed like the batch operators. */
+  def toSEvents(df: DataFrame, keyField: String = "user_id"): Dataset[SEvent] = {
+    import df.sparkSession.implicits._
+    df.select(
+        coalesce(col(keyField).cast("string"), lit("__unknown__")).as("key"),
+        col("event_id").cast("long").as("eventId"),
+        col("ts_sec").cast("long").as("tsSec"),
+        col("value").cast("double").as("value"))
+      .as[SEvent]
+  }
+}

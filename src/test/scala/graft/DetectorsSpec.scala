@@ -1,0 +1,135 @@
+package graft
+
+import graft.model._
+import graft.operators.Detectors
+import org.apache.spark.sql.DataFrame
+
+/** Behavioral port of the reference's 18 unit-test cases (SURVEY.md §5)
+  * against the BATCH operators. Case sources cited per test (paths
+  * relative to /root/reference/core-engine/src/test/java/com/
+  * streamsentinel/core/). */
+class DetectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(rows: Seq[(Long, Long, Long, Double)]): DataFrame =
+    rows.toDF("event_id", "ts_sec", "user_id", "value")
+
+  private def run(df: DataFrame, rule: DetectionRule): Seq[(String, Long)] =
+    Detectors.compile(rule)(df)
+      .select("rule_name", "event_id").as[(String, Long)].collect().toSeq.sorted
+
+  // ---- ThresholdDetectorTest.java ----------------------------------------
+
+  val thr = ThresholdRule("t", "value", 1000.0)
+
+  test("threshold fires above (:32-41)") {
+    assert(run(events(Seq((0L, 0L, 1L, 1500.0))), thr) == Seq(("t", 0L)))
+  }
+
+  test("threshold silent below (:43-50)") {
+    assert(run(events(Seq((0L, 0L, 1L, 500.0))), thr).isEmpty)
+  }
+
+  test("threshold strict: silent at exactly the threshold (:52-59)") {
+    assert(run(events(Seq((0L, 0L, 1L, 1000.0))), thr).isEmpty)
+  }
+
+  test("threshold skips missing field (:61-68)") {
+    val df = Seq((0L, 0L, 1L)).toDF("event_id", "ts_sec", "user_id")
+    val r = ThresholdRule("t", "amount", 1000.0) // no `amount` column ->
+    // the reference's missing-field skip; batch equivalent: null-cast filter
+    val df2 = df.withColumn("amount",
+      org.apache.spark.sql.functions.lit(null).cast("double"))
+    assert(run(df2, r).isEmpty)
+  }
+
+  test("threshold coerces string-encoded numbers (:70-79)") {
+    val df = Seq((0L, 0L, 1L, "20000"), (1L, 0L, 1L, "garbage"))
+      .toDF("event_id", "ts_sec", "user_id", "value")
+    assert(run(df, ThresholdRule("t", "value", 10000.0)) == Seq(("t", 0L)))
+  }
+
+  // ---- RateSpikeDetectorTest.java ----------------------------------------
+
+  val rate = RateRule("r", "user_id", 10, 3.0)
+
+  test("rate: 3 events silent, 4th fires (:33-54)") {
+    val df = events(Seq((0L, 100L, 1L, 1.0), (1L, 101L, 1L, 1.0),
+      (2L, 102L, 1L, 1.0), (3L, 103L, 1L, 1.0)))
+    assert(run(df, rate) == Seq(("r", 3L)))
+  }
+
+  test("rate: eviction — 3 at t, 1 at t+11s on 10s window: no fire (:56-77)") {
+    val df = events(Seq((0L, 100L, 1L, 1.0), (1L, 100L, 1L, 1.0),
+      (2L, 100L, 1L, 1.0), (3L, 111L, 1L, 1.0)))
+    assert(run(df, rate).isEmpty)
+  }
+
+  test("rate: keys are independent") {
+    val df = events(Seq((0L, 100L, 1L, 1.0), (1L, 100L, 2L, 1.0),
+      (2L, 100L, 3L, 1.0), (3L, 100L, 4L, 1.0)))
+    assert(run(df, rate).isEmpty)
+  }
+
+  // ---- StatisticalOutlierDetectorTest.java -------------------------------
+
+  val stat = StatisticalRule("s", "value", 10, 2.0)
+
+  test("statistical warm-up: first 2 events never fire (:33-38)") {
+    val df = events(Seq((0L, 0L, 1L, 100.0), (1L, 1L, 1L, 5000.0)))
+    assert(run(df, stat).isEmpty)
+  }
+
+  // Reference tests assert only the FINAL evaluate()'s outcome — warm-up
+  // events may or may not fire on their own small baselines, exactly as in
+  // the reference engine. Values below are the reference sample cohort
+  // (examples/sample-events.json, user_003-style).
+  private val baseline = Seq(102.5, 98.75, 101.2, 99.8, 103.1)
+
+  test("statistical: near-mean value silent (:40-51)") {
+    val rows = baseline.zipWithIndex.map { case (v, i) => (i.toLong, i.toLong, 1L, v) }
+    val withProbe = rows :+ ((5L, 5L, 1L, 101.0))
+    assert(!run(events(withProbe), stat).map(_._2).contains(5L))
+  }
+
+  test("statistical: extreme outlier fires (:53-66)") {
+    val rows = baseline.zipWithIndex.map { case (v, i) => (i.toLong, i.toLong, 1L, v) }
+    val withProbe = rows :+ ((5L, 5L, 1L, 5000.0))
+    assert(run(events(withProbe), stat).map(_._2).contains(5L))
+  }
+
+  test("statistical: sigma==0 plus any different value fires (:68-79)") {
+    val df = events(Seq((0L, 0L, 1L, 100.0), (1L, 1L, 1L, 100.0),
+      (2L, 2L, 1L, 101.0)))
+    assert(run(df, stat) == Seq(("s", 2L)))
+  }
+
+  test("statistical: sigma==0 plus identical value silent") {
+    val df = events(Seq((0L, 0L, 1L, 100.0), (1L, 1L, 1L, 100.0),
+      (2L, 2L, 1L, 100.0)))
+    assert(run(df, stat).isEmpty)
+  }
+
+  test("statistical: check-before-insert — value excluded from own baseline") {
+    // window [100, 100], current 101: baseline sigma==0, dev=1 -> fires even
+    // though including 101 in its own window would give sigma>0, dev<2*sigma
+    val df = events(Seq((0L, 0L, 1L, 100.0), (1L, 1L, 1L, 100.0),
+      (2L, 2L, 1L, 101.0), (3L, 3L, 1L, 101.0)))
+    val fired = run(df, stat).map(_._2)
+    assert(fired.contains(2L))
+  }
+
+  // ---- DetectorFactoryTest.java ------------------------------------------
+
+  test("rule dispatch: type -> operator mapping, unknown type rejected (:14-47)") {
+    assert(DetectionRule.validate(DetectionRule.Raw(name = "x",
+      `type` = "threshold", field = "f")).isRight)
+    assert(DetectionRule.validate(DetectionRule.Raw(name = "x",
+      `type` = "RATE", keyField = "k", windowSeconds = 5, threshold = 1))
+      .exists(_.isInstanceOf[RateRule])) // type lowercased like :141-143
+    assert(DetectionRule.validate(DetectionRule.Raw(name = "x",
+      `type` = "statistical", field = "f")).isRight)
+    assert(DetectionRule.validate(DetectionRule.Raw(name = "x",
+      `type` = "bogus")).isLeft)
+  }
+}
