@@ -15,15 +15,21 @@ object Bench {
       catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write forces full evaluation of every column (a bare count()
-      // would let Catalyst prune the projections away and under-measure).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      // isolate per-query timing: no cross-query cache reuse, no
-      // accumulated cache memory pressure
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      // two timed runs, keep the min: a transient host-load burst during
+      // one run can inflate a query 10-50x (observed); min-of-2 reports
+      // the query's actual cost
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop write forces full evaluation of every column (a bare
+        // count() would let Catalyst prune projections and under-measure)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        // isolate per-query timing: no cross-query cache reuse, no
+        // accumulated cache memory pressure
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -15,20 +15,15 @@ object Smoke {
       val t0 = System.nanoTime(); val r = f
       println(f"[$label] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    import org.apache.spark.sql.functions._
     time("warm")(spark.read.parquet(s"$dir/documents.parquet").count())
-    val docs = graft.sources.Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"),
-      graft.operators.Dedup.tokens(col("text")).as("toks"))
-    time("tokenize")(toks.write.format("noop").mode("overwrite").save())
-    val sh = docs.select(col("doc_id"), explode(
-      graft.operators.Dedup.shingles(graft.operators.Dedup.tokens(col("text")))).as("sh"))
-    time("shingle_explode")(sh.write.format("noop").mode("overwrite").save())
-    time("shingle_count")(println(sh.count()))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
-    time("common_selfjoin")(common.write.format("noop").mode("overwrite").save())
+    (1 to 3).foreach { i =>
+      time(s"props_threshold_$i")(
+        graft.SparkEntry.queries("props_threshold")(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+      time(s"ann_topk_$i")(
+        graft.SparkEntry.queries("ann_topk_cosine")(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }
