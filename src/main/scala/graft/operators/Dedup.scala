@@ -217,9 +217,16 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // verify candidates with exact Jaccard
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = idx.as("a").join(idx.as("b"),
+    // verify candidates with exact Jaccard — computed only over documents
+    // that appear in some candidate pair (semi-join prune): the expensive
+    // shingle self-join then touches a few hundred docs instead of all of
+    // them. Result-identical: Jaccard needs the full shingle sets of the
+    // candidate docs, and the semi-join keeps every row of those docs.
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val idxC = idx.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sizes = idxC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = idxC.as("a").join(idxC.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))

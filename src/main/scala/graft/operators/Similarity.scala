@@ -131,30 +131,53 @@ object Similarity {
   private val numPlanes = 8
   private val dims = 64
 
-  /** Deterministic +-1 hyperplane coefficients: md5 parity of "p_d". */
-  private def planeCoefs(p: Column): Column =
-    transform(sequence(lit(0), lit(dims - 1)), d =>
-      lit(1.0) - lit(2.0) *
-        pmod(conv(substring(md5(concat(p.cast("string"), lit("_"),
-          d.cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
-          .cast("double"))
-
+  /** Deterministic +-1 hyperplane coefficients: md5 parity of "p_d"
+    * (SQL form; the Scala side materializes the same table in
+    * [[planeCoefArrays]]). */
   private def planeCoefsSql(p: String): String =
     s"""list_transform(generate_series(0, ${dims - 1}), d ->
        | 1.0 - 2.0 * (CAST(('0x' || substr(md5(CAST($p AS VARCHAR) || '_' ||
        | CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2))""".stripMargin
       .replace("\n", "")
 
+  /** The same +-1 coefficients materialized driver-side (they are
+    * constants): parity of the identical md5 the SQL twin computes. */
+  private lazy val planeCoefArrays: Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dims) { (p, d) =>
+      digest.reset()
+      val hex = digest.digest(s"${p}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      1.0 - 2.0 * (java.lang.Long.parseLong(hex, 16) % 2).toDouble
+    }
+  }
+
   /** Sign-LSH bucket per vector: bit p = sign of the projection onto
-    * hyperplane p. Integer bucket in [0, 2^8). */
+    * hyperplane p. Integer bucket in [0, 2^8). Projections run as a
+    * primitive per-partition loop (the coefficient table is a driver
+    * constant; per-element md5 inside a Catalyst lambda was the hot
+    * path) — same ascending-index fold as the SQL twin. */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val planes = spark.range(numPlanes).toDF("p")
+    import spark.implicits._
+    val coefs = planeCoefArrays
     vecs(spark, dir)
-      .crossJoin(broadcast(planes))
-      .withColumn("proj", dot(col("v"), planeCoefs(col("p"))))
-      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
-      .groupBy("vec_id")
-      .agg(sum(expr("shiftleft(CAST(bit AS BIGINT), CAST(p AS INT))")).as("bucket"))
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (vecId, v) =>
+          var bucket = 0L
+          var p = 0
+          while (p < coefs.length) {
+            val cp = coefs(p)
+            var proj = 0.0
+            var d = 0
+            while (d < cp.length) { proj += v(d) * cp(d); d += 1 }
+            if (proj > 0) bucket |= (1L << p)
+            p += 1
+          }
+          (vecId, bucket)
+        }
+      }.toDF("vec_id", "bucket")
   }
 
   private val lshBucketsSql: String =

@@ -1,0 +1,62 @@
+package graft
+
+import graft.model._
+import graft.operators.Detectors
+import graft.streaming.{DetState, SEvent, StreamingDetectors}
+/** Property: the batch (window-function) and streaming (stateful fold)
+  * formulations are the SAME engine — for arbitrary event sequences with
+  * per-key-distinct second timestamps, the fired (rule, key, event_id)
+  * sets are identical. This pins the subtle frame semantics
+  * (check-before-insert, strict inequalities, eviction bounds) across
+  * both implementations at once. Seeded generator: deterministic runs. */
+class EquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rules: Seq[DetectionRule] = Seq(
+    ThresholdRule("thr", "value", 50.0),
+    RateRule("rate", "user_id", 30, 2.0),
+    StatisticalRule("stat", "value", 4, 1.5))
+
+  test("batch == streaming fold for 30 random event sequences") {
+    val rnd = new scala.util.Random(42)
+    (1 to 30).foreach { trial =>
+      val n = 1 + rnd.nextInt(40)
+      val rows = List.fill(n)((rnd.nextInt(4).toLong,
+        rnd.nextInt(10000) / 100.0))
+      // per-key strictly increasing, globally distinct seconds: ties are
+      // the one place batch RANGE peers and stream arrival order diverge
+      // by design (documented in Detectors.rateAlerts)
+      val evs = rows.zipWithIndex.map { case ((k, v), i) =>
+        (i.toLong, 1000L + i * 7L, k, v)
+      }
+      // batch
+      val df = evs.toDF("event_id", "ts_sec", "user_id", "value")
+      val batch = Detectors.allAlerts(df, rules)
+        .select("rule_name", "key", "event_id")
+        .as[(String, String, Long)].collect().toSet
+      // streaming fold (exactly what flatMapGroupsWithState executes)
+      val streamed = evs.groupBy(_._3).toSeq.flatMap { case (_, keyEvs) =>
+        var st = DetState(Map.empty, Map.empty)
+        keyEvs.sortBy(_._1).flatMap { case (id, ts, k, v) =>
+          val (alerts, next) = StreamingDetectors.processEvent(rules,
+            SEvent(k.toString, id, ts, Some(v)), st)
+          st = next
+          alerts.map(a => (a.rule_name, a.key, a.event_id))
+        }
+      }.toSet
+      assert(batch == streamed, s"(trial $trial, events=$evs)")
+    }
+  }
+
+  test("strictness properties: boundary values never fire") {
+    // exactly-at-threshold (strict >, ThresholdDetector.java:59)
+    val df = Seq((0L, 0L, 1L, 50.0)).toDF("event_id", "ts_sec", "user_id", "value")
+    assert(Detectors.thresholdAlerts(df, ThresholdRule("t", "value", 50.0))
+      .count() == 0)
+    // count exactly == rate threshold (strict >, RateSpikeDetector.java:94)
+    val df2 = Seq((0L, 0L, 1L, 1.0), (1L, 1L, 1L, 1.0))
+      .toDF("event_id", "ts_sec", "user_id", "value")
+    assert(Detectors.rateAlerts(df2, RateRule("r", "user_id", 10, 2.0))
+      .count() == 0)
+  }
+}
