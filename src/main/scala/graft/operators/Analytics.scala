@@ -263,7 +263,147 @@ object Analytics {
       |  max(ts_sec) - min(ts_sec) AS duration_sec
       |FROM h GROUP BY 1, 2""".stripMargin
 
+  /** Hierarchical aggregation: ROLLUP over (day, event_type) — the
+    * subtotal/grand-total lattice in one pass. */
+  def dailyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day_num", expr("ts_sec div 86400"))
+      .rollup("day_num", "event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"))
+
+  val dailyRollupSql: String =
+    """SELECT epoch_ns(ts) // 1000000000 // 86400 AS day_num, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      |FROM events GROUP BY ROLLUP(1, 2)""".stripMargin
+
+  /** Set operation surface: customers ordering in BOTH 1996 and 1997
+    * (INTERSECT distinct semantics). */
+  def repeatCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val y96 = o.filter(col("o_orderdate") >= lit("1996-01-01") &&
+      col("o_orderdate") < lit("1997-01-01")).select("o_custkey")
+    val y97 = o.filter(col("o_orderdate") >= lit("1997-01-01") &&
+      col("o_orderdate") < lit("1998-01-01")).select("o_custkey")
+    y96.intersect(y97)
+  }
+
+  val repeatCustomersSql: String =
+    """SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+
+  /** Anti-join surface: customers with no orders in 1995 (the unscoped
+    * variant is vacuously empty on the fixture — every customer orders
+    * eventually). */
+  def customersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  val customersNoOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')""".stripMargin
+
+  private val eventTypes = Seq("click", "purchase", "error", "signup", "view")
+
+  /** Pivot surface: per-user event-type count matrix (explicit type list —
+    * value discovery would be a nondeterministic extra pass). */
+  def userTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = eventTypes.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t"))
+    Detectors.prepareEvents(Tables.events(spark, dir))
+      .groupBy("key")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  val userTypePivotSql: String = {
+    val cols = eventTypes.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n  ")
+    s"""SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  /** Interpolated p50/p90 per event type over exact cents, computed with
+    * an explicit rank/fraction formula rather than the engines' built-in
+    * percentile aggregates (whose interpolation op ORDER differs at the
+    * ulp level across engines): idx = (n-1)*p decomposed into an integer
+    * rank and an exact rational fraction, then a + (b-a)*frac — the same
+    * IEEE sequence everywhere. */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("c", "event_id")
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("c", cents(col("value")))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("k50", expr("(n - 1) div 2"))
+      .withColumn("f50", (expr("(n - 1) % 2")).cast("double") / 2.0)
+      .withColumn("k90", expr("((n - 1) * 9) div 10"))
+      .withColumn("f90", (expr("((n - 1) * 9) % 10")).cast("double") / 10.0)
+    e.groupBy("event_type")
+      .agg(
+        max("n").as("n"),
+        max(when(col("rn") === col("k50") + 1, col("c"))).as("a50"),
+        max(when(col("rn") === col("k50") + 2, col("c"))).as("b50"),
+        max(when(col("rn") === col("k90") + 1, col("c"))).as("a90"),
+        max(when(col("rn") === col("k90") + 2, col("c"))).as("b90"),
+        max("f50").as("f50"), max("f90").as("f90"))
+      .withColumn("p50", (col("a50") +
+        (coalesce(col("b50"), col("a50")) - col("a50")) * col("f50")) / 100.0)
+      .withColumn("p90", (col("a90") +
+        (coalesce(col("b90"), col("a90")) - col("a90")) * col("f90")) / 100.0)
+      .select("event_type", "n", "p50", "p90")
+  }
+
+  val valueQuantilesSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e
+      |), k AS (
+      |  SELECT *,
+      |    (n - 1) // 2 AS k50, CAST((n - 1) % 2 AS DOUBLE) / 2.0 AS f50,
+      |    ((n - 1) * 9) // 10 AS k90, CAST(((n - 1) * 9) % 10 AS DOUBLE) / 10.0 AS f90
+      |  FROM r
+      |), g AS (
+      |  SELECT event_type, max(n) AS n,
+      |    max(CASE WHEN rn = k50 + 1 THEN c END) AS a50,
+      |    max(CASE WHEN rn = k50 + 2 THEN c END) AS b50,
+      |    max(CASE WHEN rn = k90 + 1 THEN c END) AS a90,
+      |    max(CASE WHEN rn = k90 + 2 THEN c END) AS b90,
+      |    max(f50) AS f50, max(f90) AS f90
+      |  FROM k GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |  (a50 + (coalesce(b50, a50) - a50) * f50) / 100.0 AS p50,
+      |  (a90 + (coalesce(b90, a90) - a90) * f90) / 100.0 AS p90
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "daily_rollup" -> (dailyRollup _),
+    "repeat_customers" -> (repeatCustomers _),
+    "customers_no_orders" -> (customersNoOrders _),
+    "user_type_pivot" -> (userTypePivot _),
+    "value_quantiles" -> (valueQuantiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -275,6 +415,11 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "daily_rollup" -> dailyRollupSql,
+    "repeat_customers" -> repeatCustomersSql,
+    "customers_no_orders" -> customersNoOrdersSql,
+    "user_type_pivot" -> userTypePivotSql,
+    "value_quantiles" -> valueQuantilesSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
