@@ -336,6 +336,40 @@ object Analytics {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  /** Skew-tolerant two-phase aggregation: the classic salting rewrite —
+    * pre-aggregate on (key, salt) so one hot key spreads over `nSalts`
+    * reducers, then combine the partials. Result-identical to the direct
+    * groupBy (all aggregates here are algebraic), which the shared oracle
+    * proves. At 100 TB this is the pattern for power-law keys; AQE's
+    * skew-join handling covers joins, salting covers aggregations. */
+  def userActivitySalted(spark: SparkSession, dir: String): DataFrame = {
+    val nSalts = 8
+    val partial = Detectors.prepareEvents(Tables.events(spark, dir))
+      .withColumn("salt", pmod(col("event_id"), lit(nSalts)))
+      .groupBy("key", "salt")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(cents(col("value"))).as("pc"),
+        min("value").as("pmin"), max("value").as("pmax"),
+        min("ts_sec").as("pfirst"), max("ts_sec").as("plast"))
+    partial.groupBy("key")
+      .agg(
+        sum("pn").as("n_events"),
+        (sum("pc").cast("double") / 100.0).as("total_value"),
+        min("pmin").as("min_value"), max("pmax").as("max_value"),
+        min("pfirst").as("first_sec"), max("plast").as("last_sec"))
+  }
+
+  val userActivitySaltedSql: String =
+    """SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+      |  min(value) AS min_value,
+      |  max(value) AS max_value,
+      |  min(epoch_ns(ts) // 1000000000) AS first_sec,
+      |  max(epoch_ns(ts) // 1000000000) AS last_sec
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Interpolated p50/p90 per event type over exact cents, computed with
     * an explicit rank/fraction formula rather than the engines' built-in
     * percentile aggregates (whose interpolation op ORDER differs at the
@@ -404,6 +438,7 @@ object Analytics {
     "customers_no_orders" -> (customersNoOrders _),
     "user_type_pivot" -> (userTypePivot _),
     "value_quantiles" -> (valueQuantiles _),
+    "user_activity_salted" -> (userActivitySalted _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -420,6 +455,7 @@ object Analytics {
     "customers_no_orders" -> customersNoOrdersSql,
     "user_type_pivot" -> userTypePivotSql,
     "value_quantiles" -> valueQuantilesSql,
+    "user_activity_salted" -> userActivitySaltedSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

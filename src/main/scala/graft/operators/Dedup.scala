@@ -32,17 +32,10 @@ object Dedup {
   def tokensSql(text: String): String =
     s"list_filter(string_split_regex(lower($text), '[^a-z0-9]+'), x -> x <> '')"
 
-  /** Distinct word 3-shingles of a document (order-preserving construction,
-    * then set semantics). */
-  def shingles(toks: Column): Column =
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3))))
-        .otherwise(array()))
-
-  /** DuckDB twin (1-indexed lists). */
+  /** Word-3-shingle set, DuckDB form (1-indexed lists). The Spark side
+    * computes the same set in [[shingleRows]]'s primitive loop — the
+    * declarative `transform(sequence(...))` equivalent was ~10x slower
+    * (interpreted higher-order functions). */
   def shinglesSql(toks: String): String =
     s"""list_distinct(CASE WHEN len($toks) >= 3
        | THEN list_transform(generate_series(1, len($toks) - 2),

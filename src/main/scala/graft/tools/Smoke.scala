@@ -15,15 +15,8 @@ object Smoke {
       val t0 = System.nanoTime(); val r = f
       println(f"[$label] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    time("warm")(spark.read.parquet(s"$dir/documents.parquet").count())
-    (1 to 3).foreach { i =>
-      time(s"props_threshold_$i")(
-        graft.SparkEntry.queries("props_threshold")(spark, dir)
-          .write.format("noop").mode("overwrite").save())
-      time(s"ann_topk_$i")(
-        graft.SparkEntry.queries("ann_topk_cosine")(spark, dir)
-          .write.format("noop").mode("overwrite").save())
-    }
+    println("=== salted aggregation plan ===")
+    graft.operators.Analytics.userActivitySalted(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -105,6 +105,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked tumbling-window aggregation over the event stream") {
+    // SURVEY §2 op 3: the reference declares a 5 s watermark; here it is
+    // actually consumed by an aligned windowed count (the Spark-native
+    // aggregation surface the reference lacks)
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wm-ckpt").toString
+    val agg = ms.toDS()
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "60 seconds"), col("key"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val t0 = 1700000040L // 60-aligned: all 5 events land in one window
+      ms.addData((0 until 5).map(i => SEvent("u1", i, t0 + i * 10, Some(1.0))))
+      q.processAllAvailable()
+      // advance the watermark far past the first windows, closing them
+      ms.addData(Seq(SEvent("u1", 99, t0 + 600, Some(1.0))))
+      q.processAllAvailable()
+      ms.addData(Seq(SEvent("u1", 100, t0 + 700, Some(1.0))))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .selectExpr("key", "n").as[(String, Long)].collect().toSeq
+      // first minute: 5 events in window [t0, t0+60); append mode emits it
+      // once the watermark passes
+      assert(rows.contains(("u1", 5L)))
+    } finally q.stop()
+  }
+
   test("idle-key TTL evicts state (improvement over the reference)") {
     // pure state-transition check: TTL wiring is exercised via the
     // processing-time timeout path; here we pin the transition function
