@@ -15,8 +15,13 @@ object Smoke {
       val t0 = System.nanoTime(); val r = f
       println(f"[$label] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    println("=== salted aggregation plan ===")
-    graft.operators.Analytics.userActivitySalted(spark, dir).explain("formatted")
+    println("=== classpath rules -> engine ===")
+    val cfg = graft.model.RulesLoader.load()
+    println(s"loaded ${cfg.rules.size} rules: ${cfg.rules.map(_.name).mkString(", ")}")
+    val alerts = graft.operators.Detectors.allAlerts(
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.001"), cfg.rules)
+    println(s"alerts from YAML-driven engine: ${alerts.count()}")
+    alerts.show(3, false)
     spark.stop()
   }
 }

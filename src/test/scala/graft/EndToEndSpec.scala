@@ -1,0 +1,26 @@
+package graft
+
+import graft.model.RulesLoader
+import graft.operators.Detectors
+import graft.sources.Tables
+
+/** Config -> engine end-to-end: the YAML on the classpath drives query
+  * construction exactly like the reference's EP1 lifecycle (SURVEY.md §3),
+  * and produces the same alerts as the hand-built FixtureRules. */
+class EndToEndSpec extends SparkSpec {
+
+  test("classpath rules.yml compiles to the same engine as FixtureRules") {
+    val cfg = RulesLoader.load() // env unset in tests -> classpath rules.yml
+    assert(cfg.rules.toSet == SparkEntry.FixtureRules.all.toSet)
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    val fromYaml = Detectors.allAlerts(df, cfg.rules)
+      .select("rule_name", "key", "event_id").collect().map(_.toString).sorted
+    val fromCode = Detectors.allAlerts(df, SparkEntry.FixtureRules.all)
+      .select("rule_name", "key", "event_id").collect().map(_.toString).sorted
+    assert(fromYaml.nonEmpty && fromYaml.sameElements(fromCode))
+  }
+
+  test("driver entry() produces alerts (smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
