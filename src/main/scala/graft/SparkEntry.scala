@@ -17,7 +17,7 @@ object SparkEntry {
 
   /** Canonical rule parameterization for the driver fixtures (chosen per
     * FIXTURES.md §B.1 so both fire/no-fire branches are exercised:
-    * `value > 100` fires ≈12%, rate window 1 h with threshold 3,
+    * `value > 100` fires ≈12%, rate window 1 h with threshold 2,
     * statistical window 5 / 2.0σ). Mirrors the shape of the reference's
     * config/rules.yml (high_rate / high_amount / unusual_amount). */
   object FixtureRules {

@@ -10,16 +10,10 @@ object Smoke {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     e.printSchema()
     e.select("event_id", "ts_ns", "ts_sec", "ts", "user_id", "value").show(5, false)
-    val dir = "/root/testdata/sf0.1"
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[$label] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
     println("=== classpath rules -> engine ===")
     val cfg = graft.model.RulesLoader.load()
     println(s"loaded ${cfg.rules.size} rules: ${cfg.rules.map(_.name).mkString(", ")}")
-    val alerts = graft.operators.Detectors.allAlerts(
-      graft.sources.Tables.events(spark, "/root/testdata/sf0.001"), cfg.rules)
+    val alerts = graft.operators.Detectors.allAlerts(e, cfg.rules)
     println(s"alerts from YAML-driven engine: ${alerts.count()}")
     alerts.show(3, false)
     spark.stop()

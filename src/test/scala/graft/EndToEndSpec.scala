@@ -10,7 +10,10 @@ import graft.sources.Tables
 class EndToEndSpec extends SparkSpec {
 
   test("classpath rules.yml compiles to the same engine as FixtureRules") {
-    val cfg = RulesLoader.load() // env unset in tests -> classpath rules.yml
+    // ambient RULES_CONFIG_PATH would redirect load() away from the
+    // classpath fallback under test — make the precondition explicit
+    assume(sys.env.get("RULES_CONFIG_PATH").isEmpty)
+    val cfg = RulesLoader.load()
     assert(cfg.rules.toSet == SparkEntry.FixtureRules.all.toSet)
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     val fromYaml = Detectors.allAlerts(df, cfg.rules)
