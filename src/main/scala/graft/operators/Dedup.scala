@@ -68,18 +68,44 @@ object Dedup {
       }.toDF("doc_id", "sh")
   }
 
-  /** (doc_id, shingle) inverted-index rows, with hot shingles capped at a
-    * document frequency of `maxDf` (skew guard: a shingle present in >maxDf
-    * docs generates O(df²) candidate pairs and adds no discrimination). */
+  /** Exact-duplicate canonicalization: one surviving row (smallest
+    * doc_id) per distinct text. Near-dup detection runs on canonical
+    * docs ONLY — the production pipeline ordering (exact dedup first,
+    * then near-dup). Without this, a crawl-like corpus where every page
+    * has k exact copies multiplies every shingle's document frequency by
+    * k and the verification self-join by k² — measured 42x blow-up at a
+    * 10x-replicated probe. Exact-dup membership itself is [[exact]]'s
+    * output. */
+  def canonicalDocs(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy("doc_id")
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  def canonicalDocsSql: String =
+    """canon AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, row_number() OVER (
+      |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents
+      |  ) WHERE rn = 1
+      |)""".stripMargin
+
+  /** (doc_id, shingle) inverted-index rows over CANONICAL docs, with hot
+    * shingles capped at a document frequency of `maxDf` (skew guard: a
+    * shingle present in >maxDf docs generates O(df²) candidate pairs and
+    * adds no discrimination). */
   private def shingleIndex(docs: DataFrame, maxDf: Int): DataFrame = {
-    val exploded = shingleRows(docs)
+    val exploded = shingleRows(canonicalDocs(docs))
     val hot = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
     exploded.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
   private def shingleIndexSql(maxDf: Int): String =
-    s"""t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+    s"""$canonicalDocsSql,
+       |t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM canon),
        |shx AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS sh FROM t),
        |hot AS (SELECT sh FROM shx GROUP BY sh HAVING count(*) > $maxDf),
        |idx AS (SELECT * FROM shx ANTI JOIN hot USING (sh))""".stripMargin
@@ -277,7 +303,8 @@ object Dedup {
     * aggregate — no per-bit explode, no extra shuffle. */
   def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val th = shingleRows(docs).withColumn("h", h60(lit("sim"), col("sh")))
+    val th = shingleRows(canonicalDocs(docs))
+      .withColumn("h", h60(lit("sim"), col("sh")))
     val voteAggs = (0 until simhashBits).map { b =>
       sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"v$b")
     }
@@ -296,7 +323,8 @@ object Dedup {
     val packed = (0 until simhashBits).map { b =>
       s"(CASE WHEN v$b > 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
     }.mkString(" + ")
-    s"""tt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+    s"""$canonicalDocsSql,
+       |tt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM canon),
        |t AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS tok FROM tt),
        |th AS (SELECT doc_id, ${h60Sql("'sim'", "tok")} AS h FROM t),
        |v AS (

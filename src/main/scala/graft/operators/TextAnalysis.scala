@@ -90,14 +90,26 @@ object TextAnalysis {
 
   /** Heuristic language ID: per-language function-word hit counts, argmax
     * with a fixed priority order (de > en > es > fr) on ties. The `lang`
-    * column rides along so downstream can measure agreement. */
+    * column rides along so downstream can measure agreement.
+    *
+    * Shape: explode tokens ONCE and count hits with conditional aggregates
+    * against the lexicons. The fold-of-withColumns version computed each
+    * score as a higher-order-function expression that Catalyst's
+    * projection collapse then inlined into every CASE branch — the
+    * interpreted tokenization ran ~16x per row (measured 91x at a 10x
+    * scale probe). Exploding costs one shuffle but tokenizes once. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .withColumn("toks", tokens(col("text")))
-    val scored = langLexicons.foldLeft(base) { case (df, (code, lex)) =>
-      df.withColumn(s"s_$code", countIn(col("toks"), lex).cast("long"))
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("t"))
+      .filter(col("t") =!= "")
+    val scoreCols = langLexicons.map { case (code, lex) =>
+      count(when(col("t").isInCollection(lex), 1)).as(s"s_$code")
     }
-    scored
+    val scores = toks.groupBy("doc_id").agg(scoreCols.head, scoreCols.tail: _*)
+    docs.select("doc_id", "lang")
+      .join(scores, Seq("doc_id"), "left")
+      .na.fill(0L, langLexicons.map { case (c, _) => s"s_$c" })
       .withColumn("pred_lang",
         when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
           col("s_de") >= col("s_fr"), "de")
