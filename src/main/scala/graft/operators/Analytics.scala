@@ -432,7 +432,60 @@ object Analytics {
       |  (a90 + (coalesce(b90, a90) - a90) * f90) / 100.0 AS p90
       |FROM g""".stripMargin
 
+  /** AS-OF join, composed from built-ins (SURVEY custom-operator ladder
+    * step (a)): for every `purchase` event, the most recent `click` by
+    * the same user at-or-before the purchase time. The classic
+    * union-and-carry formulation: tag both streams, sort per user by
+    * (time, tag, id) with clicks before purchases at ties, and carry the
+    * last click forward with `last(_, ignoreNulls)` over an unbounded
+    * preceding frame — one shuffle on the user key, no per-row probing,
+    * scales like any window. The oracle states the same semantics as a
+    * correlated lookup; only results must match, and the deterministic
+    * tie-break (max click ts, then max event_id) makes them identical. */
+  def asofClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Detectors.prepareEvents(Tables.events(spark, dir))
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("tag", when(col("event_type") === "click", 0).otherwise(1))
+    val w = Window.partitionBy("key")
+      .orderBy("ts_sec", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("click_event_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts_sec",
+        last(when(col("tag") === 0, col("ts_sec")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("click_event_id").isNotNull)
+      .select(col("event_id").as("purchase_event_id"), col("key"),
+        col("ts_sec").as("purchase_ts_sec"),
+        col("click_event_id"), col("click_ts_sec"),
+        (col("ts_sec") - col("click_ts_sec")).as("gap_sec"))
+  }
+
+  val asofClickAttributionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+      |    epoch_ns(ts) // 1000000000 AS ts_sec
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT p.event_id AS purchase_event_id, p."key",
+      |    p.ts_sec AS purchase_ts_sec,
+      |    (SELECT max(c.event_id) FROM c
+      |      WHERE c."key" = p."key" AND c.ts_sec = (
+      |        SELECT max(c2.ts_sec) FROM c c2
+      |        WHERE c2."key" = p."key" AND c2.ts_sec <= p.ts_sec))
+      |      AS click_event_id,
+      |    (SELECT max(c.ts_sec) FROM c
+      |      WHERE c."key" = p."key" AND c.ts_sec <= p.ts_sec) AS click_ts_sec
+      |  FROM p
+      |)
+      |SELECT purchase_event_id, "key", purchase_ts_sec, click_event_id,
+      |  click_ts_sec, purchase_ts_sec - click_ts_sec AS gap_sec
+      |FROM m WHERE click_event_id IS NOT NULL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_click_attribution" -> (asofClickAttribution _),
     "daily_rollup" -> (dailyRollup _),
     "repeat_customers" -> (repeatCustomers _),
     "customers_no_orders" -> (customersNoOrders _),
@@ -450,6 +503,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_click_attribution" -> asofClickAttributionSql,
     "daily_rollup" -> dailyRollupSql,
     "repeat_customers" -> repeatCustomersSql,
     "customers_no_orders" -> customersNoOrdersSql,
