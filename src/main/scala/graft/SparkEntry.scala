@@ -48,9 +48,13 @@ object SparkEntry {
     // (the reference's Map<String,Object> event shape, Event.java:39-59)
     "props_threshold" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
+      // Single-reference predicate: `k_val > 50.0` alone drops nulls (ANSI
+      // NULL comparison), so after predicate pushdown the JSON parse runs
+      // twice per row (filter + projection), not three times — the
+      // explicit isNotNull conjunct re-inlined a third get_json_object.
       Tables.events(s, dir)
         .withColumn("k_val", get_json_object(col("props"), "$.k").try_cast("double"))
-        .filter(col("k_val").isNotNull && col("k_val") > 50.0)
+        .filter(col("k_val") > 50.0)
         .select(col("event_id"),
           Detectors.keyCol("user_id").as("key"), col("ts_sec"), col("k_val"))
     }),
@@ -65,16 +69,14 @@ object SparkEntry {
     "rate_alerts" -> DetectorSql.rate(FixtureRules.rate),
     "stat_alerts" -> DetectorSql.statistical(FixtureRules.statistical),
     "all_alerts" -> DetectorSql.all(FixtureRules.all),
-    // multimodal_features intentionally has no SQL twin (binary pipeline;
-    // driver records the weaker rows-only check)
+    "multimodal_features" -> Multimodal.featuresSql,
     "props_threshold" ->
       """SELECT event_id,
         |  coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
         |  epoch_ns(ts) // 1000000000 AS ts_sec,
         |  TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
         |FROM events
-        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
-        |  AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50.0""".stripMargin,
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50.0""".stripMargin,
   ) ++ Analytics.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
     Similarity.oracles
 }

@@ -92,6 +92,19 @@ object Dedup {
       |  ) WHERE rn = 1
       |)""".stripMargin
 
+  /** Eagerly materialize a DataFrame that multiple downstream subtrees of
+    * a SINGLE action will reference: `cache()` alone defers population to
+    * first touch, so concurrent subtrees each race to compute the same
+    * partitions and every downstream stage's task binary drags the full
+    * lineage along (measured: 1.3 MiB task binaries and a 10x bench
+    * blow-up on minhash before this). `count()` pays one job up front;
+    * every later reference is a cached-block scan with a truncated plan. */
+  private def eager(df: DataFrame): DataFrame = {
+    df.cache()
+    df.count()
+    df
+  }
+
   /** (doc_id, shingle) inverted-index rows over CANONICAL docs, with hot
     * shingles capped at a document frequency of `maxDf` (skew guard: a
     * shingle present in >maxDf docs generates O(df²) candidate pairs and
@@ -133,7 +146,7 @@ object Dedup {
     * self-join (only docs sharing at least one shingle are ever paired). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val idx = shingleIndex(docs, maxDf).cache()
+    val idx = eager(shingleIndex(docs, maxDf))
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = idx.as("a").join(idx.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -214,8 +227,8 @@ object Dedup {
     * on both sides). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val idx = shingleIndex(docs, maxDf).cache()
-    val mh = minhashSig(idx)
+    val idx = eager(shingleIndex(docs, maxDf))
+    val mh = eager(minhashSig(idx))
     // unfold the 16 columns into 4 band-signature rows per doc
     val bandStructs = (0 until numHashes / numBands).map { band =>
       struct(lit(band.toLong).as("band"),
@@ -229,13 +242,13 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.m0").as("m0"), col("bs.m1").as("m1"),
         col("bs.m2").as("m2"), col("bs.m3").as("m3"))
-    val cand = sig.as("x").join(sig.as("y"),
+    val cand = eager(sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") &&
           col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
           col("x.m2") === col("y.m2") && col("x.m3") === col("y.m3") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+      .distinct())
     // verify candidates with exact Jaccard — computed only over documents
     // that appear in some candidate pair (semi-join prune): the expensive
     // shingle self-join then touches a few hundred docs instead of all of
@@ -342,7 +355,7 @@ object Dedup {
     * so recall is exact at this threshold), verified
     * by exact popcount hamming <= 3. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashDocs(spark, dir).cache()
+    val sh = eager(simhashDocs(spark, dir))
     val chunks = spark.range(simhashBits / chunkBits).toDF("c")
     val keyed = sh.crossJoin(broadcast(chunks))
       .withColumn("chunk_val",

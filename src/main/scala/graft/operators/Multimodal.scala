@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * interpretation), frame sampling and feature extraction — is real,
   * deterministic, and tested.
   *
+  * Output is ALL-SCALAR so it is oracle-checkable end to end: the byte
+  * histogram is a fixed-order CSV string and the sampled frame digests are
+  * rolled into one md5. Frame digests are md5 over the frame's lowercase
+  * hex (not the raw bytes) because the cross-engine oracle can only md5
+  * text — the indirection is deterministic and keeps every column
+  * SQL-expressible; a production build would digest the raw bytes.
+  *
   * Scale posture: payload bytes never shuffle — every derived column is
   * computed in the scan stage's partition; only the small feature/metadata
   * projection flows downstream. At 100 TB the media blobs stay in object
@@ -33,7 +40,7 @@ object Multimodal {
 
   final case class MediaFeature(
       doc_id: Long, mime: String, n_bytes: Long, n_frames: Long,
-      n_sampled: Long, histogram: Array[Long], frame_md5s: Array[String])
+      n_sampled: Long, hist_csv: String, frames_digest: String)
 
   /** The fixture has no binary table, so media payloads are synthesized
     * deterministically from `documents.text` (UTF-8 bytes). A real
@@ -45,6 +52,19 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"),
         lit("application/x-graft-demo").as("mime"))
 
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte], from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder((until - from) * 2)
+    var i = from
+    while (i < until) {
+      val b = bytes(i) & 0xff
+      sb.append(hexChars(b >>> 4)).append(hexChars(b & 0xf))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** decode -> frame-sample -> feature-extract, one partition at a time. */
   def features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -53,27 +73,64 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String = {
+          digest.reset()
+          digest.update(s.getBytes("UTF-8"))
+          toHex(digest.digest(), 0, 16)
+        }
         it.map { case (docId, payload, mime) =>
           val decoded = stubDecode(payload)
-          // byte-value histogram (the "feature vector")
+          // byte-value histogram (the "feature vector"), fixed-order CSV
           val hist = new Array[Long](histBuckets)
           var i = 0
           while (i < decoded.length) {
             hist((decoded(i) & 0xff) % histBuckets) += 1
             i += 1
           }
-          // frame split + every-kth sampling ("resize"/"frame-sample")
+          // frame split + every-kth sampling ("resize"/"frame-sample");
+          // per-frame md5 over the frame's lowercase hex, rolled into one
+          // digest so the feature row stays scalar
           val nFrames = (decoded.length + frameBytes - 1) / frameBytes
-          val sampled = (0 until nFrames by sampleEvery).map { f =>
+          val frameMd5s = new java.lang.StringBuilder
+          var nSampled = 0L
+          var f = 0
+          while (f < nFrames) {
             val from = f * frameBytes
             val until = math.min(from + frameBytes, decoded.length)
-            digest.reset()
-            digest.update(decoded, from, until - from)
-            digest.digest().map("%02x".format(_)).mkString
+            frameMd5s.append(md5hex(toHex(decoded, from, until)))
+            nSampled += 1
+            f += sampleEvery
           }
           MediaFeature(docId, mime, decoded.length.toLong, nFrames.toLong,
-            sampled.size.toLong, hist, sampled.toArray)
+            nSampled, hist.mkString(","), md5hex(frameMd5s.toString))
         }
       }.toDF()
   }
+
+  /** DuckDB twin of [[features]]: identical math in hex-string space
+    * (DuckDB 1.0 has no BLOB md5/substring, hence the hex indirection on
+    * both sides). */
+  val featuresSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, hx, n_bytes,
+       |    (n_bytes + ${frameBytes - 1}) // $frameBytes AS n_frames
+       |  FROM m
+       |), s AS (
+       |  SELECT doc_id, n_bytes, n_frames,
+       |    list_transform(generate_series(0, CAST(n_frames AS INT) - 1, $sampleEvery),
+       |      fr -> md5(substr(hx, fr * ${frameBytes * 2} + 1, ${frameBytes * 2}))) AS fr_md5s,
+       |    list_transform(generate_series(1, CAST(n_bytes AS INT)),
+       |      i -> CAST(('0x' || substr(hx, 2*i - 1, 2)) AS INT)) AS byts
+       |  FROM f
+       |)
+       |SELECT doc_id, 'application/x-graft-demo' AS mime, n_bytes, n_frames,
+       |  CAST(len(fr_md5s) AS BIGINT) AS n_sampled,
+       |  array_to_string(list_transform(generate_series(0, ${histBuckets - 1}),
+       |    b -> CAST(len(list_filter(byts, x -> x % $histBuckets = b)) AS VARCHAR)), ',') AS hist_csv,
+       |  md5(array_to_string(fr_md5s, '')) AS frames_digest
+       |FROM s""".stripMargin
 }

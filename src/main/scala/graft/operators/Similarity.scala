@@ -89,32 +89,60 @@ object Similarity {
 
   private val pairThreshold = 0.45
 
+  /** Block count for the exact-pairs grid join: per-task memory is
+    * O(2n/B) vectors and each vector is shuffled B+1 times, so B grows
+    * with the corpus (B ≈ n·d·8 / target_task_bytes at 100 TB). */
+  private val neardupBlocks = 16
+
   /** Embedding near-duplicate pairs: all pairs with rounded cosine >= 0.45.
     *
-    * Executed as broadcast-block matrix sweep via `mapPartitions` (the
-    * (d)-tier escape hatch, justified here): Catalyst higher-order-function
-    * lambdas are interpreted per row, which makes an O(n^2 d) sweep ~10x
-    * slower than a primitive while-loop. One side is broadcast (at 100 TB:
-    * block the broadcast side and sweep block-by-block; each sweep is this
-    * exact operator), the other side streams through partitions. The inner
-    * loop is the same ascending-index sequential fold as the declarative
-    * form, so results are bit-identical to the SQL oracle. */
+    * This is the EXACT all-pairs audit (intrinsically O(n²) compute — the
+    * production near-dup path is the LSH-bucketed [[annLshTopk]] shape),
+    * executed as a blocked grid self-join with NO driver materialization:
+    * each vector lands in block b = vec_id mod B, grid cell (i,j), i<=j,
+    * receives block i as its x side and block j as its y side, and every
+    * unordered pair meets in exactly one cell (same-block pairs are
+    * oriented by vec_id inside the cell). The cell id is a plain
+    * hash-partitionable shuffle key — executors each hold two blocks, the
+    * driver holds nothing, and per-task memory is bounded by the block
+    * size whatever the corpus.
+    *
+    * The per-cell sweep is a primitive while-loop (the (d)-tier escape
+    * hatch, justified: Catalyst HOF lambdas are interpreted per row, ~10x
+    * slower for O(n² d) math). The inner loop is the same ascending-index
+    * sequential fold as the SQL oracle, and x*y multiplication commutes
+    * exactly in IEEE, so results are bit-identical either orientation. */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val B = neardupBlocks
+    val t = pairThreshold
     val base = vecs(spark, dir)
       .select(col("vec_id"), col("v"), col("norm"))
       .as[(Long, Array[Double], Double)]
-    val bc = spark.sparkContext.broadcast(base.collect())
-    val t = pairThreshold
-    base.mapPartitions { it =>
-      val cands = bc.value
-      it.flatMap { case (id1, v1, n1) =>
-        cands.iterator.filter(_._1 > id1).flatMap { case (id2, v2, n2) =>
-          var d = 0.0
-          var i = 0
-          while (i < v1.length) { d += v1(i) * v2(i); i += 1 }
-          val simR = math.floor(d / (n1 * n2) * 1000000.0 + 0.5) / 1000000.0
-          if (simR >= t) Iterator.single((id1, id2, simR)) else Iterator.empty
+    val replicated = base.flatMap { case (id, v, n) =>
+      val b = (id % B).toInt
+      Iterator.range(b, B).map(j => (b * B + j, false, id, v, n)) ++
+        Iterator.range(0, b + 1).map(i => (i * B + b, true, id, v, n))
+    }
+    replicated.groupByKey(_._1).flatMapGroups { (cell, rows) =>
+      val xs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      val ys = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+      rows.foreach { case (_, isY, id, v, n) =>
+        (if (isY) ys else xs) += ((id, v, n))
+      }
+      val sameBlock = cell / B == cell % B
+      xs.iterator.flatMap { case (id1, v1, n1) =>
+        ys.iterator.flatMap { case (id2, v2, n2) =>
+          if (sameBlock && id1 >= id2) Iterator.empty
+          else {
+            var d = 0.0
+            var i = 0
+            while (i < v1.length) { d += v1(i) * v2(i); i += 1 }
+            val simR = math.floor(d / (n1 * n2) * 1000000.0 + 0.5) / 1000000.0
+            if (simR >= t)
+              Iterator.single((math.min(id1, id2), math.max(id1, id2), simR))
+            else Iterator.empty
+          }
         }
       }
     }.toDF("v1", "v2", "sim_r")

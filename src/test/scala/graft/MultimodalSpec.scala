@@ -10,22 +10,23 @@ class MultimodalSpec extends SparkSpec {
   test("binary pipeline: schema, frame math, and feature shape") {
     val df = Multimodal.features(spark, dir)
     assert(df.columns.toSeq == Seq("doc_id", "mime", "n_bytes", "n_frames",
-      "n_sampled", "histogram", "frame_md5s"))
+      "n_sampled", "hist_csv", "frames_digest"))
     val row = df.filter($"doc_id" === 0L)
       .as[Multimodal.MediaFeature].head()
-    assert(row.histogram.length == Multimodal.histBuckets)
-    assert(row.histogram.sum == row.n_bytes) // every byte lands in a bucket
+    val hist = row.hist_csv.split(",").map(_.toLong)
+    assert(hist.length == Multimodal.histBuckets)
+    assert(hist.sum == row.n_bytes) // every byte lands in a bucket
     val expFrames = (row.n_bytes + Multimodal.frameBytes - 1) / Multimodal.frameBytes
     assert(row.n_frames == expFrames)
     assert(row.n_sampled == (row.n_frames + Multimodal.sampleEvery - 1) / Multimodal.sampleEvery)
-    assert(row.frame_md5s.forall(_.length == 32))
+    assert(row.frames_digest.length == 32)
   }
 
   test("deterministic across runs (stubbed decode is stable)") {
     val a = Multimodal.features(spark, dir).orderBy("doc_id")
-      .select("doc_id", "n_bytes", "frame_md5s").collect().toSeq.map(_.toString)
+      .select("doc_id", "n_bytes", "frames_digest").collect().toSeq.map(_.toString)
     val b = Multimodal.features(spark, dir).orderBy("doc_id")
-      .select("doc_id", "n_bytes", "frame_md5s").collect().toSeq.map(_.toString)
+      .select("doc_id", "n_bytes", "frames_digest").collect().toSeq.map(_.toString)
     assert(a == b)
   }
 
