@@ -14,6 +14,18 @@ object DetectorSql {
   private val keyExpr =
     "coalesce(CAST(user_id AS VARCHAR), '__unknown__')"
 
+  /** Twin of [[Detectors.originalEvent]] over the raw `events` table —
+    * same piece order, same coalesce-to-'null', same [[Fmt]] value path. */
+  private val origEvent: String = {
+    def opt(e: String) = s"coalesce($e, 'null')"
+    "'{\"event_id\":' || " + opt("CAST(event_id AS VARCHAR)") +
+      " || ',\"ts_sec\":' || " + opt(s"CAST($tsSec AS VARCHAR)") +
+      " || ',\"user_id\":' || " + opt("CAST(user_id AS VARCHAR)") +
+      " || ',\"event_type\":' || " + opt(Fmt.sqlJsonStr("event_type")) +
+      " || ',\"value\":' || " + opt(Fmt.sqlF("TRY_CAST(value AS DOUBLE)", 2)) +
+      " || ',\"props\":' || " + opt("props") + " || '}'"
+  }
+
   def threshold(r: ThresholdRule): String = {
     val v = r.field
     s"""SELECT '${r.name}' AS rule_name,
@@ -22,7 +34,8 @@ object DetectorSql {
        |  event_id,
        |  $v AS value,
        |  'Threshold exceeded: ${r.field}=' || ${Fmt.sqlF(v, 2)} ||
-       |    ' (threshold: ${"%.2f".format(r.threshold)})' AS details
+       |    ' (threshold: ${"%.2f".format(r.threshold)})' AS details,
+       |  $origEvent AS original_event
        |FROM events
        |WHERE $v IS NOT NULL AND $v > ${r.threshold}""".stripMargin
   }
@@ -31,7 +44,8 @@ object DetectorSql {
     s"""WITH e AS (
        |  SELECT event_id,
        |    coalesce(CAST(${r.keyField} AS VARCHAR), '__unknown__') AS "key",
-       |    $tsSec AS ts_sec
+       |    $tsSec AS ts_sec,
+       |    $origEvent AS original_event
        |  FROM events
        |), c AS (
        |  SELECT *, count(*) OVER (PARTITION BY "key" ORDER BY ts_sec
@@ -41,7 +55,8 @@ object DetectorSql {
        |SELECT '${r.name}' AS rule_name, "key", ts_sec, event_id,
        |  CAST(cnt AS DOUBLE) AS value,
        |  'Rate spike: ' || CAST(cnt AS VARCHAR) ||
-       |    ' events in ${r.windowSeconds} seconds (threshold: ${"%.0f".format(r.threshold)})' AS details
+       |    ' events in ${r.windowSeconds} seconds (threshold: ${"%.0f".format(r.threshold)})' AS details,
+       |  original_event
        |FROM c WHERE cnt > ${r.threshold}""".stripMargin
 
   /** Exact integer-moment twin of [[Detectors.statisticalAlerts]] — the
@@ -54,7 +69,8 @@ object DetectorSql {
        |  SELECT event_id, $v AS v,
        |    CAST(floor($v * 100.0 + 0.5) AS BIGINT) AS c,
        |    $keyExpr AS "key",
-       |    $tsSec AS ts_sec
+       |    $tsSec AS ts_sec,
+       |    $origEvent AS original_event
        |  FROM events WHERE $v IS NOT NULL
        |), s AS (
        |  SELECT *,
@@ -75,7 +91,8 @@ object DetectorSql {
        |  'Statistical outlier: ${r.field}=' || ${Fmt.sqlF("v", 2)} ||
        |    ' (mean=' || ${Fmt.sqlF("mean", 2)} ||
        |    ', stddev=' || ${Fmt.sqlF("sd", 2)} ||
-       |    ', factor=${"%.1f".format(r.deviationFactor)})' AS details
+       |    ', factor=${"%.1f".format(r.deviationFactor)})' AS details,
+       |  original_event
        |FROM m
        |WHERE hist >= 2 AND (CASE WHEN dd = 0 THEN abs(v - mean) > 0
        |  ELSE abs(v - mean) > ${r.deviationFactor} * sd END)""".stripMargin

@@ -52,10 +52,40 @@ object Detectors {
     val withTs =
       if (df.columns.contains("ts_sec")) df
       else df.withColumn("ts_sec", col("ts").cast("long"))
-    withTs.withColumn("key", keyCol(keyField))
+    val withKey = withTs.withColumn("key", keyCol(keyField))
+    withKey.withColumn("original_event", originalEvent(withKey.columns.toSeq))
   }
 
-  private val alertCols = Seq("rule_name", "key", "ts_sec", "event_id", "value", "details")
+  /** The alert's inline copy of the event that fired it, as a JSON object
+    * string — mirrors the reference's `originalEvent` field (Alert.java:
+    * 31-43, defensive copy at :114, serialized onto the alerts topic by
+    * AlertSerializationSchema.java): a consumer gets the full event in the
+    * alert record, no join back required.
+    *
+    * Rendered via [[Fmt]] concat (NOT `to_json`) so the bytes are
+    * engine-deterministic and the DuckDB oracle can reproduce them:
+    * longs print exactly, `value` goes through the same HALF_UP
+    * fixed-point path as the detail strings, strings are JSON-escaped with
+    * literal `replace`, and `props` — already a raw JSON object string in
+    * the schema-free contract — embeds as-is. Fields absent from the input
+    * schema (in-memory test fixtures) render as JSON null, as do NULLs. */
+  def originalEvent(columns: Seq[String]): Column = {
+    def opt(name: String)(mk: => Column): Column =
+      if (columns.contains(name)) coalesce(mk, lit("null")) else lit("null")
+    concat(
+      lit("{\"event_id\":"), opt("event_id")(col("event_id").cast("string")),
+      lit(",\"ts_sec\":"), opt("ts_sec")(col("ts_sec").cast("string")),
+      lit(",\"user_id\":"), opt("user_id")(col("user_id").cast("string")),
+      lit(",\"event_type\":"), opt("event_type")(Fmt.jsonStr(col("event_type"))),
+      // try_cast first: the schema-free contract admits string-encoded and
+      // garbage values (Event.java:101-114); garbage renders as JSON null
+      lit(",\"value\":"), opt("value")(Fmt.f(expr("try_cast(value AS DOUBLE)"), 2)),
+      lit(",\"props\":"), opt("props")(col("props")),
+      lit("}"))
+  }
+
+  private val alertCols =
+    Seq("rule_name", "key", "ts_sec", "event_id", "value", "details", "original_event")
 
   /** Reference field coercion (Event.java:101-114): numbers and
     * string-encoded numbers evaluate as double; anything non-parseable is

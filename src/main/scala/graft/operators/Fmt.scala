@@ -42,4 +42,18 @@ object Fmt {
     if (scale == 0) s"CAST($n AS VARCHAR)"
     else s"(CAST($n // $sf AS VARCHAR) || '.' || lpad(CAST($n % $sf AS VARCHAR), $scale, '0'))"
   }
+
+  /** JSON string literal of a string column: escape backslash then quote,
+    * wrap in double quotes. Literal `replace` (not regexp) exists with
+    * identical semantics in Spark and DuckDB, so the bytes match. Control
+    * characters are left as-is (the fixture domain has none; full RFC 8259
+    * escaping would need a per-char pass on both engines). */
+  def jsonStr(c: Column): Column =
+    concat(lit("\""),
+      replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
+      lit("\""))
+
+  /** DuckDB twin of [[jsonStr]]. */
+  def sqlJsonStr(expr: String): String =
+    raw"""('"' || replace(replace($expr, '\', '\\'), '"', '\"') || '"')"""
 }

@@ -13,11 +13,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * unit tests do), `eventId` is the arrival sequence used for
   * deterministic intra-batch ordering. */
 final case class SEvent(key: String, eventId: Long, tsSec: Long,
-    value: Option[Double])
+    value: Option[Double], original: String = "{}")
 
-/** Alert shape mirroring Alert.java:31-43 (original_event carried by id). */
+/** Alert shape mirroring Alert.java:31-43 — `original_event` is the full
+  * source event inline as a JSON string (the reference embeds the event
+  * map in every alert, defensive copy at Alert.java:114), so an alerts
+  * consumer never needs a join back to the event stream. */
 final case class SAlert(rule_name: String, key: String, ts_sec: Long,
-    event_id: Long, value: Double, details: String)
+    event_id: Long, value: Double, details: String, original_event: String)
 
 /** Per-key detector state: one timestamp deque per rate rule and one value
   * deque per statistical rule (the Spark analog of the reference's
@@ -58,7 +61,8 @@ object StreamingDetectors {
         e.value.foreach { v =>
           if (v > r.threshold) alerts += SAlert(r.name, e.key, e.tsSec,
             e.eventId, v,
-            f"Threshold exceeded: ${r.field}%s=$v%.2f (threshold: ${r.threshold}%.2f)")
+            f"Threshold exceeded: ${r.field}%s=$v%.2f (threshold: ${r.threshold}%.2f)",
+            e.original)
         }
       case r: RateRule =>
         val windowStart = e.tsSec - r.windowSeconds
@@ -66,7 +70,8 @@ object StreamingDetectors {
         rate = rate.updated(r.name, kept)
         if (kept.size > r.threshold) alerts += SAlert(r.name, e.key, e.tsSec,
           e.eventId, kept.size.toDouble,
-          f"Rate spike: ${kept.size}%d events in ${r.windowSeconds}%d seconds (threshold: ${r.threshold}%.0f)")
+          f"Rate spike: ${kept.size}%d events in ${r.windowSeconds}%d seconds (threshold: ${r.threshold}%.0f)",
+          e.original)
       case r: StatisticalRule =>
         e.value.foreach { v =>
           val window = stat.getOrElse(r.name, Nil)
@@ -78,7 +83,8 @@ object StreamingDetectors {
             val fires = if (sigma == 0.0) dev > 0.0
               else dev > r.deviationFactor * sigma
             if (fires) alerts += SAlert(r.name, e.key, e.tsSec, e.eventId, v,
-              f"Statistical outlier: ${r.field}%s=$v%.2f (mean=$mean%.2f, stddev=$sigma%.2f, factor=${r.deviationFactor}%.1f)")
+              f"Statistical outlier: ${r.field}%s=$v%.2f (mean=$mean%.2f, stddev=$sigma%.2f, factor=${r.deviationFactor}%.1f)",
+              e.original)
           }
           // insert AFTER the check (StatisticalOutlierDetector.java:124-127)
           val appended = window :+ v
@@ -135,7 +141,8 @@ object StreamingDetectors {
         coalesce(col(keyField).cast("string"), lit("__unknown__")).as("key"),
         col("event_id").cast("long").as("eventId"),
         col("ts_sec").cast("long").as("tsSec"),
-        col("value").cast("double").as("value"))
+        col("value").cast("double").as("value"),
+        graft.operators.Detectors.originalEvent(df.columns.toSeq).as("original"))
       .as[SEvent]
   }
 }
