@@ -97,9 +97,10 @@ object Detectors {
   /** value > threshold, strict. Alert projection mirrors
     * ThresholdDetector.java:67-74 ("Threshold exceeded: %s=%.2f
     * (threshold: %.2f)"). */
-  def thresholdAlerts(events: DataFrame, rule: ThresholdRule): DataFrame = {
+  def thresholdAlerts(events: DataFrame, rule: ThresholdRule,
+      defaultKeyField: String = "user_id"): DataFrame = {
     val v = measure(rule.field)
-    prepareEvents(events)
+    prepareEvents(events, defaultKeyField)
       .filter(v.isNotNull && v > lit(rule.threshold))
       .withColumn("value", v)
       .withColumn("rule_name", lit(rule.name))
@@ -153,11 +154,12 @@ object Detectors {
     * the same IEEE operation sequence in any engine, making both the fire
     * decision and the formatted details bit-deterministic. sigma == 0 is
     * the exact integer test D == 0. */
-  def statisticalAlerts(events: DataFrame, rule: StatisticalRule): DataFrame = {
+  def statisticalAlerts(events: DataFrame, rule: StatisticalRule,
+      defaultKeyField: String = "user_id"): DataFrame = {
     val v = measure(rule.field)
     val w = Window.partitionBy("key").orderBy("event_id")
       .rowsBetween(-rule.windowSize, -1)
-    prepareEvents(events)
+    prepareEvents(events, defaultKeyField)
       .filter(v.isNotNull)
       .withColumn("v", v)
       .withColumn("value", col("v"))
@@ -183,11 +185,15 @@ object Detectors {
   }
 
   /** One rule -> one DataFrame transform (the batch analog of
-    * DetectorFactory.java:39-72's dispatch; exhaustive by construction). */
-  def compile(rule: DetectionRule): DataFrame => DataFrame = rule match {
-    case r: ThresholdRule => thresholdAlerts(_, r)
+    * DetectorFactory.java:39-72's dispatch; exhaustive by construction).
+    * `defaultKeyField` is the job-level keyBy field (JobConfig's
+    * DEFAULT_KEY_FIELD, StreamSentinelJob.java:121-124); the rate rule
+    * keys by its own required keyField, as in the reference. */
+  def compile(rule: DetectionRule,
+      defaultKeyField: String = "user_id"): DataFrame => DataFrame = rule match {
+    case r: ThresholdRule => thresholdAlerts(_, r, defaultKeyField)
     case r: RateRule => rateAlerts(_, r)
-    case r: StatisticalRule => statisticalAlerts(_, r)
+    case r: StatisticalRule => statisticalAlerts(_, r, defaultKeyField)
   }
 
   /** The whole engine in batch: union of the per-rule alert streams (the
@@ -195,6 +201,7 @@ object Detectors {
     * AnomalyProcessFunction.java:120-135 — which in set terms is exactly
     * this union). Per-rule isolation comes free: one rule's failing query
     * fails alone. */
-  def allAlerts(events: DataFrame, rules: Seq[DetectionRule]): DataFrame =
-    rules.map(r => compile(r)(events)).reduce(_ unionAll _)
+  def allAlerts(events: DataFrame, rules: Seq[DetectionRule],
+      defaultKeyField: String = "user_id"): DataFrame =
+    rules.map(r => compile(r, defaultKeyField)(events)).reduce(_ unionAll _)
 }
