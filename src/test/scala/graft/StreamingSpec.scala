@@ -137,6 +137,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("query listener surfaces latency percentiles + counters (SentinelMetrics parity)") {
+    val listener = new graft.observe.SentinelQueryListener()
+    spark.streams.addListener(listener)
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[SEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-lst-ckpt").toString
+      val observed = graft.observe.Metrics.observeAlerts(
+        StreamingDetectors.alerts(ms.toDS(), rules).toDF())
+      val q = observed.writeStream.format("memory").queryName("alerts_lst")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        cohortEvents.grouped(8).foreach { g => ms.addData(g); q.processAllAvailable() }
+        // listener delivery is async on the listener bus — poll to settle
+        val deadline = System.currentTimeMillis + 20000
+        var st = listener.snapshot
+        while ((st.rows < cohortEvents.size || st.anomalies < 5) &&
+            System.currentTimeMillis < deadline) {
+          Thread.sleep(100); st = listener.snapshot
+        }
+        assert(st.batches >= 3) // cohort fed in ceil(21/8) = 3 data batches
+        assert(st.rows == cohortEvents.size)
+        // 2 high_rate + 2 high_amount + 1 unusual_amount (cohort contract)
+        assert(st.anomalies == 5)
+        assert(st.p50Ms >= 0 && st.p50Ms <= st.p95Ms && st.p95Ms <= st.p99Ms)
+      } finally q.stop()
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("idle-key TTL evicts state (improvement over the reference)") {
     // pure state-transition check: TTL wiring is exercised via the
     // processing-time timeout path; here we pin the transition function
