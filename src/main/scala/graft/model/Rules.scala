@@ -37,10 +37,24 @@ final case class RateRule(name: String, keyField: String, windowSeconds: Int,
   * for the key, EXCLUDING the current value (check-before-insert,
   * StatisticalOutlierDetector.java:92-127), sigma is the POPULATION stddev
   * (/N, :149-156), at least 2 history values are required (:45), and
-  * sigma == 0 fires on any nonzero deviation (:98). */
+  * sigma == 0 fires on any nonzero deviation (:98).
+  *
+  * `quantScale` (engine extension, not in the reference): history values
+  * are quantized to `10^-quantScale` before the moments are computed, in
+  * BOTH the batch and streaming formulations — integer-space S1/S2 sums
+  * make every derived double the same IEEE operation sequence in any
+  * engine, so fire decisions and formatted details are bit-deterministic
+  * (the reference accumulates raw doubles, which no two engines reproduce
+  * at the ulp level). The default 2 is lossless for money-like 2-decimal
+  * domains; finer domains raise it. Valid range 0..6; the integer moments
+  * need |value|*10^quantScale below ~3e8 to stay exact in a long. The
+  * current value itself is compared raw (only its baseline is quantized). */
 final case class StatisticalRule(name: String, field: String,
-    windowSize: Int = 10, deviationFactor: Double = 2.0)
-    extends DetectionRule { val ruleType = "statistical" }
+    windowSize: Int = 10, deviationFactor: Double = 2.0, quantScale: Int = 2)
+    extends DetectionRule {
+  require(quantScale >= 0 && quantScale <= 6, "quantScale must be in [0, 6]")
+  val ruleType = "statistical"
+}
 
 final case class RulesConfig(rules: Seq[DetectionRule])
 
@@ -56,7 +70,8 @@ object DetectionRule {
       field: String = null,
       threshold: Double = 0.0,
       windowSize: Int = 10,
-      deviationFactor: Double = 2.0)
+      deviationFactor: Double = 2.0,
+      quantScale: Int = 2)
 
   /** Validate one raw rule into the ADT, or return the error messages.
     * Error strings mirror DetectionRule.java:70-118 so behavior is
@@ -78,6 +93,7 @@ object DetectionRule {
         if (blank(r.field)) errs += s"rule [${r.name}]: field is required for statistical rules"
         if (r.windowSize < 2) errs += s"rule [${r.name}]: windowSize must be >= 2 for statistical rules"
         if (r.deviationFactor <= 0) errs += s"rule [${r.name}]: deviationFactor must be > 0 for statistical rules"
+        if (r.quantScale < 0 || r.quantScale > 6) errs += s"rule [${r.name}]: quantScale must be in [0, 6] for statistical rules"
       case null => errs += s"rule [${r.name}]: type must not be blank"
       case other => errs += s"rule [${r.name}]: unknown rule type [$other]"
     }
@@ -85,7 +101,7 @@ object DetectionRule {
     else Right(tpe match {
       case "rate" => RateRule(r.name, r.keyField, r.windowSeconds, r.threshold)
       case "threshold" => ThresholdRule(r.name, r.field, r.threshold)
-      case "statistical" => StatisticalRule(r.name, r.field, r.windowSize, r.deviationFactor)
+      case "statistical" => StatisticalRule(r.name, r.field, r.windowSize, r.deviationFactor, r.quantScale)
     })
   }
 }

@@ -83,7 +83,8 @@ object RulesLoader {
         field = str("field"),
         threshold = dbl("threshold", 0.0),
         windowSize = int("windowSize", 10),
-        deviationFactor = dbl("deviationFactor", 2.0))
+        deviationFactor = dbl("deviationFactor", 2.0),
+        quantScale = int("quantScale", 2))
     case other =>
       throw new IllegalArgumentException(s"each rule must be a mapping, got: $other")
   }

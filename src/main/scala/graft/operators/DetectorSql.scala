@@ -65,9 +65,10 @@ object DetectorSql {
     * bit-for-bit. */
   def statistical(r: StatisticalRule): String = {
     val v = r.field
+    val sf = s"${math.pow(10, r.quantScale)}" // e.g. "100.0" at the default
     s"""WITH e AS (
        |  SELECT event_id, $v AS v,
-       |    CAST(floor($v * 100.0 + 0.5) AS BIGINT) AS c,
+       |    CAST(floor($v * $sf + 0.5) AS BIGINT) AS c,
        |    $keyExpr AS "key",
        |    $tsSec AS ts_sec,
        |    $origEvent AS original_event
@@ -82,9 +83,9 @@ object DetectorSql {
        |    ROWS BETWEEN ${r.windowSize} PRECEDING AND 1 PRECEDING)
        |), m AS (
        |  SELECT *,
-       |    CAST(s1 AS DOUBLE) / hist / 100.0 AS mean,
+       |    CAST(s1 AS DOUBLE) / hist / $sf AS mean,
        |    CAST(hist * s2 - s1 * s1 AS DOUBLE) AS dd,
-       |    sqrt(CAST(hist * s2 - s1 * s1 AS DOUBLE)) / hist / 100.0 AS sd
+       |    sqrt(CAST(hist * s2 - s1 * s1 AS DOUBLE)) / hist / $sf AS sd
        |  FROM s
        |)
        |SELECT '${r.name}' AS rule_name, "key", ts_sec, event_id, v AS value,

@@ -157,20 +157,21 @@ object Detectors {
   def statisticalAlerts(events: DataFrame, rule: StatisticalRule,
       defaultKeyField: String = "user_id"): DataFrame = {
     val v = measure(rule.field)
+    val sf = math.pow(10, rule.quantScale) // quantization unit (Rules.scala)
     val w = Window.partitionBy("key").orderBy("event_id")
       .rowsBetween(-rule.windowSize, -1)
     prepareEvents(events, defaultKeyField)
       .filter(v.isNotNull)
       .withColumn("v", v)
       .withColumn("value", col("v"))
-      .withColumn("c", floor(col("v") * 100.0 + 0.5).cast("long"))
+      .withColumn("c", floor(col("v") * lit(sf) + 0.5).cast("long"))
       .withColumn("s1", sum("c").over(w))
       .withColumn("s2", sum(col("c") * col("c")).over(w))
       .withColumn("hist", count("c").over(w))
-      .withColumn("mean", col("s1").cast("double") / col("hist") / 100.0)
+      .withColumn("mean", col("s1").cast("double") / col("hist") / lit(sf))
       .withColumn("dd",
         (col("hist") * col("s2") - col("s1") * col("s1")).cast("double"))
-      .withColumn("stddev", sqrt(col("dd")) / col("hist") / 100.0)
+      .withColumn("stddev", sqrt(col("dd")) / col("hist") / lit(sf))
       .filter(col("hist") >= 2 && // MIN_HISTORY_SIZE (:45)
         when(col("dd") === 0.0, abs(col("v") - col("mean")) > 0.0)
           .otherwise(abs(col("v") - col("mean")) >

@@ -76,11 +76,21 @@ object StreamingDetectors {
         e.value.foreach { v =>
           val window = stat.getOrElse(r.name, Nil)
           if (window.size >= 2) { // MIN_HISTORY_SIZE (:45)
-            val mean = window.sum / window.size
-            val variance = window.map(x => (x - mean) * (x - mean)).sum / window.size
-            val sigma = math.sqrt(variance) // population sigma (:149-156)
+            // Exact integer-space moments over the quantized history —
+            // operation-for-operation the same sequence as the batch
+            // window formulation (Detectors.statisticalAlerts) so the two
+            // paths agree bit-for-bit on ANY input, not just 2-decimal
+            // domains (quantScale contract, Rules.scala).
+            val sf = math.pow(10, r.quantScale)
+            val cs = window.map(x => math.floor(x * sf + 0.5).toLong)
+            val n = cs.size
+            val s1 = cs.sum
+            val s2 = cs.map(c => c * c).sum
+            val mean = s1.toDouble / n / sf
+            val dd = (n * s2 - s1 * s1).toDouble
+            val sigma = math.sqrt(dd) / n / sf // population sigma (:149-156)
             val dev = math.abs(v - mean)
-            val fires = if (sigma == 0.0) dev > 0.0
+            val fires = if (dd == 0.0) dev > 0.0
               else dev > r.deviationFactor * sigma
             if (fires) alerts += SAlert(r.name, e.key, e.tsSec, e.eventId, v,
               f"Statistical outlier: ${r.field}%s=$v%.2f (mean=$mean%.2f, stddev=$sigma%.2f, factor=${r.deviationFactor}%.1f)",

@@ -48,6 +48,46 @@ class EquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("batch == streaming on >2-decimal values (quantScale contract)") {
+    // Pins the ADVICE-flagged divergence: with raw-double streaming
+    // moments, a 3-decimal domain could fire in one path and not the
+    // other (e.g. sigma==0 history + a 0.004 deviation). Both paths now
+    // share the quantized integer-moment sequence, so they must agree at
+    // the default scale (where quantization is lossy) AND at quantScale=3
+    // (where it is lossless for this domain).
+    for (qs <- Seq(2, 3)) {
+      val rs: Seq[DetectionRule] = Seq(
+        ThresholdRule("thr", "value", 50.0),
+        RateRule("rate", "user_id", 30, 2.0),
+        StatisticalRule("stat", "value", 4, 1.5, quantScale = qs))
+      val rnd = new scala.util.Random(7 + qs)
+      (1 to 15).foreach { trial =>
+        val n = 1 + rnd.nextInt(40)
+        // 3-decimal values, plus sigma==0-prone tiny deviations
+        val rows = List.fill(n)((rnd.nextInt(3).toLong,
+          if (rnd.nextBoolean()) 10.0 + rnd.nextInt(9) / 1000.0
+          else rnd.nextInt(100000) / 1000.0))
+        val evs = rows.zipWithIndex.map { case ((k, v), i) =>
+          (i.toLong, 1000L + i * 7L, k, v)
+        }
+        val df = evs.toDF("event_id", "ts_sec", "user_id", "value")
+        val batch = Detectors.allAlerts(df, rs)
+          .select("rule_name", "key", "event_id")
+          .as[(String, String, Long)].collect().toSet
+        val streamed = evs.groupBy(_._3).toSeq.flatMap { case (_, keyEvs) =>
+          var st = DetState(Map.empty, Map.empty)
+          keyEvs.sortBy(_._1).flatMap { case (id, ts, k, v) =>
+            val (alerts, next) = StreamingDetectors.processEvent(rs,
+              SEvent(k.toString, id, ts, Some(v)), st)
+            st = next
+            alerts.map(a => (a.rule_name, a.key, a.event_id))
+          }
+        }.toSet
+        assert(batch == streamed, s"(quantScale=$qs trial $trial, events=$evs)")
+      }
+    }
+  }
+
   test("strictness properties: boundary values never fire") {
     // exactly-at-threshold (strict >, ThresholdDetector.java:59)
     val df = Seq((0L, 0L, 1L, 50.0)).toDF("event_id", "ts_sec", "user_id", "value")
