@@ -17,24 +17,31 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       // two timed runs, keep the min: a transient host-load burst during
       // one run can inflate a query 10-50x (observed); min-of-2 reports
-      // the query's actual cost
-      val times = (1 to 2).map { _ =>
+      // the query's actual cost. A run that throws contributes NO time —
+      // timing the exception path would report a bogus near-zero cost
+      // and silently mask the failure.
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop write forces full evaluation of every column (a bare
         // count() would let Catalyst prune projections and under-measure)
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         // isolate per-query timing: no cross-query cache reuse, no
         // accumulated cache memory pressure
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> times.minOption
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val good = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }.toSeq.sorted
+    val qs = good.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (good.nonEmpty) good.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

@@ -10,6 +10,14 @@ import graft.model._
   * `ts_ns div 1e9` on the nanos-as-long read bit-for-bit). */
 object DetectorSql {
 
+  /** Rule-supplied strings reach the generated SQL as identifiers
+    * (field/key names) or string-literal content (rule names); quote both
+    * so a name containing a quote can't break or inject into the oracle —
+    * the twin of the backtick quoting [[Detectors.measure]] applies on
+    * the Spark side. */
+  private def qid(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+  private def qlit(s: String): String = s.replace("'", "''")
+
   private val tsSec = "epoch_ns(ts) // 1000000000"
   private val keyExpr =
     "coalesce(CAST(user_id AS VARCHAR), '__unknown__')"
@@ -27,13 +35,13 @@ object DetectorSql {
   }
 
   def threshold(r: ThresholdRule): String = {
-    val v = r.field
-    s"""SELECT '${r.name}' AS rule_name,
+    val v = qid(r.field)
+    s"""SELECT '${qlit(r.name)}' AS rule_name,
        |  $keyExpr AS "key",
        |  $tsSec AS ts_sec,
        |  event_id,
        |  $v AS value,
-       |  'Threshold exceeded: ${r.field}=' || ${Fmt.sqlF(v, 2)} ||
+       |  'Threshold exceeded: ${qlit(r.field)}=' || ${Fmt.sqlF(v, 2)} ||
        |    ' (threshold: ${"%.2f".format(r.threshold)})' AS details,
        |  $origEvent AS original_event
        |FROM events
@@ -43,7 +51,7 @@ object DetectorSql {
   def rate(r: RateRule): String =
     s"""WITH e AS (
        |  SELECT event_id,
-       |    coalesce(CAST(${r.keyField} AS VARCHAR), '__unknown__') AS "key",
+       |    coalesce(CAST(${qid(r.keyField)} AS VARCHAR), '__unknown__') AS "key",
        |    $tsSec AS ts_sec,
        |    $origEvent AS original_event
        |  FROM events
@@ -52,7 +60,7 @@ object DetectorSql {
        |    RANGE BETWEEN ${r.windowSeconds} PRECEDING AND CURRENT ROW) AS cnt
        |  FROM e
        |)
-       |SELECT '${r.name}' AS rule_name, "key", ts_sec, event_id,
+       |SELECT '${qlit(r.name)}' AS rule_name, "key", ts_sec, event_id,
        |  CAST(cnt AS DOUBLE) AS value,
        |  'Rate spike: ' || CAST(cnt AS VARCHAR) ||
        |    ' events in ${r.windowSeconds} seconds (threshold: ${"%.0f".format(r.threshold)})' AS details,
@@ -64,7 +72,7 @@ object DetectorSql {
     * sqrt order) must stay identical so every derived double matches
     * bit-for-bit. */
   def statistical(r: StatisticalRule): String = {
-    val v = r.field
+    val v = qid(r.field)
     val sf = s"${math.pow(10, r.quantScale)}" // e.g. "100.0" at the default
     s"""WITH e AS (
        |  SELECT event_id, $v AS v,
@@ -88,8 +96,8 @@ object DetectorSql {
        |    sqrt(CAST(hist * s2 - s1 * s1 AS DOUBLE)) / hist / $sf AS sd
        |  FROM s
        |)
-       |SELECT '${r.name}' AS rule_name, "key", ts_sec, event_id, v AS value,
-       |  'Statistical outlier: ${r.field}=' || ${Fmt.sqlF("v", 2)} ||
+       |SELECT '${qlit(r.name)}' AS rule_name, "key", ts_sec, event_id, v AS value,
+       |  'Statistical outlier: ${qlit(r.field)}=' || ${Fmt.sqlF("v", 2)} ||
        |    ' (mean=' || ${Fmt.sqlF("mean", 2)} ||
        |    ', stddev=' || ${Fmt.sqlF("sd", 2)} ||
        |    ', factor=${"%.1f".format(r.deviationFactor)})' AS details,

@@ -92,7 +92,7 @@ object Detectors {
     * as-if-missing. `try_cast` reproduces Optional.empty under ANSI mode
     * (a plain cast would throw on garbage). */
   private def measure(field: String): Column =
-    expr(s"try_cast(`$field` AS DOUBLE)")
+    expr(s"try_cast(`${field.replace("`", "``")}` AS DOUBLE)")
 
   /** value > threshold, strict. Alert projection mirrors
     * ThresholdDetector.java:67-74 ("Threshold exceeded: %s=%.2f
