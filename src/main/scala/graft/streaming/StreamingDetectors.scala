@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.model._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event shape for the stateful streaming path: the key is already
   * string-coerced (missing -> "__unknown__", matching
@@ -142,9 +143,62 @@ object StreamingDetectors {
       }
   }
 
+  /** Spark 4 `transformWithState` formulation of the same operator — the
+    * successor API to `flatMapGroupsWithState` (typed per-state TTL,
+    * timers, RocksDB-backed state). Semantics are IDENTICAL by
+    * construction: both paths drive [[processEvent]], the same pure
+    * per-event transition the reference's processElement performs
+    * (AnomalyProcessFunction.java:106-143).
+    *
+    * `ttl` evicts idle-key state without the busy-loop caveat the
+    * flatMapGroupsWithState timeout carries ([[alerts]] NOTE): TTL here
+    * is enforced by the state store, not by timer-driven empty batches.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState does not
+    * run on the default HDFS-backed store. */
+  def alertsTws(events: Dataset[SEvent], rules: Seq[DetectionRule],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[SAlert] = {
+    import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    events.groupByKey(_.key)
+      .transformWithState(new DetectorProcessor(rules, ttl), timeMode,
+        OutputMode.Append())
+  }
+
   /** Adapter: the fixture `events` DataFrame (from
     * [[graft.sources.Tables.events]] or a streaming source with the same
     * columns) -> typed [[SEvent]] stream keyed like the batch operators. */
+  /** The per-key processor behind [[alertsTws]]: one ValueState slot
+    * holding the same [[DetState]] the flatMapGroupsWithState path keeps
+    * (the Spark-4 analog of the reference's
+    * `ValueState<List<AnomalyDetector>>`, AnomalyProcessFunction.java:
+    * 87-90 — data only, no detector objects). */
+  final class DetectorProcessor(rules: Seq[DetectionRule], ttl: TTLConfig)
+      extends StatefulProcessor[String, SEvent, SAlert] {
+
+    @transient private var state: ValueState[DetState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DetState]("detectors",
+        Encoders.product[DetState], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[SEvent],
+        timerValues: TimerValues): Iterator[SAlert] = {
+      var st = Option(state.get()).getOrElse(DetState(Map.empty, Map.empty))
+      // deterministic arrival order inside the micro-batch (same contract
+      // as the flatMapGroupsWithState path)
+      val out = rows.toSeq.sortBy(e => (e.eventId, e.tsSec)).flatMap { e =>
+        val (alerts, next) = processEvent(rules, e, st)
+        st = next
+        alerts
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
   def toSEvents(df: DataFrame, keyField: String = "user_id"): Dataset[SEvent] = {
     import df.sparkSession.implicits._
     df.select(

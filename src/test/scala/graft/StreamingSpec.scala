@@ -166,6 +166,35 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("transformWithState path emits the same alert set (Spark 4 API)") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[SEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt").toString
+      val q = StreamingDetectors.alertsTws(ms.toDS(), rules)
+        .writeStream.format("memory").queryName("alerts_tws")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      val tws =
+        try {
+          // multiple batches: state must round-trip through RocksDB
+          cohortEvents.grouped(7).foreach { g => ms.addData(g); q.processAllAvailable() }
+          spark.table("alerts_tws").as[SAlert].collect().toSeq
+        } finally q.stop()
+      val fmgws = replay(cohortEvents)
+      assert(tws.map(a => (a.rule_name, a.key, a.event_id, a.details)).sorted ==
+        fmgws.map(a => (a.rule_name, a.key, a.event_id, a.details)).sorted)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("idle-key TTL evicts state (improvement over the reference)") {
     // pure state-transition check: TTL wiring is exercised via the
     // processing-time timeout path; here we pin the transition function
