@@ -52,9 +52,16 @@ object Detectors {
     val withTs =
       if (df.columns.contains("ts_sec")) df
       else df.withColumn("ts_sec", col("ts").cast("long"))
-    val withKey = withTs.withColumn("key", keyCol(keyField))
-    withKey.withColumn("original_event", originalEvent(withKey.columns.toSeq))
+    withTs.withColumn("key", keyCol(keyField))
   }
+
+  /** Attach the alert projection's `original_event` column. Called AFTER
+    * each detector's fire-filter, never before: the concat only runs for
+    * firing rows (typically a few percent), and the raw source columns it
+    * references flow through any window shuffle as-is — same bytes on the
+    * wire, far less string-building CPU. */
+  private def withOriginalEvent(df: DataFrame): DataFrame =
+    df.withColumn("original_event", originalEvent(df.columns.toSeq))
 
   /** The alert's inline copy of the event that fired it, as a JSON object
     * string — mirrors the reference's `originalEvent` field (Alert.java:
@@ -100,8 +107,9 @@ object Detectors {
   def thresholdAlerts(events: DataFrame, rule: ThresholdRule,
       defaultKeyField: String = "user_id"): DataFrame = {
     val v = measure(rule.field)
-    prepareEvents(events, defaultKeyField)
-      .filter(v.isNotNull && v > lit(rule.threshold))
+    withOriginalEvent(
+      prepareEvents(events, defaultKeyField)
+        .filter(v.isNotNull && v > lit(rule.threshold)))
       .withColumn("value", v)
       .withColumn("rule_name", lit(rule.name))
       // Same text as ThresholdDetector.java:71-72's String.format; constant
@@ -122,9 +130,10 @@ object Detectors {
   def rateAlerts(events: DataFrame, rule: RateRule): DataFrame = {
     val w = Window.partitionBy("key").orderBy("ts_sec")
       .rangeBetween(-rule.windowSeconds, 0)
-    prepareEvents(events, rule.keyField)
-      .withColumn("cnt", count(lit(1)).over(w))
-      .filter(col("cnt") > lit(rule.threshold))
+    withOriginalEvent(
+      prepareEvents(events, rule.keyField)
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("cnt") > lit(rule.threshold)))
       .withColumn("rule_name", lit(rule.name))
       .withColumn("value", col("cnt").cast("double"))
       .withColumn("details", concat(
@@ -160,22 +169,23 @@ object Detectors {
     val sf = math.pow(10, rule.quantScale) // quantization unit (Rules.scala)
     val w = Window.partitionBy("key").orderBy("event_id")
       .rowsBetween(-rule.windowSize, -1)
-    prepareEvents(events, defaultKeyField)
-      .filter(v.isNotNull)
-      .withColumn("v", v)
-      .withColumn("value", col("v"))
-      .withColumn("c", floor(col("v") * lit(sf) + 0.5).cast("long"))
-      .withColumn("s1", sum("c").over(w))
-      .withColumn("s2", sum(col("c") * col("c")).over(w))
-      .withColumn("hist", count("c").over(w))
-      .withColumn("mean", col("s1").cast("double") / col("hist") / lit(sf))
-      .withColumn("dd",
-        (col("hist") * col("s2") - col("s1") * col("s1")).cast("double"))
-      .withColumn("stddev", sqrt(col("dd")) / col("hist") / lit(sf))
-      .filter(col("hist") >= 2 && // MIN_HISTORY_SIZE (:45)
-        when(col("dd") === 0.0, abs(col("v") - col("mean")) > 0.0)
-          .otherwise(abs(col("v") - col("mean")) >
-            lit(rule.deviationFactor) * col("stddev")))
+    withOriginalEvent(
+      prepareEvents(events, defaultKeyField)
+        .filter(v.isNotNull)
+        .withColumn("v", v)
+        .withColumn("value", col("v"))
+        .withColumn("c", floor(col("v") * lit(sf) + 0.5).cast("long"))
+        .withColumn("s1", sum("c").over(w))
+        .withColumn("s2", sum(col("c") * col("c")).over(w))
+        .withColumn("hist", count("c").over(w))
+        .withColumn("mean", col("s1").cast("double") / col("hist") / lit(sf))
+        .withColumn("dd",
+          (col("hist") * col("s2") - col("s1") * col("s1")).cast("double"))
+        .withColumn("stddev", sqrt(col("dd")) / col("hist") / lit(sf))
+        .filter(col("hist") >= 2 && // MIN_HISTORY_SIZE (:45)
+          when(col("dd") === 0.0, abs(col("v") - col("mean")) > 0.0)
+            .otherwise(abs(col("v") - col("mean")) >
+              lit(rule.deviationFactor) * col("stddev"))))
       .withColumn("rule_name", lit(rule.name))
       .withColumn("details", concat(
         lit(s"Statistical outlier: ${rule.field}="), Fmt.f(col("v"), 2),
