@@ -484,7 +484,53 @@ object Analytics {
       |  click_ts_sec, purchase_ts_sec - click_ts_sec AS gap_sec
       |FROM m WHERE click_event_id IS NOT NULL""".stripMargin
 
+  /** Full grouping lattice: CUBE over (event_type, user bucket) — all four
+    * grouping sets in one pass (rollup's superset; Catalyst expands to a
+    * single Expand + hash aggregate, so it's one shuffle however many
+    * sets). `cents` keeps the sum exact cross-engine. */
+  def typeBucketCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket", expr("user_id % 10"))
+      .cube("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"))
+
+  val typeBucketCubeSql: String =
+    """SELECT event_type, user_id % 10 AS bucket, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      |FROM events GROUP BY CUBE(1, 2)""".stripMargin
+
+  /** Band (range) join surface: classify each event's value into an
+    * inequality-defined band dimension — a non-equi join Spark executes as
+    * BroadcastNestedLoopJoin when the band table is broadcast (the only
+    * sane physical plan for theta joins: big side streams once, bands stay
+    * resident). Bands are half-open [lo, hi). */
+  def valueBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (0L, 0.0, 50.0), (1L, 50.0, 100.0), (2L, 100.0, 200.0),
+      (3L, 200.0, 1000.0)
+    ).toDF("band_id", "lo", "hi")
+    Tables.events(spark, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band_id", "lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"))
+  }
+
+  val valueBandJoinSql: String =
+    """WITH bands(band_id, lo, hi) AS (
+      |  VALUES (CAST(0 AS BIGINT), 0.0, 50.0), (1, 50.0, 100.0),
+      |    (2, 100.0, 200.0), (3, 200.0, 1000.0)
+      |)
+      |SELECT band_id, lo, hi, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "type_bucket_cube" -> (typeBucketCube _),
+    "value_band_join" -> (valueBandJoin _),
     "asof_click_attribution" -> (asofClickAttribution _),
     "daily_rollup" -> (dailyRollup _),
     "repeat_customers" -> (repeatCustomers _),
@@ -503,6 +549,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "type_bucket_cube" -> typeBucketCubeSql,
+    "value_band_join" -> valueBandJoinSql,
     "asof_click_attribution" -> asofClickAttributionSql,
     "daily_rollup" -> dailyRollupSql,
     "repeat_customers" -> repeatCustomersSql,

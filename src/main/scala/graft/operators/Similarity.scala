@@ -254,15 +254,91 @@ object Similarity {
        |SELECT q_id, "rank", vec_id AS cand_id, sim_r, bucket
        |FROM r WHERE "rank" <= 3""".stripMargin
 
+  private val ivfCells = 8
+  private val ivfCentBase = 100L // centroid seed ids (disjoint from queries)
+
+  /** IVF-style ANN: coarse-quantize every vector to its nearest of
+    * `ivfCells` centroid vectors (the inverted-file cell), then search
+    * only the query's cell — the second of the two classic ANN scale paths
+    * (sign-LSH being the other, [[annLshTopk]]).
+    *
+    * Centroids here are a deterministic seed subset (vec_ids 100..107) so
+    * the DuckDB oracle reproduces the exact cell assignment; a production
+    * deployment would k-means-train them on a sample and broadcast the
+    * centroid matrix the same way. Shape notes for 100 TB: the K-way
+    * candidate fan-out is a broadcast cross join (big side only scanned);
+    * the per-vector argmax here is a window over the K candidates — one
+    * hash shuffle of n*K rows, fine at bench scale, and at full scale the
+    * same operator admits a shuffle-free map-side argmax over the
+    * broadcast centroid matrix (the [[lshBuckets]] mapPartitions shape)
+    * without changing results. The inverted file is hash-partitioned by
+    * cell id, and a query probes exactly one cell (nprobe=1; multi-probe
+    * = relaxing the rank-1 filter to rank <= nprobe). */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = all
+      .filter(col("vec_id") >= ivfCentBase && col("vec_id") < ivfCentBase + ivfCells)
+      .select((col("vec_id") - ivfCentBase).as("cent_id"),
+        col("v").as("cv"), col("norm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    val assigned = all.crossJoin(broadcast(cents))
+      .withColumn("c_sim", simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
+      .withColumn("c_rank", row_number().over(wAssign))
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("cell").as("qcell"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
+    assigned.join(broadcast(q), col("cell") === col("qcell") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("sim_r",
+        simRound(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("cand_id"),
+        col("sim_r"), col("cell"))
+  }
+
+  val annIvfTopkSql: String =
+    s"""WITH $vecsSql,
+       |cent AS (
+       |  SELECT vec_id - $ivfCentBase AS cent_id, v AS cv, norm AS cn
+       |  FROM vn WHERE vec_id >= $ivfCentBase AND vec_id < ${ivfCentBase + ivfCells}
+       |), asg AS (
+       |  SELECT vec_id, v, norm, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      ${simRoundSql(dotSql("v", "cv") + " / (norm * cn)")} DESC, cent_id) AS c_rank
+       |  FROM vn CROSS JOIN cent
+       |), a AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM asg WHERE c_rank = 1
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv, norm AS qn, cell AS qcell
+       |  FROM a WHERE vec_id < $numQueries
+       |), s AS (
+       |  SELECT q.q_id, c.vec_id, c.cell,
+       |    ${simRoundSql(dotSql("q.qv", "c.v") + " / (q.qn * c.norm)")} AS sim_r
+       |  FROM a c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.q_id
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim_r DESC, vec_id) AS "rank"
+       |  FROM s
+       |)
+       |SELECT q_id, "rank", vec_id AS cand_id, sim_r, cell
+       |FROM r WHERE "rank" <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> (annTopkCosine _),
     "embedding_neardup_pairs" -> (neardupPairs _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
   )
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,
     "embedding_neardup_pairs" -> neardupPairsSql,
     "ann_lsh_topk" -> annLshTopkSql,
+    "ann_ivf_topk" -> annIvfTopkSql,
   )
 }

@@ -179,11 +179,83 @@ object TextAnalysis {
        |  md5(list_aggregate(${tokensSql("text")}, 'string_agg', ' ')) AS norm_md5
        |FROM documents""".stripMargin
 
+  private val chunkSize = 200
+  private val chunkStride = 150
+
+  /** Fixed-size overlapping character chunks — the standard LLM
+    * training-data windowing step (size 200, stride 150 here; at scale the
+    * same shape carries token-budgeted chunks). Chunk starts are 0,
+    * stride, 2*stride, ... while start < len, so every document yields
+    * ceil(len/stride) chunks and consecutive chunks overlap by
+    * size - stride chars. Pure explode of a generated offset sequence: no
+    * shuffle, output partitioning follows the input splits, and chunk
+    * count per row is bounded by len/stride (no skew amplification). */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .withColumn("i",
+        explode(sequence(lit(0L), floor((length(col("text")) - 1) / chunkStride).cast("long"))))
+      .withColumn("chunk_id", col("i"))
+      .withColumn("start", col("i") * chunkStride)
+      .withColumn("chunk_text",
+        substring(col("text"), (col("start") + 1).cast("int"), lit(chunkSize)))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+      .select("doc_id", "chunk_id", "start", "chunk_len", "chunk_text")
+
+  val docChunksSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, (length(text) - 1) // $chunkStride)) AS i
+       |  FROM documents WHERE length(text) > 0
+       |)
+       |SELECT doc_id, i AS chunk_id, i * $chunkStride AS "start",
+       |  CAST(length(substr(text, CAST(i * $chunkStride + 1 AS BIGINT), $chunkSize)) AS BIGINT) AS chunk_len,
+       |  substr(text, CAST(i * $chunkStride + 1 AS BIGINT), $chunkSize) AS chunk_text
+       |FROM c""".stripMargin
+
+  private val keywordsPerDoc = 3
+
+  /** Keyword extraction: top-3 most frequent non-stopword terms (len >= 3)
+    * per document, by count desc then term asc. Integer counts only — no
+    * tf-idf floats, whose libm log differs across engines at the ulp
+    * level. One explode + one (doc_id, term) count + one per-doc top-k
+    * window: two hash shuffles on keys that can't concentrate (doc_id is
+    * unique; (doc_id, term) is finer). */
+  def docKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("term"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) >= 3 && !col("term").isInCollection(stopwords))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= keywordsPerDoc)
+      .select("doc_id", "rank", "term", "cnt")
+  }
+
+  val docKeywordsSql: String = {
+    val stops = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+       |), f AS (
+       |  SELECT doc_id, term, count(*) AS cnt FROM t
+       |  WHERE length(term) >= 3 AND NOT list_contains($stops, term)
+       |  GROUP BY doc_id, term
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY cnt DESC, term) AS "rank"
+       |  FROM f
+       |)
+       |SELECT doc_id, "rank", term, cnt FROM r WHERE "rank" <= $keywordsPerDoc""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (fingerprint _),
+    "doc_chunks" -> (docChunks _),
+    "doc_keywords" -> (docKeywords _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -191,5 +263,7 @@ object TextAnalysis {
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> fingerprintSql,
+    "doc_chunks" -> docChunksSql,
+    "doc_keywords" -> docKeywordsSql,
   )
 }

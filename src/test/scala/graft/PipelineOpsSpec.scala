@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{Analytics, Similarity, TextAnalysis}
+
+/** Behavioral pins for the round-2 pipeline operators (chunking, keyword
+  * extraction, IVF ANN, cube, band join). The oracle gate checks
+  * hash-exactness against DuckDB; these check the semantics a reader
+  * cares about. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("doc_chunks: coverage, overlap, and bounds") {
+    val chunks = TextAnalysis.docChunks(spark, dir)
+      .select("doc_id", "chunk_id", "start", "chunk_len", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_._1)
+    byDoc.foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are dense from 0; starts advance by the stride
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq)
+      assert(sorted.forall { case (_, id, start, _, _) => start == id * 150 })
+      // every chunk is non-empty and at most the chunk size
+      assert(sorted.forall(c => c._4 > 0 && c._4 <= 200))
+      // all but the last chunk overlap the next by size - stride = 50
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.drop(150) == b._5.take(a._5.length - 150))
+        case _ =>
+      }
+    }
+    // chunks reassemble the document: chunk i contributes its first 150
+    // chars, the last chunk contributes everything
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    byDoc.foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val rebuilt = sorted.init.map(_._5.take(150)).mkString + sorted.last._5
+      assert(rebuilt == docs(docId))
+    }
+  }
+
+  test("doc_keywords: no stopwords, rank ordering, count correctness") {
+    val kws = TextAnalysis.docKeywords(spark, dir)
+      .as[(Long, Int, String, Long)].collect()
+    assert(kws.nonEmpty)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+    assert(kws.forall(k => !stop.contains(k._3) && k._3.length >= 3))
+    kws.groupBy(_._1).foreach { case (_, ks) =>
+      val sorted = ks.sortBy(_._2)
+      assert(sorted.length <= 3)
+      // counts are non-increasing with rank; equal counts break ties by term
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+    }
+  }
+
+  test("ann_ivf_topk: probes only the query's cell; ranks are dense") {
+    val rows = Similarity.annIvfTopk(spark, dir)
+      .select("q_id", "rank", "cand_id", "sim_r", "cell")
+      .as[(Long, Int, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+      // all candidates for one query share one cell (nprobe=1)
+      assert(rs.map(_._5).distinct.length == 1)
+      // similarity is non-increasing with rank
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("type_bucket_cube: all four grouping sets present and consistent") {
+    val rows = Analytics.typeBucketCube(spark, dir)
+      .select("event_type", "bucket", "n")
+      .as[(Option[String], Option[Long], Long)].collect()
+    val grand = rows.filter(r => r._1.isEmpty && r._2.isEmpty)
+    val byType = rows.filter(r => r._1.nonEmpty && r._2.isEmpty)
+    val byBucket = rows.filter(r => r._1.isEmpty && r._2.nonEmpty)
+    val cells = rows.filter(r => r._1.nonEmpty && r._2.nonEmpty)
+    assert(grand.length == 1)
+    // every marginal sums to the grand total
+    assert(byType.map(_._3).sum == grand.head._3)
+    assert(byBucket.map(_._3).sum == grand.head._3)
+    assert(cells.map(_._3).sum == grand.head._3)
+  }
+
+  test("value_band_join: bands partition the value domain") {
+    val rows = Analytics.valueBandJoin(spark, dir)
+      .select("band_id", "n").as[(Long, Long)].collect()
+    val events = graft.sources.Tables.events(spark, dir)
+    val inRange = events.filter("value >= 0.0 AND value < 1000.0").count()
+    // half-open bands tile [0, 1000) with no gaps/overlaps, so the
+    // per-band counts sum to the in-range event count
+    assert(rows.map(_._2).sum == inRange)
+  }
+}
