@@ -14,7 +14,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * unit tests do), `eventId` is the arrival sequence used for
   * deterministic intra-batch ordering. */
 final case class SEvent(key: String, eventId: Long, tsSec: Long,
-    value: Option[Double], original: String = "{}")
+    fields: Map[String, Double] = Map.empty, original: String = "{}")
+
+object SEvent {
+  /** Single-measure convenience (tests/tools): the measure lands under the
+    * field name "value". Rules that read other fields use the map form —
+    * the reference's detectors each pull their OWN field from the event
+    * map (ThresholdDetector.java:52, StatisticalOutlierDetector.java:83),
+    * so a faithful stream event carries every rule-referenced measure,
+    * not one anointed value. */
+  def apply(key: String, eventId: Long, tsSec: Long,
+      value: Option[Double]): SEvent =
+    SEvent(key, eventId, tsSec, value.map("value" -> _).toMap)
+}
 
 /** Alert shape mirroring Alert.java:31-43 — `original_event` is the full
   * source event inline as a JSON string (the reference embeds the event
@@ -59,7 +71,7 @@ object StreamingDetectors {
     val alerts = Seq.newBuilder[SAlert]
     rules.foreach {
       case r: ThresholdRule =>
-        e.value.foreach { v =>
+        e.fields.get(r.field).foreach { v =>
           if (v > r.threshold) alerts += SAlert(r.name, e.key, e.tsSec,
             e.eventId, v,
             f"Threshold exceeded: ${r.field}%s=$v%.2f (threshold: ${r.threshold}%.2f)",
@@ -74,7 +86,7 @@ object StreamingDetectors {
           f"Rate spike: ${kept.size}%d events in ${r.windowSeconds}%d seconds (threshold: ${r.threshold}%.0f)",
           e.original)
       case r: StatisticalRule =>
-        e.value.foreach { v =>
+        e.fields.get(r.field).foreach { v =>
           val window = stat.getOrElse(r.name, Nil)
           if (window.size >= 2) { // MIN_HISTORY_SIZE (:45)
             // Exact integer-space moments over the quantized history —
@@ -199,14 +211,69 @@ object StreamingDetectors {
     }
   }
 
-  def toSEvents(df: DataFrame, keyField: String = "user_id"): Dataset[SEvent] = {
+  def toSEvents(df: DataFrame, keyField: String = "user_id",
+      fieldNames: Seq[String] = Seq("value")): Dataset[SEvent] = {
     import df.sparkSession.implicits._
+    // one map entry per rule-referenced field; try_cast = the reference's
+    // Number-or-parseable-string coercion, and map_filter drops the
+    // missing/garbage ones (= Optional.empty skip semantics)
+    val entries = fieldNames.flatMap { f =>
+      Seq(lit(f), expr(s"try_cast(`${f.replace("`", "``")}` AS DOUBLE)"))
+    }
     df.select(
         coalesce(col(keyField).cast("string"), lit("__unknown__")).as("key"),
         col("event_id").cast("long").as("eventId"),
         col("ts_sec").cast("long").as("tsSec"),
-        col("value").cast("double").as("value"),
+        map_filter(map(entries: _*), (_, v) => v.isNotNull).as("fields"),
         graft.operators.Detectors.originalEvent(df.columns.toSeq).as("original"))
       .as[SEvent]
+  }
+
+  /** The fields a rule set actually measures (rate rules count, they don't
+    * read a measure). */
+  def measuredFields(rules: Seq[DetectionRule]): Seq[String] =
+    rules.collect {
+      case t: ThresholdRule => t.field
+      case s: StatisticalRule => s.field
+    }.distinct
+
+  /** The reference's full EP1 topology as one composable streaming (or
+    * batch — the plan is identical) transform, mirroring
+    * StreamSentinelJob.buildPipeline (StreamSentinelJob.java:102-140):
+    *
+    *   raw JSON lines -> deserialize (null on malformed) -> null filter ->
+    *   keyBy(keyField, missing -> "__unknown__") -> stateful multi-rule
+    *   process -> JSON alert serialization (ISO-8601 free: the alert
+    *   carries the integer ts_sec clock plus the full original event).
+    *
+    * Works on any DataFrame with a raw-JSON string column — a file/socket
+    * stream, a MemoryStream[String], or a Kafka `value` column once a
+    * kafka connector jar is on the classpath (SURVEY §2 op 1).
+    * `original_event` is the raw JSON itself — byte-for-byte the event
+    * that fired, the strongest form of the reference's inline
+    * originalEvent copy (Alert.java:31-43).
+    *
+    * Clock: the event's own numeric `ts` field when present (the
+    * deterministic-test substitution the reference's own unit tests use),
+    * else the ingestion timestamp — EventDeserializationSchema.java:36. */
+  def jsonPipeline(raw: DataFrame, rules: Seq[DetectionRule],
+      keyField: String, rawCol: String = "value"): DataFrame = {
+    import raw.sparkSession.implicits._
+    val parsed = graft.sources.EventJson.parsed(raw, rawCol)
+    val fieldEntries = measuredFields(rules).flatMap { f =>
+      Seq(lit(f), col("fields").getItem(f).try_cast("double"))
+    }
+    val sev = parsed.select(
+        coalesce(col("fields").getItem(keyField), lit("__unknown__")).as("key"),
+        coalesce(col("fields").getItem("event_id").try_cast("long"), lit(0L))
+          .as("eventId"),
+        coalesce(col("fields").getItem("ts").try_cast("long"),
+          unix_timestamp(col("ingest_ts"))).as("tsSec"),
+        (if (fieldEntries.isEmpty) map().cast("map<string,double>")
+         else map_filter(map(fieldEntries: _*), (_, v) => v.isNotNull))
+          .as("fields"),
+        col(rawCol).cast("string").as("original"))
+      .as[SEvent]
+    graft.sources.EventJson.serializeAlerts(alerts(sev, rules).toDF())
   }
 }

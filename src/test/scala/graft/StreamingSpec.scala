@@ -34,8 +34,10 @@ class StreamingSpec extends SparkSpec {
 
   private def cohortEvents: Seq[SEvent] = {
     var id = 0L
+    // the cohort rules measure the "amount" field, as the reference's
+    // sample does — the event map carries it under that name
     def next(key: String, ts: Long, v: Double): SEvent = {
-      id += 1; SEvent(key, id, ts, Some(v))
+      id += 1; SEvent(key, id, ts, Map("amount" -> v))
     }
     val t0 = 1000000L
     // user_001 + user_004: 6 events 1/s inside 10 s -> high_rate on the 6th
@@ -193,6 +195,39 @@ class StreamingSpec extends SparkSpec {
         case None => spark.conf.unset(providerKey)
       }
     }
+  }
+
+  test("full EP1 topology: raw JSON in, JSON alerts out, malformed dropped") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ep1-ckpt").toString
+    val out = StreamingDetectors.jsonPipeline(
+      ms.toDS().toDF("value"), rules, keyField = "userId")
+    val q = out.writeStream.format("memory").queryName("ep1_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      def ev(id: Long, user: String, ts: Long, amount: Double): String =
+        s"""{"event_id": $id, "userId": "$user", "ts": $ts, "amount": $amount}"""
+      val t0 = 1000000L
+      val lines =
+        // user_002: two amounts over the 10000 threshold
+        Seq(ev(1, "user_002", t0 + 100, 15000.0), ev(2, "user_002", t0 + 160, 25000.0)) ++
+        // user_001: 6 events inside the 10 s rate window -> fires on the 6th
+        (0 until 6).map(i => ev(10 + i, "user_001", t0 + i, 50.0)) ++
+        // malformed + keyless records: dropped / keyed __unknown__
+        Seq("{not json", """{"event_id": 99, "ts": 1000500, "amount": 1.0}""")
+      ms.addData(lines)
+      q.processAllAvailable()
+      val alerts = spark.table("ep1_out").select(col("value")).as[String].collect()
+      // 2 threshold + 1 rate; the malformed line vanishes silently
+      assert(alerts.length == 3)
+      assert(alerts.count(_.contains("\"rule_name\":\"high_amount\"")) == 2)
+      assert(alerts.count(_.contains("\"rule_name\":\"high_rate\"")) == 1)
+      // the original event rides inline, byte-for-byte the raw JSON
+      val thr = alerts.filter(_.contains("high_amount"))
+      assert(thr.exists(_.contains("\\\"amount\\\": 15000.0")))
+    } finally q.stop()
   }
 
   test("idle-key TTL evicts state (improvement over the reference)") {
