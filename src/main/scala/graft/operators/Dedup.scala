@@ -137,6 +137,23 @@ object Dedup {
       |  count(*) AS n_docs
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Stream-time exact dedup: first-seen doc per content digest survives,
+    * duplicates arriving within the watermark delay are dropped, and —
+    * the part that matters at 100 TB — dedup state is EVICTED once the
+    * watermark passes (`dropDuplicatesWithinWatermark`, state bounded by
+    * the delay window; a plain streaming `dropDuplicates` retains every
+    * digest ever seen and eventually OOMs the state store). Grouping is
+    * on the md5 digest, never the text, so state rows are 16 bytes + key
+    * overhead regardless of document size. */
+  def streamingExact(docs: DataFrame, tsCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    docs
+      .withColumn("fingerprint", md5(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
+
   // --------------------------------------------------- n-gram Jaccard
 
   private val jaccardThreshold = 0.8

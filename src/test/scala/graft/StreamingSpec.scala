@@ -230,6 +230,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first-seen survives, state watermark-bounded") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString
+    val docs = ms.toDS().toDF("doc_id", "ts_sec", "text")
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+    val q = graft.operators.Dedup.streamingExact(docs)
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      val t0 = 1700000000L
+      // batch 1: A, B, dup-of-A (same content, later id)
+      ms.addData(Seq((1L, t0, "alpha text"), (2L, t0 + 1, "beta text"),
+        (3L, t0 + 2, "alpha text")))
+      q.processAllAvailable()
+      // batch 2: another dup of A within the watermark window -> dropped
+      ms.addData(Seq((4L, t0 + 5, "alpha text"), (5L, t0 + 6, "gamma text")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").as[(Long, String)].collect().toSeq
+      assert(out.map(_._2).sorted == Seq("alpha text", "beta text", "gamma text"))
+      // the FIRST-arrived alpha survived, not a later duplicate
+      assert(out.find(_._2 == "alpha text").get._1 == 1L)
+    } finally q.stop()
+  }
+
   test("idle-key TTL evicts state (improvement over the reference)") {
     // pure state-transition check: TTL wiring is exercised via the
     // processing-time timeout path; here we pin the transition function
