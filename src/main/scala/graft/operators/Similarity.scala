@@ -266,27 +266,28 @@ object Similarity {
     * the DuckDB oracle reproduces the exact cell assignment; a production
     * deployment would k-means-train them on a sample and broadcast the
     * centroid matrix the same way. Shape notes for 100 TB: the K-way
-    * candidate fan-out is a broadcast cross join (big side only scanned);
-    * the per-vector argmax here is a window over the K candidates — one
-    * hash shuffle of n*K rows, fine at bench scale, and at full scale the
-    * same operator admits a shuffle-free map-side argmax over the
-    * broadcast centroid matrix (the [[lshBuckets]] mapPartitions shape)
-    * without changing results. The inverted file is hash-partitioned by
-    * cell id, and a query probes exactly one cell (nprobe=1; multi-probe
-    * = relaxing the rank-1 filter to rank <= nprobe). */
+    * candidate fan-out is a broadcast cross join (big side only scanned),
+    * and the per-vector argmax is `max_by` under a hash aggregate, NOT a
+    * rank window — partial aggregation collapses the K candidate rows
+    * map-side, so the one shuffle carries n rows, not n*K (the argmax
+    * ordering struct (c_sim, -cent_id) is unique per vector, so the
+    * result is deterministic and equals the oracle's rank-1 row). The
+    * inverted file is hash-partitioned by cell id, and a query probes
+    * exactly one cell (nprobe=1; multi-probe = relaxing the rank-1 filter
+    * to rank <= nprobe). */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val cents = all
       .filter(col("vec_id") >= ivfCentBase && col("vec_id") < ivfCentBase + ivfCells)
       .select((col("vec_id") - ivfCentBase).as("cent_id"),
         col("v").as("cv"), col("norm").as("cn"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("c_sim").desc, col("cent_id"))
     val assigned = all.crossJoin(broadcast(cents))
       .withColumn("c_sim", simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
-      .withColumn("c_rank", row_number().over(wAssign))
-      .filter(col("c_rank") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"),
+          struct(col("c_sim"), (-col("cent_id")).as("nc"))).as("cell"),
+        first(col("v")).as("v"), first(col("norm")).as("norm"))
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell").as("qcell"))
