@@ -60,7 +60,7 @@ object SparkEntry {
     }),
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
   ) ++ Analytics.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-    Similarity.queries
+    Similarity.queries ++ Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -78,5 +78,5 @@ object SparkEntry {
         |FROM events
         |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50.0""".stripMargin,
   ) ++ Analytics.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-    Similarity.oracles
+    Similarity.oracles ++ Corpus.oracles
 }

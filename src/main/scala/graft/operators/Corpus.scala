@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the steps between "per-document analysis"
+  * and "training shards" in an LLM data pipeline: duplicate CLUSTER
+  * assignment (near-dup pairs are only half the job; picking one keeper
+  * per connected component is what actually shrinks the corpus),
+  * deterministic train/val/test splitting, and token-budget sequence
+  * packing.
+  *
+  * Scale design (100 TB posture):
+  *  - Cluster assignment is iterative min-label propagation over the
+  *    duplicate edge graph: every step is an equi-join + groupBy on ids
+  *    (hash-partitionable, no driver state), and each iteration ends in
+  *    `localCheckpoint()` so lineage — and with it task-binary size —
+  *    stays O(1) in the iteration count instead of O(iters). Convergence
+  *    needs diameter(component) rounds; dup components are
+  *    near-cliques (diameter 2-4) so the cap of 20 is generous. At
+  *    extreme scale swap the same loop body for the alternating
+  *    large-star/small-star rewrite (O(log n) rounds, same join shape).
+  *  - Only docs that appear in some edge enter the loop; the (vastly
+  *    larger) singleton population joins back in one final left join.
+  *  - The split is a pure stateless hash of doc_id: no shuffle, no
+  *    sampling pass, reproducible across runs/engines, and stable under
+  *    corpus growth (a doc's split never depends on other docs).
+  *  - Packing uses a shard-local cumulative sum: partitioned windows run
+  *    one task per shard (here 32 shards stand in for O(cluster-cores)),
+  *    unlike a single global running sum which would serialize on one
+  *    task at 100 TB.
+  *
+  * Determinism: cluster ids are component-min doc_ids (fixpoint is
+  * iteration-order independent); split buckets are md5-derived; packing
+  * sums integers.
+  */
+object Corpus {
+
+  // ---------------------------------------------------- dedup clusters
+
+  private val maxIters = 20
+
+  /** Duplicate edges: exact-dup (keeper, dup) pairs plus verified n-gram
+    * Jaccard near-dup pairs over canonical docs. */
+  private def dupEdges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(md5(col("text")))
+    val exactEdges = docs
+      .withColumn("keeper", min("doc_id").over(w))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("d1"), col("doc_id").as("d2"))
+    val nearEdges = Dedup.ngramJaccard(spark, dir).select("d1", "d2")
+    exactEdges.union(nearEdges)
+  }
+
+  /** One cluster id (the smallest doc_id in the connected component of
+    * the duplicate graph) per document; singletons cluster to themselves.
+    * `is_keeper` marks the one row per cluster a dedup pass would keep. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = dupEdges(spark, dir)
+    val edges = Dedup.eager(
+      e0.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(e0.select(col("d2").as("src"), col("d1").as("dst")))
+        .distinct())
+    var lab = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(lab, edges("dst") === lab("doc_id"))
+        .groupBy("src").agg(min("cluster_id").as("nbr"))
+      val next = lab.join(nbrMin, lab("doc_id") === nbrMin("src"), "left")
+        .select(lab("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      converged = next.join(lab.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).isEmpty
+      lab = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    edges.unpersist()
+    Tables.documents(spark, dir).select("doc_id")
+      .join(lab, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "is_keeper")
+  }
+
+  /** Oracle: transitive closure by recursive CTE — min reachable id is
+    * the component min, same fixpoint the Spark loop converges to. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtes},
+       |ex AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS d1,
+       |      doc_id AS d2
+       |    FROM documents
+       |  ) WHERE d1 <> d2
+       |),
+       |e0 AS (SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM ex),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM e0
+       |  UNION SELECT d2, d1 FROM e0
+       |),
+       |reach(doc_id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+       |),
+       |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       |  d.doc_id = coalesce(cl.cluster_id, d.doc_id) AS is_keeper
+       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
+
+  // ------------------------------------------------------ corpus split
+
+  private val trainPct = 80
+  private val valPct = 10 // remainder is test
+
+  /** Deterministic hash split: bucket = first 8 md5 hex chars of the
+    * salted doc_id, mod 100; [0,80) train, [80,90) validation, rest
+    * test. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "validation")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+
+  val corpusSplitSql: String =
+    s"""SELECT doc_id,
+       |  CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+       |  CASE
+       |    WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $trainPct THEN 'train'
+       |    WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < ${trainPct + valPct} THEN 'validation'
+       |    ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------- sequence packing
+
+  private val packBudget = 1024L
+  private val numShards = 32
+
+  /** Token-budget sequence packing, shard-parallel: docs are hashed into
+    * 32 shards, ordered by doc_id within shard, and assigned pack_id =
+    * floor(running-token-count-before / budget) — contiguous docs fill a
+    * pack until the budget spills into the next. */
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(Dedup.tokens(col("text"))).cast("long"))
+      .withColumn("shard", pmod(col("doc_id"), lit(numShards)).cast("long"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / packBudget).cast("long"))
+      .select("doc_id", "shard", "n_tokens", "cum_before", "pack_id")
+  }
+
+  val seqPackingSql: String =
+    s"""SELECT doc_id,
+       |  doc_id % $numShards AS shard,
+       |  CAST(len(${Dedup.tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |  coalesce(sum(CAST(len(${Dedup.tokensSql("text")}) AS BIGINT)) OVER (
+       |    PARTITION BY doc_id % $numShards ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |  coalesce(sum(CAST(len(${Dedup.tokensSql("text")}) AS BIGINT)) OVER (
+       |    PARTITION BY doc_id % $numShards ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $packBudget AS pack_id
+       |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
+    "corpus_split" -> (corpusSplit _),
+    "seq_packing" -> (seqPacking _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql,
+    "corpus_split" -> corpusSplitSql,
+    "seq_packing" -> seqPackingSql,
+  )
+}

@@ -99,7 +99,7 @@ object Dedup {
     * lineage along (measured: 1.3 MiB task binaries and a 10x bench
     * blow-up on minhash before this). `count()` pays one job up front;
     * every later reference is a cached-block scan with a truncated plan. */
-  private def eager(df: DataFrame): DataFrame = {
+  private[operators] def eager(df: DataFrame): DataFrame = {
     df.cache()
     df.count()
     df
@@ -178,18 +178,27 @@ object Dedup {
       .select("d1", "d2", "common", "jaccard")
   }
 
-  val ngramJaccardSql: String =
-    s"""WITH ${shingleIndexSql(maxDf)},
+  /** CTE chain ending in `jp(d1, d2, common, jaccard)` — the verified
+    * near-dup pairs. Shared by [[ngramJaccardSql]] and the cluster oracle
+    * in [[Corpus]]. */
+  private[operators] val jaccardPairsCtes: String =
+    s"""${shingleIndexSql(maxDf)},
        |sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
        |p AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
        |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |)
-       |SELECT d1, d2, common,
-       |  CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
-       |FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-       |WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= $jaccardThreshold""".stripMargin
+       |),
+       |jp AS (
+       |  SELECT d1, d2, common,
+       |    CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+       |  FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= $jaccardThreshold
+       |)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH $jaccardPairsCtes
+       |SELECT d1, d2, common, jaccard FROM jp""".stripMargin
 
   // ------------------------------------------------------- MinHash + LSH
 

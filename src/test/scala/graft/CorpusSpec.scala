@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Corpus, Dedup}
+
+/** Behavioral pins for the corpus-assembly operators (cluster assignment,
+  * split, packing). The oracle gate checks hash-exactness against DuckDB;
+  * these check the invariants a reader cares about. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_clusters: components are closed over both edge sources") {
+    val rows = Corpus.dedupClusters(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    // every doc is labeled, cluster id is the component min, and the
+    // keeper flag marks exactly the rows where the two coincide
+    assert(rows.forall { case (id, cl, keep) => cl <= id && keep == (cl == id) })
+    // both edge sources land in one cluster: exact-dup groups (none
+    // exist at sf0.001, so this arm is vacuous there but real at
+    // sf>=0.01)...
+    val byText = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+    byText.foreach { grp =>
+      assert(grp.map(g => cluster(g._1)).distinct.length == 1)
+    }
+    // ...and near-dup pairs
+    val pairs = Dedup.ngramJaccard(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) => assert(cluster(a) == cluster(b)) }
+    // cluster ids are themselves members of their cluster (component min
+    // exists as a row)
+    val ids = rows.map(_._1).toSet
+    assert(rows.forall { case (_, cl, _) => ids.contains(cl) })
+  }
+
+  test("corpus_split: deterministic, total, and roughly proportioned") {
+    val rows = Corpus.corpusSplit(spark, dir)
+      .as[(Long, Long, String)].collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 100))
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "validation", "test"))
+    // hash split targets 80/10/10; allow generous tolerance at n=500
+    assert(bySplit("train") > 350 && bySplit("train") < 450)
+    // stable: recomputing yields the identical assignment
+    val again = Corpus.corpusSplit(spark, dir).as[(Long, Long, String)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("seq_packing: packs are contiguous and budget-aligned per shard") {
+    val rows = Corpus.seqPacking(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 500)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._1)
+      // the running sum is consistent: cum_before = sum of earlier docs
+      var cum = 0L
+      sorted.foreach { case (id, sh, n, cumBefore, pack) =>
+        assert(sh == id % 32)
+        assert(cumBefore == cum)
+        assert(pack == cumBefore / 1024)
+        cum += n
+      }
+      // pack ids are non-decreasing in doc order
+      val packs = sorted.map(_._5)
+      assert(packs.zip(packs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+}
