@@ -123,14 +123,21 @@ object Corpus {
   private val trainPct = 80
   private val valPct = 10 // remainder is test
 
+  /** Split bucket in [0,100): first 8 md5 hex chars of the salted
+    * doc_id, mod 100. SQL twin in [[splitBucketSql]]. */
+  private def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("split:"), id.cast("string"))),
+      1, 8), 16, 10).cast("long") % 100
+
+  private def splitBucketSql(id: String): String =
+    s"CAST(('0x' || substr(md5('split:' || CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
   /** Deterministic hash split: bucket = first 8 md5 hex chars of the
     * salted doc_id, mod 100; [0,80) train, [80,90) validation, rest
     * test. */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket",
-        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))),
-          1, 8), 16, 10).cast("long") % 100)
+      .withColumn("bucket", splitBucket(col("doc_id")))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "validation")
@@ -139,12 +146,44 @@ object Corpus {
 
   val corpusSplitSql: String =
     s"""SELECT doc_id,
-       |  CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+       |  ${splitBucketSql("doc_id")} AS bucket,
        |  CASE
-       |    WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < $trainPct THEN 'train'
-       |    WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < ${trainPct + valPct} THEN 'validation'
+       |    WHEN ${splitBucketSql("doc_id")} < $trainPct THEN 'train'
+       |    WHEN ${splitBucketSql("doc_id")} < ${trainPct + valPct} THEN 'validation'
        |    ELSE 'test' END AS split
        |FROM documents""".stripMargin
+
+  // ------------------------------------------------------- corpus clean
+
+  private val qualityMin = 0.2
+
+  /** The composed training-corpus pipeline, one query: exact-dedup
+    * canonicalization -> train-split gate -> per-doc quality stats ->
+    * quality gate. Deliberately ONE scan: the split predicate is a
+    * stateless hash filter applied before stats, and the only shuffle is
+    * canonicalization's window — at 100 TB this runs as
+    * scan -> window -> fused project/filter, not a chain of self-joins
+    * (which a naive "join the outputs of each operator" composition would
+    * produce). */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStatsOf(
+      Dedup.canonicalDocs(Tables.documents(spark, dir))
+        .filter(splitBucket(col("doc_id")) < trainPct))
+      .filter(col("quality_score") >= qualityMin)
+      .select("doc_id", "n_tokens", "quality_score")
+
+  val corpusCleanSql: String =
+    s"""WITH ${Dedup.canonicalDocsSql},
+       |tr AS (
+       |  SELECT doc_id, text FROM canon
+       |  WHERE ${splitBucketSql("doc_id")} < $trainPct
+       |),
+       |${TextAnalysis.textStatsCtes("tr")},
+       |q AS (
+       |  ${TextAnalysis.textStatsSelect.replace("\n", "\n  ")}
+       |)
+       |SELECT doc_id, n_tokens, quality_score FROM q
+       |WHERE quality_score >= $qualityMin""".stripMargin
 
   // ---------------------------------------------------- sequence packing
 
@@ -182,11 +221,13 @@ object Corpus {
     "dedup_clusters" -> (dedupClusters _),
     "corpus_split" -> (corpusSplit _),
     "seq_packing" -> (seqPacking _),
+    "corpus_clean" -> (corpusClean _),
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
     "corpus_split" -> corpusSplitSql,
     "seq_packing" -> seqPackingSql,
+    "corpus_clean" -> corpusCleanSql,
   )
 }

@@ -46,8 +46,14 @@ object TextAnalysis {
   /** Per-document statistics + a rational-arithmetic quality score in
     * [0,1]: length component x type-token-ratio component x stopword
     * component (each a clipped integer ratio — deterministic in IEEE). */
-  def textStats(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    textStatsOf(Tables.documents(spark, dir))
+
+  /** [[textStats]] over an arbitrary (doc_id, text, ...) frame — lets
+    * pipeline compositions (e.g. [[Corpus.corpusClean]]) run the same
+    * stats pass post-filter without a second scan or a join. */
+  def textStatsOf(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
@@ -66,10 +72,13 @@ object TextAnalysis {
         "ttr", "stop_ratio", "avg_token_len", "quality_score")
   }
 
-  val textStatsSql: String = {
+  /** CTE chain `t, s` + final-select body for the stats pass, with a
+    * pluggable source relation — single source of truth for
+    * [[textStatsSql]] and composed-pipeline oracles. */
+  private[operators] def textStatsCtes(src: String): String = {
     val stops = countInSql("toks", stopwords)
-    s"""WITH t AS (
-       |  SELECT doc_id, text, ${tokensSql("text")} AS toks FROM documents
+    s"""t AS (
+       |  SELECT doc_id, text, ${tokensSql("text")} AS toks FROM $src
        |), s AS (
        |  SELECT doc_id,
        |    CAST(length(text) AS BIGINT) AS len_chars,
@@ -77,16 +86,22 @@ object TextAnalysis {
        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
        |    CAST($stops AS BIGINT) AS n_stop
        |  FROM t WHERE len(toks) > 0
-       |)
-       |SELECT doc_id, len_chars, n_tokens, n_distinct, n_stop,
-       |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
-       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-       |  CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
-       |  (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) *
-       |    least(CAST(n_distinct AS DOUBLE) / n_tokens * 2.0, 1.0) *
-       |    (0.5 + least(CAST(n_stop AS DOUBLE) / n_tokens * 2.0, 0.5)) AS quality_score
-       |FROM s""".stripMargin
+       |)""".stripMargin
   }
+
+  private[operators] val textStatsSelect: String =
+    """SELECT doc_id, len_chars, n_tokens, n_distinct, n_stop,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+      |  (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) *
+      |    least(CAST(n_distinct AS DOUBLE) / n_tokens * 2.0, 1.0) *
+      |    (0.5 + least(CAST(n_stop AS DOUBLE) / n_tokens * 2.0, 0.5)) AS quality_score
+      |FROM s""".stripMargin
+
+  val textStatsSql: String =
+    s"""WITH ${textStatsCtes("documents")}
+       |$textStatsSelect""".stripMargin
 
   /** Heuristic language ID: per-language function-word hit counts, argmax
     * with a fixed priority order (de > en > es > fr) on ties. The `lang`

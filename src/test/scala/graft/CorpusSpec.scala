@@ -50,6 +50,24 @@ class CorpusSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("corpus_clean: composition agrees with its parts") {
+    val rows = Corpus.corpusClean(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val kept = rows.map(_._1).toSet
+    // every kept doc is a train-split canonical doc passing the gate
+    val train = Corpus.corpusSplit(spark, dir)
+      .filter("split = 'train'").select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(train))
+    val stats = graft.operators.TextAnalysis.textStats(spark, dir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(kept.forall(id => stats(id) >= 0.2))
+    // and nothing eligible was dropped (sf0.001 has no exact dups, so
+    // canonical = all docs here)
+    val eligible = train.filter(id => stats.get(id).exists(_ >= 0.2))
+    assert(kept == eligible)
+  }
+
   test("seq_packing: packs are contiguous and budget-aligned per shard") {
     val rows = Corpus.seqPacking(spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect()
