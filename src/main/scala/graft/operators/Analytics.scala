@@ -528,7 +528,100 @@ object Analytics {
       |FROM events JOIN bands ON value >= lo AND value < hi
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Analytic lead/lag surface: per-user delta between consecutive event
+    * values. One hash shuffle on user_id; the frame is (lag 1), so state
+    * per partition is a single row — trivially scale-safe. Order is
+    * (ts, event_id) — event_id is unique, making lag deterministic under
+    * equal timestamps. Deltas are exact-cent integer differences
+    * re-scaled, so doubles match across engines. */
+  def valueLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .filter(col("prev_value").isNotNull)
+      .withColumn("delta",
+        ((cents(col("value")) - cents(col("prev_value"))).cast("double")) / 100.0)
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        col("value"), col("prev_value"), col("delta"))
+  }
+
+  val valueLagDeltaSql: String =
+    """SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_sec,
+      |  value, prev_value,
+      |  CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+      |    - CAST(floor(prev_value * 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS delta
+      |FROM (
+      |  SELECT event_id, user_id, ts, value,
+      |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      |  FROM events
+      |)
+      |WHERE prev_value IS NOT NULL""".stripMargin
+
+  /** Set-operation surface: INTERSECT (users who both clicked and
+    * purchased) and EXCEPT (users who signed up but never purchased) in
+    * one result, tagged. Spark plans both as aggregate-style
+    * hash-partitioned set ops over pruned single-column scans. */
+  def funnelSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select("user_id")
+    val both = users("click").intersect(users("purchase"))
+      .withColumn("cohort", lit("click_and_purchase"))
+    val lost = users("signup").except(users("purchase"))
+      .withColumn("cohort", lit("signup_no_purchase"))
+    both.union(lost).select("cohort", "user_id")
+  }
+
+  val funnelSetOpsSql: String =
+    """SELECT 'click_and_purchase' AS cohort, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |)
+      |UNION ALL
+      |SELECT 'signup_no_purchase' AS cohort, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'signup'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |)""".stripMargin
+
+  /** Ranking-bucket surface: users quartiled by exact total spend
+    * WITHIN their hash cohort (user_id % 10). The window is partitioned
+    * deliberately: a global ntile forces every row onto one task — the
+    * classic 100 TB window mistake — while per-cohort quartiles keep the
+    * sort distributed (a pipeline needing corpus-global quantile
+    * boundaries uses `value_quantiles`-style cutpoints broadcast back
+    * instead). ntile ordering is made deterministic by the unique
+    * user_id tie-break; spend stays an exact integer-cent sum until the
+    * final projection. */
+  def userSpendQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum(cents(col("value"))).as("spend_cents"))
+      .withColumn("cohort", pmod(col("user_id"), lit(10)))
+    totals
+      .withColumn("quartile",
+        ntile(4).over(Window.partitionBy("cohort")
+          .orderBy(col("spend_cents").desc, col("user_id"))))
+      .withColumn("total_spend", col("spend_cents").cast("double") / 100.0)
+      .select("user_id", "cohort", "total_spend", "quartile")
+  }
+
+  val userSpendQuartilesSql: String =
+    """WITH t AS (
+      |  SELECT user_id, user_id % 10 AS cohort,
+      |    sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS spend_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |)
+      |SELECT user_id, cohort, CAST(spend_cents AS DOUBLE) / 100.0 AS total_spend,
+      |  ntile(4) OVER (PARTITION BY cohort
+      |    ORDER BY spend_cents DESC, user_id) AS quartile
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_lag_delta" -> (valueLagDelta _),
+    "funnel_set_ops" -> (funnelSetOps _),
+    "user_spend_quartiles" -> (userSpendQuartiles _),
     "type_bucket_cube" -> (typeBucketCube _),
     "value_band_join" -> (valueBandJoin _),
     "asof_click_attribution" -> (asofClickAttribution _),
@@ -566,5 +659,8 @@ object Analytics {
     "daily_counts" -> dailyCountsSql,
     "running_totals" -> runningTotalsSql,
     "sessionize" -> sessionizeSql,
+    "value_lag_delta" -> valueLagDeltaSql,
+    "funnel_set_ops" -> funnelSetOpsSql,
+    "user_spend_quartiles" -> userSpendQuartilesSql,
   )
 }

@@ -55,11 +55,12 @@ object Corpus {
     exactEdges.union(nearEdges)
   }
 
-  /** One cluster id (the smallest doc_id in the connected component of
-    * the duplicate graph) per document; singletons cluster to themselves.
-    * `is_keeper` marks the one row per cluster a dedup pass would keep. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = dupEdges(spark, dir)
+  /** Connected components of an undirected graph given as (d1, d2) edge
+    * rows: returns (doc_id, cluster_id) for every node that appears in
+    * an edge, where cluster_id is the component's minimum node id.
+    * Min-label propagation; see the scaladoc above for the scale
+    * rationale. */
+  def components(e0: DataFrame): DataFrame = {
     val edges = Dedup.eager(
       e0.select(col("d1").as("src"), col("d2").as("dst"))
         .union(e0.select(col("d2").as("src"), col("d1").as("dst")))
@@ -84,6 +85,14 @@ object Corpus {
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
     edges.unpersist()
+    lab
+  }
+
+  /** One cluster id (the smallest doc_id in the connected component of
+    * the duplicate graph) per document; singletons cluster to themselves.
+    * `is_keeper` marks the one row per cluster a dedup pass would keep. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val lab = components(dupEdges(spark, dir))
     Tables.documents(spark, dir).select("doc_id")
       .join(lab, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

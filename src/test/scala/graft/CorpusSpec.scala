@@ -50,6 +50,32 @@ class CorpusSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("components: matches union-find on random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 8).foreach { _ =>
+      val n = 5 + rnd.nextInt(35)
+      val m = rnd.nextInt(2 * n)
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (es.nonEmpty) {
+        // reference: in-memory union-find with min-id representatives
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val want = parent.keys.map(k => k -> find(k)).toMap
+        val got = Corpus.components(es.toDF("d1", "d2"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == want)
+      }
+    }
+  }
+
   test("corpus_clean: composition agrees with its parts") {
     val rows = Corpus.corpusClean(spark, dir)
       .as[(Long, Long, Double)].collect()
