@@ -73,14 +73,16 @@ object Corpus {
     while (!converged && iter < maxIters) {
       val nbrMin = edges.join(lab, edges("dst") === lab("doc_id"))
         .groupBy("src").agg(min("cluster_id").as("nbr"))
+      // carry the previous label through the join so convergence is a
+      // filter over the checkpointed result, not another join+shuffle
       val next = lab.join(nbrMin, lab("doc_id") === nbrMin("src"), "left")
         .select(lab("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          col("cluster_id").as("prev"))
         .localCheckpoint()
-      converged = next.join(lab.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).isEmpty
-      lab = next
+      converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
+      lab = next.select("doc_id", "cluster_id")
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")

@@ -1,0 +1,53 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Demonstrates the co-located (bucketed) layout path: pre-bucketing a
+  * fact table on its join/agg key lets every later keyed operator run
+  * WITHOUT a shuffle — at 100 TB this converts the dominant exchange of
+  * repeated per-key jobs into a one-time write-side cost. Spark-native
+  * bucketing (`bucketBy` + `saveAsTable`) is the mechanism; the
+  * assertions pin the property that matters: no Exchange in the
+  * physical plan, same results as the shuffled path. */
+class BucketingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed table: keyed agg and self-join plan with zero exchanges") {
+    val table = "graft_ev_bucketed"
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "value")
+    try {
+      ev.write.bucketBy(8, "user_id").sortBy("user_id")
+        .format("parquet").mode("overwrite").saveAsTable(table)
+
+      val agg = spark.table(table).groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("ShuffleExchange"),
+        s"bucketed groupBy should not shuffle:\n$aggPlan")
+      // same rows as the plain shuffled aggregation
+      val direct = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      assert(agg.orderBy("user_id").collect().toSeq ==
+        direct.orderBy("user_id").collect().toSeq)
+
+      // co-located sort-merge join: disable broadcast so the join
+      // strategy is the one a 100 TB fact-fact join would use
+      val bcast = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(bcast)
+      try {
+        spark.conf.set(bcast, "-1")
+        val t = spark.table(table)
+        val joined = t.as("a").join(t.as("b"), "user_id")
+          .groupBy("user_id").agg(count(lit(1)).as("pairs"))
+        val joinPlan = joined.queryExecution.executedPlan.toString
+        assert(!joinPlan.contains("ShuffleExchange"),
+          s"bucketed-bucketed equi-join should not shuffle:\n$joinPlan")
+        assert(joinPlan.contains("SortMergeJoin"))
+      } finally spark.conf.set(bcast, prev)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+}
