@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
   *    duplicate edge graph: every step is an equi-join + groupBy on ids
   *    (hash-partitionable, no driver state), and each iteration ends in
   *    `localCheckpoint()` so lineage — and with it task-binary size —
-  *    stays O(1) in the iteration count instead of O(iters). Convergence
-  *    needs diameter(component) rounds; dup components are
-  *    near-cliques (diameter 2-4) so the cap of 20 is generous. At
-  *    extreme scale swap the same loop body for the alternating
-  *    large-star/small-star rewrite (O(log n) rounds, same join shape).
+  *    stays O(1) in the iteration count instead of O(iters). Each round
+  *    combines a neighbor-min step with a pointer-jumping step (adopt
+  *    the label of your label), so convergence needs O(log diameter)
+  *    rounds — the cap of 20 covers chain components ~2^20 long, far
+  *    beyond any duplicate graph (dup components are near-cliques).
   *  - Only docs that appear in some edge enter the loop; the (vastly
   *    larger) singleton population joins back in one final left join.
   *  - The split is a pure stateless hash of doc_id: no shuffle, no
@@ -75,11 +75,22 @@ object Corpus {
         .groupBy("src").agg(min("cluster_id").as("nbr"))
       // carry the previous label through the join so convergence is a
       // filter over the checkpointed result, not another join+shuffle
-      val next = lab.join(nbrMin, lab("doc_id") === nbrMin("src"), "left")
+      val prop = lab.join(nbrMin, lab("doc_id") === nbrMin("src"), "left")
         .select(lab("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
             .as("cluster_id"),
           col("cluster_id").as("prev"))
+      // pointer jumping: also adopt the label OF the current label
+      // (labels are always node ids, so the self-join always resolves) —
+      // chains halve every round, so convergence needs O(log diameter)
+      // rounds and the maxIters cap covers diameters up to ~2^20, not 20
+      val next = prop.as("x")
+        .join(prop.select(col("doc_id").as("cid"), col("cluster_id").as("cl2")),
+          col("x.cluster_id") === col("cid"), "left")
+        .select(col("x.doc_id"),
+          least(col("x.cluster_id"), coalesce(col("cl2"), col("x.cluster_id")))
+            .as("cluster_id"),
+          col("x.prev").as("prev"))
         .localCheckpoint()
       converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
       lab = next.select("doc_id", "cluster_id")

@@ -172,8 +172,10 @@ object Detectors {
     withOriginalEvent(
       prepareEvents(events, defaultKeyField)
         .filter(v.isNotNull)
+        // NOTE: the raw `value` column must stay untouched until after
+        // withOriginalEvent — overwriting it with the measured field here
+        // would falsify the embedded event whenever rule.field != "value"
         .withColumn("v", v)
-        .withColumn("value", col("v"))
         .withColumn("c", floor(col("v") * lit(sf) + 0.5).cast("long"))
         .withColumn("s1", sum("c").over(w))
         .withColumn("s2", sum(col("c") * col("c")).over(w))
@@ -186,6 +188,7 @@ object Detectors {
           when(col("dd") === 0.0, abs(col("v") - col("mean")) > 0.0)
             .otherwise(abs(col("v") - col("mean")) >
               lit(rule.deviationFactor) * col("stddev"))))
+      .withColumn("value", col("v"))
       .withColumn("rule_name", lit(rule.name))
       .withColumn("details", concat(
         lit(s"Statistical outlier: ${rule.field}="), Fmt.f(col("v"), 2),

@@ -281,13 +281,16 @@ object Similarity {
       .filter(col("vec_id") >= ivfCentBase && col("vec_id") < ivfCentBase + ivfCells)
       .select((col("vec_id") - ivfCentBase).as("cent_id"),
         col("v").as("cv"), col("norm").as("cn"))
-    val assigned = all.crossJoin(broadcast(cents))
+    // eagerly materialized: both the broadcast query side and the
+    // candidate side below reference this subtree in ONE action — without
+    // it the K-way assignment (the expensive stage) computes twice
+    val assigned = Dedup.eager(all.crossJoin(broadcast(cents))
       .withColumn("c_sim", simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
       .groupBy("vec_id")
       .agg(
         max_by(col("cent_id"),
           struct(col("c_sim"), (-col("cent_id")).as("nc"))).as("cell"),
-        first(col("v")).as("v"), first(col("norm")).as("norm"))
+        first(col("v")).as("v"), first(col("norm")).as("norm")))
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell").as("qcell"))

@@ -37,7 +37,12 @@ object SentinelJob {
       .option("startingOffsets", "earliest") // OffsetsInitializer.earliest()
       .load()
 
-  /** Alerts (a one-column `value` JSON DataFrame) -> the alerts topic. */
+  /** Alerts (a one-column `value` JSON DataFrame) -> the alerts topic.
+    * The micro-batch trigger runs at the configured checkpoint interval
+    * (FLINK_CHECKPOINT_INTERVAL_MS): Spark checkpoints once per
+    * micro-batch, so the trigger cadence IS the checkpoint cadence — the
+    * closest Structured-Streaming analog of the reference's
+    * `enableCheckpointing(intervalMs)` (StreamSentinelJob.java:154-165). */
   def kafkaSink(alerts: DataFrame, cfg: JobConfig,
       checkpointDir: String): StreamingQuery =
     alerts.writeStream
@@ -45,6 +50,8 @@ object SentinelJob {
       .option("kafka.bootstrap.servers", cfg.kafkaBootstrapServers)
       .option("topic", cfg.kafkaAlertTopic)
       .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(cfg.checkpointIntervalMs))
       .start()
 
   def main(args: Array[String]): Unit = {

@@ -143,7 +143,7 @@ object StreamingDetectors {
           } else {
             var st = state.getOption.getOrElse(DetState(Map.empty, Map.empty))
             // deterministic arrival order inside the micro-batch
-            val out = it.toSeq.sortBy(e => (e.eventId, e.tsSec)).flatMap { e =>
+            val out = it.toSeq.sortBy(e => (e.eventId, e.tsSec, e.original)).flatMap { e =>
               val (alerts, next) = processEvent(rules, e, st)
               st = next
               alerts
@@ -201,7 +201,7 @@ object StreamingDetectors {
       var st = Option(state.get()).getOrElse(DetState(Map.empty, Map.empty))
       // deterministic arrival order inside the micro-batch (same contract
       // as the flatMapGroupsWithState path)
-      val out = rows.toSeq.sortBy(e => (e.eventId, e.tsSec)).flatMap { e =>
+      val out = rows.toSeq.sortBy(e => (e.eventId, e.tsSec, e.original)).flatMap { e =>
         val (alerts, next) = processEvent(rules, e, st)
         st = next
         alerts
@@ -210,6 +210,14 @@ object StreamingDetectors {
       out.iterator
     }
   }
+
+  /** Rules-aware variant — carries exactly the fields the rule set
+    * measures, so a rule over any field fires. Prefer this over the
+    * fieldNames form: the Seq("value") default there silently drops
+    * measures for rules reading other fields. */
+  def toSEventsFor(df: DataFrame, rules: Seq[DetectionRule],
+      keyField: String = "user_id"): Dataset[SEvent] =
+    toSEvents(df, keyField, measuredFields(rules))
 
   def toSEvents(df: DataFrame, keyField: String = "user_id",
       fieldNames: Seq[String] = Seq("value")): Dataset[SEvent] = {
@@ -224,7 +232,8 @@ object StreamingDetectors {
         coalesce(col(keyField).cast("string"), lit("__unknown__")).as("key"),
         col("event_id").cast("long").as("eventId"),
         col("ts_sec").cast("long").as("tsSec"),
-        map_filter(map(entries: _*), (_, v) => v.isNotNull).as("fields"),
+        (if (entries.isEmpty) map().cast("map<string,double>")
+         else map_filter(map(entries: _*), (_, v) => v.isNotNull)).as("fields"),
         graft.operators.Detectors.originalEvent(df.columns.toSeq).as("original"))
       .as[SEvent]
   }

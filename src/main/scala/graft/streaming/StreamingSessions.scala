@@ -10,9 +10,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class SessionOut(key: String, session_id: Long, n_events: Long,
     start_sec: Long, end_sec: Long, duration_sec: Long)
 
-/** Per-key open-session state: running session ordinal, event count, and
-  * the [start, last] bounds of the session still in flight. */
-final case class SessState(seq: Long, n: Long, startSec: Long, lastSec: Long)
+/** Per-key open-session state: running session ordinal, event count, the
+  * min/max event-time bounds of the open session, and the timestamp of
+  * the most recent event in PROCESSING (eventId) order — the gap check
+  * runs on consecutive events like the batch lag, while the emitted
+  * bounds are min/max like the batch aggregation, so non-monotone
+  * timestamps inside a session can't produce negative durations. */
+final case class SessState(seq: Long, n: Long, minSec: Long, maxSec: Long,
+    lastSec: Long)
 
 /** Streaming sessionization — the stream-native complement of the batch
   * `sessionize` query: per-key gap-based sessions maintained in group
@@ -52,7 +57,7 @@ object StreamingSessions {
       .flatMapGroupsWithState[SessState, SessionOut](OutputMode.Append(), timeout) {
         (key: String, it: Iterator[SEvent], state: GroupState[SessState]) =>
           def closed(s: SessState) = SessionOut(key, s.seq, s.n,
-            s.startSec, s.lastSec, s.lastSec - s.startSec)
+            s.minSec, s.maxSec, s.maxSec - s.minSec)
           if (state.hasTimedOut) {
             val out = state.getOption.map(closed).toSeq
             state.remove()
@@ -60,15 +65,18 @@ object StreamingSessions {
           } else {
             var st = state.getOption
             val out = Seq.newBuilder[SessionOut]
-            it.toSeq.sortBy(e => (e.eventId, e.tsSec)).foreach { e =>
+            it.toSeq.sortBy(e => (e.eventId, e.tsSec, e.original)).foreach { e =>
               st match {
                 case None =>
-                  st = Some(SessState(1L, 1L, e.tsSec, e.tsSec))
+                  st = Some(SessState(1L, 1L, e.tsSec, e.tsSec, e.tsSec))
                 case Some(s) if e.tsSec - s.lastSec > gapSec =>
                   out += closed(s)
-                  st = Some(SessState(s.seq + 1, 1L, e.tsSec, e.tsSec))
+                  st = Some(SessState(s.seq + 1, 1L, e.tsSec, e.tsSec, e.tsSec))
                 case Some(s) =>
-                  st = Some(s.copy(n = s.n + 1, lastSec = e.tsSec))
+                  st = Some(s.copy(n = s.n + 1,
+                    minSec = math.min(s.minSec, e.tsSec),
+                    maxSec = math.max(s.maxSec, e.tsSec),
+                    lastSec = e.tsSec))
               }
             }
             st.foreach { s =>
@@ -77,7 +85,7 @@ object StreamingSessions {
                 // strictly after both the session-close boundary and the
                 // current watermark (Spark rejects timeouts <= watermark)
                 state.setTimeoutTimestamp(math.max(
-                  (s.lastSec + gapSec) * 1000L + 1L,
+                  (math.max(s.lastSec, s.maxSec) + gapSec) * 1000L + 1L,
                   state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator

@@ -23,8 +23,11 @@ class BucketingSpec extends SparkSpec {
 
       val agg = spark.table(table).groupBy("user_id")
         .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      // shuffle nodes print as "Exchange hashpartitioning(...)" (the node
+      // name is just "Exchange"); broadcast ones as "BroadcastExchange" —
+      // match the former, checking the substring the shuffle actually emits
       val aggPlan = agg.queryExecution.executedPlan.toString
-      assert(!aggPlan.contains("ShuffleExchange"),
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
         s"bucketed groupBy should not shuffle:\n$aggPlan")
       // same rows as the plain shuffled aggregation
       val direct = ev.groupBy("user_id")
@@ -42,9 +45,15 @@ class BucketingSpec extends SparkSpec {
         val joined = t.as("a").join(t.as("b"), "user_id")
           .groupBy("user_id").agg(count(lit(1)).as("pairs"))
         val joinPlan = joined.queryExecution.executedPlan.toString
-        assert(!joinPlan.contains("ShuffleExchange"),
+        assert(!joinPlan.contains("Exchange hashpartitioning"),
           s"bucketed-bucketed equi-join should not shuffle:\n$joinPlan")
         assert(joinPlan.contains("SortMergeJoin"))
+        // negative control: the same join over the unbucketed source DOES
+        // shuffle — proving the assertion string actually catches one
+        val shuffled = ev.as("a").join(ev.as("b"), "user_id")
+          .groupBy("user_id").agg(count(lit(1)).as("pairs"))
+        assert(shuffled.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"))
       } finally spark.conf.set(bcast, prev)
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")

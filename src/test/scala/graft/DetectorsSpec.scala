@@ -119,6 +119,24 @@ class DetectorsSpec extends SparkSpec {
     assert(fired.contains(2L))
   }
 
+  test("statistical on a non-value field: original_event keeps the raw value") {
+    // regression: the measured field used to overwrite `value` before the
+    // original_event projection, falsifying the embedded event whenever
+    // rule.field != "value"
+    val df = Seq(
+      (0L, 0L, 1L, 7.5, 100.0), (1L, 1L, 1L, 7.5, 100.0),
+      (2L, 2L, 1L, 7.5, 5000.0))
+      .toDF("event_id", "ts_sec", "user_id", "value", "amount")
+    val alerts = Detectors
+      .statisticalAlerts(df, StatisticalRule("s", "amount", 5, 2.0))
+      .select("event_id", "value", "original_event")
+      .as[(Long, Double, String)].collect()
+    assert(alerts.map(_._1).toSeq == Seq(2L))
+    assert(alerts.head._2 == 5000.0) // alert value = the measured field
+    // the embedded event carries the RAW value column, not the measure
+    assert(alerts.head._3.contains("\"value\":7.50"))
+  }
+
   // ---- DetectorFactoryTest.java ------------------------------------------
 
   test("rule dispatch: type -> operator mapping, unknown type rejected (:14-47)") {
