@@ -107,6 +107,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("toSEventsFor carries the fields the rules measure (non-value field)") {
+    val df = Seq(
+      (1L, 0L, 7L, 5.0, 15000.0), (2L, 1L, 7L, 5.0, 20.0))
+      .toDF("event_id", "ts_sec", "user_id", "value", "amount")
+    val amountRule: Seq[DetectionRule] =
+      Seq(ThresholdRule("high_amount", "amount", 10000.0))
+    val sev = StreamingDetectors.toSEventsFor(df, amountRule).collect().toSeq
+    assert(sev.forall(_.fields.contains("amount")))
+    val alerts = replay2(sev, amountRule)
+    // the rule fires on the amount measure — the fieldNames default
+    // (Seq("value")) would have silently dropped it
+    assert(alerts.map(a => (a.rule_name, a.event_id, a.value)) ==
+      Seq(("high_amount", 1L, 15000.0)))
+  }
+
   test("watermarked tumbling-window aggregation over the event stream") {
     // SURVEY §2 op 3: the reference declares a 5 s watermark; here it is
     // actually consumed by an aligned windowed count (the Spark-native
