@@ -332,11 +332,85 @@ object Similarity {
        |SELECT q_id, "rank", vec_id AS cand_id, sim_r, cell
        |FROM r WHERE "rank" <= 3""".stripMargin
 
+  private val ivfNprobe = 2
+
+  /** Multi-probe IVF: identical inverted file to [[annIvfTopk]], but each
+    * query searches its `ivfNprobe` nearest cells instead of one — the
+    * standard recall/cost knob for IVF indexes. Cost scales linearly in
+    * nprobe (the candidate join fans out to nprobe buckets per query)
+    * while the inverted file itself is unchanged; candidates can't
+    * duplicate across probes because each candidate lives in exactly one
+    * cell. The query-side cell ranking re-scores only numQueries x K
+    * centroid pairs — negligible next to the corpus-side assignment,
+    * which stays a single eagerly-shared pass. */
+  def annIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = all
+      .filter(col("vec_id") >= ivfCentBase && col("vec_id") < ivfCentBase + ivfCells)
+      .select((col("vec_id") - ivfCentBase).as("cent_id"),
+        col("v").as("cv"), col("norm").as("cn"))
+    val assigned = Dedup.eager(all.crossJoin(broadcast(cents))
+      .withColumn("c_sim", simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"),
+          struct(col("c_sim"), (-col("cent_id")).as("nc"))).as("cell"),
+        first(col("v")).as("v"), first(col("norm")).as("norm")))
+    val cw = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    val qcells = all.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
+      .withColumn("c_rank", row_number().over(cw))
+      .filter(col("c_rank") <= ivfNprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("cent_id").as("qcell"),
+        col("c_rank").as("probe"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
+    assigned.join(broadcast(qcells), col("cell") === col("qcell") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("sim_r",
+        simRound(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("cand_id"),
+        col("sim_r"), col("cell"), col("probe"))
+  }
+
+  val annIvfMultiprobeSql: String =
+    s"""WITH $vecsSql,
+       |cent AS (
+       |  SELECT vec_id - $ivfCentBase AS cent_id, v AS cv, norm AS cn
+       |  FROM vn WHERE vec_id >= $ivfCentBase AND vec_id < ${ivfCentBase + ivfCells}
+       |), asg AS (
+       |  SELECT vec_id, v, norm, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      ${simRoundSql(dotSql("v", "cv") + " / (norm * cn)")} DESC, cent_id) AS c_rank
+       |  FROM vn CROSS JOIN cent
+       |), a AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM asg WHERE c_rank = 1
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv, norm AS qn, cent_id AS qcell,
+       |    c_rank AS probe
+       |  FROM asg WHERE vec_id < $numQueries AND c_rank <= $ivfNprobe
+       |), s AS (
+       |  SELECT q.q_id, c.vec_id, c.cell, q.probe,
+       |    ${simRoundSql(dotSql("q.qv", "c.v") + " / (q.qn * c.norm)")} AS sim_r
+       |  FROM a c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.q_id
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim_r DESC, vec_id) AS "rank"
+       |  FROM s
+       |)
+       |SELECT q_id, "rank", vec_id AS cand_id, sim_r, cell, probe
+       |FROM r WHERE "rank" <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> (annTopkCosine _),
     "embedding_neardup_pairs" -> (neardupPairs _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_multiprobe" -> (annIvfMultiprobe _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,5 +418,6 @@ object Similarity {
     "embedding_neardup_pairs" -> neardupPairsSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_ivf_multiprobe" -> annIvfMultiprobeSql,
   )
 }
