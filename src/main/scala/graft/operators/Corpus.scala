@@ -81,11 +81,15 @@ object Corpus {
             .as("cluster_id"),
           col("cluster_id").as("prev"))
       // pointer jumping: also adopt the label OF the current label
-      // (labels are always node ids, so the self-join always resolves) —
-      // chains halve every round, so convergence needs O(log diameter)
-      // rounds and the maxIters cap covers diameters up to ~2^20, not 20
+      // (labels are always component-member ids, so the lookup always
+      // resolves) — chains shrink multiplicatively, so convergence needs
+      // O(log diameter) rounds and the maxIters cap covers diameters up
+      // to ~2^20, not 20. The lookup table is LAB (last round's
+      // checkpointed labels), not prop: prop is referenced once so the
+      // neighbor-min join isn't recomputed, and a half-round-stale jump
+      // target is still monotone-decreasing toward the same fixpoint.
       val next = prop.as("x")
-        .join(prop.select(col("doc_id").as("cid"), col("cluster_id").as("cl2")),
+        .join(lab.select(col("doc_id").as("cid"), col("cluster_id").as("cl2")),
           col("x.cluster_id") === col("cid"), "left")
         .select(col("x.doc_id"),
           least(col("x.cluster_id"), coalesce(col("cl2"), col("x.cluster_id")))
