@@ -275,22 +275,30 @@ object Similarity {
     * inverted file is hash-partitioned by cell id, and a query probes
     * exactly one cell (nprobe=1; multi-probe = relaxing the rank-1 filter
     * to rank <= nprobe). */
-  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
-    val cents = all
+  /** The `ivfCells` centroid vectors (deterministic seed subset). */
+  private def ivfCents(all: DataFrame): DataFrame =
+    all
       .filter(col("vec_id") >= ivfCentBase && col("vec_id") < ivfCentBase + ivfCells)
       .select((col("vec_id") - ivfCentBase).as("cent_id"),
         col("v").as("cv"), col("norm").as("cn"))
-    // eagerly materialized: both the broadcast query side and the
-    // candidate side below reference this subtree in ONE action — without
-    // it the K-way assignment (the expensive stage) computes twice
-    val assigned = Dedup.eager(all.crossJoin(broadcast(cents))
+
+  /** The inverted file: every vector with its argmax cell (max_by hash
+    * aggregate — see [[annIvfTopk]]'s scaladoc for why not a window). */
+  private def ivfAssigned(all: DataFrame, cents: DataFrame): DataFrame =
+    all.crossJoin(broadcast(cents))
       .withColumn("c_sim", simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
       .groupBy("vec_id")
       .agg(
         max_by(col("cent_id"),
           struct(col("c_sim"), (-col("cent_id")).as("nc"))).as("cell"),
-        first(col("v")).as("v"), first(col("norm")).as("norm")))
+        first(col("v")).as("v"), first(col("norm")).as("norm"))
+
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    // eagerly materialized: both the broadcast query side and the
+    // candidate side below reference this subtree in ONE action — without
+    // it the K-way assignment (the expensive stage) computes twice
+    val assigned = Dedup.eager(ivfAssigned(all, ivfCents(all)))
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell").as("qcell"))
@@ -305,9 +313,11 @@ object Similarity {
         col("sim_r"), col("cell"))
   }
 
-  val annIvfTopkSql: String =
-    s"""WITH $vecsSql,
-       |cent AS (
+  /** Shared CTE chain `cent, asg, a` — centroids, per-vector centroid
+    * ranking, and the rank-1 inverted file. Single source of truth for
+    * both IVF oracles (Spark twin: [[ivfCents]]/[[ivfAssigned]]). */
+  private val ivfAsgCtes: String =
+    s"""cent AS (
        |  SELECT vec_id - $ivfCentBase AS cent_id, v AS cv, norm AS cn
        |  FROM vn WHERE vec_id >= $ivfCentBase AND vec_id < ${ivfCentBase + ivfCells}
        |), asg AS (
@@ -317,7 +327,11 @@ object Similarity {
        |  FROM vn CROSS JOIN cent
        |), a AS (
        |  SELECT vec_id, v, norm, cent_id AS cell FROM asg WHERE c_rank = 1
-       |), q AS (
+       |)""".stripMargin
+
+  val annIvfTopkSql: String =
+    s"""WITH $vecsSql,
+       |$ivfAsgCtes, q AS (
        |  SELECT vec_id AS q_id, v AS qv, norm AS qn, cell AS qcell
        |  FROM a WHERE vec_id < $numQueries
        |), s AS (
@@ -342,20 +356,12 @@ object Similarity {
     * duplicate across probes because each candidate lives in exactly one
     * cell. The query-side cell ranking re-scores only numQueries x K
     * centroid pairs — negligible next to the corpus-side assignment,
-    * which stays a single eagerly-shared pass. */
+    * which here is referenced exactly once (the candidate join), so no
+    * eager materialization is needed. */
   def annIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val cents = all
-      .filter(col("vec_id") >= ivfCentBase && col("vec_id") < ivfCentBase + ivfCells)
-      .select((col("vec_id") - ivfCentBase).as("cent_id"),
-        col("v").as("cv"), col("norm").as("cn"))
-    val assigned = Dedup.eager(all.crossJoin(broadcast(cents))
-      .withColumn("c_sim", simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("cent_id"),
-          struct(col("c_sim"), (-col("cent_id")).as("nc"))).as("cell"),
-        first(col("v")).as("v"), first(col("norm")).as("norm")))
+    val cents = ivfCents(all)
+    val assigned = ivfAssigned(all, cents)
     val cw = Window.partitionBy("vec_id")
       .orderBy(col("c_sim").desc, col("cent_id"))
     val qcells = all.filter(col("vec_id") < numQueries)
@@ -379,17 +385,7 @@ object Similarity {
 
   val annIvfMultiprobeSql: String =
     s"""WITH $vecsSql,
-       |cent AS (
-       |  SELECT vec_id - $ivfCentBase AS cent_id, v AS cv, norm AS cn
-       |  FROM vn WHERE vec_id >= $ivfCentBase AND vec_id < ${ivfCentBase + ivfCells}
-       |), asg AS (
-       |  SELECT vec_id, v, norm, cent_id,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY
-       |      ${simRoundSql(dotSql("v", "cv") + " / (norm * cn)")} DESC, cent_id) AS c_rank
-       |  FROM vn CROSS JOIN cent
-       |), a AS (
-       |  SELECT vec_id, v, norm, cent_id AS cell FROM asg WHERE c_rank = 1
-       |), q AS (
+       |$ivfAsgCtes, q AS (
        |  SELECT vec_id AS q_id, v AS qv, norm AS qn, cent_id AS qcell,
        |    c_rank AS probe
        |  FROM asg WHERE vec_id < $numQueries AND c_rank <= $ivfNprobe

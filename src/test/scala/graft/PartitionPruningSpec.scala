@@ -20,9 +20,13 @@ class PartitionPruningSpec extends SparkSpec {
       .select("event_id", "user_id", "value", "event_type")
     ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
 
+    // sum exact integer cents, not doubles: IEEE addition is
+    // order-dependent, and the two layouts split into different
+    // partitions, so a raw double sum could differ in low-order bits
+    val centsOf = floor(col("value") * 100.0 + 0.5).cast("long")
     val q = spark.read.parquet(out)
       .filter(col("event_type") === "purchase")
-      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(centsOf).as("total"))
     val formatted = q.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // the partition filter is applied by the file index, not a Filter node
@@ -31,7 +35,7 @@ class PartitionPruningSpec extends SparkSpec {
       l.contains("PartitionFilters") && l.contains("event_type")))
 
     val direct = ev.filter(col("event_type") === "purchase")
-      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(centsOf).as("total"))
     assert(q.collect().toSeq == direct.collect().toSeq)
   }
 }

@@ -75,6 +75,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_multiprobe: <=2 cells per query, probe in {1,2}, rank-1 no worse than nprobe=1") {
+    val multi = Similarity.annIvfMultiprobe(spark, dir)
+      .select("q_id", "rank", "cand_id", "sim_r", "cell", "probe")
+      .as[(Long, Int, Long, Double, Long, Int)].collect()
+    assert(multi.nonEmpty)
+    multi.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+      assert(rs.map(_._5).distinct.length <= 2)
+      assert(rs.forall(r => r._6 == 1 || r._6 == 2))
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // widening the probe set can only improve the best hit per query
+    val single = Similarity.annIvfTopk(spark, dir)
+      .select("q_id", "rank", "sim_r").as[(Long, Int, Double)].collect()
+    val best1 = single.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val bestM = multi.filter(_._2 == 1).map(r => r._1 -> r._4).toMap
+    best1.foreach { case (q, s) => assert(bestM(q) >= s) }
+  }
+
   test("type_bucket_cube: all four grouping sets present and consistent") {
     val rows = Analytics.typeBucketCube(spark, dir)
       .select("event_type", "bucket", "n")
