@@ -618,7 +618,32 @@ object Analytics {
       |    ORDER BY spend_cents DESC, user_id) AS quartile
       |FROM t""".stripMargin
 
+  /** Custom-aggregation surface: per-user (count, mean, population
+    * sigma) via the typed [[graft.functions.StatsAgg]] Aggregator,
+    * registered with `udaf()` so it drops into a plain `groupBy.agg` —
+    * Spark plans it partial-then-final like a built-in (the shuffle
+    * carries one 3-long buffer per map-side group, not raw rows). */
+  def userValueStats(spark: SparkSession, dir: String): DataFrame = {
+    val stats = udaf(new graft.functions.StatsAgg(2))
+    Tables.events(spark, dir)
+      .groupBy("user_id").agg(stats(col("value")).as("s"))
+      .select(col("user_id"), col("s.n").as("n"),
+        col("s.mean").as("mean"), col("s.sigma").as("sigma"))
+  }
+
+  val userValueStatsSql: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM events
+      |)
+      |SELECT user_id, count(*) AS n,
+      |  CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean,
+      |  sqrt(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE))
+      |    / count(*) / 100.0 AS sigma
+      |FROM c GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_value_stats" -> (userValueStats _),
     "value_lag_delta" -> (valueLagDelta _),
     "funnel_set_ops" -> (funnelSetOps _),
     "user_spend_quartiles" -> (userSpendQuartiles _),
@@ -659,6 +684,7 @@ object Analytics {
     "daily_counts" -> dailyCountsSql,
     "running_totals" -> runningTotalsSql,
     "sessionize" -> sessionizeSql,
+    "user_value_stats" -> userValueStatsSql,
     "value_lag_delta" -> valueLagDeltaSql,
     "funnel_set_ops" -> funnelSetOpsSql,
     "user_spend_quartiles" -> userSpendQuartilesSql,
