@@ -76,6 +76,11 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("components: empty edge set converges immediately") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Corpus.components(empty).collect().isEmpty)
+  }
+
   test("corpus_clean: composition agrees with its parts") {
     val rows = Corpus.corpusClean(spark, dir)
       .as[(Long, Long, Double)].collect()
