@@ -45,9 +45,16 @@ final class StatsAgg(quantScale: Int = 2)
 
   override def finish(b: MomentBuf): GroupStats =
     if (b.n == 0) GroupStats(0L, 0.0, 0.0)
-    else GroupStats(b.n,
-      b.s1.toDouble / b.n / sf,
-      math.sqrt((b.n * b.s2 - b.s1 * b.s1).toDouble) / b.n / sf)
+    else {
+      // D = n*S2 - S1^2 in BigInt: the int64 bound covers S1/S2 but NOT
+      // their products (n*S2 wraps at n~1e6 of large values), and the
+      // DuckDB twin evaluates the same products in 128-bit HUGEINT —
+      // BigInt reproduces that exactly, then both sides double-cast D
+      val d = (BigInt(b.n) * BigInt(b.s2) - BigInt(b.s1) * BigInt(b.s1)).toDouble
+      GroupStats(b.n,
+        b.s1.toDouble / b.n / sf,
+        math.sqrt(d) / b.n / sf)
+    }
 
   override def bufferEncoder: Encoder[MomentBuf] = Encoders.product[MomentBuf]
   override def outputEncoder: Encoder[GroupStats] = Encoders.product[GroupStats]

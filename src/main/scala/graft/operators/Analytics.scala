@@ -33,8 +33,9 @@ import org.apache.spark.sql.types.DecimalType
 object Analytics {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
-  /** Exact cents of a non-negative 2-decimal measure. */
-  private def cents(c: Column): Column =
+  /** Exact cents of a non-negative 2-decimal measure. Shared with specs
+    * so the quantization convention has one definition. */
+  private[graft] def cents(c: Column): Column =
     floor(c * 100.0 + 0.5).cast("long")
 
   /** TPC-H Q1-style pricing summary (reference has no SQL surface; this is
@@ -626,6 +627,9 @@ object Analytics {
   def userValueStats(spark: SparkSession, dir: String): DataFrame = {
     val stats = udaf(new graft.functions.StatsAgg(2))
     Tables.events(spark, dir)
+      // primitive-Double aggregator input must be null-free (the typed
+      // encoder rejects nulls); mirrored in the SQL twin's WHERE
+      .filter(col("value").isNotNull)
       .groupBy("user_id").agg(stats(col("value")).as("s"))
       .select(col("user_id"), col("s.n").as("n"),
         col("s.mean").as("mean"), col("s.sigma").as("sigma"))
@@ -634,7 +638,7 @@ object Analytics {
   val userValueStatsSql: String =
     """WITH c AS (
       |  SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
-      |  FROM events
+      |  FROM events WHERE value IS NOT NULL
       |)
       |SELECT user_id, count(*) AS n,
       |  CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean,

@@ -23,7 +23,7 @@ class PartitionPruningSpec extends SparkSpec {
     // sum exact integer cents, not doubles: IEEE addition is
     // order-dependent, and the two layouts split into different
     // partitions, so a raw double sum could differ in low-order bits
-    val centsOf = floor(col("value") * 100.0 + 0.5).cast("long")
+    val centsOf = graft.operators.Analytics.cents(col("value"))
     val q = spark.read.parquet(out)
       .filter(col("event_type") === "purchase")
       .groupBy("event_type").agg(count(lit(1)).as("n"), sum(centsOf).as("total"))

@@ -31,6 +31,30 @@ class StatsAggSpec extends SparkSpec {
     }
   }
 
+  test("udaf wiring: groupBy agg over a DataFrame matches direct folds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    val rows = Seq((1L, 10.0), (1L, 12.0), (1L, 14.0), (2L, 5.0), (2L, 5.0))
+    val stats = udaf(agg)
+    val got = rows.toDF("k", "v")
+      .groupBy("k").agg(stats(col("v")).as("s"))
+      .select(col("k"), col("s.n"), col("s.mean"), col("s.sigma"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, vs) =>
+      val o = agg.finish(vs.map(_._2).foldLeft(agg.zero)(agg.reduce))
+      (k, o.n, o.mean, o.sigma)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("finish survives int64-overflowing moment products (BigInt path)") {
+    // n=10^6 copies of 30000.00: n*S2 = 9e24 wraps a Long; true sigma = 0
+    val buf = MomentBuf(1000000L, 3000000L * 1000000L, 9000000000000L * 1000000L)
+    val out = agg.finish(buf)
+    assert(out.sigma == 0.0 && !out.sigma.isNaN)
+    assert(out.mean == 30000.0)
+  }
+
   test("empty group yields zeros, single value yields sigma 0") {
     assert(agg.finish(agg.zero) == graft.functions.GroupStats(0L, 0.0, 0.0))
     val one = agg.finish(agg.reduce(MomentBuf(0L, 0L, 0L), 41.5))
