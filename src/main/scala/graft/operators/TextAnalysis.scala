@@ -264,7 +264,79 @@ object TextAnalysis {
        |SELECT doc_id, "rank", term, cnt FROM r WHERE "rank" <= $keywordsPerDoc""".stripMargin
   }
 
+  /** Repetition signals — the classic LLM corpus quality filters
+    * (duplicate-line fraction and most-frequent-bigram mass, the
+    * Gopher-rules shape): heavily repeated boilerplate scores high on
+    * both and gets culled before training.
+    *
+    * Line stats are pure array expressions (no shuffle); the bigram mode
+    * goes through explode + (doc_id, bigram) count + per-doc max — the
+    * docKeywords shape, two hash shuffles on keys that cannot
+    * concentrate. Fractions are exact integer ratios. */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ls",
+        filter(transform(split(col("text"), "\n"), l => trim(l)), l => l =!= ""))
+      .withColumn("n_lines", size(col("ls")).cast("long"))
+      .filter(col("n_lines") > 0)
+      .withColumn("n_distinct_lines",
+        size(array_distinct(col("ls"))).cast("long"))
+      .withColumn("dup_line_frac",
+        lit(1.0) - col("n_distinct_lines").cast("double") / col("n_lines"))
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+    docs.join(bg, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "n_lines", "n_distinct_lines", "dup_line_frac",
+        "n_bigrams", "top_bigram_n", "top_bigram_frac")
+  }
+
+  val docRepetitionSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+       |      x -> x <> '') AS ls
+       |  FROM documents
+       |), l AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct_lines
+       |  FROM d WHERE len(ls) > 0
+       |), t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM l
+       |), bgx AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM t WHERE len(toks) >= 2
+       |), bc AS (
+       |  SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2
+       |), bs AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    CAST(max(c) AS BIGINT) AS top_bigram_n
+       |  FROM bc GROUP BY 1
+       |)
+       |SELECT l.doc_id, n_lines, n_distinct_lines,
+       |  1.0 - CAST(n_distinct_lines AS DOUBLE) / n_lines AS dup_line_frac,
+       |  coalesce(n_bigrams, 0) AS n_bigrams,
+       |  coalesce(top_bigram_n, 0) AS top_bigram_n,
+       |  CASE WHEN coalesce(n_bigrams, 0) > 0
+       |    THEN CAST(top_bigram_n AS DOUBLE) / n_bigrams ELSE 0.0 END
+       |    AS top_bigram_frac
+       |FROM l LEFT JOIN bs ON l.doc_id = bs.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_repetition" -> (docRepetition _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -274,6 +346,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_repetition" -> docRepetitionSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

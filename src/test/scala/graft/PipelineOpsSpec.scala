@@ -75,6 +75,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("doc_repetition: fraction bounds and internal consistency") {
+    val rows = TextAnalysis.docRepetition(spark, dir)
+      .as[(Long, Long, Long, Double, Long, Long, Double)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (_, nl, ndl, dlf, nb, tbn, tbf) =>
+      assert(nl >= ndl && ndl > 0)
+      assert(dlf >= 0.0 && dlf < 1.0)
+      assert(dlf == 1.0 - ndl.toDouble / nl)
+      assert(tbn <= nb)
+      if (nb > 0) assert(tbf == tbn.toDouble / nb && tbf > 0.0)
+      else assert(tbf == 0.0)
+    }
+  }
+
   test("ann_ivf_multiprobe: <=2 cells per query, probe in {1,2}, rank-1 no worse than nprobe=1") {
     val multi = Similarity.annIvfMultiprobe(spark, dir)
       .select("q_id", "rank", "cand_id", "sim_r", "cell", "probe")
