@@ -66,6 +66,33 @@ object Analytics {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q6-style forecast-revenue: the canonical full-pushdown
+    * aggregate — every predicate lands in PushedFilters on the scan
+    * (shipdate range + discount band + quantity prune via parquet
+    * stats), four columns read, partial+final sum around no shuffle at
+    * all (single global group). Revenue in exact DECIMAL. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast(DecimalType(38, 4)).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** TPC-H Q3-style: top 10 unshipped orders by revenue in one segment.
     * customer is broadcast; the orders≡lineitem join shuffles on the order
     * key. Ties broken by o_orderkey so LIMIT is deterministic. */
@@ -661,6 +688,7 @@ object Analytics {
     "value_quantiles" -> (valueQuantiles _),
     "user_activity_salted" -> (userActivitySalted _),
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "topk_events_per_user" -> (topkEventsPerUser _),
@@ -681,6 +709,7 @@ object Analytics {
     "value_quantiles" -> valueQuantilesSql,
     "user_activity_salted" -> userActivitySaltedSql,
     "q1_pricing_summary" -> q1Sql,
+    "q6_forecast_revenue" -> q6Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
     "topk_events_per_user" -> topkSql,
