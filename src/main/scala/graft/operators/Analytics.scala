@@ -673,8 +673,30 @@ object Analytics {
       |    / count(*) / 100.0 AS sigma
       |FROM c GROUP BY 1""".stripMargin
 
+  /** Explicit GROUPING SETS surface — the partial lattice cube/rollup
+    * can't express: per-type marginals plus (type, day) cells, WITHOUT
+    * the day marginal or grand total. One Expand+aggregate pass (rows
+    * duplicated once per matching set before the single hash shuffle),
+    * same physical shape as the cube. */
+  def typeDayGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("event_type"), col("day"))),
+        col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"))
+  }
+
+  val typeDayGroupingSetsSql: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (event_type, strftime(ts, '%Y-%m-%d')))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_value_stats" -> (userValueStats _),
+    "type_day_grouping_sets" -> (typeDayGroupingSets _),
     "value_lag_delta" -> (valueLagDelta _),
     "funnel_set_ops" -> (funnelSetOps _),
     "user_spend_quartiles" -> (userSpendQuartiles _),
@@ -718,6 +740,7 @@ object Analytics {
     "running_totals" -> runningTotalsSql,
     "sessionize" -> sessionizeSql,
     "user_value_stats" -> userValueStatsSql,
+    "type_day_grouping_sets" -> typeDayGroupingSetsSql,
     "value_lag_delta" -> valueLagDeltaSql,
     "funnel_set_ops" -> funnelSetOpsSql,
     "user_spend_quartiles" -> userSpendQuartilesSql,
