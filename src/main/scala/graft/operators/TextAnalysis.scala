@@ -269,6 +269,10 @@ object TextAnalysis {
     * Gopher-rules shape): heavily repeated boilerplate scores high on
     * both and gets culled before training.
     *
+    * Contract: documents with zero non-blank lines emit NO row (same
+    * convention as [[textStats]]' n_tokens > 0 filter) — a culling
+    * consumer must inner-join and treat absence as reject, not keep.
+    *
     * Line stats are pure array expressions (no shuffle); the bigram mode
     * goes through explode + (doc_id, bigram) count + per-doc max — the
     * docKeywords shape, two hash shuffles on keys that cannot
