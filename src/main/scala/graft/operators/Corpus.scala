@@ -55,6 +55,19 @@ object Corpus {
     exactEdges.union(nearEdges)
   }
 
+  /** Eager lineage-truncating materialization that, unlike
+    * `Dataset.localCheckpoint()`, hands back the RDD whose blocks store
+    * the data — `Dataset.unpersist()` is a no-op on a checkpointed frame
+    * (the blocks are RDD-level, not cache-manager entries), so without the
+    * handle every propagation round's label table would stay pinned in the
+    * block manager for the life of the session. */
+  private def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   /** Connected components of an undirected graph given as (d1, d2) edge
     * rows: returns (doc_id, cluster_id) for every node that appears in
     * an edge, where cluster_id is the component's minimum node id.
@@ -65,9 +78,9 @@ object Corpus {
       e0.select(col("d1").as("src"), col("d2").as("dst"))
         .union(e0.select(col("d2").as("src"), col("d1").as("dst")))
         .distinct())
-    var lab = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+    var (lab, labRdd) = ckpt(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -88,16 +101,18 @@ object Corpus {
       // checkpointed labels), not prop: prop is referenced once so the
       // neighbor-min join isn't recomputed, and a half-round-stale jump
       // target is still monotone-decreasing toward the same fixpoint.
-      val next = prop.as("x")
+      val (next, nextRdd) = ckpt(prop.as("x")
         .join(lab.select(col("doc_id").as("cid"), col("cluster_id").as("cl2")),
           col("x.cluster_id") === col("cid"), "left")
         .select(col("x.doc_id"),
           least(col("x.cluster_id"), coalesce(col("cl2"), col("x.cluster_id")))
             .as("cluster_id"),
-          col("x.prev").as("prev"))
-        .localCheckpoint()
+          col("x.prev").as("prev")))
+      // ckpt materialized `next`, so last round's blocks are now dead
+      labRdd.unpersist(blocking = false)
       converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
       lab = next.select("doc_id", "cluster_id")
+      labRdd = nextRdd
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
@@ -231,16 +246,18 @@ object Corpus {
       .select("doc_id", "shard", "n_tokens", "cum_before", "pack_id")
   }
 
+  // DuckDB's windowed sum(BIGINT) widens to HUGEINT; the outer CAST pins
+  // the column (and the // quotient) back to BIGINT to match Spark's longs.
   val seqPackingSql: String =
     s"""SELECT doc_id,
        |  doc_id % $numShards AS shard,
        |  CAST(len(${Dedup.tokensSql("text")}) AS BIGINT) AS n_tokens,
-       |  coalesce(sum(CAST(len(${Dedup.tokensSql("text")}) AS BIGINT)) OVER (
+       |  CAST(coalesce(sum(CAST(len(${Dedup.tokensSql("text")}) AS BIGINT)) OVER (
        |    PARTITION BY doc_id % $numShards ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
-       |  coalesce(sum(CAST(len(${Dedup.tokensSql("text")}) AS BIGINT)) OVER (
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |  CAST(coalesce(sum(CAST(len(${Dedup.tokensSql("text")}) AS BIGINT)) OVER (
        |    PARTITION BY doc_id % $numShards ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $packBudget AS pack_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // $packBudget AS pack_id
        |FROM documents""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -43,17 +43,23 @@ object Fmt {
     else s"(CAST($n // $sf AS VARCHAR) || '.' || lpad(CAST($n % $sf AS VARCHAR), $scale, '0'))"
   }
 
-  /** JSON string literal of a string column: escape backslash then quote,
-    * wrap in double quotes. Literal `replace` (not regexp) exists with
-    * identical semantics in Spark and DuckDB, so the bytes match. Control
-    * characters are left as-is (the fixture domain has none; full RFC 8259
-    * escaping would need a per-char pass on both engines). */
-  def jsonStr(c: Column): Column =
-    concat(lit("\""),
-      replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
-      lit("\""))
+  /** JSON string literal of a string column: escape backslash, quote, and
+    * the common control characters (\n \r \t), wrap in double quotes.
+    * Literal `replace` (not regexp) exists with identical semantics in
+    * Spark and DuckDB, so the bytes match. Remaining C0 controls
+    * (vertical tab, form feed, ...) are out of the supported domain —
+    * they never survive text ingestion in practice and a full RFC 8259
+    * pass would need per-char \u00XX rewriting on both engines. */
+  def jsonStr(c: Column): Column = {
+    val esc = Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
+        "\r" -> "\\r", "\t" -> "\\t")
+      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    concat(lit("\""), esc, lit("\""))
+  }
 
-  /** DuckDB twin of [[jsonStr]]. */
+  /** DuckDB twin of [[jsonStr]] — same replacements in the same order
+    * (standard SQL strings don't interpret escapes, so '\n' below is the
+    * two-character sequence backslash-n and chr(10) is the newline). */
   def sqlJsonStr(expr: String): String =
-    raw"""('"' || replace(replace($expr, '\', '\\'), '"', '\"') || '"')"""
+    raw"""('"' || replace(replace(replace(replace(replace($expr, '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t') || '"')"""
 }
