@@ -66,4 +66,7 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config(nanosAsLong, "true")
+      // registers the graft SQL functions (graft_dot) in this session;
+      // DataFrame-API use of VectorExprs needs no registration
+      .withExtensions(new graft.functions.GraftExtensions)
 }
