@@ -694,7 +694,31 @@ object Analytics {
       |FROM events
       |GROUP BY GROUPING SETS ((event_type), (event_type, strftime(ts, '%Y-%m-%d')))""".stripMargin
 
+  /** Per-type audience reach: exact distinct-user count next to event
+    * volume. Spark plans count(DISTINCT) as the two-phase distinct-agg
+    * expand — partial dedup of (event_type, user_id) map-side, then the
+    * final count — so the shuffle carries distinct pairs, not events.
+    * The companion HLL sketch path (`approx_count_distinct`, one pass,
+    * constant memory per group, mergeable across 1000 executors — what
+    * you'd actually run at 100 TB) can't be oracle-hash-checked across
+    * engines (different sketch algorithms), so it's pinned by
+    * SketchSpec's error-bound test instead. */
+  def eventTypeReach(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .withColumn("events_per_user",
+        col("n_events").cast("double") / col("n_users"))
+
+  val eventTypeReachSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events,
+      |  CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS events_per_user
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_type_reach" -> (eventTypeReach _),
     "user_value_stats" -> (userValueStats _),
     "type_day_grouping_sets" -> (typeDayGroupingSets _),
     "value_lag_delta" -> (valueLagDelta _),
@@ -721,6 +745,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "event_type_reach" -> eventTypeReachSql,
     "type_bucket_cube" -> typeBucketCubeSql,
     "value_band_join" -> valueBandJoinSql,
     "asof_click_attribution" -> asofClickAttributionSql,

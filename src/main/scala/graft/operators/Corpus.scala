@@ -72,7 +72,13 @@ object Corpus {
     * rows: returns (doc_id, cluster_id) for every node that appears in
     * an edge, where cluster_id is the component's minimum node id.
     * Min-label propagation; see the scaladoc above for the scale
-    * rationale. */
+    * rationale.
+    *
+    * Lifetime note: the returned frame is backed by the FINAL round's
+    * locally-checkpointed RDD, so its blocks stay pinned in the block
+    * manager until the caller's last action over the result — by design
+    * (the lineage was truncated; dropping the blocks would make the
+    * result unrecomputable, not merely slow). */
   def components(e0: DataFrame): DataFrame = {
     val edges = Dedup.eager(
       e0.select(col("d1").as("src"), col("d2").as("dst"))
@@ -108,7 +114,12 @@ object Corpus {
           least(col("x.cluster_id"), coalesce(col("cl2"), col("x.cluster_id")))
             .as("cluster_id"),
           col("x.prev").as("prev")))
-      // ckpt materialized `next`, so last round's blocks are now dead
+      // ckpt materialized `next`, so last round's blocks are now dead.
+      // INVARIANT (do not reorder): unpersisting a locally-checkpointed
+      // RDD destroys its ONLY copy — lineage is truncated, recompute is
+      // impossible — so this unpersist is safe strictly BECAUSE ckpt's
+      // rdd.count() fully materialized `next` first, and nothing may
+      // touch the old `lab`/`labRdd` after this line.
       labRdd.unpersist(blocking = false)
       converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
       lab = next.select("doc_id", "cluster_id")

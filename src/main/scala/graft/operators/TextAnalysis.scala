@@ -339,6 +339,68 @@ object TextAnalysis {
        |    AS top_bigram_frac
        |FROM l LEFT JOIN bs ON l.doc_id = bs.doc_id""".stripMargin
 
+  private val vocabK = 50
+
+  /** Corpus-wide vocabulary head: top-50 terms by total occurrence count
+    * (ties broken by term), with document frequency — the first step of
+    * any tokenizer/vocab build. Shape at 100 TB: one explode, one
+    * groupBy(term) with map-side partial aggregation (the shuffle carries
+    * one row per (partition, term), not per token), distinct doc counting
+    * via Spark's two-phase distinct-agg expand, and the final top-k is
+    * TakeOrdered (per-partition heap + k-row driver merge), never a
+    * global sort. */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_total"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n_total").desc, col("term"))
+      .limit(vocabK)
+
+  val vocabTopkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+       |)
+       |SELECT term, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+       |FROM t GROUP BY 1
+       |ORDER BY n_total DESC, term LIMIT $vocabK""".stripMargin
+
+  // PII scrub patterns — a deliberately RE2-and-Java-compatible subset
+  // (explicit char classes, no \s/\w whose definitions differ between
+  // engines; the md5 oracle would catch any divergence).
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[A-Za-z0-9./_%#?=&;:~+-]+"
+
+  /** PII scrubbing — the redaction pass an LLM corpus runs before
+    * training: URLs then emails replaced with placeholder tokens
+    * (URL first, so an email-looking userinfo inside a URL is already
+    * gone). Match counts are taken on the ORIGINAL text. Pure per-row
+    * projection: no shuffle, scales with input splits; the md5 of the
+    * scrubbed text makes the transform oracle-checkable without shipping
+    * the full cleaned corpus through the compare. */
+  def corpusScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_urls",
+        size(regexp_extract_all(col("text"), lit(urlRe), lit(0))).cast("long"))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("text"), urlRe, "<URL>"),
+          emailRe, "<EMAIL>"))
+      .withColumn("clean_len", length(col("clean")).cast("long"))
+      .withColumn("clean_md5", md5(col("clean")))
+      .select("doc_id", "n_emails", "n_urls", "clean_len", "clean_md5")
+
+  val corpusScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$urlRe')) AS BIGINT) AS n_urls,
+       |  CAST(length(regexp_replace(regexp_replace(text, '$urlRe', '<URL>', 'g'),
+       |    '$emailRe', '<EMAIL>', 'g')) AS BIGINT) AS clean_len,
+       |  md5(regexp_replace(regexp_replace(text, '$urlRe', '<URL>', 'g'),
+       |    '$emailRe', '<EMAIL>', 'g')) AS clean_md5
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_repetition" -> (docRepetition _),
     "text_stats" -> (textStats _),
@@ -347,6 +409,8 @@ object TextAnalysis {
     "doc_fingerprint" -> (fingerprint _),
     "doc_chunks" -> (docChunks _),
     "doc_keywords" -> (docKeywords _),
+    "vocab_topk" -> (vocabTopk _),
+    "corpus_scrub" -> (corpusScrub _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -357,5 +421,7 @@ object TextAnalysis {
     "doc_fingerprint" -> fingerprintSql,
     "doc_chunks" -> docChunksSql,
     "doc_keywords" -> docKeywordsSql,
+    "vocab_topk" -> vocabTopkSql,
+    "corpus_scrub" -> corpusScrubSql,
   )
 }

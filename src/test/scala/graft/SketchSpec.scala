@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Pins the sketch-based scale paths that can't be DuckDB-oracle-checked
+  * (different engines ship different sketch algorithms): HLL distinct
+  * counting and approximate quantiles, each against the exact value on
+  * the sf0.001 fixture. These are the operators you'd substitute for
+  * their exact twins ([[graft.operators.Analytics.eventTypeReach]],
+  * `value_quantiles`) at 100 TB: one pass, constant memory per group,
+  * mergeable across executors. */
+class SketchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 5% of exact per event_type") {
+    val ev = Tables.events(spark, dir)
+    val both = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact"),
+        approx_count_distinct("user_id", 0.02).as("hll"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val hll = r.getLong(2).toDouble
+      assert(math.abs(hll - exact) / exact <= 0.05,
+        s"${r.getString(0)}: exact=$exact hll=$hll")
+    }
+  }
+
+  test("percentile_approx brackets the exact median of event values") {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+    val approxMed = ev.agg(
+      percentile_approx(col("value"), lit(0.5), lit(1000))).collect()(0).getDouble(0)
+    val sorted = ev.select("value").orderBy("value")
+      .collect().map(_.getDouble(0))
+    val lo = sorted((sorted.length * 0.45).toInt)
+    val hi = sorted((sorted.length * 0.55).toInt)
+    assert(approxMed >= lo && approxMed <= hi,
+      s"approx median $approxMed outside [$lo, $hi]")
+  }
+}
