@@ -717,7 +717,124 @@ object Analytics {
       |  CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS events_per_user
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Time-series gap fill: per-type hourly counts over the COMPLETE hour
+    * range — absent (type, hour) cells surface as explicit zeros, which
+    * is what any downstream rate/alerting math needs (a missing row and
+    * a zero row mean different things to a derivative).
+    *
+    * Scale shape: the only data-bound stage is the (type, hour) hash
+    * aggregate (map-side partial). The dense grid is dimension-sized —
+    * hours x types, built from one generator explode off a 1-row global
+    * min/max aggregate, never from the raw events — and the final left
+    * join is grid-vs-aggregated-counts, both tiny next to the input (AQE
+    * broadcasts). All-integer hour keys (ts_ns div), no timestamp types
+    * on the wire. */
+  def hourlyGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_sec div 3600 * 3600").as("hour_sec"))
+    val counts = ev.groupBy("event_type", "hour_sec").agg(count(lit(1)).as("n"))
+    val hours = ev.agg(min("hour_sec").as("lo"), max("hour_sec").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_sec"))
+    val types = ev.select("event_type").distinct()
+    hours.crossJoin(types)
+      .join(counts, Seq("event_type", "hour_sec"), "left")
+      .select(col("event_type"), col("hour_sec"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  val hourlyGapfillSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    epoch_ns(ts) // 1000000000 // 3600 * 3600 AS hour_sec
+      |  FROM events
+      |), c AS (
+      |  SELECT event_type, hour_sec, count(*) AS n FROM ev GROUP BY 1, 2
+      |), b AS (SELECT min(hour_sec) AS lo, max(hour_sec) AS hi FROM ev),
+      |h AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_sec FROM b),
+      |t AS (SELECT DISTINCT event_type FROM ev)
+      |SELECT t.event_type, h.hour_sec, coalesce(c.n, 0) AS n
+      |FROM h CROSS JOIN t
+      |LEFT JOIN c ON c.event_type = t.event_type AND c.hour_sec = h.hour_sec""".stripMargin
+
+  /** Ordered-step conversion funnel: signup, then a click strictly AFTER
+    * the first signup, then a purchase strictly after that click — order
+    * matters, unlike the set-intersection funnel ([[funnelSetOps]]).
+    * Comparisons run on the exact nanosecond clock (`ts_ns`).
+    *
+    * Scale shape: each stage is filter -> per-user min -> equi-join on
+    * user_id; every join's right side is the previous stage's aggregate
+    * (one row per surviving user, monotonically shrinking), so AQE
+    * broadcasts stages 2-3 while the event scans stay pruned to
+    * (user_id, ts_ns) + a pushed event_type filter. */
+  def funnelOrdered(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts_ns")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_ns").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts_ns") > col("t1"))
+      .groupBy("user_id").agg(min("ts_ns").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts_ns") > col("t2"))
+      .groupBy("user_id").agg(min("ts_ns").as("t3"))
+    def cnt(df: DataFrame, step: Int, stage: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(stage).as("stage"), col("n_users"))
+    cnt(s1, 1, "signup")
+      .unionAll(cnt(s2, 2, "signup>click"))
+      .unionAll(cnt(s3, 3, "signup>click>purchase"))
+  }
+
+  val funnelOrderedSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, min(epoch_ns(ts)) AS t2
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND epoch_ns(ts) > t1 GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, min(epoch_ns(ts)) AS t3
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND epoch_ns(ts) > t2 GROUP BY 1
+      |)
+      |SELECT 1 AS step, 'signup' AS stage, count(*) AS n_users FROM s1
+      |UNION ALL
+      |SELECT 2, 'signup>click', count(*) FROM s2
+      |UNION ALL
+      |SELECT 3, 'signup>click>purchase', count(*) FROM s3""".stripMargin
+
+  /** Weekly cohort retention: users grouped by first-activity day, then
+    * distinct actives per (cohort day, whole weeks since) — the classic
+    * retention triangle. All-integer day arithmetic on the exact clock.
+    *
+    * Scale shape: two hash shuffles — the per-user min (map-side partial)
+    * and the (cohort, offset) distinct-count (two-phase distinct expand).
+    * The cohort join fans events against a one-row-per-user aggregate on
+    * the same user_id key. */
+  def userRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_sec div 86400").as("day_num"))
+    val cohorts = ev.groupBy("user_id").agg(min("day_num").as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .withColumn("week_offset", expr("(day_num - cohort_day) div 7"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val userRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day_num
+      |  FROM events
+      |), c AS (SELECT user_id, min(day_num) AS cohort_day FROM ev GROUP BY 1)
+      |SELECT cohort_day, (day_num - cohort_day) // 7 AS week_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM ev JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hourly_gapfill" -> (hourlyGapfill _),
+    "funnel_ordered" -> (funnelOrdered _),
+    "user_retention" -> (userRetention _),
     "event_type_reach" -> (eventTypeReach _),
     "user_value_stats" -> (userValueStats _),
     "type_day_grouping_sets" -> (typeDayGroupingSets _),
@@ -745,6 +862,9 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "hourly_gapfill" -> hourlyGapfillSql,
+    "funnel_ordered" -> funnelOrderedSql,
+    "user_retention" -> userRetentionSql,
     "event_type_reach" -> eventTypeReachSql,
     "type_bucket_cube" -> typeBucketCubeSql,
     "value_band_join" -> valueBandJoinSql,

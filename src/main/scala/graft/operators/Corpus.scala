@@ -170,19 +170,85 @@ object Corpus {
        |  d.doc_id = coalesce(cl.cluster_id, d.doc_id) AS is_keeper
        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
 
+  // -------------------------------------------------- canonical per cluster
+
+  /** Canonical-document selection — the "keep ONE per duplicate cluster"
+    * step that turns cluster assignment into an actual deduplicated
+    * corpus. Representative = the longest document (ties to the smallest
+    * doc_id), which is the usual choice in crawl pipelines (the longest
+    * member is most often the un-truncated original).
+    *
+    * Scale shape: one hash aggregate over (cluster_id) — `max_by` under
+    * partial aggregation collapses each cluster map-side, so the shuffle
+    * carries one row per cluster, not per document. No window, no sort. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "n_chars"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"), struct(col("n_chars"), (-col("doc_id")).as("nd")))
+          .as("canon_doc_id"),
+        count(lit(1)).as("n_docs"),
+        max("n_chars").as("max_chars"))
+
+  /** Oracle: same cluster CTEs as [[dedupClustersSql]], then a rank-1
+    * window pick (equivalent to the Spark max_by ordering struct). */
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtes},
+       |ex AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS d1,
+       |      doc_id AS d2
+       |    FROM documents
+       |  ) WHERE d1 <> d2
+       |),
+       |e0 AS (SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM ex),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM e0
+       |  UNION SELECT d2, d1 FROM e0
+       |),
+       |reach(doc_id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+       |),
+       |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |cc AS (
+       |  SELECT coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       |    d.doc_id, d.n_chars
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |), r AS (
+       |  SELECT cluster_id, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_chars DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+       |    max(n_chars) OVER (PARTITION BY cluster_id) AS max_chars
+       |  FROM cc
+       |)
+       |SELECT cluster_id, doc_id AS canon_doc_id, n_docs, max_chars
+       |FROM r WHERE rn = 1""".stripMargin
+
   // ------------------------------------------------------ corpus split
 
   private val trainPct = 80
   private val valPct = 10 // remainder is test
 
-  /** Split bucket in [0,100): first 8 md5 hex chars of the salted
-    * doc_id, mod 100. SQL twin in [[splitBucketSql]]. */
-  private def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(concat(lit("split:"), id.cast("string"))),
+  /** Hash bucket in [0,100): first 8 md5 hex chars of the salted
+    * doc_id, mod 100. Distinct salts make split/sample/mixture decisions
+    * independent of each other (a doc's split must not correlate with
+    * whether sampling kept it). SQL twin in [[hashBucketSql]]. */
+  private def hashBucket(salt: String, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))),
       1, 8), 16, 10).cast("long") % 100
 
+  private def hashBucketSql(salt: String, id: String): String =
+    s"CAST(('0x' || substr(md5('$salt' || CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+  private def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hashBucket("split:", id)
+
   private def splitBucketSql(id: String): String =
-    s"CAST(('0x' || substr(md5('split:' || CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    hashBucketSql("split:", id)
 
   /** Deterministic hash split: bucket = first 8 md5 hex chars of the
     * salted doc_id, mod 100; [0,80) train, [80,90) validation, rest
@@ -237,6 +303,82 @@ object Corpus {
        |SELECT doc_id, n_tokens, quality_score FROM q
        |WHERE quality_score >= $qualityMin""".stripMargin
 
+  // --------------------------------------------- stratified sampling / mixing
+
+  /** Per-language keep rates (percent) for the stratified sample:
+    * downsample the high-resource stratum, keep the rest. */
+  private val sampleRates: Seq[(String, Int)] = Seq("en" -> 25, "fr" -> 50)
+  private val sampleDefaultRate = 100
+
+  /** Deterministic stratified sampling: keep a document iff its salted
+    * md5 bucket falls below the language's keep rate. Stateless per-row
+    * decision — no sampling pass, no shuffle, reproducible across
+    * runs/engines, and stable under corpus growth (exactly like
+    * [[corpusSplit]], with an independent salt). At 100 TB this is a
+    * fused scan-filter; rates live in the plan, not in a join. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = sampleRates.foldRight(lit(sampleDefaultRate)) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("bucket", hashBucket("sample:", col("doc_id")))
+      .filter(col("bucket") < rate)
+      .select("doc_id", "lang", "bucket")
+  }
+
+  val corpusSampleSql: String = {
+    val rateSql = sampleRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $sampleDefaultRate END")
+    s"""SELECT doc_id, lang, ${hashBucketSql("sample:", "doc_id")} AS bucket
+       |FROM documents
+       |WHERE ${hashBucketSql("sample:", "doc_id")} < $rateSql""".stripMargin
+  }
+
+  /** Per-language epoch weights for training-data mixing: copies of each
+    * document = floor(weight), plus one more with probability
+    * frac(weight) — decided by an independent salted hash so fractional
+    * epochs are exact in expectation and deterministic per doc. */
+  private val mixWeights: Seq[(String, Double)] =
+    Seq("zh" -> 3.0, "fr" -> 2.5, "de" -> 2.0, "es" -> 1.5)
+  private val mixDefaultWeight = 1.0
+
+  /** Source-mixture materialization with repetition (the "3 epochs of
+    * wiki, 1 of crawl" step of a training-data pipeline): each document
+    * explodes into `n_copies` rows tagged 1..n_copies.
+    *
+    * Scale shape: per-row arithmetic + a generator explode — no shuffle,
+    * no join; output size is input x mean(weight), produced streaming
+    * (the generator never buffers a document's copies). */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    val whole = mixWeights.foldRight(lit(mixDefaultWeight.toInt)) {
+      case ((l, w), acc) => when(col("lang") === l, lit(w.toInt)).otherwise(acc)
+    }
+    val fracPct = mixWeights.foldRight(lit((mixDefaultWeight * 100).toInt % 100)) {
+      case ((l, w), acc) =>
+        when(col("lang") === l, lit((w * 100).toInt % 100)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("n_copies",
+        (whole + when(hashBucket("mix:", col("doc_id")) < fracPct, 1)
+          .otherwise(0)).cast("long"))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
+  val corpusMixtureSql: String = {
+    val wholeSql = mixWeights
+      .map { case (l, w) => s"WHEN lang = '$l' THEN ${w.toInt}" }
+      .mkString("CASE ", " ", s" ELSE ${mixDefaultWeight.toInt} END")
+    val fracSql = mixWeights
+      .map { case (l, w) => s"WHEN lang = '$l' THEN ${(w * 100).toInt % 100}" }
+      .mkString("CASE ", " ", s" ELSE ${(mixDefaultWeight * 100).toInt % 100} END")
+    s"""SELECT doc_id, lang, unnest(generate_series(1,
+       |  ($wholeSql) + (CASE WHEN ${hashBucketSql("mix:", "doc_id")}
+       |    < ($fracSql) THEN 1 ELSE 0 END))) AS copy
+       |FROM documents""".stripMargin
+  }
+
   // ---------------------------------------------------- sequence packing
 
   private val packBudget = 1024L
@@ -273,14 +415,20 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_canonical" -> (dedupCanonical _),
     "corpus_split" -> (corpusSplit _),
+    "corpus_sample" -> (corpusSample _),
+    "corpus_mixture" -> (corpusMixture _),
     "seq_packing" -> (seqPacking _),
     "corpus_clean" -> (corpusClean _),
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_canonical" -> dedupCanonicalSql,
     "corpus_split" -> corpusSplitSql,
+    "corpus_sample" -> corpusSampleSql,
+    "corpus_mixture" -> corpusMixtureSql,
     "seq_packing" -> seqPackingSql,
     "corpus_clean" -> corpusCleanSql,
   )

@@ -93,6 +93,39 @@ object Similarity {
        |SELECT q_id, "rank", vec_id AS cand_id, sim_r
        |FROM r WHERE "rank" <= $topK""".stripMargin
 
+  private val rangeThreshold = 0.30
+
+  /** Range (radius) search: for each query, ALL candidates with rounded
+    * cosine >= the radius — the third classic similarity-query shape next
+    * to top-k ([[annTopkCosine]]) and all-pairs ([[neardupPairs]]). Unlike
+    * top-k there is no rank window at all: the scan streams through the
+    * broadcast query set and only matches survive, so the operator is one
+    * shuffle-free pass over the corpus (the 100 TB plan: scan -> broadcast
+    * NLJ -> filter, every stage inside whole-stage codegen via the native
+    * dot kernel). */
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim_r",
+        simRound(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+      .filter(col("sim_r") >= rangeThreshold)
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("sim_r"))
+  }
+
+  val annRangeSearchSql: String =
+    s"""WITH $vecsSql,
+       |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM vn
+       |  WHERE vec_id < $numQueries)
+       |SELECT q.q_id, c.vec_id AS cand_id,
+       |  ${simRoundSql(dotSql("q.qv", "c.v") + " / (q.qn * c.norm)")} AS sim_r
+       |FROM vn c CROSS JOIN q
+       |WHERE c.vec_id <> q.q_id
+       |  AND ${simRoundSql(dotSql("q.qv", "c.v") + " / (q.qn * c.norm)")}
+       |    >= $rangeThreshold""".stripMargin
+
   private val pairThreshold = 0.45
 
   /** Block count for the exact-pairs grid join: per-task memory is
@@ -409,6 +442,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> (annTopkCosine _),
+    "ann_range_search" -> (annRangeSearch _),
     "embedding_neardup_pairs" -> (neardupPairs _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -417,6 +451,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,
+    "ann_range_search" -> annRangeSearchSql,
     "embedding_neardup_pairs" -> neardupPairsSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,

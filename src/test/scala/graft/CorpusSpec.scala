@@ -99,6 +99,78 @@ class CorpusSpec extends SparkSpec {
     assert(kept == eligible)
   }
 
+  test("dedup_canonical: one row per cluster, representative is the longest member") {
+    val clusters = Corpus.dedupClusters(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val chars = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val rows = Corpus.dedupCanonical(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    // exactly the cluster ids, once each
+    assert(rows.map(_._1).toSet == clusters.keySet)
+    assert(rows.length == clusters.size)
+    rows.foreach { case (cl, canon, nDocs, maxChars) =>
+      val members = clusters(cl)
+      assert(members.contains(canon))
+      assert(nDocs == members.size)
+      assert(maxChars == members.map(chars).max)
+      // longest member, smallest doc_id on ties
+      val want = members.toSeq.map(id => (chars(id), id))
+        .sortBy { case (c, id) => (-c, id) }.head._2
+      assert(canon == want)
+    }
+    // totals: every document is in exactly one cluster
+    assert(rows.map(_._3).sum == chars.size)
+  }
+
+  test("corpus_sample: exact per-stratum hash-gate semantics") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      md.reset()
+      val hex = md.digest(s"sample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val rate = Map("en" -> 25L, "fr" -> 50L).withDefaultValue(100L)
+    val want = docs.collect {
+      case (id, lang) if bucket(id) < rate(lang) => (id, lang, bucket(id))
+    }.toSet
+    val got = Corpus.corpusSample(spark, dir).as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == want)
+    // the high-resource stratum actually shrank; default strata did not
+    val keptEn = got.count(_._2 == "en")
+    val allEn = docs.count(_._2 == "en")
+    assert(keptEn < allEn / 2)
+    assert(got.count(_._2 == "de") == docs.count(_._2 == "de"))
+  }
+
+  test("corpus_mixture: copy counts follow the epoch weights exactly") {
+    val rows = Corpus.corpusMixture(spark, dir)
+      .as[(Long, String, Long)].collect()
+    val byDoc = rows.groupBy(_._1)
+    // copies are contiguous 1..n
+    byDoc.values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // integral weights are exact; fractional weights land on floor/ceil
+    val copiesByLang = rows.groupBy(_._2).view
+      .mapValues(_.groupBy(_._1).values.map(_.length).toSet).toMap
+    assert(copiesByLang("en") == Set(1))
+    assert(copiesByLang("de") == Set(2))
+    assert(copiesByLang("zh") == Set(3))
+    assert(copiesByLang("fr").subsetOf(Set(2, 3)))
+    assert(copiesByLang("es").subsetOf(Set(1, 2)))
+    // deterministic under recomputation
+    val again = Corpus.corpusMixture(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._3)).toSeq ==
+      again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("seq_packing: packs are contiguous and budget-aligned per shard") {
     val rows = Corpus.seqPacking(spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect()

@@ -133,4 +133,77 @@ class PipelineOpsSpec extends SparkSpec {
     // per-band counts sum to the in-range event count
     assert(rows.map(_._2).sum == inRange)
   }
+
+  test("hourly_gapfill: dense grid, zeros for absent cells, counts conserved") {
+    val rows = Analytics.hourlyGapfill(spark, dir)
+      .as[(String, Long, Long)].collect()
+    val raw = graft.sources.Tables.events(spark, dir)
+      .selectExpr("event_type", "ts_sec div 3600 * 3600 as h")
+      .as[(String, Long)].collect()
+    val types = raw.map(_._1).distinct
+    val (lo, hi) = (raw.map(_._2).min, raw.map(_._2).max)
+    val nHours = (hi - lo) / 3600 + 1
+    // the grid is the FULL cross product — no hour missing for any type
+    assert(rows.length == types.length * nHours)
+    assert(rows.map(_._2).distinct.length == nHours)
+    // zero cells exist (that is the point of gap fill) and real cells
+    // match the raw counts exactly
+    assert(rows.exists(_._3 == 0L))
+    val want = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (t, h, n) =>
+      assert(n == want.getOrElse((t, h), 0L))
+    }
+  }
+
+  test("funnel_ordered: strict ordering semantics vs in-memory replay") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts_ns")
+      .as[(Long, String, Long)].collect()
+    def firstAfter(tpe: String, bound: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(e => e._2 == tpe && bound.get(e._1).exists(e._3 > _))
+        .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val s1 = ev.filter(_._2 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val s2 = firstAfter("click", s1)
+    val s3 = firstAfter("purchase", s2)
+    val got = Analytics.funnelOrdered(spark, dir)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got.map(_._3).toSeq == Seq(s1.size, s2.size, s3.size).map(_.toLong))
+    // the funnel only narrows
+    assert(got(0)._3 >= got(1)._3 && got(1)._3 >= got(2)._3)
+  }
+
+  test("user_retention: triangle matches in-memory replay; offsets bounded") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .selectExpr("user_id", "ts_sec div 86400 as d")
+      .as[(Long, Long)].collect()
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = ev.map { case (u, d) =>
+      (cohort(u), (d - cohort(u)) / 7, u)
+    }.distinct.groupBy(x => (x._1, x._2)).view.mapValues(_.length.toLong).toMap
+    val got = Analytics.userRetention(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map { case (c, w, n) => ((c, w), n) }.toMap == want)
+    // offset 0 contains every user of its cohort (first activity is
+    // inside week 0 by construction)
+    val week0 = got.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    cohort.groupBy(_._2).foreach { case (day, us) =>
+      assert(week0(day) == us.size)
+    }
+  }
+
+  test("ann_range_search: threshold semantics and top-k consistency") {
+    val got = Similarity.annRangeSearch(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall(_._3 >= 0.30))
+    assert(got.forall(r => r._1 != r._2))
+    // a query's top-k hits above the radius must all be range hits with
+    // the identical rounded similarity
+    val gotSet = got.map(r => (r._1, r._2) -> r._3).toMap
+    val topk = Similarity.annTopkCosine(spark, dir)
+      .select("q_id", "cand_id", "sim_r").as[(Long, Long, Double)].collect()
+    topk.filter(_._3 >= 0.30).foreach { case (q, c, s) =>
+      assert(gotSet.get((q, c)).contains(s))
+    }
+  }
 }
