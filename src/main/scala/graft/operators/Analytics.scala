@@ -768,11 +768,16 @@ object Analytics {
     * (user_id, ts_ns) + a pushed event_type filter. */
   def funnelOrdered(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts_ns")
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("ts_ns").as("t1"))
-    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+    // s1 feeds three subtrees of the final union (its own count, s2, and
+    // transitively s3) and s2 feeds two — eager materialization keeps each
+    // stage's event scan + aggregate single-execution (the
+    // multiple-subtrees-of-one-action trap; the materialized frames are
+    // one row per surviving user, so the cache is tiny)
+    val s1 = Dedup.eager(ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_ns").as("t1")))
+    val s2 = Dedup.eager(ev.filter(col("event_type") === "click").join(s1, "user_id")
       .filter(col("ts_ns") > col("t1"))
-      .groupBy("user_id").agg(min("ts_ns").as("t2"))
+      .groupBy("user_id").agg(min("ts_ns").as("t2")))
     val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
       .filter(col("ts_ns") > col("t2"))
       .groupBy("user_id").agg(min("ts_ns").as("t3"))
