@@ -107,8 +107,12 @@ object VectorExprs {
 
 /** `SparkSessionExtensions` hook: add via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  * Registers the native expressions (tier b) and the group-wise top-k
+  * planner strategy (tier c, [[graft.plans.TopKPerKeyStrategy]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExprs.dotDescription)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }

@@ -186,6 +186,29 @@ object Analytics {
       |  FROM events WHERE value IS NOT NULL
       |) WHERE rn <= 3""".stripMargin
 
+  /** [[topkEventsPerUser]] re-expressed on the custom bounded-heap
+    * operator ([[graft.plans.TopKPerKey]], the tier-(c) stack): no full
+    * sort, no WindowExec buffering, map-side k-row reduction before the
+    * shuffle. Same rows as the window form (the ordering is total), so
+    * the oracle is the window SQL minus the rank column. */
+  def topkNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      Detectors.prepareEvents(Tables.events(spark, dir))
+        .filter(col("value").isNotNull)
+        .select("key", "event_id", "value", "ts_sec"),
+      keys = Seq(col("key")),
+      order = Seq(col("value").desc, col("event_id")),
+      k = 3)
+
+  val topkNativeSql: String =
+    """SELECT "key", event_id, value, ts_sec FROM (
+      |  SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+      |    row_number() OVER (PARTITION BY coalesce(CAST(user_id AS VARCHAR), '__unknown__')
+      |      ORDER BY value DESC, event_id) AS rn,
+      |    event_id, value, epoch_ns(ts) // 1000000000 AS ts_sec
+      |  FROM events WHERE value IS NOT NULL
+      |) WHERE rn <= 3""".stripMargin
+
   /** Per-user activity profile: counts, exact total (cents), min/max, and
     * distinct event types. One shuffle; partial aggregation map-side. */
   def userActivity(spark: SparkSession, dir: String): DataFrame =
@@ -860,6 +883,7 @@ object Analytics {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "topk_events_per_user" -> (topkEventsPerUser _),
+    "topk_native" -> (topkNative _),
     "user_activity" -> (userActivity _),
     "daily_counts" -> (dailyCounts _),
     "running_totals" -> (runningTotals _),
@@ -885,6 +909,7 @@ object Analytics {
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
     "topk_events_per_user" -> topkSql,
+    "topk_native" -> topkNativeSql,
     "user_activity" -> userActivitySql,
     "daily_counts" -> dailyCountsSql,
     "running_totals" -> runningTotalsSql,
