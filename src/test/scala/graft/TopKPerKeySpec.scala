@@ -77,6 +77,44 @@ class TopKPerKeySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nullGroup.map(_._3).sorted.toSeq == Seq(4L, 5L))
   }
 
+  test("rewrite rule: window-form top-k plans as the bounded heap") {
+    val rows = Seq.tabulate(300)(i => ((i % 7).toLong, (i * 31 % 83).toDouble, i.toLong))
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    // rn <= k with rn dropped: fires
+    val df = rows.toDF("k", "v", "id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+    df.collect()
+    assert(collect(df.queryExecution.executedPlan) { case e: TopKPerKeyExec => e }.size == 2)
+    assert(collect(df.queryExecution.executedPlan) { case x: WindowExec => x }.isEmpty)
+    // rn < k (strict) also fires, with k-1
+    val strict = rows.toDF("k", "v", "id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") < 4).drop("rn")
+    assert(collect(strict.queryExecution.executedPlan) { case e: TopKPerKeyExec => e }.nonEmpty)
+    assert(strict.collect().toSet == df.collect().toSet)
+    // results identical to what the window ACTUALLY computes
+    val want = rows.groupBy(_._1).values.flatMap(
+      _.sortBy { case (_, v, id) => (-v, id) }.take(3)).toSet
+    assert(df.as[(Long, Double, Long)].collect().toSet == want)
+  }
+
+  test("rewrite rule: declines when ranks survive or other window columns exist") {
+    val rows = Seq.tabulate(100)(i => ((i % 5).toLong, i.toDouble, i.toLong))
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    // rn kept in the output: the caller wants ranks — no rewrite
+    val keepRn = rows.toDF("k", "v", "id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    keepRn.collect()
+    assert(collect(keepRn.queryExecution.executedPlan) { case e: TopKPerKeyExec => e }.isEmpty)
+    assert(collect(keepRn.queryExecution.executedPlan) { case x: WindowExec => x }.nonEmpty)
+    // a second window column forces the window plan
+    val twoCols = rows.toDF("k", "v", "id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mx", max("v").over(Window.partitionBy("k")))
+      .filter(col("rn") <= 2).drop("rn")
+    twoCols.collect()
+    assert(collect(twoCols.queryExecution.executedPlan) { case e: TopKPerKeyExec => e }.isEmpty)
+  }
+
   test("agrees with the window form under partition-count extremes") {
     val rows = Seq.tabulate(500)(i => ((i % 5).toLong, (i * 37 % 97).toDouble, i.toLong))
     Seq(1, 32).foreach { parts =>
