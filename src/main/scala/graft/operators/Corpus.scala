@@ -413,6 +413,35 @@ object Corpus {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // $packBudget AS pack_id
        |FROM documents""".stripMargin
 
+  // ------------------------------------------------------- shard export
+
+  /** Training-shard sink: the corpus written as a partitioned parquet
+    * layout (`split=train/validation/test`) with files capped at
+    * `maxRecordsPerFile` rows — the directory shape a training loader
+    * consumes (list one split dir, stream its shards).
+    *
+    * Scale posture: `partitionBy` here is a WRITE layout, not a shuffle —
+    * each task writes its rows into per-split files in place, so the
+    * export is one pass with no exchange; the record cap bounds shard
+    * size whatever the input skew. Readers get static partition pruning
+    * on `split` for free (pinned by `CorpusSinkSpec`): a `split='train'`
+    * filter never lists, let alone reads, the other splits' files. */
+  def exportShards(df: DataFrame, out: String, maxRecordsPerFile: Long): Unit =
+    df.write
+      .partitionBy("split")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .mode("overwrite")
+      .parquet(out)
+
+  /** The frame [[exportShards]] is meant for: every doc with its split
+    * and token count (what a loader needs to budget batches). */
+  def shardFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .join(corpusSplit(spark, dir).select("doc_id", "split"), "doc_id")
+      .select(col("doc_id"), col("text"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"),
+        col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
