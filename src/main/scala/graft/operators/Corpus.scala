@@ -60,12 +60,28 @@ object Corpus {
     * the data — `Dataset.unpersist()` is a no-op on a checkpointed frame
     * (the blocks are RDD-level, not cache-manager entries), so without the
     * handle every propagation round's label table would stay pinned in the
-    * block manager for the life of the session. */
-  private def ckpt(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    * block manager for the life of the session.
+    *
+    * `countIf` piggybacks a predicate count on the materialization job
+    * (via accumulator), so the propagation loop's convergence check costs
+    * ZERO extra jobs — previously each round ran the materializing count
+    * AND a changed-rows job over the checkpointed result. Accumulator
+    * semantics are safe here: the value is only ever compared to 0, and a
+    * task retry can only over-count a NONZERO round (a truly converged
+    * round has nothing to add twice). */
+  private def ckpt(df: DataFrame, countIf: org.apache.spark.sql.Row => Boolean = null)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
     val rdd = df.rdd
     rdd.localCheckpoint()
-    rdd.count()
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+    val matched =
+      if (countIf == null) { rdd.count(); 0L }
+      else {
+        val acc = df.sparkSession.sparkContext.longAccumulator("graft.ckpt.countIf")
+        val pred = countIf
+        rdd.foreach(r => if (pred(r)) acc.add(1L))
+        acc.value.longValue()
+      }
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, matched)
   }
 
   /** Connected components of an undirected graph given as (d1, d2) edge
@@ -84,7 +100,7 @@ object Corpus {
       e0.select(col("d1").as("src"), col("d2").as("dst"))
         .union(e0.select(col("d2").as("src"), col("d1").as("dst")))
         .distinct())
-    var (lab, labRdd) = ckpt(
+    var (lab, labRdd, _) = ckpt(
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id")))
     var converged = false
@@ -107,21 +123,24 @@ object Corpus {
       // checkpointed labels), not prop: prop is referenced once so the
       // neighbor-min join isn't recomputed, and a half-round-stale jump
       // target is still monotone-decreasing toward the same fixpoint.
-      val (next, nextRdd) = ckpt(prop.as("x")
+      // the changed-row count rides the materialization job (columns:
+      // doc_id, cluster_id, prev)
+      val (next, nextRdd, changed) = ckpt(prop.as("x")
         .join(lab.select(col("doc_id").as("cid"), col("cluster_id").as("cl2")),
           col("x.cluster_id") === col("cid"), "left")
         .select(col("x.doc_id"),
           least(col("x.cluster_id"), coalesce(col("cl2"), col("x.cluster_id")))
             .as("cluster_id"),
-          col("x.prev").as("prev")))
+          col("x.prev").as("prev")),
+        countIf = r => r.getLong(1) != r.getLong(2))
       // ckpt materialized `next`, so last round's blocks are now dead.
       // INVARIANT (do not reorder): unpersisting a locally-checkpointed
       // RDD destroys its ONLY copy — lineage is truncated, recompute is
       // impossible — so this unpersist is safe strictly BECAUSE ckpt's
-      // rdd.count() fully materialized `next` first, and nothing may
+      // materializing action fully evaluated `next` first, and nothing may
       // touch the old `lab`/`labRdd` after this line.
       labRdd.unpersist(blocking = false)
-      converged = next.filter(col("cluster_id") =!= col("prev")).isEmpty
+      converged = changed == 0L
       lab = next.select("doc_id", "cluster_id")
       labRdd = nextRdd
       iter += 1
