@@ -740,6 +740,34 @@ object Analytics {
       |  CAST(count(*) AS DOUBLE) / count(DISTINCT user_id) AS events_per_user
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Relative-standing analytics: percent_rank and cume_dist of every
+    * event's value within its type — the remaining classic ranking
+    * functions next to row_number/ntile elsewhere in the suite. Both are
+    * exact integer ratios ((rank-1)/(n-1), rank'/n) evaluated in double,
+    * so they are bit-identical across engines given the total tie-break.
+    *
+    * Scale shape: one hash shuffle on event_type; within a partition the
+    * rank computation is the standard single sort. (The deliberately
+    * coarse 5-value key makes this the "few huge groups" stress shape —
+    * at 100 TB you'd pre-aggregate or bucket by (type, value-band)
+    * before ranking; documented rather than hidden.) */
+  def valuePercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+  }
+
+  val valuePercentRankSql: String =
+    """SELECT event_id, event_type, value,
+      |  percent_rank() OVER (PARTITION BY event_type
+      |    ORDER BY value, event_id) AS pct_rank,
+      |  cume_dist() OVER (PARTITION BY event_type
+      |    ORDER BY value, event_id) AS cume
+      |FROM events WHERE value IS NOT NULL""".stripMargin
+
   /** Time-series gap fill: per-type hourly counts over the COMPLETE hour
     * range — absent (type, hour) cells surface as explicit zeros, which
     * is what any downstream rate/alerting math needs (a missing row and
@@ -861,6 +889,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hourly_gapfill" -> (hourlyGapfill _),
+    "value_percent_rank" -> (valuePercentRank _),
     "funnel_ordered" -> (funnelOrdered _),
     "user_retention" -> (userRetention _),
     "event_type_reach" -> (eventTypeReach _),
@@ -892,6 +921,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "hourly_gapfill" -> hourlyGapfillSql,
+    "value_percent_rank" -> valuePercentRankSql,
     "funnel_ordered" -> funnelOrderedSql,
     "user_retention" -> userRetentionSql,
     "event_type_reach" -> eventTypeReachSql,

@@ -77,6 +77,24 @@ class TopKPerKeySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(nullGroup.map(_._3).sorted.toSeq == Seq(4L, 5L))
   }
 
+  test("null ORDER values follow the window form's null ordering") {
+    val rnd = new scala.util.Random(5L)
+    val rows = Seq.tabulate(400) { i =>
+      (rnd.nextInt(10).toLong,
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(50).toDouble),
+        i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id").repartition(5)
+    Seq(col("v").desc -> "desc", col("v").asc -> "asc").foreach { case (o, label) =>
+      val got = TopKPerKey.topK(df, Seq(col("k")), Seq(o, col("id")), 3)
+        .as[(Long, Option[Double], Long)].collect().toSet
+      val w = Window.partitionBy("k").orderBy(o, col("id"))
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("k", "v", "id").as[(Long, Option[Double], Long)].collect().toSet
+      assert(got == want, label)
+    }
+  }
+
   test("rewrite rule: window-form top-k plans as the bounded heap") {
     val rows = Seq.tabulate(300)(i => ((i % 7).toLong, (i * 31 % 83).toDouble, i.toLong))
     val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
