@@ -59,8 +59,8 @@ object SparkEntry {
           Detectors.keyCol("user_id").as("key"), col("ts_sec"), col("k_val"))
     }),
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
-  ) ++ Analytics.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-    Similarity.queries ++ Corpus.queries
+  ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++
+    TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -77,6 +77,6 @@ object SparkEntry {
         |  TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val
         |FROM events
         |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50.0""".stripMargin,
-  ) ++ Analytics.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-    Similarity.oracles ++ Corpus.oracles
+  ) ++ Analytics.oracles ++ Warehouse.oracles ++ Dedup.oracles ++
+    TextAnalysis.oracles ++ Similarity.oracles ++ Corpus.oracles
 }

@@ -1,0 +1,340 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second analytics batch: correlated-subquery joins, multi-join
+  * pipelines, the SQL entry surface, time-range rolling windows, and
+  * reshape (pivot↔unpivot) operators.
+  *
+  * Same ground rules as [[Analytics]] (the reference engine has no SQL
+  * surface at all — SURVEY.md §2 "categories the reference does NOT
+  * have" — so this whole module is north-star query capability):
+  * exact DECIMAL money math, integer-cents quantization for event
+  * values, explicit `broadcast()` on dimension sides, deterministic
+  * tie-breaks on every ranking/limit.
+  */
+object Warehouse {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def discPrice: Column =
+    dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount")))
+
+  /** TPC-H Q4-style order-priority check: count orders, per priority
+    * class, that had at least one line item shipped more than 60 days
+    * after the order date. The EXISTS correlate becomes a LEFT SEMI
+    * join: equi on the order key (hash-partitionable — this is the one
+    * shuffle) with the `shipdate > orderdate + 60d` correlate left as a
+    * residual join predicate. Semi-join stops probing an order on its
+    * first match, and only `(l_orderkey, l_shipdate)` is read from the
+    * probe side (column pruning reaches the scan). */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q10-style returned-item revenue: top 20 customers by revenue
+    * lost to returns. Unlike q3/q5 (where the dimension is broadcast),
+    * the customer side here scales with the user base — at 100 TB both
+    * join inputs are large, so both joins are plain hash-partitioned
+    * shuffle joins on their keys and the plan must NOT broadcast.
+    * Top-20 is TakeOrdered (per-partition heap, driver merges 20 rows),
+    * never a global sort; ties broken on c_custkey. */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(discPrice).cast(DecimalType(38, 4)).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q14-style promo revenue share — deliberately driven through
+    * the `spark.sql` entry point (temp views + SQL text) to exercise
+    * the engine's SQL surface end-to-end: parse → analyze over the view
+    * catalog → the same optimized plan the DataFrame form yields (one
+    * broadcast of the filtered `part` dimension, one scan of the
+    * shipdate-pruned month of lineitem, single-group partial+final
+    * aggregate, zero shuffles). Share arithmetic: exact DECIMAL sums
+    * cast to double, then one identically-shaped double expression in
+    * both engines. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_share_pct
+        |FROM (
+        |  SELECT
+        |    CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')""".stripMargin)
+  }
+
+  val q14Sql: String =
+    """SELECT promo_revenue, total_revenue,
+      |  100.0 * promo_revenue / total_revenue AS promo_share_pct
+      |FROM (
+      |  SELECT
+      |    CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |          (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue,
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')""".stripMargin
+
+  /** Trailing 1-hour moving average of event value per user — the
+    * time-RANGE analog of the rate rule's count window (§2 op 8 uses
+    * the identical frame; here it carries a sum). One hash shuffle on
+    * user_id; the frame is bounded so window state per partition is
+    * O(window), not O(partition). Exact integer cents in the frame sum;
+    * the division is the only double step and is shaped identically in
+    * the oracle. Null values stay out of both sum and count (the frame
+    * average is over present values). */
+  def valueMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("c", Analytics.cents(col("value")))
+      .withColumn("sum_c", sum(col("c")).over(w))
+      .withColumn("n_c", count(col("c")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        (col("sum_c").cast("double") / col("n_c") / 100.0).as("moving_avg"))
+  }
+
+  val valueMovingAvgSql: String =
+    """SELECT event_id, user_id, ts_sec,
+      |  CAST(sum(c) OVER w AS DOUBLE) / count(c) OVER w / 100.0 AS moving_avg
+      |FROM (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_sec,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** First/last event per user on the exact nanosecond clock (event_id
+    * tie-break): two row_number ranks over one partition exchange (the
+    * ascending and descending sorts share the user_id shuffle), folded
+    * with conditional aggregates — no self-join. The classic
+    * "session entry/exit page" shape. */
+  def userFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val asc = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val desc = Window.partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("rn_a") === 1, col("event_type"))).as("first_type"),
+        max(when(col("rn_d") === 1, col("event_type"))).as("last_type"),
+        min("ts_sec").as("first_ts_sec"),
+        max("ts_sec").as("last_ts_sec"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val userFirstLastSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT user_id,
+      |  max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+      |  max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+      |  min(ts_sec) AS first_ts_sec,
+      |  max(ts_sec) AS last_ts_sec,
+      |  count(*) AS n_events
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** Fixed-width value histogram (bin 50, top bin open-ended): the
+    * bucket id is pure scan-side integer math, so the whole query is
+    * one partial+final hash aggregate over ≤10 groups — the shuffle
+    * carries ~10 rows per map task whatever the input size. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("bucket", least(floor(col("value") / 50.0).cast("long"), lit(9L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        (sum(Analytics.cents(col("value"))).cast("double") / 100.0).as("sum_value"))
+
+  val valueHistogramSql: String =
+    """SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM events
+      |WHERE value IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
+  /** Reshape round-trip: the per-user event-type matrix (pivot) melted
+    * back to long form with the `unpivot` operator. Pivot plans as one
+    * hash aggregate with 5 conditional counts (no extra shuffle vs the
+    * plain groupBy); unpivot is an Expand — each aggregated row fans
+    * out to 5, absent combinations surface as NULL and are dropped,
+    * restoring exactly the long-form groupBy result. The value columns
+    * are a closed categorical set, declared explicitly — at 100 TB you
+    * never let pivot infer its column set with a distinct scan. */
+  def userTypeUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "purchase", "error", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+      .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "cnt")
+      .filter(col("cnt").isNotNull)
+  }
+
+  val userTypeUnpivotSql: String =
+    """SELECT user_id, event_type, count(*) AS cnt
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase', 'error', 'signup', 'view')
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Per-type correlation between event value and time-of-day — the
+    * covariance/correlation aggregate family, computed from exact
+    * integer moments (cents × second-of-day products summed as
+    * overflow-checked integers; the fixture domain keeps every moment
+    * < 2^53 so the double casts are exact) and combined with one
+    * identically-shaped double expression per engine, making Pearson r
+    * bit-reproducible cross-engine where a builtin `corr()` (running
+    * Welford in doubles, order-dependent) would not be. One hash
+    * aggregate on the 5-value type key. */
+  def typeDiurnalCorr(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("x", Analytics.cents(col("value")))
+      .withColumn("y", col("ts_sec") % 86400)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val sxyd = col("sxy").cast("double")
+    val sxxd = col("sxx").cast("double")
+    val syyd = col("syy").cast("double")
+    agg.select(col("event_type"), col("n"),
+      ((nd * sxyd - sxd * syd) /
+        (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)))
+        .as("corr_value_tod"),
+      ((nd * sxyd - sxd * syd) / (nd * nd) / 100.0).as("covar_pop_vt"))
+  }
+
+  val typeDiurnalCorrSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+      |    (epoch_ns(ts) // 1000000000) % 86400 AS y
+      |  FROM events WHERE value IS NOT NULL
+      |), m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS corr_value_tod,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0 AS covar_pop_vt
+      |FROM m""".stripMargin
+
+  /** Schema-free map explode: parse the dynamic `props` JSON into a
+    * MAP<STRING,STRING> (the reference's `Map<String,Object>` event
+    * shape, Event.java:39-59), explode to (key, value) pairs, and
+    * aggregate per key — the "what fields does this corpus actually
+    * carry" profiling query. Explode is a generator (no shuffle);
+    * the single hash aggregate groups on the small dynamic key set.
+    * The numeric profile uses try_cast so non-numeric values profile
+    * as NULL rather than erroring — the reference's
+    * `getNumericField` coercion contract (Event.java:101-114). */
+  def propsKvStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("props").isNotNull)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("prop_key", "prop_val")))
+      .groupBy("prop_key")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("prop_val").try_cast("long")).cast("double") /
+          count(col("prop_val").try_cast("long"))).as("avg_val"))
+
+  val propsKvStatsSql: String =
+    """WITH kv AS (
+      |  SELECT unnest(json_keys(props)) AS prop_key, props
+      |  FROM events WHERE props IS NOT NULL)
+      |SELECT prop_key, count(*) AS n,
+      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS DOUBLE)
+      |    / count(TRY_CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS avg_val
+      |FROM kv GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "props_kv_stats" -> (propsKvStats _),
+    "q4_late_orders" -> (q4LateOrders _),
+    "q10_returned_revenue" -> (q10ReturnedRevenue _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "value_moving_avg" -> (valueMovingAvg _),
+    "user_first_last" -> (userFirstLast _),
+    "value_histogram" -> (valueHistogram _),
+    "user_type_unpivot" -> (userTypeUnpivot _),
+    "type_diurnal_corr" -> (typeDiurnalCorr _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "props_kv_stats" -> propsKvStatsSql,
+    "q4_late_orders" -> q4Sql,
+    "q10_returned_revenue" -> q10Sql,
+    "q14_promo_share" -> q14Sql,
+    "value_moving_avg" -> valueMovingAvgSql,
+    "user_first_last" -> userFirstLastSql,
+    "value_histogram" -> valueHistogramSql,
+    "user_type_unpivot" -> userTypeUnpivotSql,
+    "type_diurnal_corr" -> typeDiurnalCorrSql,
+  )
+}

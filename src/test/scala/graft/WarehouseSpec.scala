@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.Warehouse
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the Warehouse batch (semi-join, multi-join top-k,
+  * SQL-surface query, rolling time window, first/last, histogram,
+  * unpivot, exact-moment correlation). The oracle gate checks DuckDB
+  * hash-exactness; these check semantics directly. */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q4_late_orders: semi-join equals join+distinct formulation") {
+    val semi = Warehouse.q4LateOrders(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val viaDistinct = o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    assert(semi == viaDistinct)
+    assert(semi.values.sum > 0)
+  }
+
+  test("q10_returned_revenue: top-20, descending, revenue recomputes") {
+    val rows = Warehouse.q10ReturnedRevenue(spark, dir)
+      .as[(Long, String, Double)].collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    // descending with custkey tie-break
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+      case _ =>
+    }
+    // spot-recompute the top customer's returned revenue in exact cents
+    val (ck, _, rev) = rows.head
+    val manual = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") === ck)
+      .select(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)))
+      .as[Double].head()
+    assert(math.abs(manual - rev) < 1e-2)
+  }
+
+  test("q14_promo_share: via spark.sql views; parts sum to total") {
+    val Seq((promo, total, pct)) =
+      Warehouse.q14PromoShare(spark, dir).as[(Double, Double, Double)].collect().toSeq
+    assert(promo >= 0 && promo <= total)
+    assert(pct >= 0 && pct <= 100)
+    assert(math.abs(pct - 100.0 * promo / total) < 1e-9)
+    // non-promo part recomputes as the complement
+    val nonPromo = spark.sql(
+      """SELECT CAST(CAST(sum(CASE WHEN p_type <> 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE)
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+      .as[Double].head()
+    assert(math.abs(promo + nonPromo - total) < 1e-6)
+  }
+
+  test("value_moving_avg: brute-force trailing window for sampled users") {
+    val all = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts_sec", "value")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    val got = Warehouse.valueMovingAvg(spark, dir)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._4).toMap
+    val byUser = all.groupBy(_._2)
+    byUser.take(5).foreach { case (_, evs) =>
+      evs.foreach { case (id, _, ts, _) =>
+        val win = evs.filter(e => e._3 >= ts - 3600 && e._3 <= ts)
+          .flatMap(_._4).map(v => math.floor(v * 100.0 + 0.5).toLong)
+        val expected =
+          if (win.isEmpty) None
+          else Some(win.sum.toDouble / win.length / 100.0)
+        assert(got(id) == expected, s"event $id")
+      }
+    }
+  }
+
+  test("user_first_last: brute force per user") {
+    val all = Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts_ns", "event_id", "ts_sec")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val got = Warehouse.userFirstLast(spark, dir)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    all.groupBy(_._1).foreach { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._4))
+      val (_, first, last, fts, lts, n) = got(u)
+      assert(first == sorted.head._2 && last == sorted.last._2)
+      assert(fts == sorted.map(_._5).min && lts == sorted.map(_._5).max)
+      assert(n == evs.length)
+    }
+  }
+
+  test("value_histogram: buckets partition the non-null rows") {
+    val rows = Warehouse.valueHistogram(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    val nonNull = Tables.events(spark, dir).filter(col("value").isNotNull).count()
+    assert(rows.map(_._2).sum == nonNull)
+    assert(rows.forall { case (b, _, _) => b >= 0 && b <= 9 })
+    // bucket 0 count matches a direct filter
+    val b0 = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") < 50.0).count()
+    assert(rows.find(_._1 == 0L).map(_._2).contains(b0))
+  }
+
+  test("user_type_unpivot: melt restores the long-form groupBy") {
+    val melted = Warehouse.userTypeUnpivot(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    val direct = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(melted == direct)
+  }
+
+  test("type_diurnal_corr: matches direct Pearson on exact moments; |r| <= 1") {
+    val rows = Warehouse.typeDiurnalCorr(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val all = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select("event_type", "value", "ts_sec")
+      .as[(String, Double, Long)].collect()
+    rows.foreach { case (t, n, r, cov) =>
+      assert(math.abs(r) <= 1.0)
+      val xs = all.filter(_._1 == t)
+        .map(e => (math.floor(e._2 * 100.0 + 0.5).toLong, e._3 % 86400))
+      assert(n == xs.length)
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxy = xs.map(e => e._1 * e._2).sum
+      val sxx = xs.map(e => e._1 * e._1).sum
+      val syy = xs.map(e => e._2 * e._2).sum
+      val nd = n.toDouble
+      val expR = (nd * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(nd * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          math.sqrt(nd * syy.toDouble - sy.toDouble * sy.toDouble))
+      val expCov = (nd * sxy.toDouble - sx.toDouble * sy.toDouble) / (nd * nd) / 100.0
+      assert(r == expR && cov == expCov)
+    }
+  }
+}
