@@ -314,8 +314,160 @@ object Warehouse {
       |    / count(TRY_CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS avg_val
       |FROM kv GROUP BY 1""".stripMargin
 
+  /** Event-time sliding windows via the native `window()` generator:
+    * hourly counts per type, sliding every 30 minutes. Each event fans
+    * out to exactly windowLength/slide = 2 rows scan-side (a generator,
+    * no shuffle), then one hash aggregate on (window, type). Window
+    * membership is pure epoch arithmetic, so the oracle states it as an
+    * explicit 2-element unnest. This is the aligned-window family the
+    * reference deliberately does NOT have (its rate rule is a per-event
+    * trailing window — §2 op 8); both now exist side by side. */
+  def slidingWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws_sec"),
+        col("event_type"), col("n"))
+
+  val slidingWindowCountsSql: String =
+    """WITH w AS (
+      |  SELECT event_type,
+      |    unnest([ (epoch_ns(ts) // 1000000000 // 1800) * 1800,
+      |             (epoch_ns(ts) // 1000000000 // 1800) * 1800 - 1800 ]) AS ws_sec
+      |  FROM events)
+      |SELECT ws_sec, event_type, count(*) AS n
+      |FROM w GROUP BY 1, 2""".stripMargin
+
+  /** Gap sessions via the native `session_window` operator — the
+    * built-in twin of the composed `sessionize` query (lag + running
+    * sum), the same built-in-vs-composed pairing as
+    * topk_native/topk_events_per_user. Native semantics: an event
+    * merges into the session iff it starts strictly before session end
+    * (gap >= 30 min starts a new session, at microsecond precision);
+    * window.end = last event + gap, so end_sec = max(ts_sec) + 1800
+    * exactly. Plans as UpdatingSessions/MergingSessions around one
+    * user_id exchange — no second window sort pass like the composed
+    * form. */
+  def sessionNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("start_sec"),
+        col("session_window.end").cast("long").as("end_sec"),
+        col("n_events"))
+
+  val sessionNativeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events
+      |), f AS (
+      |  SELECT *, lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us
+      |  FROM e
+      |), g AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM f
+      |), h AS (
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM g
+      |)
+      |SELECT user_id, min(ts_us) // 1000000 AS start_sec,
+      |  max(ts_us) // 1000000 + 1800 AS end_sec, count(*) AS n_events
+      |FROM h GROUP BY user_id, sid""".stripMargin
+
+  /** Robust per-user outlier profile: median, MAD (median absolute
+    * deviation), and the count of events beyond 3 MADs — the robust
+    * cousin of the reference's mean/σ statistical rule
+    * (StatisticalOutlierDetector.java:77-156), which a single extreme
+    * value can't poison. All medians are exact rank-interpolations in
+    * scaled integer space (2× for the median, 4× for the MAD), so the
+    * outlier comparison `|x − med| > 3·MAD` is an exact integer
+    * predicate — no floating-point tie ambiguity cross-engine.
+    * Physically: one hash exchange on user_id, then window sorts +
+    * final aggregate within each partition — the per-group medians
+    * never leave their partition. */
+  def userValueMad(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val byC = byUser.orderBy(col("c"), col("event_id"))
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("c", Analytics.cents(col("value")))
+      .withColumn("rn", row_number().over(byC))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("k", expr("(n - 1) div 2"))
+      // med2 = 2×median in cents: a + b for even n (k+1, k+2 ranks), 2a odd
+      .withColumn("a",
+        max(when(col("rn") === col("k") + 1, col("c"))).over(byUser))
+      .withColumn("b",
+        max(when(col("rn") === col("k") + 2, col("c"))).over(byUser))
+      .withColumn("med2",
+        when(col("n") % 2 === 1, col("a") * 2).otherwise(col("a") + col("b")))
+      .withColumn("dev", abs(col("c") * 2 - col("med2")))
+    val byDev = byUser.orderBy(col("dev"), col("event_id"))
+    val d = e
+      .withColumn("rd", row_number().over(byDev))
+      .withColumn("da",
+        max(when(col("rd") === col("k") + 1, col("dev"))).over(byUser))
+      .withColumn("db",
+        max(when(col("rd") === col("k") + 2, col("dev"))).over(byUser))
+      .withColumn("mad2",
+        when(col("n") % 2 === 1, col("da") * 2).otherwise(col("da") + col("db")))
+    d.groupBy("user_id")
+      .agg(max("n").as("n"),
+        (max("med2").cast("double") / 200.0).as("median_value"),
+        (max("mad2").cast("double") / 400.0).as("mad_value"),
+        sum(when(col("dev") * 2 > col("mad2") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  val userValueMadSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY c, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM e
+      |), m AS (
+      |  SELECT *, (n - 1) // 2 AS k,
+      |    max(CASE WHEN rn = (n - 1) // 2 + 1 THEN c END)
+      |      OVER (PARTITION BY user_id) AS a,
+      |    max(CASE WHEN rn = (n - 1) // 2 + 2 THEN c END)
+      |      OVER (PARTITION BY user_id) AS b
+      |  FROM r
+      |), v AS (
+      |  SELECT *, CASE WHEN n % 2 = 1 THEN a * 2 ELSE a + b END AS med2
+      |  FROM m
+      |), w AS (
+      |  SELECT *, abs(c * 2 - med2) AS dev FROM v
+      |), s AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rd
+      |  FROM w
+      |), t AS (
+      |  SELECT *,
+      |    max(CASE WHEN rd = k + 1 THEN dev END) OVER (PARTITION BY user_id) AS da,
+      |    max(CASE WHEN rd = k + 2 THEN dev END) OVER (PARTITION BY user_id) AS db
+      |  FROM s
+      |), u AS (
+      |  SELECT *, CASE WHEN n % 2 = 1 THEN da * 2 ELSE da + db END AS mad2
+      |  FROM t
+      |)
+      |SELECT user_id, max(n) AS n,
+      |  CAST(max(med2) AS DOUBLE) / 200.0 AS median_value,
+      |  CAST(max(mad2) AS DOUBLE) / 400.0 AS mad_value,
+      |  CAST(sum(CASE WHEN dev * 2 > mad2 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM u GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "props_kv_stats" -> (propsKvStats _),
+    "sliding_window_counts" -> (slidingWindowCounts _),
+    "session_native" -> (sessionNative _),
+    "user_value_mad" -> (userValueMad _),
     "q4_late_orders" -> (q4LateOrders _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q14_promo_share" -> (q14PromoShare _),
@@ -328,6 +480,9 @@ object Warehouse {
 
   val oracles: Map[String, String] = Map(
     "props_kv_stats" -> propsKvStatsSql,
+    "sliding_window_counts" -> slidingWindowCountsSql,
+    "session_native" -> sessionNativeSql,
+    "user_value_mad" -> userValueMadSql,
     "q4_late_orders" -> q4Sql,
     "q10_returned_revenue" -> q10Sql,
     "q14_promo_share" -> q14Sql,

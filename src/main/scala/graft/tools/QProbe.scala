@@ -1,0 +1,19 @@
+package graft.tools
+object QProbe {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",")
+    val dir = args(1)
+    val spark = graft.sources.Sessions.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[qprobe] $n min=${ts.min}%.3f runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -123,6 +123,64 @@ class WarehouseSpec extends SparkSpec {
     assert(melted == direct)
   }
 
+  test("sliding_window_counts: every event lands in exactly 2 windows") {
+    val rows = Warehouse.slidingWindowCounts(spark, dir)
+      .as[(Long, String, Long)].collect()
+    val nEvents = Tables.events(spark, dir).count()
+    assert(rows.map(_._3).sum == 2 * nEvents)
+    // window starts align to the 30-minute slide
+    assert(rows.forall(_._1 % 1800 == 0))
+    // spot-check one (window, type) cell against a direct range count
+    val (ws, t, n) = rows.maxBy(_._3)
+    val direct = Tables.events(spark, dir)
+      .filter(col("event_type") === t &&
+        col("ts_sec") >= ws && col("ts_sec") < ws + 3600).count()
+    assert(n == direct)
+  }
+
+  test("session_native: brute-force gap sessions at microsecond precision") {
+    val got = Warehouse.sessionNative(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ts_ns") / 1000).cast("long").as("ts_us"))
+      .as[(Long, Long)].collect()
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[List[Long]]) {
+        case (Nil, t) => List(List(t))
+        case (cur :: done, t) =>
+          if (t - cur.head >= 1800000000L) List(t) :: cur :: done
+          else (t :: cur) :: done
+      }
+      sessions.map(s => (u, s.last / 1000000, s.head / 1000000 + 1800, s.length.toLong))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("user_value_mad: brute-force median/MAD/outlier count per user") {
+    val got = Warehouse.userValueMad(spark, dir)
+      .as[(Long, Long, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val all = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select("user_id", "event_id", "value")
+      .as[(Long, Long, Double)].collect()
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length; val k = (n - 1) / 2
+      if (n % 2 == 1) s(k) * 2 else s(k) + s(k + 1)
+    }
+    all.groupBy(_._1).foreach { case (u, es) =>
+      val cs = es.map(e => math.floor(e._3 * 100.0 + 0.5).toLong)
+      val m2 = med2(cs)
+      val devs = cs.map(c => math.abs(c * 2 - m2))
+      val mad2 = med2(devs)
+      val outliers = devs.count(d => d * 2 > mad2 * 3)
+      val (_, n, med, mad, nOut) = got(u)
+      assert(n == cs.length)
+      assert(med == m2.toDouble / 200.0 && mad == mad2.toDouble / 400.0)
+      assert(nOut == outliers, s"user $u")
+    }
+  }
+
   test("type_diurnal_corr: matches direct Pearson on exact moments; |r| <= 1") {
     val rows = Warehouse.typeDiurnalCorr(spark, dir)
       .as[(String, Long, Double, Double)].collect()
