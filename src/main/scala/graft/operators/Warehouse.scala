@@ -92,9 +92,12 @@ object Warehouse {
     * cast to double, then one identically-shaped double expression in
     * both engines. */
   def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    // views exist only while the SQL text is analyzed — dropped before
+    // returning so the shared session catalog carries no hidden state
+    // between queries (the resolved plan keeps its relations)
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     Tables.part(spark, dir).createOrReplaceTempView("part")
-    spark.sql(
+    try spark.sql(
       """SELECT promo_revenue, total_revenue,
         |  100.0 * promo_revenue / total_revenue AS promo_share_pct
         |FROM (
@@ -108,6 +111,10 @@ object Warehouse {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')""".stripMargin)
+    finally {
+      spark.catalog.dropTempView("lineitem")
+      spark.catalog.dropTempView("part")
+    }
   }
 
   val q14Sql: String =
@@ -255,9 +262,14 @@ object Warehouse {
     val sxyd = col("sxy").cast("double")
     val sxxd = col("sxx").cast("double")
     val syyd = col("syy").cast("double")
+    // zero-variance guard: a single-event or all-equal group makes the
+    // denominator 0.0 — ANSI mode (Spark 4 default) would throw
+    // DIVIDE_BY_ZERO, and DuckDB returns NULL for x/0.0, so emit NULL
+    // explicitly on both sides
+    val denom = sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)
     agg.select(col("event_type"), col("n"),
-      ((nd * sxyd - sxd * syd) /
-        (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)))
+      when(denom === 0.0, lit(null).cast("double"))
+        .otherwise((nd * sxyd - sxd * syd) / denom)
         .as("corr_value_tod"),
       ((nd * sxyd - sxd * syd) / (nd * nd) / 100.0).as("covar_pop_vt"))
   }
@@ -276,10 +288,13 @@ object Warehouse {
       |    CAST(sum(y * y) AS BIGINT) AS syy
       |  FROM c GROUP BY 1)
       |SELECT event_type, n,
+      |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0
+      |  THEN NULL ELSE
       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
       |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
       |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-      |    AS corr_value_tod,
+      |  END AS corr_value_tod,
       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
       |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100.0 AS covar_pop_vt
       |FROM m""".stripMargin
@@ -310,8 +325,8 @@ object Warehouse {
       |  SELECT unnest(json_keys(props)) AS prop_key, props
       |  FROM events WHERE props IS NOT NULL)
       |SELECT prop_key, count(*) AS n,
-      |  CAST(sum(TRY_CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS DOUBLE)
-      |    / count(TRY_CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS avg_val
+      |  CAST(sum(TRY_CAST(json_extract_string(props, '$."' || prop_key || '"') AS BIGINT)) AS DOUBLE)
+      |    / count(TRY_CAST(json_extract_string(props, '$."' || prop_key || '"') AS BIGINT)) AS avg_val
       |FROM kv GROUP BY 1""".stripMargin
 
   /** Event-time sliding windows via the native `window()` generator:

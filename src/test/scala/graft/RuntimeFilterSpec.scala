@@ -30,24 +30,30 @@ class RuntimeFilterSpec extends SparkSpec {
       assert(conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
 
       val dir = "/root/testdata/sf0.001"
-      // selective build side: one order priority slice
-      val o = Tables.orders(spark, dir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select("o_orderkey")
-      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
-      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
-
-      val optimized = joined.queryExecution.optimizedPlan.toString
+      // selective build side: one order priority slice. Built as a def:
+      // a Dataset memoizes its QueryExecution, so each conf regime needs
+      // a freshly planned frame — reusing one would compare a plan's
+      // output to itself.
+      def joined = {
+        val o = Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      }
+      val filtered = joined
+      val optimized = filtered.queryExecution.optimizedPlan.toString
       assert(optimized.toLowerCase.contains("might_contain"),
         s"expected a bloom runtime filter in:\n$optimized")
+      val withFilter = filtered.collect().toSeq
 
-      // results identical with the rule disabled
-      val withFilter = joined.collect().toSeq
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // results identical with the rule gated off again
       conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
-      val without = joined.collect().toSeq
-      assert(withFilter == without)
+      val unfiltered = joined
+      assert(!unfiltered.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("might_contain"))
+      assert(withFilter == unfiltered.collect().toSeq)
     } finally {
       conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       keep.foreach { case (k, v) =>

@@ -53,7 +53,11 @@ class WarehouseSpec extends SparkSpec {
     assert(promo >= 0 && promo <= total)
     assert(pct >= 0 && pct <= 100)
     assert(math.abs(pct - 100.0 * promo / total) < 1e-9)
-    // non-promo part recomputes as the complement
+    // the operator must NOT leak its temp views into the shared catalog
+    assert(!spark.catalog.tableExists("lineitem") && !spark.catalog.tableExists("part"))
+    // non-promo part recomputes as the complement (own views, own cleanup)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("part")
     val nonPromo = spark.sql(
       """SELECT CAST(CAST(sum(CASE WHEN p_type <> 'PROMO'
         |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
@@ -63,6 +67,8 @@ class WarehouseSpec extends SparkSpec {
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
       .as[Double].head()
+    spark.catalog.dropTempView("lineitem")
+    spark.catalog.dropTempView("part")
     assert(math.abs(promo + nonPromo - total) < 1e-6)
   }
 
@@ -142,7 +148,8 @@ class WarehouseSpec extends SparkSpec {
     val got = Warehouse.sessionNative(spark, dir)
       .as[(Long, Long, Long, Long)].collect().toSet
     val evs = Tables.events(spark, dir)
-      .select(col("user_id"), (col("ts_ns") / 1000).cast("long").as("ts_us"))
+      // integer div — `/` would round through double above 2^53
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
       .as[(Long, Long)].collect()
     val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
       val ts = es.map(_._2).sorted
