@@ -44,6 +44,10 @@ object SparkEntry {
       Detectors.statisticalAlerts(Tables.events(s, dir), FixtureRules.statistical)),
     "all_alerts" -> ((s, dir) =>
       Detectors.allAlerts(Tables.events(s, dir), FixtureRules.all)),
+    // alert-storm suppression: first alert per (rule, key, 10 min)
+    "throttled_alerts" -> ((s, dir) =>
+      Detectors.throttle(
+        Detectors.thresholdAlerts(Tables.events(s, dir), FixtureRules.threshold), 600L)),
     // schema-free contract: detect on a dynamic JSON field inside `props`
     // (the reference's Map<String,Object> event shape, Event.java:39-59)
     "props_threshold" -> ((s, dir) => {
@@ -69,6 +73,7 @@ object SparkEntry {
     "rate_alerts" -> DetectorSql.rate(FixtureRules.rate),
     "stat_alerts" -> DetectorSql.statistical(FixtureRules.statistical),
     "all_alerts" -> DetectorSql.all(FixtureRules.all),
+    "throttled_alerts" -> DetectorSql.throttled(FixtureRules.threshold, 600L),
     "multimodal_features" -> Multimodal.featuresSql,
     "props_threshold" ->
       """SELECT event_id,

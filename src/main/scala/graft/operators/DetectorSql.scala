@@ -115,4 +115,22 @@ object DetectorSql {
 
   def all(rules: Seq[DetectionRule]): String =
     rules.map(r => s"(${forRule(r)})").mkString("\nUNION ALL\n")
+
+  /** SQL twin of [[graft.operators.Detectors.throttle]] applied to a
+    * rule's alert stream: first alert per (rule, key, period bucket)
+    * plus the count of suppressed duplicates. */
+  def throttled(rule: DetectionRule, periodSec: Long): String =
+    s"""WITH a AS (
+       |${forRule(rule)}
+       |), b AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY rule_name, "key", ts_sec // $periodSec
+       |      ORDER BY ts_sec, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY rule_name, "key", ts_sec // $periodSec) - 1
+       |      AS n_suppressed
+       |  FROM a
+       |)
+       |SELECT rule_name, "key", ts_sec, event_id, value, details,
+       |  original_event, n_suppressed
+       |FROM b WHERE rn = 1""".stripMargin
 }

@@ -218,4 +218,26 @@ object Detectors {
   def allAlerts(events: DataFrame, rules: Seq[DetectionRule],
       defaultKeyField: String = "user_id"): DataFrame =
     rules.map(r => compile(r, defaultKeyField)(events)).reduce(_ unionAll _)
+
+  /** Alert throttling — the storm-suppression stage the reference lacks
+    * (it emits one alert per firing event, so a hot key under sustained
+    * breach floods the alerts topic — README.md:198-211 shows no
+    * suppression anywhere). Keeps the FIRST alert per
+    * (rule, key, period bucket) and reports how many duplicates the
+    * bucket swallowed (`n_suppressed`), so downstream consumers keep
+    * full information at 1/period the volume.
+    *
+    * Scale shape: one hash exchange on (rule_name, key, bucket) — the
+    * bucket term keeps a hot key's alerts spread over time-sliced
+    * groups instead of one ever-growing partition; both window
+    * functions (rank + bucket count) share the single sort. */
+  def throttle(alerts: DataFrame, periodSec: Long): DataFrame = {
+    val bucket = expr(s"ts_sec div $periodSec")
+    val part = Window.partitionBy(col("rule_name"), col("key"), bucket)
+    val w = part.orderBy(col("ts_sec"), col("event_id"))
+    alerts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_suppressed", count(lit(1)).over(part) - 1)
+      .filter(col("rn") === 1).drop("rn")
+  }
 }

@@ -403,10 +403,15 @@ object Warehouse {
     * Physically: one hash exchange on user_id, then window sorts +
     * final aggregate within each partition — the per-group medians
     * never leave their partition. */
-  def userValueMad(spark: SparkSession, dir: String): DataFrame = {
+  def userValueMad(spark: SparkSession, dir: String): DataFrame =
+    madProfile(Tables.events(spark, dir))
+
+  /** Core of [[userValueMad]] over any (user_id, event_id, value) frame —
+    * separated so the property spec can drive it with generated data. */
+  private[graft] def madProfile(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id")
     val byC = byUser.orderBy(col("c"), col("event_id"))
-    val e = Tables.events(spark, dir)
+    val e = events
       .filter(col("value").isNotNull)
       .withColumn("c", Analytics.cents(col("value")))
       .withColumn("rn", row_number().over(byC))
