@@ -232,12 +232,16 @@ object Detectors {
     * groups instead of one ever-growing partition; both window
     * functions (rank + bucket count) share the single sort. */
   def throttle(alerts: DataFrame, periodSec: Long): DataFrame = {
-    val bucket = expr(s"ts_sec div $periodSec")
-    val part = Window.partitionBy(col("rule_name"), col("key"), bucket)
+    // bucket is materialized as a column BEFORE the window specs: two
+    // specs re-deriving the expression get distinct expression ids, which
+    // Catalyst treats as different partitionings — two exchanges instead
+    // of one (observed in the plan audit)
+    val part = Window.partitionBy(col("rule_name"), col("key"), col("bucket"))
     val w = part.orderBy(col("ts_sec"), col("event_id"))
     alerts
+      .withColumn("bucket", expr(s"ts_sec div $periodSec"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n_suppressed", count(lit(1)).over(part) - 1)
-      .filter(col("rn") === 1).drop("rn")
+      .filter(col("rn") === 1).drop("rn", "bucket")
   }
 }
