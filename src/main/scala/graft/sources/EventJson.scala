@@ -48,5 +48,5 @@ object EventJson {
     * (AlertSerializationSchema.java:22-39, WRITE_DATES_AS_TIMESTAMPS=false).
     * Spark's to_json renders TimestampType ISO-8601 under UTC session tz. */
   def serializeAlerts(alerts: DataFrame): DataFrame =
-    alerts.select(to_json(struct(alerts.columns.map(col): _*)).as("value"))
+    alerts.select(to_json(struct(alerts.columns.toIndexedSeq.map(col): _*)).as("value"))
 }

@@ -15,7 +15,7 @@ object DotBench {
     def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val q = vs.limit(10).collect().map(_.getSeq[Double](1).toArray)
-    val qlit = array(q.map(arr => array(arr.map(lit): _*)): _*)
+    val qlit = array(q.toIndexedSeq.map(arr => array(arr.toIndexedSeq.map(lit): _*)): _*)
     def run(label: String, f: => Unit): Unit = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
