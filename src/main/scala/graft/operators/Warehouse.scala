@@ -329,6 +329,81 @@ object Warehouse {
       |    / count(TRY_CAST(json_extract_string(props, '$."' || prop_key || '"') AS BIGINT)) AS avg_val
       |FROM kv GROUP BY 1""".stripMargin
 
+  /** TPC-H Q7-style cross-nation shipping volume: revenue flowing from
+    * supplier nation to customer nation, for one ordered nation pair,
+    * per ship year. The nation dimension broadcasts TWICE under
+    * different aliases (supplier's and customer's nation), and the
+    * cross-nation constraint is a residual predicate over both
+    * broadcast joins — only lineitem⋈orders shuffles. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(discPrice).cast(DecimalType(38, 4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS ship_year,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q19-style disjunctive-predicate join: revenue from three
+    * OR'd (brand × size × quantity-band) channels. The per-side
+    * conjuncts (brand IN (...), size range, quantity range) are pushed
+    * to their scans as supersets of the disjunction, and the full
+    * OR-of-ANDs evaluates as a residual join filter — the classic
+    * "complex predicate still prunes both inputs" shape. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 40))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey") && cond)
+      .agg(sum(discPrice).cast(DecimalType(38, 4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   /** Event-time sliding windows via the native `window()` generator:
     * hourly counts per type, sliding every 30 minutes. Each event fans
     * out to exactly windowLength/slide = 2 rows scan-side (a generator,
@@ -489,8 +564,10 @@ object Warehouse {
     "session_native" -> (sessionNative _),
     "user_value_mad" -> (userValueMad _),
     "q4_late_orders" -> (q4LateOrders _),
+    "q7_nation_volume" -> (q7NationVolume _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "value_moving_avg" -> (valueMovingAvg _),
     "user_first_last" -> (userFirstLast _),
     "value_histogram" -> (valueHistogram _),
@@ -504,8 +581,10 @@ object Warehouse {
     "session_native" -> sessionNativeSql,
     "user_value_mad" -> userValueMadSql,
     "q4_late_orders" -> q4Sql,
+    "q7_nation_volume" -> q7Sql,
     "q10_returned_revenue" -> q10Sql,
     "q14_promo_share" -> q14Sql,
+    "q19_disjunctive_revenue" -> q19Sql,
     "value_moving_avg" -> valueMovingAvgSql,
     "user_first_last" -> userFirstLastSql,
     "value_histogram" -> valueHistogramSql,

@@ -47,6 +47,33 @@ class WarehouseSpec extends SparkSpec {
     assert(math.abs(manual - rev) < 1e-2)
   }
 
+  test("q7_nation_volume: only the two ordered nation pairs appear") {
+    // sf0.01: the sf0.001 slice has no NATION_1<->NATION_2 trade at all
+    val rows = Warehouse.q7NationVolume(spark, "/root/testdata/sf0.01")
+      .as[(String, String, Int, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    assert(pairs.subsetOf(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))))
+    // fixture shipdates span 1995..2001
+    assert(rows.forall(r => r._3 >= 1995 && r._3 <= 2001 && r._4 > 0 && r._5 > 0))
+  }
+
+  test("q19_disjunctive_revenue: equals the union of the three channels") {
+    val Seq((rev, n)) = Warehouse.q19DisjunctiveRevenue(spark, dir)
+      .as[(Double, Long)].collect().toSeq
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val joined = li.join(p, col("l_partkey") === col("p_partkey"))
+    def channel(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      joined.filter(col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) && col("l_quantity").between(qLo, qHi))
+    val nManual = channel("Brand#1", 15, 1, 20).count() +
+      channel("Brand#2", 25, 10, 30).count() +
+      channel("Brand#3", 35, 20, 40).count()
+    assert(n == nManual)
+    assert(n > 0 && rev > 0, "fixture should populate at least one channel")
+  }
+
   test("q14_promo_share: via spark.sql views; parts sum to total") {
     val Seq((promo, total, pct)) =
       Warehouse.q14PromoShare(spark, dir).as[(Double, Double, Double)].collect().toSeq
