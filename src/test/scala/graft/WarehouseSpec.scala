@@ -85,7 +85,7 @@ class WarehouseSpec extends SparkSpec {
     // non-promo part recomputes as the complement (own views, own cleanup)
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     Tables.part(spark, dir).createOrReplaceTempView("part")
-    val nonPromo = spark.sql(
+    val nonPromo = try spark.sql(
       """SELECT CAST(CAST(sum(CASE WHEN p_type <> 'PROMO'
         |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
@@ -94,8 +94,10 @@ class WarehouseSpec extends SparkSpec {
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
       .as[Double].head()
-    spark.catalog.dropTempView("lineitem")
-    spark.catalog.dropTempView("part")
+    finally {
+      spark.catalog.dropTempView("lineitem")
+      spark.catalog.dropTempView("part")
+    }
     assert(math.abs(promo + nonPromo - total) < 1e-6)
   }
 
