@@ -440,9 +440,45 @@ object Similarity {
        |SELECT q_id, "rank", vec_id AS cand_id, sim_r, cell, probe
        |FROM r WHERE "rank" <= 3""".stripMargin
 
+  /** Per-label embedding-norm profile — the "is this embedding table
+    * healthy" audit query (collapsed norms = dead encoder; wild norms =
+    * unnormalized mixture). One pass: the codegen'd dot kernel computes
+    * ||v||² inside the scan loop, the norm rounds to 1e-6 fixed point
+    * and scales to an INTEGER so the per-label mean is an exact
+    * order-free integer sum (a double sum would be parallel-fold
+    * order-dependent) — then one tiny hash aggregate on label. */
+  def embeddingNormStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm_u",
+        floor(sqrt(dot(col("v"), col("v"))) * 1000000.0 + 0.5).cast("long"))
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("norm_u").as("su"),
+        min("norm_u").as("mn"), max("norm_u").as("mx"))
+      .select(col("label"), col("n"),
+        (col("su").cast("double") / col("n") / 1000000.0).as("mean_norm"),
+        (col("mn").cast("double") / 1000000.0).as("min_norm"),
+        (col("mx").cast("double") / 1000000.0).as("max_norm"))
+  }
+
+  val embeddingNormStatsSql: String =
+    s"""WITH v AS (
+       |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), u AS (
+       |  SELECT label,
+       |    CAST(floor(sqrt(${dotSql("v", "v")}) * 1000000.0 + 0.5) AS BIGINT) AS norm_u
+       |  FROM v
+       |)
+       |SELECT label, count(*) AS n,
+       |  CAST(sum(norm_u) AS DOUBLE) / count(*) / 1000000.0 AS mean_norm,
+       |  CAST(min(norm_u) AS DOUBLE) / 1000000.0 AS min_norm,
+       |  CAST(max(norm_u) AS DOUBLE) / 1000000.0 AS max_norm
+       |FROM u GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> (annTopkCosine _),
     "ann_range_search" -> (annRangeSearch _),
+    "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_neardup_pairs" -> (neardupPairs _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -452,6 +488,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,
     "ann_range_search" -> annRangeSearchSql,
+    "embedding_norm_stats" -> embeddingNormStatsSql,
     "embedding_neardup_pairs" -> neardupPairsSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,

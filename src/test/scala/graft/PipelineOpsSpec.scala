@@ -206,4 +206,25 @@ class PipelineOpsSpec extends SparkSpec {
       assert(gotSet.get((q, c)).contains(s))
     }
   }
+
+  test("embedding_norm_stats: brute force per label; counts partition the table") {
+    val got = Similarity.embeddingNormStats(spark, dir)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("label", "embedding").as[(Int, Array[Float])].collect()
+    assert(got.map(_._2).sum == vecs.length)
+    got.foreach { case (label, n, mean, mn, mx) =>
+      val normsU = vecs.filter(_._1 == label).map { case (_, emb) =>
+        val v = emb.map(_.toDouble)
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.floor(math.sqrt(s) * 1000000.0 + 0.5).toLong
+      }
+      assert(n == normsU.length)
+      assert(mn == normsU.min.toDouble / 1000000.0)
+      assert(mx == normsU.max.toDouble / 1000000.0)
+      assert(mean == normsU.sum.toDouble / n / 1000000.0)
+      assert(mn > 0, "a zero norm would mean a dead vector")
+    }
+  }
 }
