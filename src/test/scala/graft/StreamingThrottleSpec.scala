@@ -55,4 +55,47 @@ class StreamingThrottleSpec extends SparkSpec {
       }
     }
   }
+
+  test("checkpoint recovery: a straggler for a pre-restart bucket stays suppressed") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try recoveryBody()
+    finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  private def recoveryBody(): Unit = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-thr-src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-thr-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-thr-rec").toString
+    def alert(id: Long, ts: Long): String =
+      s"""{"rule_name":"r1","key":"u1","ts_sec":$ts,"event_id":$id,""" +
+        s""""value":1.0,"details":"d","original_event":"{}"}"""
+    val schema = org.apache.spark.sql.Encoders.product[SAlert].schema
+    def runOnce(): Unit = {
+      val alerts = spark.readStream.schema(schema).json(srcDir.toString)
+        .as[SAlert]
+      val q = StreamingThrottle.throttled(alerts, period)
+        .writeStream.format("json").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // bucket 1666 (ts 1000000..1000599): two alerts, first survives
+    java.nio.file.Files.writeString(srcDir.resolve("a.json"),
+      Seq(alert(1, 1000000L), alert(2, 1000010L)).mkString("\n"))
+    runOnce()
+    // restart: a straggler in the SAME bucket only stays suppressed if
+    // the lastBucket state was recovered from the checkpoint; the
+    // next-bucket alert must pass
+    java.nio.file.Files.writeString(srcDir.resolve("b.json"),
+      Seq(alert(3, 1000020L), alert(4, 1000600L)).mkString("\n"))
+    runOnce()
+    val got = spark.read.schema(schema).json(outDir).as[SAlert]
+      .collect().map(_.event_id).toSet
+    assert(got == Set(1L, 4L))
+  }
 }
