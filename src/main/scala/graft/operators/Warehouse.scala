@@ -404,6 +404,59 @@ object Warehouse {
       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
 
+  /** Concurrency profile: how many user sessions were live in each hour
+    * — an interval-OVERLAP join (session [start, end+gap) × hour grid),
+    * the join shape none of the equi/semi/band joins cover: neither side
+    * key is contained in the other; the predicate is two inequalities.
+    * Sessions come from the same gap logic as `session_native`; the
+    * hour grid derives from a 1-row min/max aggregate and broadcasts, so
+    * the sessions side never shuffles for the join — each session
+    * meets only its own covered hours (output rows ≈ total session
+    * hours, not |sessions|×|hours|). */
+  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionNative(spark, dir)
+    val hours = sessions
+      .agg((expr("min(start_sec) div 3600") * 3600).as("lo"),
+        (expr("max(end_sec) div 3600") * 3600).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_sec"))
+    sessions.join(broadcast(hours),
+        col("hour_sec") < col("end_sec") &&
+          col("hour_sec") + 3600L > col("start_sec"))
+      .groupBy("hour_sec")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_sessions"))
+  }
+
+  val concurrentSessionsSql: String = {
+    // the session CTEs mirror sessionNativeSql
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+      |  FROM events
+      |), f AS (
+      |  SELECT *, lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us
+      |  FROM e
+      |), g AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM f
+      |), h AS (
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM g
+      |), s AS (
+      |  SELECT user_id, min(ts_us) // 1000000 AS start_sec,
+      |    max(ts_us) // 1000000 + 1800 AS end_sec
+      |  FROM h GROUP BY user_id, sid
+      |), b AS (
+      |  SELECT min(start_sec) // 3600 * 3600 AS lo,
+      |    max(end_sec) // 3600 * 3600 AS hi FROM s
+      |), hrs AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_sec FROM b)
+      |SELECT hour_sec, count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_sessions
+      |FROM s JOIN hrs ON hour_sec < end_sec AND hour_sec + 3600 > start_sec
+      |GROUP BY 1""".stripMargin
+  }
+
   /** Event-time sliding windows via the native `window()` generator:
     * hourly counts per type, sliding every 30 minutes. Each event fans
     * out to exactly windowLength/slide = 2 rows scan-side (a generator,
@@ -562,6 +615,7 @@ object Warehouse {
     "props_kv_stats" -> (propsKvStats _),
     "sliding_window_counts" -> (slidingWindowCounts _),
     "session_native" -> (sessionNative _),
+    "concurrent_sessions" -> (concurrentSessions _),
     "user_value_mad" -> (userValueMad _),
     "q4_late_orders" -> (q4LateOrders _),
     "q7_nation_volume" -> (q7NationVolume _),
@@ -579,6 +633,7 @@ object Warehouse {
     "props_kv_stats" -> propsKvStatsSql,
     "sliding_window_counts" -> slidingWindowCountsSql,
     "session_native" -> sessionNativeSql,
+    "concurrent_sessions" -> concurrentSessionsSql,
     "user_value_mad" -> userValueMadSql,
     "q4_late_orders" -> q4Sql,
     "q7_nation_volume" -> q7Sql,

@@ -193,6 +193,30 @@ class WarehouseSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("concurrent_sessions: brute-force hour overlap counts") {
+    val got = Warehouse.concurrentSessions(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      .as[(Long, Long)].collect()
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      ts.foldLeft(List.empty[List[Long]]) {
+        case (Nil, t) => List(List(t))
+        case (cur :: done, t) =>
+          if (t - cur.head >= 1800000000L) List(t) :: cur :: done
+          else (t :: cur) :: done
+      }.map(s => (u, s.last / 1000000, s.head / 1000000 + 1800))
+    }
+    val lo = sessions.map(_._2).min / 3600 * 3600
+    val hi = sessions.map(_._3).max / 3600 * 3600
+    (lo to hi by 3600).foreach { h =>
+      val live = sessions.filter(s => h < s._3 && h + 3600 > s._2)
+      if (live.isEmpty) assert(!got.contains(h))
+      else assert(got(h) == ((live.map(_._1).distinct.size.toLong, live.size.toLong)), s"hour $h")
+    }
+  }
+
   test("user_value_mad: brute-force median/MAD/outlier count per user") {
     val got = Warehouse.userValueMad(spark, dir)
       .as[(Long, Long, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
