@@ -415,9 +415,14 @@ object Warehouse {
     * hours, not |sessions|×|hours|). */
   def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
     val sessions = sessionNative(spark, dir)
-    val hours = sessions
-      .agg((expr("min(start_sec) div 3600") * 3600).as("lo"),
-        (expr("max(end_sec) div 3600") * 3600).as("hi"))
+    // grid bounds need no sessionization: min session start == min event
+    // second, max session end == max event second + gap — a 1-row min/max
+    // over the raw scan (deriving them from `sessions` would execute the
+    // session-merge aggregation twice). The inner overlap join drops
+    // empty hours, so equal-or-wider bounds cannot change the result.
+    val hours = Tables.events(spark, dir)
+      .agg((expr("min(ts_sec) div 3600") * 3600).as("lo"),
+        (expr("(max(ts_sec) + 1800) div 3600") * 3600).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_sec"))
     sessions.join(broadcast(hours),
         col("hour_sec") < col("end_sec") &&
@@ -427,35 +432,19 @@ object Warehouse {
         count(lit(1)).as("n_sessions"))
   }
 
-  val concurrentSessionsSql: String = {
-    // the session CTEs mirror sessionNativeSql
-    """WITH e AS (
-      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
-      |  FROM events
-      |), f AS (
-      |  SELECT *, lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us
-      |  FROM e
-      |), g AS (
-      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
-      |    THEN 1 ELSE 0 END AS new_session
-      |  FROM f
-      |), h AS (
-      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-      |  FROM g
-      |), s AS (
-      |  SELECT user_id, min(ts_us) // 1000000 AS start_sec,
-      |    max(ts_us) // 1000000 + 1800 AS end_sec
-      |  FROM h GROUP BY user_id, sid
-      |), b AS (
-      |  SELECT min(start_sec) // 3600 * 3600 AS lo,
-      |    max(end_sec) // 3600 * 3600 AS hi FROM s
-      |), hrs AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_sec FROM b)
-      |SELECT hour_sec, count(DISTINCT user_id) AS n_users,
-      |  count(*) AS n_sessions
-      |FROM s JOIN hrs ON hour_sec < end_sec AND hour_sec + 3600 > start_sec
-      |GROUP BY 1""".stripMargin
-  }
+  val concurrentSessionsSql: String =
+    s"""WITH $sessionCtes, s AS (
+       |  SELECT user_id, min(ts_us) // 1000000 AS start_sec,
+       |    max(ts_us) // 1000000 + 1800 AS end_sec
+       |  FROM h GROUP BY user_id, sid
+       |), b AS (
+       |  SELECT min(ts_us) // 1000000 // 3600 * 3600 AS lo,
+       |    (max(ts_us) // 1000000 + 1800) // 3600 * 3600 AS hi FROM e
+       |), hrs AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_sec FROM b)
+       |SELECT hour_sec, count(DISTINCT user_id) AS n_users,
+       |  count(*) AS n_sessions
+       |FROM s JOIN hrs ON hour_sec < end_sec AND hour_sec + 3600 > start_sec
+       |GROUP BY 1""".stripMargin
 
   /** Event-time sliding windows via the native `window()` generator:
     * hourly counts per type, sliding every 30 minutes. Each event fans
@@ -500,8 +489,13 @@ object Warehouse {
         col("session_window.end").cast("long").as("end_sec"),
         col("n_events"))
 
-  val sessionNativeSql: String =
-    """WITH e AS (
+  /** The gap-session CTE block shared by [[sessionNativeSql]] and
+    * [[concurrentSessionsSql]] — ONE definition of the 30-min gap
+    * semantics (>= boundary at microsecond precision, +1800 end pad). */
+  // def, not val: referenced by concurrentSessionsSql which initializes
+  // earlier in the object — a val here would still be null at that point
+  private def sessionCtes: String =
+    """e AS (
       |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
       |  FROM events
       |), f AS (
@@ -515,10 +509,13 @@ object Warehouse {
       |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
       |  FROM g
-      |)
-      |SELECT user_id, min(ts_us) // 1000000 AS start_sec,
-      |  max(ts_us) // 1000000 + 1800 AS end_sec, count(*) AS n_events
-      |FROM h GROUP BY user_id, sid""".stripMargin
+      |)""".stripMargin
+
+  val sessionNativeSql: String =
+    s"""WITH $sessionCtes
+       |SELECT user_id, min(ts_us) // 1000000 AS start_sec,
+       |  max(ts_us) // 1000000 + 1800 AS end_sec, count(*) AS n_events
+       |FROM h GROUP BY user_id, sid""".stripMargin
 
   /** Robust per-user outlier profile: median, MAD (median absolute
     * deviation), and the count of events beyond 3 MADs — the robust

@@ -16,12 +16,22 @@ class StreamingThrottleSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private val period = 600L
 
-  test("ordered replay passes exactly the batch survivors; stragglers suppressed") {
+  /** transformWithState needs a multi-column-family store: run `body`
+    * with RocksDB as the provider, restoring the prior conf after. */
+  private def withRocksDBProvider(body: => Unit): Unit = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("ordered replay passes exactly the batch survivors; stragglers suppressed") {
+    withRocksDBProvider {
       implicit val sqlCtx = spark.sqlContext
       val batchAlerts = Detectors.thresholdAlerts(
         Tables.events(spark, dir), SparkEntry.FixtureRules.threshold)
@@ -48,24 +58,11 @@ class StreamingThrottleSpec extends SparkSpec {
         q.processAllAvailable()
         assert(spark.table("thr_stream").count() == before)
       } finally q.stop()
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
-      }
     }
   }
 
   test("checkpoint recovery: a straggler for a pre-restart bucket stays suppressed") {
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try recoveryBody()
-    finally prior match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
-    }
+    withRocksDBProvider { recoveryBody() }
   }
 
   private def recoveryBody(): Unit = {
@@ -84,7 +81,8 @@ class StreamingThrottleSpec extends SparkSpec {
         .option("checkpointLocation", ckpt).start()
       try q.processAllAvailable() finally q.stop()
     }
-    // bucket 1666 (ts 1000000..1000599): two alerts, first survives
+    // bucket 1666 = ts 999600..1000199 (1000000 div 600): two alerts in
+    // it, first survives; ts 1000600 below is bucket 1667
     java.nio.file.Files.writeString(srcDir.resolve("a.json"),
       Seq(alert(1, 1000000L), alert(2, 1000010L)).mkString("\n"))
     runOnce()
