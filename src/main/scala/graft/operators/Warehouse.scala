@@ -329,6 +329,40 @@ object Warehouse {
       |    / count(TRY_CAST(json_extract_string(props, '$."' || prop_key || '"') AS BIGINT)) AS avg_val
       |FROM kv GROUP BY 1""".stripMargin
 
+  /** Global-baseline comparison — "which event types run hot against
+    * the corpus-wide mean": a 1-row global aggregate joined back under
+    * every row (the scalar-subquery pattern; Spark broadcasts the
+    * single row, the scan never reshuffles). The above-mean predicate
+    * is the integer inequality `cents·N > total_cents` — algebraically
+    * `value > mean` with no division, so no float comparison exists
+    * anywhere. */
+  def aboveMeanEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("c", Analytics.cents(col("value")))
+    val totals = e.agg(sum("c").as("tot_c"), count(lit(1)).as("n_tot"))
+    e.crossJoin(broadcast(totals))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") * col("n_tot") > col("tot_c"), 1L).otherwise(0L))
+          .as("n_above_mean"))
+      .withColumn("share_above",
+        col("n_above_mean").cast("double") / col("n"))
+  }
+
+  val aboveMeanEventsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL
+      |), t AS (SELECT CAST(sum(c) AS BIGINT) AS tot_c, count(*) AS n_tot FROM e)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN c * n_tot > tot_c THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above_mean,
+      |  CAST(CAST(sum(CASE WHEN c * n_tot > tot_c THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / count(*) AS share_above
+      |FROM e CROSS JOIN t
+      |GROUP BY 1""".stripMargin
+
   /** TPC-H Q7-style cross-nation shipping volume: revenue flowing from
     * supplier nation to customer nation, for one ordered nation pair,
     * per ship year. The nation dimension broadcasts TWICE under
@@ -615,6 +649,7 @@ object Warehouse {
     "concurrent_sessions" -> (concurrentSessions _),
     "user_value_mad" -> (userValueMad _),
     "q4_late_orders" -> (q4LateOrders _),
+    "above_mean_events" -> (aboveMeanEvents _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q14_promo_share" -> (q14PromoShare _),
@@ -633,6 +668,7 @@ object Warehouse {
     "concurrent_sessions" -> concurrentSessionsSql,
     "user_value_mad" -> userValueMadSql,
     "q4_late_orders" -> q4Sql,
+    "above_mean_events" -> aboveMeanEventsSql,
     "q7_nation_volume" -> q7Sql,
     "q10_returned_revenue" -> q10Sql,
     "q14_promo_share" -> q14Sql,

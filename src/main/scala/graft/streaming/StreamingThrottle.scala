@@ -39,6 +39,30 @@ object StreamingThrottle {
     * primitive default (0 is a valid bucket id). */
   final case class ThrState(last: Long)
 
+  /** Pure per-batch fold (separated for property testing): survivors =
+    * the (ts_sec, event_id)-minimal alert of every bucket strictly
+    * after `last`, in ascending bucket order, plus the advanced
+    * watermark bucket. One pass, O(distinct buckets) memory — never
+    * materializes the batch (an alert storm puts millions of hot-key
+    * rows in one batch). Truncating `/` matches the batch twin's
+    * `ts_sec div period` (and DuckDB `//`) on negative timestamps
+    * where floorDiv would not. */
+  private[graft] def survivors(last: Long, rows: Iterator[SAlert],
+      periodSec: Long): (Seq[SAlert], Long) = {
+    val best = scala.collection.mutable.LongMap.empty[SAlert]
+    rows.foreach { a =>
+      val bucket = a.ts_sec / periodSec
+      if (bucket > last) {
+        val cur = best.getOrNull(bucket)
+        if (cur == null || a.ts_sec < cur.ts_sec ||
+            (a.ts_sec == cur.ts_sec && a.event_id < cur.event_id))
+          best(bucket) = a
+      }
+    }
+    if (best.isEmpty) (Seq.empty, last)
+    else (best.toSeq.sortBy(_._1).map(_._2), best.keysIterator.max)
+  }
+
   final class ThrottleProcessor(periodSec: Long, ttl: TTLConfig)
       extends StatefulProcessor[String, SAlert, SAlert] {
 
@@ -52,27 +76,9 @@ object StreamingThrottle {
         timerValues: TimerValues): Iterator[SAlert] = {
       // Long.MinValue sentinel = no bucket emitted yet for this key
       val last = Option(lastBucket.get()).map(_.last).getOrElse(Long.MinValue)
-      // One pass, O(distinct buckets) memory — never materialize the
-      // micro-batch (an alert storm puts millions of hot-key rows in one
-      // batch): keep the (ts_sec, event_id)-minimal alert per bucket,
-      // which is exactly the sorted fold's survivor set. Truncating `/`
-      // matches the batch twin's `ts_sec div period` (and DuckDB `//`)
-      // on negative timestamps where floorDiv would not.
-      val best = scala.collection.mutable.LongMap.empty[SAlert]
-      rows.foreach { a =>
-        val bucket = a.ts_sec / periodSec
-        if (bucket > last) {
-          val cur = best.getOrNull(bucket)
-          if (cur == null || a.ts_sec < cur.ts_sec ||
-              (a.ts_sec == cur.ts_sec && a.event_id < cur.event_id))
-            best(bucket) = a
-        }
-      }
-      if (best.isEmpty) Iterator.empty
-      else {
-        lastBucket.update(ThrState(best.keysIterator.max))
-        best.toSeq.sortBy(_._1).iterator.map(_._2)
-      }
+      val (out, newLast) = survivors(last, rows, periodSec)
+      if (newLast != last) lastBucket.update(ThrState(newLast))
+      out.iterator
     }
   }
 }

@@ -32,6 +32,40 @@ class ThrottleMadPropSpec extends SparkSpec {
     }
   }
 
+  test("streaming fold: emitted buckets strictly increase across random batch splits") {
+    import graft.streaming.{SAlert, StreamingThrottle}
+    val rnd = new scala.util.Random(13)
+    def mk(ts: Long, id: Long) = SAlert("r", "k", ts, id, 0.0, "", "{}")
+    (1 to 20).foreach { _ =>
+      val period = Seq(10L, 600L)(rnd.nextInt(2))
+      // arbitrary arrival order INCLUDING negative timestamps
+      val alerts = (0 until 1 + rnd.nextInt(80)).map { i =>
+        mk(rnd.nextInt(4000).toLong - 2000L, i.toLong)
+      }
+      // random batch split; fold batches through the pure function
+      var last = Long.MinValue
+      val emitted = scala.collection.mutable.Buffer.empty[SAlert]
+      var rest = alerts
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(rest.length)
+        val (batch, tail) = rest.splitAt(n)
+        val (out, nl) = StreamingThrottle.survivors(last, batch.iterator, period)
+        // contract: strictly increasing buckets within and across batches
+        val buckets = out.map(_.ts_sec / period)
+        assert(buckets == buckets.sorted && buckets.distinct == buckets)
+        assert(buckets.forall(_ > last))
+        assert(nl == (if (buckets.isEmpty) last else buckets.max))
+        emitted ++= out; last = nl; rest = tail
+      }
+      // across the whole run: at most one emission per bucket, and each
+      // emitted alert is the (ts, id)-min of its bucket among the rows
+      // seen up to and including its own batch (weaker global property:
+      // per-bucket uniqueness is exact; minimality holds per batch)
+      val perBucket = emitted.groupBy(_.ts_sec / period)
+      assert(perBucket.values.forall(_.size == 1))
+    }
+  }
+
   test("madProfile == brute force for 20 random value sets (with nulls)") {
     val rnd = new scala.util.Random(11)
     def med2(xs: Seq[Long]): Long = {

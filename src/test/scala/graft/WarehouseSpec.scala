@@ -193,6 +193,23 @@ class WarehouseSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("above_mean_events: integer predicate equals the float definition") {
+    val got = Warehouse.aboveMeanEvents(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    val cs = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .map { case (t, v) => (t, math.floor(v * 100.0 + 0.5).toLong) }
+    val tot = cs.map(_._2).sum
+    val n = cs.length
+    got.foreach { case (t, gn, gAbove, share) =>
+      val mine = cs.filter(_._1 == t)
+      assert(gn == mine.length)
+      // c*N > tot  <=>  c > mean (no division anywhere)
+      assert(gAbove == mine.count(_._2 * n > tot))
+      assert(share == gAbove.toDouble / gn)
+    }
+  }
+
   test("concurrent_sessions: brute-force hour overlap counts") {
     val got = Warehouse.concurrentSessions(spark, dir)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
