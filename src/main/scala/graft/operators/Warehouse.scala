@@ -363,6 +363,39 @@ object Warehouse {
       |FROM e CROSS JOIN t
       |GROUP BY 1""".stripMargin
 
+  /** Rolling 7-day distinct active users per day — the windowed
+    * COUNT(DISTINCT) that window functions cannot express (Spark
+    * forbids DISTINCT in a frame; a per-day sum of daily uniques would
+    * double-count): dedup to (day, user) pairs first (one exchange,
+    * map-side partial dedup), then join the tiny day grid on the
+    * 7-day containment range — each pair meets ≤ 7 grid days — and
+    * count distinct users per grid day. Exact, no sketch; the HLL
+    * variant of the same metric is `approx_count_distinct` one-lined
+    * over the identical join (sketch-gated in SketchSpec, not here). */
+  def rollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(expr("ts_sec div 86400").as("day_num"), col("user_id"))
+      .distinct()
+    val days = pairs.agg(min("day_num").as("lo"), max("day_num").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    pairs.join(broadcast(days),
+        col("day_num") <= col("d") && col("day_num") > col("d") - 7)
+      .groupBy("d")
+      .agg(countDistinct("user_id").as("dau_7d"),
+        count(lit(1)).as("active_pairs"))
+  }
+
+  val rollingDauSql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT epoch_ns(ts) // 1000000000 // 86400 AS day_num, user_id
+      |  FROM events
+      |), b AS (SELECT min(day_num) AS lo, max(day_num) AS hi FROM p),
+      |d AS (SELECT unnest(generate_series(lo, hi)) AS d FROM b)
+      |SELECT d, count(DISTINCT user_id) AS dau_7d,
+      |  count(*) AS active_pairs
+      |FROM p JOIN d ON day_num <= d AND day_num > d - 7
+      |GROUP BY 1""".stripMargin
+
   /** TPC-H Q7-style cross-nation shipping volume: revenue flowing from
     * supplier nation to customer nation, for one ordered nation pair,
     * per ship year. The nation dimension broadcasts TWICE under
@@ -650,6 +683,7 @@ object Warehouse {
     "user_value_mad" -> (userValueMad _),
     "q4_late_orders" -> (q4LateOrders _),
     "above_mean_events" -> (aboveMeanEvents _),
+    "rolling_dau" -> (rollingDau _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q14_promo_share" -> (q14PromoShare _),
@@ -669,6 +703,7 @@ object Warehouse {
     "user_value_mad" -> userValueMadSql,
     "q4_late_orders" -> q4Sql,
     "above_mean_events" -> aboveMeanEventsSql,
+    "rolling_dau" -> rollingDauSql,
     "q7_nation_volume" -> q7Sql,
     "q10_returned_revenue" -> q10Sql,
     "q14_promo_share" -> q14Sql,

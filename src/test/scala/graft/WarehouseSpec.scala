@@ -210,6 +210,20 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("rolling_dau: brute-force 7-day distinct per day") {
+    val got = Warehouse.rollingDau(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val pairs = Tables.events(spark, dir)
+      .select(expr("ts_sec div 86400").as("d"), col("user_id"))
+      .as[(Long, Long)].collect().toSet
+    val lo = pairs.map(_._1).min; val hi = pairs.map(_._1).max
+    (lo to hi).foreach { d =>
+      val win = pairs.filter(p => p._1 <= d && p._1 > d - 7)
+      if (win.isEmpty) assert(!got.contains(d))
+      else assert(got(d) == ((win.map(_._2).size.toLong, win.size.toLong)), s"day $d")
+    }
+  }
+
   test("concurrent_sessions: brute-force hour overlap counts") {
     val got = Warehouse.concurrentSessions(spark, dir)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
