@@ -99,7 +99,8 @@ object Warehouse {
     Tables.part(spark, dir).createOrReplaceTempView("part")
     try spark.sql(
       """SELECT promo_revenue, total_revenue,
-        |  100.0 * promo_revenue / total_revenue AS promo_share_pct
+        |  CASE WHEN total_revenue = 0.0 OR total_revenue IS NULL THEN NULL
+        |    ELSE 100.0 * promo_revenue / total_revenue END AS promo_share_pct
         |FROM (
         |  SELECT
         |    CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
@@ -119,7 +120,8 @@ object Warehouse {
 
   val q14Sql: String =
     """SELECT promo_revenue, total_revenue,
-      |  100.0 * promo_revenue / total_revenue AS promo_share_pct
+      |  CASE WHEN total_revenue = 0.0 OR total_revenue IS NULL THEN NULL
+      |    ELSE 100.0 * promo_revenue / total_revenue END AS promo_share_pct
       |FROM (
       |  SELECT
       |    CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
