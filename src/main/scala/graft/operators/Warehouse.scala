@@ -337,7 +337,9 @@ object Warehouse {
     * single row, the scan never reshuffles). The above-mean predicate
     * is the integer inequality `cents·N > total_cents` — algebraically
     * `value > mean` with no division, so no float comparison exists
-    * anywhere. */
+    * anywhere. Domain bound (like [[typeDiurnalCorr]]'s moments): the
+    * product needs `max_cents × N < 2^63` — ~1e6-cent values hold to
+    * ~9e12 rows; beyond that, lift the moments to DECIMAL(38,0). */
   def aboveMeanEvents(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
@@ -375,13 +377,21 @@ object Warehouse {
     * variant of the same metric is `approx_count_distinct` one-lined
     * over the identical join (sketch-gated in SketchSpec, not here). */
   def rollingDau(spark: SparkSession, dir: String): DataFrame = {
+    // fixed 7-day window => generator fan-out, NOT a non-equi grid join
+    // (a containment join would nested-loop every pair against every
+    // grid day — O(pairs × days); the explode is exactly 7 rows per
+    // pair whatever the date range). The only scalar needed is the max
+    // day (to stop windows hanging past the data), from a scan-only
+    // min-free aggregate — the pair dedup never executes twice.
     val pairs = Tables.events(spark, dir)
       .select(expr("ts_sec div 86400").as("day_num"), col("user_id"))
       .distinct()
-    val days = pairs.agg(min("day_num").as("lo"), max("day_num").as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
-    pairs.join(broadcast(days),
-        col("day_num") <= col("d") && col("day_num") > col("d") - 7)
+    val hi = Tables.events(spark, dir)
+      .agg(expr("max(ts_sec div 86400)").as("hi"))
+    pairs
+      .withColumn("d", explode(sequence(col("day_num"), col("day_num") + 6)))
+      .crossJoin(broadcast(hi))
+      .filter(col("d") <= col("hi"))
       .groupBy("d")
       .agg(countDistinct("user_id").as("dau_7d"),
         count(lit(1)).as("active_pairs"))
@@ -391,11 +401,15 @@ object Warehouse {
     """WITH p AS (
       |  SELECT DISTINCT epoch_ns(ts) // 1000000000 // 86400 AS day_num, user_id
       |  FROM events
-      |), b AS (SELECT min(day_num) AS lo, max(day_num) AS hi FROM p),
-      |d AS (SELECT unnest(generate_series(lo, hi)) AS d FROM b)
+      |), b AS (SELECT max(epoch_ns(ts) // 1000000000 // 86400) AS hi FROM events),
+      |f AS (
+      |  SELECT user_id, unnest(generate_series(day_num, day_num + 6)) AS d
+      |  FROM p
+      |)
       |SELECT d, count(DISTINCT user_id) AS dau_7d,
       |  count(*) AS active_pairs
-      |FROM p JOIN d ON day_num <= d AND day_num > d - 7
+      |FROM f CROSS JOIN b
+      |WHERE d <= hi
       |GROUP BY 1""".stripMargin
 
   /** TPC-H Q7-style cross-nation shipping volume: revenue flowing from
