@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scratch micro-bench: a large-×-large equi-join with one pathological
+  * hot key, three ways —
+  *  1. plain sort-merge join with AQE off (the hot key lands in ONE
+  *     task: the 100 TB straggler/OOM shape),
+  *  2. AQE skew-join (runtime splits the oversized partition),
+  *  3. manual salting (hot side gets a random salt, dim side replicates
+  *     each row SALTS times — deterministic, planner-independent).
+  * All three must produce the identical row count. */
+object SkewJoinBench {
+  private val SALTS = 16
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.sources.Sessions.builder("local[16]", 16).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = 20000000L
+    // fact: 50% of rows on key 0, rest over 1M keys
+    val fact = spark.range(n).select(
+      when(col("id") % 2 === 0, 0L)
+        .otherwise(pmod(col("id") * 2654435761L, lit(1000000L))).as("k"),
+      col("id").as("v"))
+    // dim: 1M keys with an attribute; too big to broadcast at defaults
+    val dim = spark.range(1000000L).select(col("id").as("k"),
+      (col("id") % 97).as("attr"))
+    fact.cache(); fact.count(); dim.cache(); dim.count()
+
+    def run(label: String)(f: => DataFrame): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val c = f.groupBy("attr").count().count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      println(f"[skewjoin] $label: min=${ts.map(_._1).min}%.2f s groups=${ts.head._2}")
+    }
+
+    val conf = spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    conf.set("spark.sql.adaptive.enabled", "false")
+    run("plain SMJ (AQE off)")(fact.join(dim, "k"))
+
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    run("AQE skew join")(fact.join(dim, "k"))
+
+    // manual salting: planner-independent; dim replicated SALTS times
+    run("manual salted join") {
+      val salted = fact.withColumn("salt", pmod(col("v") * 1103515245L, lit(SALTS.toLong)))
+      val dimRep = dim.withColumn("salt",
+        explode(sequence(lit(0L), lit(SALTS.toLong - 1))))
+      salted.join(dimRep, Seq("k", "salt"))
+    }
+    spark.stop()
+  }
+}
