@@ -16,6 +16,30 @@ package graft
   * query construction) — that is fine; the assertion is on plan text. */
 class PlanInvariantSpec extends SparkSpec {
 
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q6: every predicate reaches the scan; only 4 columns read") {
+    val plan = formatted("q6_forecast_revenue")
+    // all three filter families in PushedFilters on the parquet scan
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_discount"), plan)
+    assert(plan.contains("LessThan(l_quantity"), plan)
+    // pruned read schema: exactly the 4 referenced columns
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(read.contains), read)
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"), read)
+  }
+
+  test("q5: every dimension joins as broadcast; only the fact join shuffles") {
+    val plan = formatted("q5_local_supplier")
+    // 4 broadcast dims (supplier, customer, nation, region)
+    assert(plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 4, plan)
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
