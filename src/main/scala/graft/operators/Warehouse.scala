@@ -134,6 +134,61 @@ object Warehouse {
       |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')""".stripMargin
 
+  /** TPC-H Q13-style customer distribution: how many customers placed
+    * exactly N orders, including the zero-order long tail (the LEFT
+    * OUTER join is the point — an inner join would silently drop the
+    * never-ordered customers, the most interesting bucket). Two
+    * stacked aggregations: per-customer count, then the histogram of
+    * those counts (second shuffle carries one row per distinct count —
+    * a few dozen whatever the scale). */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val q13Sql: String =
+    """SELECT n_orders, count(*) AS n_customers
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS n_orders
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds 300, joined back to their customer — the HAVING-then-join
+    * shape where a per-key aggregate becomes the probe side of further
+    * joins. The aggregate output (few rows past the HAVING gate) is
+    * what AQE broadcasts; quantities are integer-valued doubles so the
+    * sums are IEEE-exact. Top-10 by volume, TakeOrdered. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("l_orderkey"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, l_orderkey, total_qty
+      |FROM (
+      |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300.0) b
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   /** Trailing 1-hour moving average of event value per user — the
     * time-RANGE analog of the rate rule's count window (§2 op 8 uses
     * the identical frame; here it carries a sum). One hash shuffle on
@@ -702,6 +757,8 @@ object Warehouse {
     "rolling_dau" -> (rollingDau _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
+    "q13_custdist" -> (q13CustDist _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q14_promo_share" -> (q14PromoShare _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "value_moving_avg" -> (valueMovingAvg _),
@@ -722,6 +779,8 @@ object Warehouse {
     "rolling_dau" -> rollingDauSql,
     "q7_nation_volume" -> q7Sql,
     "q10_returned_revenue" -> q10Sql,
+    "q13_custdist" -> q13Sql,
+    "q18_large_orders" -> q18Sql,
     "q14_promo_share" -> q14Sql,
     "q19_disjunctive_revenue" -> q19Sql,
     "value_moving_avg" -> valueMovingAvgSql,

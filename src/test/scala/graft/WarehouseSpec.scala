@@ -74,6 +74,31 @@ class WarehouseSpec extends SparkSpec {
     assert(n > 0 && rev > 0, "fixture should populate at least one channel")
   }
 
+  test("q13_custdist: buckets partition the customer table; zero bucket = anti-join") {
+    val rows = Warehouse.q13CustDist(spark, dir).as[(Long, Long)].collect()
+    val nCust = Tables.customer(spark, dir).count()
+    assert(rows.map(_._2).sum == nCust)
+    val zeroBucket = rows.find(_._1 == 0L).map(_._2).getOrElse(0L)
+    val noOrders = Tables.customer(spark, dir).join(
+      Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(zeroBucket == noOrders)
+  }
+
+  test("q18_large_orders: every row exceeds the gate; volumes recompute") {
+    val rows = Warehouse.q18LargeOrders(spark, dir)
+      .as[(Long, String, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_._4 > 300.0))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+      case _ =>
+    }
+    val (_, _, okey, qty) = rows.head
+    val manual = Tables.lineitem(spark, dir).filter(col("l_orderkey") === okey)
+      .agg(sum("l_quantity")).as[Double].head()
+    assert(manual == qty)
+  }
+
   test("q14_promo_share: via spark.sql views; parts sum to total") {
     val Seq((promo, total, pct)) =
       Warehouse.q14PromoShare(spark, dir).as[(Double, Double, Double)].collect().toSeq
