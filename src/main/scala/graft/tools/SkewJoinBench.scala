@@ -28,32 +28,48 @@ object SkewJoinBench {
       (col("id") % 97).as("attr"))
     fact.cache(); fact.count(); dim.cache(); dim.count()
 
-    def run(label: String)(f: => DataFrame): Unit = {
+    // result fingerprint: join cardinality AND an order-free exact sum —
+    // a broken rewrite (e.g. mismatched salt domains dropping 15/16 of
+    // the rows) changes both; strategies must agree exactly
+    def fingerprint(f: DataFrame): (Long, Long) = {
+      val r = f.agg(count(lit(1)), sum(col("v") % 1000003L))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    def run(label: String)(f: => DataFrame): (Long, Long) = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val c = f.groupBy("attr").count().count()
-        ((System.nanoTime() - t0) / 1e9, c)
+        val fp = fingerprint(f)
+        ((System.nanoTime() - t0) / 1e9, fp)
       }
-      println(f"[skewjoin] $label: min=${ts.map(_._1).min}%.2f s groups=${ts.head._2}")
+      println(f"[skewjoin] $label: min=${ts.map(_._1).min}%.2f s rows=${ts.head._2._1}")
+      ts.head._2
     }
 
     val conf = spark.conf
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     conf.set("spark.sql.adaptive.enabled", "false")
-    run("plain SMJ (AQE off)")(fact.join(dim, "k"))
+    val plainFp = run("plain SMJ (AQE off)")(fact.join(dim, "k"))
 
-    conf.set("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    run("AQE skew join")(fact.join(dim, "k"))
-
-    // manual salting: planner-independent; dim replicated SALTS times
-    run("manual salted join") {
+    // salting measured with AQE STILL OFF — it is pitched as the
+    // fallback for exactly the case where AQE cannot help, so it must
+    // be measured on the plain planner
+    def saltedJoin: DataFrame = {
       val salted = fact.withColumn("salt", pmod(col("v") * 1103515245L, lit(SALTS.toLong)))
       val dimRep = dim.withColumn("salt",
         explode(sequence(lit(0L), lit(SALTS.toLong - 1))))
       salted.join(dimRep, Seq("k", "salt"))
     }
+    val saltedFp = run("manual salted join (AQE off)")(saltedJoin)
+
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    val aqeFp = run("AQE skew join")(fact.join(dim, "k"))
+
+    require(plainFp == saltedFp && plainFp == aqeFp,
+      s"strategy results diverge: plain=$plainFp salted=$saltedFp aqe=$aqeFp")
+    println(s"[skewjoin] all strategies agree: rows=${plainFp._1} sum=${plainFp._2}")
     spark.stop()
   }
 }

@@ -34,10 +34,16 @@ class PlanInvariantSpec extends SparkSpec {
     assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"), read)
   }
 
-  test("q5: every dimension joins as broadcast; only the fact join shuffles") {
+  test("q5: every dimension joins as broadcast; at most the agg + fact exchanges") {
     val plan = formatted("q5_local_supplier")
-    // 4 broadcast dims (supplier, customer, nation, region)
-    assert(plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 4, plan)
+    // count operator DETAIL sections ("(n) OpName") — formatted explain
+    // prints each node twice (tree + details), so a raw substring count
+    // would double and mask a demotion to a shuffle join
+    def nodes(op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
+    assert(nodes("BroadcastHashJoin") >= 4, plan) // all 4 dims broadcast
+    assert(nodes("SortMergeJoin") == 0 && nodes("ShuffledHashJoin") == 0, plan)
+    assert(nodes("Exchange") <= 2, plan) // agg exchange (+ fact join at scale)
   }
 
   test("no registered query plans a global sort or a cartesian product") {
