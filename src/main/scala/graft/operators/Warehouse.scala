@@ -189,6 +189,40 @@ object Warehouse {
       |ORDER BY total_qty DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q15-style top supplier: suppliers whose quarterly revenue
+    * equals the maximum over all suppliers — the aggregate-of-aggregate
+    * equality shape (a self-referencing scalar subquery; ties all
+    * surface, no arbitrary pick). The revenue table computes once and
+    * feeds both the max (1-row broadcast) and the equality filter;
+    * exact DECIMAL revenue makes the equality deterministic where a
+    * parallel double sum would make "the max" ambiguous at the ulp. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(discPrice).cast(DecimalType(38, 4)).cast("double").as("total_rev"))
+    val maxRev = rev.agg(max("total_rev").as("mx"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
+  val q15Sql: String =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM supplier JOIN r ON s_suppkey = l_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM r)""".stripMargin
+
   /** Trailing 1-hour moving average of event value per user — the
     * time-RANGE analog of the rate rule's count window (§2 op 8 uses
     * the identical frame; here it carries a sum). One hash shuffle on
@@ -760,6 +794,7 @@ object Warehouse {
     "q13_custdist" -> (q13CustDist _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "value_moving_avg" -> (valueMovingAvg _),
     "user_first_last" -> (userFirstLast _),
@@ -782,6 +817,7 @@ object Warehouse {
     "q13_custdist" -> q13Sql,
     "q18_large_orders" -> q18Sql,
     "q14_promo_share" -> q14Sql,
+    "q15_top_supplier" -> q15Sql,
     "q19_disjunctive_revenue" -> q19Sql,
     "value_moving_avg" -> valueMovingAvgSql,
     "user_first_last" -> userFirstLastSql,

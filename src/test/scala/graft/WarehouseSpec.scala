@@ -126,6 +126,22 @@ class WarehouseSpec extends SparkSpec {
     assert(math.abs(promo + nonPromo - total) < 1e-6)
   }
 
+  test("q15_top_supplier: winners hold exactly the max quarterly revenue") {
+    val rows = Warehouse.q15TopSupplier(spark, dir)
+      .as[(Long, String, Double)].collect()
+    assert(rows.nonEmpty)
+    val perSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("r"))
+      .as[(Long, Double)].collect()
+    val mx = perSupp.map(_._2).max
+    val winners = perSupp.filter(s => math.abs(s._2 - mx) < 1e-6).map(_._1).toSet
+    assert(rows.map(_._1).toSet == winners)
+    rows.foreach { case (_, _, rev) => assert(math.abs(rev - mx) < 1e-2) }
+  }
+
   test("value_moving_avg: brute-force trailing window for sampled users") {
     val all = Tables.events(spark, dir)
       .select("event_id", "user_id", "ts_sec", "value")
