@@ -17,6 +17,52 @@ class EquivalenceSpec extends SparkSpec {
     RateRule("rate", "user_id", 30, 2.0),
     StatisticalRule("stat", "value", 4, 1.5))
 
+  test("batch == transformWithState engine for 5 random event sequences") {
+    // the full Spark 4 stateful-processor path (RocksDB state, real
+    // micro-batches), not just the extracted fold — 5 trials because
+    // each runs a streaming query; the 30-trial fold test below covers
+    // the state-transition space densely
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rnd = new scala.util.Random(99)
+      (1 to 5).foreach { trial =>
+        val n = 5 + rnd.nextInt(40)
+        val evs = (0 until n).map { i =>
+          SEvent(rnd.nextInt(3).toString, i.toLong, 1000L + i * 7L,
+            Some(rnd.nextInt(10000) / 100.0))
+        }
+        val df = evs.map(e => (e.eventId, e.tsSec, e.key.toLong, e.fields("value")))
+          .toDF("event_id", "ts_sec", "user_id", "value")
+        val batch = Detectors.allAlerts(df, rules)
+          .select("rule_name", "key", "event_id")
+          .as[(String, String, Long)].collect().toSet
+        implicit val sqlCtx = spark.sqlContext
+        val ms = MemoryStream[SEvent]
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft-eqtws$trial").toString
+        val q = StreamingDetectors.alertsTws(ms.toDS(), rules)
+          .writeStream.format("memory").queryName(s"eq_tws_$trial")
+          .outputMode("append").option("checkpointLocation", ckpt).start()
+        val streamed =
+          try {
+            evs.grouped(11).foreach { g => ms.addData(g); q.processAllAvailable() }
+            spark.table(s"eq_tws_$trial")
+              .select("rule_name", "key", "event_id")
+              .as[(String, String, Long)].collect().toSet
+          } finally q.stop()
+        assert(streamed == batch, s"trial $trial")
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch == streaming fold for 30 random event sequences") {
     val rnd = new scala.util.Random(42)
     (1 to 30).foreach { trial =>
