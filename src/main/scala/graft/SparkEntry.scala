@@ -5,6 +5,10 @@ import graft.operators._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Row shape for the single-parse `props_threshold` path; `k_val` is an
+  * Option because try_cast yields null for absent/non-numeric `$.k`. */
+case class PropsHit(event_id: Long, key: String, ts_sec: Long, k_val: Option[Double])
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in [[queries]] has a DuckDB-runnable twin in [[oracleSql]]
@@ -52,15 +56,21 @@ object SparkEntry {
     // (the reference's Map<String,Object> event shape, Event.java:39-59)
     "props_threshold" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      // Single-reference predicate: `k_val > 50.0` alone drops nulls (ANSI
-      // NULL comparison), so after predicate pushdown the JSON parse runs
-      // twice per row (filter + projection), not three times — the
-      // explicit isNotNull conjunct re-inlined a third get_json_object.
+      import s.implicits._
+      // Parse ONCE per row: a Column filter on the k_val alias gets pushed
+      // below the Project with the parse substituted into the predicate
+      // (two get_json_object evaluations per surviving row). The typed
+      // closure filter is a substitution barrier — Catalyst cannot inline
+      // an alias into a lambda — so the plan keeps a single parse in the
+      // projection; the ser/de hop for a 4-field row is far cheaper than a
+      // second JSON parse on a schema-free 100 TB hot path.
       Tables.events(s, dir)
-        .withColumn("k_val", get_json_object(col("props"), "$.k").try_cast("double"))
-        .filter(col("k_val") > 50.0)
         .select(col("event_id"),
-          Detectors.keyCol("user_id").as("key"), col("ts_sec"), col("k_val"))
+          Detectors.keyCol("user_id").as("key"), col("ts_sec"),
+          get_json_object(col("props"), "$.k").try_cast("double").as("k_val"))
+        .as[PropsHit]
+        .filter(_.k_val.exists(_ > 50.0))
+        .toDF()
     }),
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
   ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++

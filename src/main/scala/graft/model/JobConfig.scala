@@ -14,8 +14,8 @@ package graft.model
   *    trigger/checkpoint cadence
   *  - `RULES_CONFIG_PATH` ("" = classpath rules.yml; consumed by
   *    [[RulesLoader.load]])
-  *  - `HEALTH_PORT` (8080) — carried for config-surface parity; the
-  *    health server itself is out of engine scope (SURVEY §2 op 15)
+  *  - `HEALTH_PORT` (8080) — bound by [[graft.observe.HealthServer]]
+  *    (SURVEY §2 op 15)
   *  - `DEFAULT_KEY_FIELD` (userId) — the event field keyBy coerces to
   *    string (StreamSentinelJob.java:121-124)
   *

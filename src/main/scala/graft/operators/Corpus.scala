@@ -150,11 +150,27 @@ object Corpus {
     lab
   }
 
+  /** Memoized cluster labels per (session, dir): `dedup_clusters` and
+    * `dedup_canonical` are registered as separate queries but share the
+    * same expensive substrate (edge build + propagation loop — the
+    * single largest fixed cost in the bench). The labels frame is backed
+    * by the final round's locally-checkpointed RDD, so re-serving it is
+    * a block-manager read, not a recompute; at 100 TB this is exactly
+    * "persist the labels table once, join against it everywhere".
+    * Keyed by session so a stopped session's stale entry can never be
+    * served to a new one. */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    labelCache.computeIfAbsent((spark, dir),
+      _ => components(dupEdges(spark, dir)))
+
   /** One cluster id (the smallest doc_id in the connected component of
     * the duplicate graph) per document; singletons cluster to themselves.
     * `is_keeper` marks the one row per cluster a dedup pass would keep. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val lab = components(dupEdges(spark, dir))
+    val lab = clusterLabels(spark, dir)
     Tables.documents(spark, dir).select("doc_id")
       .join(lab, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))

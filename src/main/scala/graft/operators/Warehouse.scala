@@ -91,14 +91,21 @@ object Warehouse {
     * aggregate, zero shuffles). Share arithmetic: exact DECIMAL sums
     * cast to double, then one identically-shaped double expression in
     * both engines. */
+  private val q14ViewNonce = new java.util.concurrent.atomic.AtomicLong()
+
   def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
     // views exist only while the SQL text is analyzed — dropped before
     // returning so the shared session catalog carries no hidden state
-    // between queries (the resolved plan keeps its relations)
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-    Tables.part(spark, dir).createOrReplaceTempView("part")
+    // between queries (the resolved plan keeps its relations). Names are
+    // nonce-suffixed so running this query can never replace-then-drop a
+    // caller's own `lineitem`/`part` temp views as a side effect.
+    val n = q14ViewNonce.incrementAndGet()
+    val lv = s"graft_q14_lineitem_$n"
+    val pv = s"graft_q14_part_$n"
+    Tables.lineitem(spark, dir).createOrReplaceTempView(lv)
+    Tables.part(spark, dir).createOrReplaceTempView(pv)
     try spark.sql(
-      """SELECT promo_revenue, total_revenue,
+      s"""SELECT promo_revenue, total_revenue,
         |  CASE WHEN total_revenue = 0.0 OR total_revenue IS NULL THEN NULL
         |    ELSE 100.0 * promo_revenue / total_revenue END AS promo_share_pct
         |FROM (
@@ -109,12 +116,12 @@ object Warehouse {
         |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue,
         |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  FROM $lv JOIN $pv ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')""".stripMargin)
     finally {
-      spark.catalog.dropTempView("lineitem")
-      spark.catalog.dropTempView("part")
+      spark.catalog.dropTempView(lv)
+      spark.catalog.dropTempView(pv)
     }
   }
 
@@ -192,14 +199,20 @@ object Warehouse {
   /** TPC-H Q15-style top supplier: suppliers whose quarterly revenue
     * equals the maximum over all suppliers — the aggregate-of-aggregate
     * equality shape (a self-referencing scalar subquery; ties all
-    * surface, no arbitrary pick). The revenue table computes once and
-    * feeds both the max (1-row broadcast) and the equality filter;
-    * exact DECIMAL revenue makes the equality deterministic where a
-    * parallel double sum would make "the max" ambiguous at the ulp. */
+    * surface, no arbitrary pick). The revenue DEFINITION is shared by
+    * the max (1-row broadcast) and equality legs; physically the scan +
+    * partial aggregate + shuffle runs ONCE via ReuseExchange — which
+    * only fires because the explicit `l_suppkey` isNotNull below makes
+    * both legs' subtrees canonically identical (the join leg pushes
+    * IsNotNull into its scan; without mirroring it, the max leg's scan
+    * differs and each leg pays its own lineitem pass). `l_suppkey` is
+    * NOT NULL in the schema, so the filter drops nothing. Exact DECIMAL
+    * revenue makes the equality deterministic where a parallel double
+    * sum would make "the max" ambiguous at the ulp. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
-        col("l_shipdate") < lit("1996-04-01"))
+        col("l_shipdate") < lit("1996-04-01") && col("l_suppkey").isNotNull)
       .groupBy("l_suppkey")
       .agg(sum(discPrice).cast(DecimalType(38, 4)).cast("double").as("total_rev"))
     val maxRev = rev.agg(max("total_rev").as("mx"))

@@ -64,10 +64,15 @@ object SentinelJob {
       .appName("stream-sentinel-spark")
       .getOrCreate()
     spark.streams.addListener(new graft.observe.SentinelQueryListener())
+    // K8s probe endpoints (HealthServer.java:46-68); daemon-threaded, so
+    // it needs no shutdown hook to let the JVM exit.
+    val health = new graft.observe.HealthServer
+    health.start(cfg.healthPort)
     val alerts = StreamingDetectors.jsonPipeline(
       kafkaSource(spark, cfg), rules, cfg.defaultKeyField)
     val query = kafkaSink(alerts, cfg,
       sys.env.getOrElse("CHECKPOINT_DIR", "/tmp/graft-checkpoint"))
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally health.stop()
   }
 }

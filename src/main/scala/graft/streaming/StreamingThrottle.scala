@@ -30,7 +30,11 @@ object StreamingThrottle {
     import alerts.sparkSession.implicits._
     val timeMode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
-    alerts.groupByKey(a => a.rule_name + "\u0000" + a.key)
+    // Key by the TUPLE, not a delimiter-joined string: caller-supplied
+    // rule names/keys may contain any delimiter, and a collision would
+    // silently share one throttle watermark between two (rule, key)
+    // pairs — i.e. suppress real alerts.
+    alerts.groupByKey(a => (a.rule_name, a.key))
       .transformWithState(new ThrottleProcessor(periodSec, ttl), timeMode,
         OutputMode.Append())
   }
@@ -64,7 +68,7 @@ object StreamingThrottle {
   }
 
   final class ThrottleProcessor(periodSec: Long, ttl: TTLConfig)
-      extends StatefulProcessor[String, SAlert, SAlert] {
+      extends StatefulProcessor[(String, String), SAlert, SAlert] {
 
     @transient private var lastBucket: ValueState[ThrState] = _
 
@@ -72,7 +76,7 @@ object StreamingThrottle {
       lastBucket = getHandle.getValueState[ThrState]("lastBucket",
         Encoders.product[ThrState], ttl)
 
-    override def handleInputRows(key: String, rows: Iterator[SAlert],
+    override def handleInputRows(key: (String, String), rows: Iterator[SAlert],
         timerValues: TimerValues): Iterator[SAlert] = {
       // Long.MinValue sentinel = no bucket emitted yet for this key
       val last = Option(lastBucket.get()).map(_.last).getOrElse(Long.MinValue)

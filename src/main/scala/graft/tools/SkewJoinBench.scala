@@ -56,7 +56,10 @@ object SkewJoinBench {
     // fallback for exactly the case where AQE cannot help, so it must
     // be measured on the plain planner
     def saltedJoin: DataFrame = {
-      val salted = fact.withColumn("salt", pmod(col("v") * 1103515245L, lit(SALTS.toLong)))
+      // salt from a mixing hash so every residue mod SALTS is reachable
+      // for any key (a multiplicative constant preserves the parity of
+      // `v`, which would land the hot key on only half the salts)
+      val salted = fact.withColumn("salt", pmod(xxhash64(col("v")), lit(SALTS.toLong)))
       val dimRep = dim.withColumn("salt",
         explode(sequence(lit(0L), lit(SALTS.toLong - 1))))
       salted.join(dimRep, Seq("k", "salt"))
