@@ -195,116 +195,267 @@ object Similarity {
        |WHERE ${simRoundSql(dotSql("x.v", "y.v") + " / (x.norm * y.norm)")}
        |  >= $pairThreshold""".stripMargin
 
-  private val numPlanes = 8
+  private val lshTables = 8 // L independent hash tables
+  private val lshPlanes = 4 // P hyperplanes per table -> 2^P buckets/table
   private val dims = 64
 
-  /** Deterministic +-1 hyperplane coefficients: md5 parity of "p_d"
-    * (SQL form; the Scala side materializes the same table in
-    * [[planeCoefArrays]]). */
-  private def planeCoefsSql(p: String): String =
+  /** Deterministic +-1 hyperplane coefficients for GLOBAL plane index
+    * `g` (= table*P + plane): md5 parity of "g_d" (SQL form; the Scala
+    * side materializes the same table in [[planeCoefArrays]]). */
+  private def planeCoefsSql(g: String): String =
     s"""list_transform(generate_series(0, ${dims - 1}), d ->
-       | 1.0 - 2.0 * (CAST(('0x' || substr(md5(CAST($p AS VARCHAR) || '_' ||
+       | 1.0 - 2.0 * (CAST(('0x' || substr(md5(CAST($g AS VARCHAR) || '_' ||
        | CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2))""".stripMargin
       .replace("\n", "")
 
   /** The same +-1 coefficients materialized driver-side (they are
-    * constants): parity of the identical md5 the SQL twin computes. */
+    * constants): parity of the identical md5 the SQL twin computes.
+    * Row index = global plane id g in [0, L*P). */
   private lazy val planeCoefArrays: Array[Array[Double]] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(numPlanes, dims) { (p, d) =>
+    Array.tabulate(lshTables * lshPlanes, dims) { (g, d) =>
       digest.reset()
-      val hex = digest.digest(s"${p}_$d".getBytes("UTF-8"))
+      val hex = digest.digest(s"${g}_$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 8)
       1.0 - 2.0 * (java.lang.Long.parseLong(hex, 16) % 2).toDouble
     }
   }
 
-  /** Sign-LSH bucket per vector: bit p = sign of the projection onto
-    * hyperplane p. Integer bucket in [0, 2^8). Projections run as a
-    * primitive per-partition loop (the coefficient table is a driver
-    * constant; per-element md5 inside a Catalyst lambda was the hot
-    * path) — same ascending-index fold as the SQL twin. */
+  /** Sign-LSH buckets, MULTI-TABLE: L independent tables of P
+    * hyperplanes each; one row (vec_id, t, bucket) per vector per table,
+    * bucket bit p = sign of the projection onto global plane t*P+p.
+    *
+    * Why L tables instead of one longer code: a single table ANDs all
+    * plane agreements, so collision probability decays geometrically in
+    * P and recall collapses (measured 0.0 recall@3 for the old 1x8-bit
+    * table on sf0.01 — see RecallSpec/SCALE_NOTES); L tables OR the
+    * collision events, the standard LSH recall knob (recall ~
+    * 1-(1-p^P)^L). Projections run as a primitive per-partition loop
+    * (the coefficient table is a driver constant; per-element md5 inside
+    * a Catalyst lambda was the hot path) — same ascending-index fold as
+    * the SQL twin. */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val coefs = planeCoefArrays
+    val (tables, planes) = (lshTables, lshPlanes)
     vecs(spark, dir)
       .select(col("vec_id"), col("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        it.map { case (vecId, v) =>
-          var bucket = 0L
-          var p = 0
-          while (p < coefs.length) {
-            val cp = coefs(p)
-            var proj = 0.0
-            var d = 0
-            while (d < cp.length) { proj += v(d) * cp(d); d += 1 }
-            if (proj > 0) bucket |= (1L << p)
-            p += 1
+        it.flatMap { case (vecId, v) =>
+          Iterator.tabulate(tables) { t =>
+            var bucket = 0L
+            var p = 0
+            while (p < planes) {
+              val cp = coefs(t * planes + p)
+              var proj = 0.0
+              var d = 0
+              while (d < cp.length) { proj += v(d) * cp(d); d += 1 }
+              if (proj > 0) bucket |= (1L << p)
+              p += 1
+            }
+            (vecId, t.toLong, bucket)
           }
-          (vecId, bucket)
         }
-      }.toDF("vec_id", "bucket")
+      }.toDF("vec_id", "t", "bucket")
   }
 
   private val lshBucketsSql: String =
     s"""b AS (
-       |  SELECT vec_id,
-       |    CAST(sum(CASE WHEN ${dotSql("v", planeCoefsSql("p"))} > 0
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN ${dotSql("v", planeCoefsSql(s"t * $lshPlanes + p"))} > 0
        |      THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM vn CROSS JOIN (SELECT unnest(generate_series(0, ${numPlanes - 1})) AS p)
-       |  GROUP BY vec_id
+       |  FROM vn
+       |    CROSS JOIN (SELECT unnest(generate_series(0, ${lshTables - 1})) AS t)
+       |    CROSS JOIN (SELECT unnest(generate_series(0, ${lshPlanes - 1})) AS p)
+       |  GROUP BY vec_id, t
        |)""".stripMargin
 
-  /** LSH-bucketed ANN: top-3 within the query's bucket only. Recall loss
-    * vs the brute-force baseline is the LSH trade — identical in the
-    * oracle since the bucketing is bit-deterministic. */
+  /** LSH-bucketed ANN: top-3 over the UNION of the query's L buckets.
+    * Candidate generation is ids-only (the bucket join and the distinct
+    * carry (q_id, vec_id) pairs, never vectors); vectors join back in
+    * only for the final scoring pass, so the extra table fan-out costs
+    * L small id-rows per vector, not L vector copies. Recall loss vs
+    * the brute-force baseline is the LSH trade, floored by RecallSpec —
+    * identical in the oracle since bucketing is bit-deterministic. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir).join(lshBuckets(spark, dir), "vec_id")
+    val all = vecs(spark, dir)
+    val buckets = lshBuckets(spark, dir)
+    val qb = buckets.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("t").as("qt"),
+        col("bucket").as("qb"))
+    val cand = buckets.join(broadcast(qb),
+        col("t") === col("qt") && col("bucket") === col("qb") &&
+          col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
     val q = all.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("bucket").as("qb"))
+        col("norm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
-    all.join(broadcast(q), col("bucket") === col("qb") &&
-        col("vec_id") =!= col("q_id"))
+    cand.join(all, "vec_id").join(broadcast(q), "q_id")
       .withColumn("sim_r",
         simRound(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id").as("cand_id"),
-        col("sim_r"), col("bucket"))
+        col("sim_r"))
   }
 
   val annLshTopkSql: String =
     s"""WITH $vecsSql,
        |$lshBucketsSql,
-       |a AS (SELECT vn.vec_id, v, norm, bucket FROM vn JOIN b USING (vec_id)),
-       |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn, bucket AS qb
-       |  FROM a WHERE vec_id < $numQueries),
-       |s AS (
-       |  SELECT q.q_id, c.vec_id, c.bucket,
-       |    ${simRoundSql(dotSql("q.qv", "c.v") + " / (q.qn * c.norm)")} AS sim_r
-       |  FROM a c JOIN q ON c.bucket = q.qb AND c.vec_id <> q.q_id
+       |qb AS (SELECT vec_id AS q_id, t, bucket AS qb FROM b
+       |  WHERE vec_id < $numQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id
+       |  FROM b c JOIN qb q ON c.t = q.t AND c.bucket = q.qb
+       |    AND c.vec_id <> q.q_id
+       |), s AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    ${simRoundSql(dotSql("qv.v", "cv.v") + " / (qv.norm * cv.norm)")} AS sim_r
+       |  FROM cand
+       |    JOIN vn cv ON cand.vec_id = cv.vec_id
+       |    JOIN vn qv ON cand.q_id = qv.vec_id
        |), r AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY sim_r DESC, vec_id) AS "rank"
        |  FROM s
        |)
-       |SELECT q_id, "rank", vec_id AS cand_id, sim_r, bucket
+       |SELECT q_id, "rank", vec_id AS cand_id, sim_r
        |FROM r WHERE "rank" <= 3""".stripMargin
 
   private val ivfCells = 8
-  private val ivfCentBase = 100L // centroid seed ids (disjoint from queries)
+  private val ivfCentBase = 100L // k-means INIT seed ids (disjoint from queries)
+  private val ivfSampleMod = 4   // train on every 4th vector...
+  private val ivfSampleCap = 4096 // ...capped (bounded driver memory at any SF)
+  private val ivfIters = 3       // fixed Lloyd iterations (unrolled in the oracle)
+
+  /** K-means-trained IVF centroids, reproduced EXACTLY by the DuckDB
+    * oracle (the training CTE chain in [[ivfTrainCtes]]):
+    *
+    *  - TRAINING is driver-side over a bounded deterministic sample
+    *    (every `ivfSampleMod`-th vec_id, first `ivfSampleCap`) — the
+    *    standard IVF recipe (centroids train on a sample that fits in
+    *    memory; only the ASSIGNMENT pass must scale, and that stays
+    *    distributed in [[ivfAssigned]]).
+    *  - DETERMINISM across engines: fixed iteration count; assignment by
+    *    the same 1e-6-rounded cosine with lowest-cent_id tie-break; new
+    *    centroid components from EXACT integer sums of 1e-6-quantized
+    *    elements (`floor(x*1e6+0.5)` longs — order-free), then one
+    *    identically shaped double expression `sum/n/1e6`; an empty cell
+    *    keeps its previous centroid. Every float op is IEEE
+    *    correctly-rounded and sequenced identically in both engines.
+    *  - Memoized per (session, dir): training runs once, not per query
+    *    per bench iteration. */
+  private val centCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[(Long, Array[Double], Double)]]()
+
+  private def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def trainedCents(spark: SparkSession, dir: String)
+      : Array[(Long, Array[Double], Double)] =
+    centCache.computeIfAbsent((spark, dir), _ => {
+      import spark.implicits._
+      val all = vecs(spark, dir)
+      val samp = all.filter(col("vec_id") % ivfSampleMod === 0)
+        .sort("vec_id").limit(ivfSampleCap)
+        .select(col("vec_id"), col("v"), col("norm"))
+        .as[(Long, Array[Double], Double)].collect()
+      val init = all
+        .filter(col("vec_id") >= ivfCentBase &&
+          col("vec_id") < ivfCentBase + ivfCells)
+        .sort("vec_id").select(col("v")).as[Array[Double]].collect()
+      val d = init(0).length
+      val q = samp.map(_._2.map(x => math.floor(x * 1000000.0 + 0.5).toLong))
+      var cents = init
+      var it = 0
+      while (it < ivfIters) {
+        val cns = cents.map(c => math.sqrt(seqDot(c, c)))
+        val sums = Array.fill(ivfCells)(new Array[Long](d))
+        val counts = new Array[Long](ivfCells)
+        var si = 0
+        while (si < samp.length) {
+          val v = samp(si)._2
+          val n = samp(si)._3
+          var best = 0
+          var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < ivfCells) {
+            val sim = math.floor(
+              seqDot(v, cents(c)) / (n * cns(c)) * 1000000.0 + 0.5) / 1000000.0
+            if (sim > bestSim) { bestSim = sim; best = c } // ties keep low id
+            c += 1
+          }
+          val qv = q(si)
+          var i = 0
+          while (i < d) { sums(best)(i) += qv(i); i += 1 }
+          counts(best) += 1
+          si += 1
+        }
+        cents = Array.tabulate(ivfCells) { c =>
+          if (counts(c) == 0L) cents(c)
+          else Array.tabulate(d)(i => sums(c)(i).toDouble / counts(c) / 1000000.0)
+        }
+        it += 1
+      }
+      cents.zipWithIndex.map { case (cv, id) =>
+        (id.toLong, cv, math.sqrt(seqDot(cv, cv)))
+      }
+    })
+
+  /** Oracle twin of [[trainedCents]]: the unrolled Lloyd chain. Ends at
+    * CTE `cent` (cent_id, cv, cn) — drop-in for the old seed CTE. */
+  private def ivfTrainCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""samp AS (
+       |  SELECT vec_id, v, norm,
+       |    list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM vn WHERE vec_id % $ivfSampleMod = 0
+       |  ORDER BY vec_id LIMIT $ivfSampleCap
+       |), dims AS (SELECT unnest(generate_series(0, ${dims - 1})) AS d),
+       |cent0 AS (
+       |  SELECT vec_id - $ivfCentBase AS cent_id, v AS cv, norm AS cn
+       |  FROM vn WHERE vec_id >= $ivfCentBase AND vec_id < ${ivfCentBase + ivfCells}
+       |)""".stripMargin
+    for (i <- 0 until ivfIters) {
+      val sim = simRoundSql(dotSql("s.v", "c.cv") + " / (s.norm * c.cn)")
+      sb ++= s""",
+       |tasg$i AS (
+       |  SELECT s.vec_id, s.q, c.cent_id,
+       |    row_number() OVER (PARTITION BY s.vec_id
+       |      ORDER BY $sim DESC, c.cent_id) AS rn
+       |  FROM samp s CROSS JOIN cent$i c
+       |), tsum$i AS (
+       |  SELECT cent_id, d, sum(q[d + 1]) AS sq, count(*) AS n
+       |  FROM (SELECT * FROM tasg$i WHERE rn = 1) CROSS JOIN dims
+       |  GROUP BY 1, 2
+       |), tnew$i AS (
+       |  SELECT cent_id, list(CAST(sq AS DOUBLE) / n / 1000000.0 ORDER BY d) AS cv
+       |  FROM tsum$i GROUP BY 1
+       |), cent${i + 1} AS (
+       |  SELECT c.cent_id, coalesce(nw.cv, c.cv) AS cv,
+       |    sqrt(${dotSql("coalesce(nw.cv, c.cv)", "coalesce(nw.cv, c.cv)")}) AS cn
+       |  FROM cent$i c LEFT JOIN tnew$i nw USING (cent_id)
+       |)""".stripMargin
+    }
+    sb ++= s""",
+       |cent AS (SELECT cent_id, cv, cn FROM cent$ivfIters)""".stripMargin
+    sb.toString
+  }
 
   /** IVF-style ANN: coarse-quantize every vector to its nearest of
     * `ivfCells` centroid vectors (the inverted-file cell), then search
     * only the query's cell — the second of the two classic ANN scale paths
     * (sign-LSH being the other, [[annLshTopk]]).
     *
-    * Centroids here are a deterministic seed subset (vec_ids 100..107) so
-    * the DuckDB oracle reproduces the exact cell assignment; a production
-    * deployment would k-means-train them on a sample and broadcast the
-    * centroid matrix the same way. Shape notes for 100 TB: the K-way
+    * Centroids are k-means-TRAINED on a bounded sample
+    * ([[trainedCents]]; vec_ids 100..107 are only the Lloyd init), and
+    * the DuckDB oracle replays the identical training to reproduce the
+    * exact cell assignment. Shape notes for 100 TB: the K-way
     * candidate fan-out is a broadcast cross join (big side only scanned),
     * and the per-vector argmax is `max_by` under a hash aggregate, NOT a
     * rank window — partial aggregation collapses the K candidate rows
@@ -314,12 +465,12 @@ object Similarity {
     * inverted file is hash-partitioned by cell id, and a query probes
     * exactly one cell (nprobe=1; multi-probe = relaxing the rank-1 filter
     * to rank <= nprobe). */
-  /** The `ivfCells` centroid vectors (deterministic seed subset). */
-  private def ivfCents(all: DataFrame): DataFrame =
-    all
-      .filter(col("vec_id") >= ivfCentBase && col("vec_id") < ivfCentBase + ivfCells)
-      .select((col("vec_id") - ivfCentBase).as("cent_id"),
-        col("v").as("cv"), col("norm").as("cn"))
+  /** The trained centroids as a (tiny, driver-local) DataFrame — the
+    * broadcast side of the assignment join. */
+  private def ivfCentsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedCents(spark, dir).toSeq.toDF("cent_id", "cv", "cn")
+  }
 
   /** The inverted file: every vector with its argmax cell (max_by hash
     * aggregate — see [[annIvfTopk]]'s scaladoc for why not a window). */
@@ -337,7 +488,7 @@ object Similarity {
     // eagerly materialized: both the broadcast query side and the
     // candidate side below reference this subtree in ONE action — without
     // it the K-way assignment (the expensive stage) computes twice
-    val assigned = Dedup.eager(ivfAssigned(all, ivfCents(all)))
+    val assigned = Dedup.eager(ivfAssigned(all, ivfCentsDf(spark, dir)))
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell").as("qcell"))
@@ -352,14 +503,12 @@ object Similarity {
         col("sim_r"), col("cell"))
   }
 
-  /** Shared CTE chain `cent, asg, a` — centroids, per-vector centroid
-    * ranking, and the rank-1 inverted file. Single source of truth for
-    * both IVF oracles (Spark twin: [[ivfCents]]/[[ivfAssigned]]). */
-  private val ivfAsgCtes: String =
-    s"""cent AS (
-       |  SELECT vec_id - $ivfCentBase AS cent_id, v AS cv, norm AS cn
-       |  FROM vn WHERE vec_id >= $ivfCentBase AND vec_id < ${ivfCentBase + ivfCells}
-       |), asg AS (
+  /** Shared CTE chain `…, cent, asg, a` — trained centroids (the
+    * unrolled Lloyd chain), per-vector centroid ranking, and the rank-1
+    * inverted file. Single source of truth for both IVF oracles (Spark
+    * twin: [[trainedCents]]/[[ivfAssigned]]). */
+  private def ivfAsgCtes: String =
+    s"""$ivfTrainCtes, asg AS (
        |  SELECT vec_id, v, norm, cent_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY
        |      ${simRoundSql(dotSql("v", "cv") + " / (norm * cn)")} DESC, cent_id) AS c_rank
@@ -399,7 +548,7 @@ object Similarity {
     * eager materialization is needed. */
   def annIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val cents = ivfCents(all)
+    val cents = ivfCentsDf(spark, dir)
     val assigned = ivfAssigned(all, cents)
     val cw = Window.partitionBy("vec_id")
       .orderBy(col("c_sim").desc, col("cent_id"))

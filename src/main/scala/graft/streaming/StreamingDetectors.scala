@@ -3,8 +3,9 @@ package graft.streaming
 import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Event shape for the stateful streaming path: the key is already
   * string-coerced (missing -> "__unknown__", matching
@@ -208,6 +209,94 @@ object StreamingDetectors {
       }
       state.update(st)
       out.iterator
+    }
+  }
+
+  /** [[SEvent]] plus the event-time column the watermark tracks (epoch
+    * seconds `tsSec` as a timestamp) — input shape of the event-time
+    * mode. */
+  final case class SEventT(key: String, eventId: Long, tsSec: Long,
+      fields: Map[String, Double], original: String, ets: java.sql.Timestamp)
+
+  /** EVENT-TIME detection mode — a documented improvement over the
+    * reference, which declares a watermark strategy and then never uses
+    * it (StreamSentinelJob.java:116-117: `forMonotonousTimestamps` with
+    * a no-op timestamp assigner; every detector runs on arrival order).
+    * Here the `ts`-driven mode buffers events per key and only processes
+    * them once the watermark passes, in (tsSec, eventId) order — so a
+    * stream with bounded disorder (≤ `maxDisorder`) produces EXACTLY the
+    * alerts of the batch formulation, which is by definition event-time
+    * ordered. Arrival-order mode ([[alerts]]/[[alertsTws]]) stays the
+    * reference-faithful default.
+    *
+    * Mechanics (`transformWithState`, `TimeMode.EventTime`):
+    *  - `handleInputRows` only appends to a per-key ListState buffer and
+    *    arms an event-time timer just past the current watermark;
+    *  - `handleExpiredTimer` drains buffered events with
+    *    `tsSec*1000 < watermark` (strict: a row AT the watermark can
+    *    still legally arrive, Spark's late filter admits `>=`), sorted by
+    *    (tsSec, eventId, original), through the same [[processEvent]]
+    *    transition, and re-arms while anything stays buffered. Each drain
+    *    is wholly later in event time than the last (late rows below the
+    *    previous watermark were filtered), so per-key processing order is
+    *    globally event-time sorted — the batch order.
+    *
+    * State per key is O(events inside the disorder window) + the
+    * detector deques — bounded by the watermark delay, evicted as it
+    * advances. Requires the RocksDB state store provider like
+    * [[alertsTws]]. */
+  def alertsEventTime(events: Dataset[SEvent], rules: Seq[DetectionRule],
+      maxDisorder: java.time.Duration): Dataset[SAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withColumn("ets", timestamp_seconds(col("tsSec")))
+      .withWatermark("ets", s"${maxDisorder.getSeconds} seconds")
+      .as[SEventT]
+      .groupByKey(_.key)
+      .transformWithState(new EventTimeDetectorProcessor(rules),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final class EventTimeDetectorProcessor(rules: Seq[DetectionRule])
+      extends StatefulProcessor[String, SEventT, SAlert] {
+
+    @transient private var buf: ListState[SEvent] = _
+    @transient private var det: ValueState[DetState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[SEvent]("buf",
+        Encoders.product[SEvent], TTLConfig.NONE)
+      det = getHandle.getValueState[DetState]("detectors",
+        Encoders.product[DetState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[SEventT],
+        timerValues: TimerValues): Iterator[SAlert] = {
+      rows.foreach(e =>
+        buf.appendValue(SEvent(e.key, e.eventId, e.tsSec, e.fields, e.original)))
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SAlert] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (ready, rest) = buf.get().toSeq.partition(_.tsSec * 1000L < wm)
+      if (rest.nonEmpty) getHandle.registerTimer(wm + 1L)
+      if (ready.isEmpty) Iterator.empty
+      else {
+        var st = Option(det.get()).getOrElse(DetState(Map.empty, Map.empty))
+        val out = ready.sortBy(e => (e.tsSec, e.eventId, e.original)).flatMap { e =>
+          val (alerts, next) = processEvent(rules, e, st)
+          st = next
+          alerts
+        }
+        det.update(st)
+        buf.clear()
+        if (rest.nonEmpty) buf.put(rest.toArray)
+        out.iterator
+      }
     }
   }
 

@@ -134,6 +134,63 @@ class EquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("batch == EVENT-TIME streaming for out-of-order replay (3 trials)") {
+    // The event-time mode's whole point (VERDICT r5 #8): arrival order is
+    // shuffled with bounded disorder, yet the watermark-driven drain must
+    // reproduce the batch (event-time-ordered) alerts exactly. The
+    // arrival-order engines would NOT pass this replay.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rnd = new scala.util.Random(2026)
+      (1 to 3).foreach { trial =>
+        val n = 20 + rnd.nextInt(25)
+        val evs = (0 until n).map { i =>
+          SEvent(rnd.nextInt(3).toString, i.toLong, 1000L + i * 7L,
+            Some(rnd.nextInt(10000) / 100.0))
+        }
+        val df = evs.map(e => (e.eventId, e.tsSec, e.key.toLong, e.fields("value")))
+          .toDF("event_id", "ts_sec", "user_id", "value")
+        val batch = Detectors.allAlerts(df, rules)
+          .select("rule_name", "key", "event_id")
+          .as[(String, String, Long)].collect().toSet
+        // bounded disorder: shuffle arrival inside blocks of 6 events
+        // (max displacement 5*7=35 s) < the 60 s watermark delay
+        val arrival = evs.grouped(6).flatMap(b => rnd.shuffle(b)).toSeq
+        val maxTs = evs.map(_.tsSec).max
+        implicit val sqlCtx = spark.sqlContext
+        val ms = MemoryStream[SEvent]
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft-eqet$trial").toString
+        val q = StreamingDetectors.alertsEventTime(ms.toDS(), rules,
+            java.time.Duration.ofSeconds(60))
+          .writeStream.format("memory").queryName(s"eq_et_$trial")
+          .outputMode("append").option("checkpointLocation", ckpt).start()
+        val streamed =
+          try {
+            arrival.grouped(7).foreach { g => ms.addData(g); q.processAllAvailable() }
+            // fieldless sentinels on an unused key push the watermark
+            // past every real event so the buffers fully drain
+            ms.addData(SEvent("zz_flush", n.toLong, maxTs + 1000L))
+            q.processAllAvailable()
+            ms.addData(SEvent("zz_flush", n.toLong + 1, maxTs + 2000L))
+            q.processAllAvailable()
+            spark.table(s"eq_et_$trial")
+              .select("rule_name", "key", "event_id")
+              .as[(String, String, Long)].collect().toSet
+          } finally q.stop()
+        assert(streamed == batch, s"trial $trial")
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("strictness properties: boundary values never fire") {
     // exactly-at-threshold (strict >, ThresholdDetector.java:59)
     val df = Seq((0L, 0L, 1L, 50.0)).toDF("event_id", "ts_sec", "user_id", "value")

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+/** Recall floors for the approximate family (VERDICT r5 next-round #6):
+  * every approximate operator is oracle-HASH-exact by construction, so a
+  * parameter change that guts recall would still pass the correctness
+  * gate — these floors are what actually pins retrieval quality.
+  *
+  * Ground truths: brute-force cosine top-3 (`annTopkCosine`) for the ANN
+  * family; verified n-gram Jaccard pairs (`ngramJaccard`) for the dedup
+  * sketches. Floors sit under the values measured at sf0.01 (see
+  * SCALE_NOTES "Recall of the approximate family") with slack for future
+  * data regeneration, and the data is near-random embeddings — a
+  * worst-case corpus for ANN (top-1 cosine ~0.38).
+  */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def topk(df: org.apache.spark.sql.DataFrame, k: Int): Set[(Long, Long)] =
+    df.filter(org.apache.spark.sql.functions.col("rank") <= k)
+      .select("q_id", "cand_id").as[(Long, Long)].collect().toSet
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("d1", "d2").as[(Long, Long)].collect().toSet
+
+  private def recall(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+    got.intersect(truth).size.toDouble / truth.size
+
+  test("ANN family recall@3 vs brute-force cosine") {
+    val bf = topk(Similarity.annTopkCosine(spark, dir), 3)
+    assert(bf.nonEmpty)
+    val lsh = recall(topk(Similarity.annLshTopk(spark, dir), 3), bf)
+    val ivf = recall(topk(Similarity.annIvfTopk(spark, dir), 3), bf)
+    val mp = recall(topk(Similarity.annIvfMultiprobe(spark, dir), 3), bf)
+    info(f"recall@3 lsh=$lsh%.3f ivf=$ivf%.3f ivf_multiprobe=$mp%.3f")
+    assert(lsh >= 0.5, s"multi-table sign-LSH recall@3 $lsh below floor 0.5")
+    assert(ivf >= 0.15, s"IVF nprobe=1 recall@3 $ivf below floor 0.15")
+    assert(mp >= 0.3, s"IVF nprobe=2 recall@3 $mp below floor 0.3")
+    assert(mp >= ivf, "multi-probe must never lose recall vs nprobe=1")
+  }
+
+  test("dedup sketch recall vs verified n-gram Jaccard pairs") {
+    val truth = pairs(Dedup.ngramJaccard(spark, dir))
+    assert(truth.nonEmpty)
+    val minhash = recall(pairs(Dedup.minhashLsh(spark, dir)), truth)
+    val simhash = recall(pairs(Dedup.simhashPairs(spark, dir)), truth)
+    info(f"recall minhash=$minhash%.3f simhash=$simhash%.3f")
+    assert(minhash >= 0.9, s"MinHash-LSH recall $minhash below floor 0.9")
+    assert(simhash >= 0.4, s"SimHash recall $simhash below floor 0.4")
+  }
+}
