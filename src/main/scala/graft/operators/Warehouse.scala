@@ -516,24 +516,33 @@ object Warehouse {
 
   /** TPC-H Q7-style cross-nation shipping volume: revenue flowing from
     * supplier nation to customer nation, for one ordered nation pair,
-    * per ship year. The nation dimension broadcasts TWICE under
-    * different aliases (supplier's and customer's nation), and the
-    * cross-nation constraint is a residual predicate over both
-    * broadcast joins — only lineitem⋈orders shuffles. */
+    * per ship year. The IN-superset of the disjunction (each side's
+    * nation ∈ {NATION_1, NATION_2}) is applied to the nation dimension
+    * BEFORE the fact joins — Catalyst keeps the OR-of-ANDs residual, so
+    * without the manual push both fact legs shuffle in full; with it the
+    * two-of-N-nations selectivity (~2/25 here) prunes lineitem (via the
+    * supplier broadcast) and orders (via the customer broadcast) before
+    * the one orderkey shuffle, which now carries only the surviving
+    * fraction on BOTH sides. The full cross-pair constraint still
+    * evaluates as a residual filter after both joins (it drops the
+    * N1–N1 / N2–N2 combinations the per-side supersets admit). */
   def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n1 = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(nations: _*))
     val n2 = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("cust_nation").isin(nations: _*))
+    val sf = s.join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+    val cf = c.join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+    li.join(broadcast(sf), col("l_suppkey") === col("s_suppkey"))
+      .join(o.join(broadcast(cf), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),

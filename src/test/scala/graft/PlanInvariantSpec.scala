@@ -46,6 +46,29 @@ class PlanInvariantSpec extends SparkSpec {
     assert(nodes("Exchange") <= 2, plan) // agg exchange (+ fact join at scale)
   }
 
+  test("q15: the revenue subtree's exchange is reused, not recomputed") {
+    // The two legs (scalar max and equality filter) share the revenue
+    // definition; making their subtrees canonically identical (mirrored
+    // suppkey isNotNull) is what lets exchange reuse fire. AQE decides
+    // at runtime, so assert on the executed plan after an action.
+    val df = SparkEntry.queries("q15_top_supplier")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"q15 executed plan recomputes the revenue subtree:\n$plan")
+  }
+
+  test("q7: both fact legs are pruned by broadcast dim joins before the one shuffle") {
+    val plan = formatted("q7_nation_volume")
+    def nodes(op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
+    // nation IN-superset pushed: both nation scans carry an In/Or filter
+    assert(plan.contains("In(n_name") || plan.contains("Or(EqualTo(n_name"), plan)
+    // all dim joins broadcast; exactly the orderkey join + agg may shuffle
+    assert(nodes("SortMergeJoin") + nodes("ShuffledHashJoin") <= 1, plan)
+    assert(nodes("BroadcastHashJoin") >= 4, plan)
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
