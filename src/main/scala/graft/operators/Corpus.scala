@@ -477,6 +477,54 @@ object Corpus {
         size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"),
         col("split"))
 
+  // ------------------------------------------------- decontamination
+
+  private val decontEvalMod = 47L
+  private val decontEvalRem = 3L
+
+  /** Benchmark DECONTAMINATION — the pipeline step that keeps eval data
+    * out of the training corpus: flag every training document sharing at
+    * least one word-3-shingle with any held-out document (here the
+    * deterministic ~2% slice `doc_id % 47 == 3` stands in for the
+    * benchmark suite; a real run substitutes its eval files on the same
+    * shape). Output per contaminated doc: how many distinct shingles
+    * leak (`n_shared_ngrams`) and how many eval docs it collides with
+    * (`n_eval_docs`) — the triage columns for a drop-vs-inspect
+    * decision.
+    *
+    * Scale shape: eval sets are SMALL by nature (benchmarks, not
+    * corpora), so the eval shingle table broadcasts and the training
+    * side streams through one scan with a broadcast hash join — no
+    * shuffle of the corpus; the per-doc aggregate is the only exchange
+    * and it carries matched rows only. Shingling reuses
+    * [[Dedup.shingleRows]]'s primitive loop (distinct per doc). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleRows(Tables.documents(spark, dir))
+    val evalSh = sh.filter(col("doc_id") % decontEvalMod === decontEvalRem)
+      .select(col("sh"), col("doc_id").as("eval_id"))
+    val trainSh = sh.filter(col("doc_id") % decontEvalMod =!= decontEvalRem)
+    trainSh.join(broadcast(evalSh), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct("sh").as("n_shared_ngrams"),
+        countDistinct("eval_id").as("n_eval_docs"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH tt AS (
+       |  SELECT doc_id, ${Dedup.tokensSql("text")} AS toks FROM documents
+       |), shx AS (
+       |  SELECT doc_id, unnest(${Dedup.shinglesSql("toks")}) AS sh FROM tt
+       |), e AS (
+       |  SELECT sh, doc_id AS eval_id FROM shx
+       |  WHERE doc_id % $decontEvalMod = $decontEvalRem
+       |), tr AS (
+       |  SELECT doc_id, sh FROM shx
+       |  WHERE doc_id % $decontEvalMod <> $decontEvalRem
+       |)
+       |SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_shared_ngrams,
+       |  count(DISTINCT eval_id) AS n_eval_docs
+       |FROM tr JOIN e USING (sh) GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -485,6 +533,7 @@ object Corpus {
     "corpus_mixture" -> (corpusMixture _),
     "seq_packing" -> (seqPacking _),
     "corpus_clean" -> (corpusClean _),
+    "corpus_decontaminate" -> (decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -495,5 +544,6 @@ object Corpus {
     "corpus_mixture" -> corpusMixtureSql,
     "seq_packing" -> seqPackingSql,
     "corpus_clean" -> corpusCleanSql,
+    "corpus_decontaminate" -> decontaminateSql,
   )
 }

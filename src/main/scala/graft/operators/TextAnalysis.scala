@@ -401,6 +401,83 @@ object TextAnalysis {
        |    '$emailRe', '<EMAIL>', 'g')) AS clean_md5
        |FROM documents""".stripMargin
 
+  private val bpeK = 20
+
+  /** BPE-style merge candidates: the K most frequent ADJACENT token
+    * pairs across the corpus — the statistic one round of byte-pair /
+    * word-pair merge selection maximizes (counted per occurrence, not
+    * per document, like a real BPE trainer). Shape at 100 TB: one
+    * explode of size(toks)-1 pair strings per document, one partial-agg
+    * groupBy(pair) shuffle, TakeOrdered top-k — the vocab_topk shape
+    * over pairs. Spark arrays index 0-based vs DuckDB's 1-based lists,
+    * so both sides use their explicit 1-based accessor (`element_at` /
+    * `l[i]`); the empty guard differs because Spark's
+    * `sequence(1, 0)` counts DOWN ([1, 0]) where DuckDB's
+    * generate_series yields []. */
+  def bpeTopMerges(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(explode(expr(
+        "IF(size(toks) >= 2, transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))), " +
+          "array())")).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(bpeK)
+
+  val bpeTopMergesSql: String =
+    s"""WITH t AS (SELECT ${tokensSql("text")} AS toks FROM documents),
+       |p AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+       |  FROM t
+       |)
+       |SELECT pair, count(*) AS n FROM p
+       |GROUP BY 1 ORDER BY n DESC, pair LIMIT $bpeK""".stripMargin
+
+  /** Per-document token-rarity profile — the CCNet-style "LM quality
+    * filter" shape with an EXACT-arithmetic stand-in for the language
+    * model: each token scores floor(log2(global count)) computed as
+    * `length(bin(cnt)) - 1` (pure integer/bit ops — log2 itself is a
+    * transcendental with no cross-engine rounding guarantee, bin() is
+    * exact in both engines). Low mean = rare-token-heavy (OOV/garbage
+    * candidates); min = the rarest token in the doc. Shape at 100 TB:
+    * the token explode feeds BOTH the vocab aggregate and the probe
+    * side of the term join through one canonically identical shuffle on
+    * `term`, so exchange reuse scans and explodes once; the final
+    * aggregate is a plain hash agg on doc_id. The division
+    * sum/n_tokens is the single double op, shaped identically in the
+    * oracle. */
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toksRows = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val vocab = toksRows.groupBy("term").agg(count(lit(1)).as("cnt"))
+    toksRows.join(vocab, "term")
+      .withColumn("flog2", (length(bin(col("cnt"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("flog2").as("s_flog2"),
+        min("flog2").as("min_flog2"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s_flog2").cast("double") / col("n_tokens")).as("mean_flog2"),
+        col("min_flog2"))
+  }
+
+  val tokenRaritySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+       |), v AS (
+       |  SELECT term, count(*) AS cnt FROM t GROUP BY 1
+       |), j AS (
+       |  SELECT doc_id, CAST(length(bin(cnt)) - 1 AS BIGINT) AS flog2
+       |  FROM t JOIN v USING (term)
+       |)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(flog2) AS DOUBLE) / count(*) AS mean_flog2,
+       |  min(flog2) AS min_flog2
+       |FROM j GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_repetition" -> (docRepetition _),
     "text_stats" -> (textStats _),
@@ -411,6 +488,8 @@ object TextAnalysis {
     "doc_keywords" -> (docKeywords _),
     "vocab_topk" -> (vocabTopk _),
     "corpus_scrub" -> (corpusScrub _),
+    "bpe_top_merges" -> (bpeTopMerges _),
+    "token_rarity" -> (tokenRarity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -423,5 +502,7 @@ object TextAnalysis {
     "doc_keywords" -> docKeywordsSql,
     "vocab_topk" -> vocabTopkSql,
     "corpus_scrub" -> corpusScrubSql,
+    "bpe_top_merges" -> bpeTopMergesSql,
+    "token_rarity" -> tokenRaritySql,
   )
 }
