@@ -624,8 +624,53 @@ object Similarity {
        |  CAST(max(norm_u) AS DOUBLE) / 1000000.0 AS max_norm
        |FROM u GROUP BY 1""".stripMargin
 
+  /** Hard-NEGATIVE mining — the embedding-model curation step: for each
+    * query vector, the top-3 most-similar candidates with a DIFFERENT
+    * label (high-similarity cross-label pairs are exactly the negatives
+    * contrastive training needs). Same broadcast-scan shape as the
+    * brute-force baseline with the label inequality folded into the
+    * join condition, so non-negatives die before scoring ranks. */
+  def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val all = vecs(spark, dir).join(lab, "vec_id")
+    val q = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("label").as("q_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
+    all.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("sim_r",
+        simRound(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("q_label"), col("rank"),
+        col("vec_id").as("cand_id"), col("label").as("cand_label"), col("sim_r"))
+  }
+
+  val annHardNegativesSql: String =
+    s"""WITH $vecsSql,
+       |a AS (
+       |  SELECT vn.vec_id, v, norm, label
+       |  FROM vn JOIN embeddings e ON vn.vec_id = e.vec_id
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv, norm AS qn, label AS q_label
+       |  FROM a WHERE vec_id < $numQueries
+       |), s AS (
+       |  SELECT q.q_id, q.q_label, c.vec_id, c.label AS cand_label,
+       |    ${simRoundSql(dotSql("q.qv", "c.v") + " / (q.qn * c.norm)")} AS sim_r
+       |  FROM a c CROSS JOIN q
+       |  WHERE c.vec_id <> q.q_id AND c.label <> q.q_label
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim_r DESC, vec_id) AS "rank"
+       |  FROM s
+       |)
+       |SELECT q_id, q_label, "rank", vec_id AS cand_id, cand_label, sim_r
+       |FROM r WHERE "rank" <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> (annTopkCosine _),
+    "ann_hard_negatives" -> (annHardNegatives _),
     "ann_range_search" -> (annRangeSearch _),
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_neardup_pairs" -> (neardupPairs _),
@@ -636,6 +681,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_topk_cosine" -> annTopkCosineSql,
+    "ann_hard_negatives" -> annHardNegativesSql,
     "ann_range_search" -> annRangeSearchSql,
     "embedding_norm_stats" -> embeddingNormStatsSql,
     "embedding_neardup_pairs" -> neardupPairsSql,

@@ -228,6 +228,45 @@ object TextAnalysis {
        |  substr(text, CAST(i * $chunkStride + 1 AS BIGINT), $chunkSize) AS chunk_text
        |FROM c""".stripMargin
 
+  /** Cross-document CHUNK dedup — boilerplate detection: chunks (the
+    * [[docChunks]] grid) whose exact text recurs, with occurrence and
+    * distinct-document counts plus a deterministic keeper (the
+    * lexicographically smallest (doc_id, chunk_id), packed as
+    * doc_id*1000+chunk_id — safe because chunk_id < 1000 for any
+    * document under 150k chars at the current stride). Headers, nav
+    * bars, and license blocks dominate this table in a real crawl; a
+    * cleaning pass drops non-keeper occurrences. One groupBy on the
+    * chunk digest — the md5 keeps full chunk text out of the shuffle. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    docChunks(spark, dir)
+      .groupBy(md5(col("chunk_text")).as("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"),
+        min(col("doc_id") * 1000 + col("chunk_id")).as("packed"))
+      .filter(col("n_occurrences") > 1)
+      .select(col("chunk_md5"), col("n_occurrences"), col("n_docs"),
+        expr("packed div 1000").as("keeper_doc_id"), // div: Long `/` is double
+        pmod(col("packed"), lit(1000L)).as("keeper_chunk_id"))
+
+  val chunkDedupSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, (length(text) - 1) // $chunkStride)) AS i
+       |  FROM documents WHERE length(text) > 0
+       |), ch AS (
+       |  SELECT doc_id, i AS chunk_id,
+       |    substr(text, CAST(i * $chunkStride + 1 AS BIGINT), $chunkSize) AS chunk_text
+       |  FROM c
+       |), g AS (
+       |  SELECT md5(chunk_text) AS chunk_md5, count(*) AS n_occurrences,
+       |    count(DISTINCT doc_id) AS n_docs,
+       |    min(doc_id * 1000 + chunk_id) AS packed
+       |  FROM ch GROUP BY 1
+       |)
+       |SELECT chunk_md5, n_occurrences, n_docs,
+       |  packed // 1000 AS keeper_doc_id, packed % 1000 AS keeper_chunk_id
+       |FROM g WHERE n_occurrences > 1""".stripMargin
+
   private val keywordsPerDoc = 3
 
   /** Keyword extraction: top-3 most frequent non-stopword terms (len >= 3)
@@ -490,6 +529,7 @@ object TextAnalysis {
     "corpus_scrub" -> (corpusScrub _),
     "bpe_top_merges" -> (bpeTopMerges _),
     "token_rarity" -> (tokenRarity _),
+    "chunk_dedup" -> (chunkDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -504,5 +544,6 @@ object TextAnalysis {
     "corpus_scrub" -> corpusScrubSql,
     "bpe_top_merges" -> bpeTopMergesSql,
     "token_rarity" -> tokenRaritySql,
+    "chunk_dedup" -> chunkDedupSql,
   )
 }
