@@ -482,10 +482,18 @@ object TextAnalysis {
     * transcendental with no cross-engine rounding guarantee, bin() is
     * exact in both engines). Low mean = rare-token-heavy (OOV/garbage
     * candidates); min = the rarest token in the doc. Shape at 100 TB:
-    * the token explode feeds BOTH the vocab aggregate and the probe
-    * side of the term join through one canonically identical shuffle on
-    * `term`, so exchange reuse scans and explodes once; the final
-    * aggregate is a plain hash agg on doc_id. The division
+    * the corpus is deliberately scanned and exploded TWICE — once for
+    * the vocab count (which collapses map-side to one row per
+    * (partition, term), so its exchange carries almost nothing) and
+    * once as the probe side of the term join. The alternative — one
+    * explode shared through an explicit term repartition — was tried
+    * and rejected: it forces EVERY token row through the wire, where
+    * the recomputed scan+explode is a local, column-pruned, codegen'd
+    * pass (and the vocab leg's pruned projection means its second scan
+    * reads just `text`). The probe join itself adds no full-token
+    * exchange while the counted vocab is broadcastable (pinned by
+    * PlanInvariantSpec at test scale); past broadcast size it
+    * degenerates to the one unavoidable term shuffle. The division
     * sum/n_tokens is the single double op, shaped identically in the
     * oracle. */
   def tokenRarity(spark: SparkSession, dir: String): DataFrame = {

@@ -69,6 +69,21 @@ class PlanInvariantSpec extends SparkSpec {
     assert(nodes("BroadcastHashJoin") >= 4, plan)
   }
 
+  test("token_rarity: no full-token shuffle — vocab collapses map-side and broadcasts") {
+    // The deliberate shape (see tokenRarity's scaladoc): two cheap
+    // scans/explodes, vocab partial-agg exchange (near-empty), broadcast
+    // probe join. A REPARTITION_BY_COL of the token explode appearing
+    // here would mean someone "optimized" it back into shuffling every
+    // token row.
+    val df = SparkEntry.queries("token_rarity")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("REPARTITION_BY_COL"),
+      s"token_rarity shuffles full token rows:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab side did not broadcast at test scale:\n$plan")
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
