@@ -95,7 +95,12 @@ object Corpus {
     * manager until the caller's last action over the result — by design
     * (the lineage was truncated; dropping the blocks would make the
     * result unrecomputable, not merely slow). */
-  def components(e0: DataFrame): DataFrame = {
+  def components(e0: DataFrame): DataFrame = componentsWithRdd(e0)._1
+
+  /** [[components]] plus the final round's checkpointed RDD handle — the
+    * cache layer validates block availability against it on every serve. */
+  private[operators] def componentsWithRdd(e0: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val edges = Dedup.eager(
       e0.select(col("d1").as("src"), col("d2").as("dst"))
         .union(e0.select(col("d2").as("src"), col("d1").as("dst")))
@@ -147,7 +152,7 @@ object Corpus {
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
     edges.unpersist()
-    lab
+    (lab, labRdd)
   }
 
   /** Memoized cluster labels per (session, dir): `dedup_clusters` and
@@ -157,14 +162,24 @@ object Corpus {
     * by the final round's locally-checkpointed RDD, so re-serving it is
     * a block-manager read, not a recompute; at 100 TB this is exactly
     * "persist the labels table once, join against it everywhere".
-    * Keyed by session so a stopped session's stale entry can never be
-    * served to a new one. */
-  private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    *
+    * Lifecycle (ADVICE r6): [[graft.util.SessionCache]] keys by session
+    * UUID (never the session object — a stopped session is not retained),
+    * drops the session's entries on application end, and revalidates on
+    * every serve that the checkpointed RDD's blocks are still all present
+    * (`getRDDStorageInfo`) — lineage is truncated, so after executor loss
+    * the cached frame is unrecomputable and must be REBUILT, not served. */
+  private val labelCache = new graft.util.SessionCache[
+      (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
+    valid = (spark, v) => {
+      val rdd = v._2
+      spark.sparkContext.getRDDStorageInfo
+        .exists(i => i.id == rdd.id &&
+          i.numCachedPartitions == rdd.getNumPartitions)
+    })
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    labelCache.computeIfAbsent((spark, dir),
-      _ => components(dupEdges(spark, dir)))
+    labelCache.get(spark, dir)(componentsWithRdd(dupEdges(spark, dir)))._1
 
   /** One cluster id (the smallest doc_id in the connected component of
     * the duplicate graph) per document; singletons cluster to themselves.
@@ -492,18 +507,24 @@ object Corpus {
     * (`n_eval_docs`) — the triage columns for a drop-vs-inspect
     * decision.
     *
-    * Scale shape: eval sets are SMALL by nature (benchmarks, not
-    * corpora), so the eval shingle table broadcasts and the training
-    * side streams through one scan with a broadcast hash join — no
-    * shuffle of the corpus; the per-doc aggregate is the only exchange
-    * and it carries matched rows only. Shingling reuses
+    * Scale shape: a REAL eval suite is small by nature (benchmarks, not
+    * corpora), and with one its shingle table broadcasts — one corpus
+    * scan, no shuffle of the training side. This stand-in slice is
+    * instead PROPORTIONAL to the corpus (~2% of all shingles), so a
+    * forced `broadcast()` hint would OOM the driver at the 100 TB scale
+    * this scaladoc claims (ADVICE r6). The hint is therefore omitted: at
+    * real-eval sizes Spark's size estimate (or AQE's runtime one) picks
+    * the broadcast join on its own, and when the eval side genuinely
+    * outgrows `autoBroadcastJoinThreshold` the plan degrades to a
+    * shuffled hash join instead of an OOM. The per-doc aggregate
+    * carries matched rows only. Shingling reuses
     * [[Dedup.shingleRows]]'s primitive loop (distinct per doc). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleRows(Tables.documents(spark, dir))
     val evalSh = sh.filter(col("doc_id") % decontEvalMod === decontEvalRem)
       .select(col("sh"), col("doc_id").as("eval_id"))
     val trainSh = sh.filter(col("doc_id") % decontEvalMod =!= decontEvalRem)
-    trainSh.join(broadcast(evalSh), "sh")
+    trainSh.join(evalSh, "sh")
       .groupBy("doc_id")
       .agg(countDistinct("sh").as("n_shared_ngrams"),
         countDistinct("eval_id").as("n_eval_docs"))

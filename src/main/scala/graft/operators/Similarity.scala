@@ -45,17 +45,26 @@ object Similarity {
   private def simRoundSql(e: String): String =
     s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
 
+  /** Similarity-ready vectors: zero-norm rows are DROPPED (identically in
+    * the oracle's `vn` CTE). Cosine against a zero vector is 0/0 — Spark's
+    * `sim > bestSim` never selects the NaN while DuckDB's `ORDER BY sim
+    * DESC` sorts NaN first, so an unguarded zero norm silently diverges
+    * cell assignment and rankings cross-engine (ADVICE r6). A zero
+    * embedding carries no direction to search by; [[embeddingNormStats]]
+    * (which keeps all rows) is the audit that surfaces them. */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("norm") > 0.0)
 
   private val vecsSql: String =
     """v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings
       |), vn AS (
-      |  SELECT vec_id, v, sqrt(%s) AS norm FROM v
+      |  SELECT * FROM (SELECT vec_id, v, sqrt(%s) AS norm FROM v)
+      |  WHERE norm > 0.0
       |)""".stripMargin.format("list_sum(list_transform(list_zip(v, v), x -> x[1] * x[2]))")
 
   private val numQueries = 10
@@ -345,10 +354,13 @@ object Similarity {
     *    identically shaped double expression `sum/n/1e6`; an empty cell
     *    keeps its previous centroid. Every float op is IEEE
     *    correctly-rounded and sequenced identically in both engines.
-    *  - Memoized per (session, dir): training runs once, not per query
-    *    per bench iteration. */
+    *  - Memoized per DIR (not per session — ADVICE r6 flagged the session
+    *    key as a retention leak): training is a pure function of the
+    *    immutable parquet at `dir`, and the cached value is plain arrays
+    *    with no session or lineage references, so one entry per distinct
+    *    dir serves every session for the life of the JVM. */
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Array[(Long, Array[Double], Double)]]()
+    String, Array[(Long, Array[Double], Double)]]()
 
   private def seqDot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -358,7 +370,7 @@ object Similarity {
 
   private def trainedCents(spark: SparkSession, dir: String)
       : Array[(Long, Array[Double], Double)] =
-    centCache.computeIfAbsent((spark, dir), _ => {
+    centCache.computeIfAbsent(dir, _ => {
       import spark.implicits._
       val all = vecs(spark, dir)
       val samp = all.filter(col("vec_id") % ivfSampleMod === 0)
@@ -375,6 +387,11 @@ object Similarity {
       var it = 0
       while (it < ivfIters) {
         val cns = cents.map(c => math.sqrt(seqDot(c, c)))
+        // input vectors are norm-filtered ([[vecs]]), but a Lloyd UPDATE
+        // could in principle average members to an all-zero centroid;
+        // assert loudly rather than let 0/0 diverge silently cross-engine
+        require(cns.forall(_ > 0.0),
+          s"IVF training produced a zero-norm centroid at iteration $it ($dir)")
         val sums = Array.fill(ivfCells)(new Array[Long](d))
         val counts = new Array[Long](ivfCells)
         var si = 0

@@ -230,10 +230,12 @@ object TextAnalysis {
 
   /** Cross-document CHUNK dedup — boilerplate detection: chunks (the
     * [[docChunks]] grid) whose exact text recurs, with occurrence and
-    * distinct-document counts plus a deterministic keeper (the
-    * lexicographically smallest (doc_id, chunk_id), packed as
-    * doc_id*1000+chunk_id — safe because chunk_id < 1000 for any
-    * document under 150k chars at the current stride). Headers, nav
+    * distinct-document counts plus a deterministic keeper — the
+    * lexicographically smallest (doc_id, chunk_id), as a `min` over the
+    * ordered struct (both engines order structs field-by-field; ADVICE r6
+    * killed the old `doc_id*1000+chunk_id` packing, which silently
+    * corrupted keepers for documents past chunk_id 999 — and the oracle,
+    * computing the same packing, could never catch it). Headers, nav
     * bars, and license blocks dominate this table in a real crawl; a
     * cleaning pass drops non-keeper occurrences. One groupBy on the
     * chunk digest — the md5 keeps full chunk text out of the shuffle. */
@@ -242,11 +244,11 @@ object TextAnalysis {
       .groupBy(md5(col("chunk_text")).as("chunk_md5"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct("doc_id").as("n_docs"),
-        min(col("doc_id") * 1000 + col("chunk_id")).as("packed"))
+        min(struct(col("doc_id"), col("chunk_id"))).as("keeper"))
       .filter(col("n_occurrences") > 1)
       .select(col("chunk_md5"), col("n_occurrences"), col("n_docs"),
-        expr("packed div 1000").as("keeper_doc_id"), // div: Long `/` is double
-        pmod(col("packed"), lit(1000L)).as("keeper_chunk_id"))
+        col("keeper.doc_id").as("keeper_doc_id"),
+        col("keeper.chunk_id").as("keeper_chunk_id"))
 
   val chunkDedupSql: String =
     s"""WITH c AS (
@@ -260,11 +262,11 @@ object TextAnalysis {
        |), g AS (
        |  SELECT md5(chunk_text) AS chunk_md5, count(*) AS n_occurrences,
        |    count(DISTINCT doc_id) AS n_docs,
-       |    min(doc_id * 1000 + chunk_id) AS packed
+       |    min({'doc_id': doc_id, 'chunk_id': chunk_id}) AS keeper
        |  FROM ch GROUP BY 1
        |)
        |SELECT chunk_md5, n_occurrences, n_docs,
-       |  packed // 1000 AS keeper_doc_id, packed % 1000 AS keeper_chunk_id
+       |  keeper.doc_id AS keeper_doc_id, keeper.chunk_id AS keeper_chunk_id
        |FROM g WHERE n_occurrences > 1""".stripMargin
 
   private val keywordsPerDoc = 3

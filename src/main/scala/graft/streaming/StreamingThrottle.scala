@@ -34,6 +34,13 @@ object StreamingThrottle {
     // rule names/keys may contain any delimiter, and a collision would
     // silently share one throttle watermark between two (rule, key)
     // pairs — i.e. suppress real alerts.
+    // COMPATIBILITY: this tuple key uses a different state-store key
+    // encoder than the pre-r6 delimited-string key — a query restarted
+    // from a checkpoint written before the change will fail or mis-read
+    // its throttle state. Deployments upgrading across that change must
+    // start from a fresh checkpointLocation (throttle state is a single
+    // last-emitted bucket per key, so the cost is at most one duplicate
+    // alert per (rule, key) in the first period after the reset).
     alerts.groupByKey(a => (a.rule_name, a.key))
       .transformWithState(new ThrottleProcessor(periodSec, ttl), timeMode,
         OutputMode.Append())
