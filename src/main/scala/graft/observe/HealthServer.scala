@@ -24,10 +24,22 @@ import org.slf4j.LoggerFactory
   *    a health endpoint must never take down the job it reports on.
   *  - `stop` is idempotent (compareAndSet guard, :74).
   *
+  * When constructed with a `metrics` supplier, `GET /metrics` additionally
+  * serves the [[SentinelQueryListener]] snapshot in Prometheus text
+  * exposition format (version 0.0.4) — the reference registers the same
+  * counters/histogram with Flink's metric registry for its Prometheus
+  * reporter (SentinelMetrics.java:29-51; README.md:279-281); in Spark the
+  * listener owns the numbers and this handler is the scrape surface.
+  * Metric names match the reference's group and metric ids
+  * (`stream_sentinel_events_processed_total`,
+  * `stream_sentinel_anomalies_detected_total`,
+  * `stream_sentinel_processing_latency_ms{quantile=…}`).
+  *
   * Driver-side infra: this runs next to the `SparkSession`, not inside
-  * executors, so cluster scale-up doesn't touch it.
+  * executors, so cluster scale-up doesn't touch it (a scrape reads a few
+  * longs under one lock, never a Spark plan).
   */
-final class HealthServer {
+final class HealthServer(metrics: Option[() => LatencyStats] = None) {
 
   private val log = LoggerFactory.getLogger(classOf[HealthServer])
   private val body = "{\"status\":\"UP\"}".getBytes(StandardCharsets.UTF_8)
@@ -43,6 +55,7 @@ final class HealthServer {
       server = HttpServer.create(new InetSocketAddress(port), 0)
       server.createContext("/health", handle(_))
       server.createContext("/readiness", handle(_))
+      metrics.foreach(m => server.createContext("/metrics", handleMetrics(m, _)))
       server.setExecutor(Executors.newSingleThreadExecutor { r =>
         val t = new Thread(r, "health-server")
         t.setDaemon(true)
@@ -71,6 +84,37 @@ final class HealthServer {
     exchange.sendResponseHeaders(200, body.length.toLong)
     val os = exchange.getResponseBody
     try os.write(body)
+    finally os.close()
+  }
+
+  /** Prometheus text exposition 0.0.4 of the listener snapshot. Counters
+    * are cumulative (monotone across scrapes by [[SentinelQueryListener]]
+    * construction); the latency histogram surfaces as a summary with the
+    * reference's p50/p95/p99 readings over its 350-sample window. */
+  private def handleMetrics(m: () => LatencyStats, exchange: HttpExchange): Unit = {
+    val s = m()
+    val g = Metrics.metricGroup
+    val text =
+      s"""# HELP ${g}_events_processed_total Events evaluated across all micro-batches.
+         |# TYPE ${g}_events_processed_total counter
+         |${g}_events_processed_total ${s.rows}
+         |# HELP ${g}_anomalies_detected_total Alerts fired.
+         |# TYPE ${g}_anomalies_detected_total counter
+         |${g}_anomalies_detected_total ${s.anomalies}
+         |# HELP ${g}_batches_total Micro-batches executed.
+         |# TYPE ${g}_batches_total counter
+         |${g}_batches_total ${s.batches}
+         |# HELP ${g}_processing_latency_ms Micro-batch triggerExecution latency over the retained sample window.
+         |# TYPE ${g}_processing_latency_ms summary
+         |${g}_processing_latency_ms{quantile="0.5"} ${s.p50Ms}
+         |${g}_processing_latency_ms{quantile="0.95"} ${s.p95Ms}
+         |${g}_processing_latency_ms{quantile="0.99"} ${s.p99Ms}
+         |""".stripMargin.getBytes(StandardCharsets.UTF_8)
+    exchange.getResponseHeaders.set("Content-Type",
+      "text/plain; version=0.0.4; charset=utf-8")
+    exchange.sendResponseHeaders(200, text.length.toLong)
+    val os = exchange.getResponseBody
+    try os.write(text)
     finally os.close()
   }
 }

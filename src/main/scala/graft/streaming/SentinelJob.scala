@@ -63,10 +63,12 @@ object SentinelJob {
       .builder(s"local[${cfg.parallelism}]", cfg.parallelism)
       .appName("stream-sentinel-spark")
       .getOrCreate()
-    spark.streams.addListener(new graft.observe.SentinelQueryListener())
-    // K8s probe endpoints (HealthServer.java:46-68); daemon-threaded, so
-    // it needs no shutdown hook to let the JVM exit.
-    val health = new graft.observe.HealthServer
+    val listener = new graft.observe.SentinelQueryListener()
+    spark.streams.addListener(listener)
+    // K8s probe endpoints (HealthServer.java:46-68) plus the /metrics
+    // scrape surface over the listener; daemon-threaded, so it needs no
+    // shutdown hook to let the JVM exit.
+    val health = new graft.observe.HealthServer(Some(() => listener.snapshot))
     health.start(cfg.healthPort)
     val alerts = StreamingDetectors.jsonPipeline(
       kafkaSource(spark, cfg), rules, cfg.defaultKeyField)

@@ -37,6 +37,37 @@ class HealthServerSpec extends AnyFunSuite {
     assert(!srv.isRunning)
   }
 
+  test("/metrics serves the listener snapshot in Prometheus 0.0.4 text format") {
+    val stats = graft.observe.LatencyStats(
+      batches = 5, rows = 42, anomalies = 7, p50Ms = 10.0, p95Ms = 20.0, p99Ms = 30.0)
+    val srv = new HealthServer(Some(() => stats))
+    val port = freePort()
+    srv.start(port)
+    try {
+      val resp = get(port, "/metrics")
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        == "text/plain; version=0.0.4; charset=utf-8")
+      val lines = resp.body().linesIterator.toSeq
+      assert(lines.contains("stream_sentinel_events_processed_total 42"))
+      assert(lines.contains("stream_sentinel_anomalies_detected_total 7"))
+      assert(lines.contains("stream_sentinel_batches_total 5"))
+      assert(lines.contains("stream_sentinel_processing_latency_ms{quantile=\"0.5\"} 10.0"))
+      assert(lines.contains("stream_sentinel_processing_latency_ms{quantile=\"0.99\"} 30.0"))
+      assert(lines.count(_.startsWith("# TYPE")) == 4)
+      // probes still served on the same server
+      assert(get(port, "/health").statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("no /metrics context without a metrics source") {
+    val srv = new HealthServer
+    val port = freePort()
+    srv.start(port)
+    try assert(get(port, "/metrics").statusCode() == 404)
+    finally srv.stop()
+  }
+
   test("rejects out-of-range ports with the reference's message") {
     val srv = new HealthServer
     for (bad <- Seq(0, -1, 65536)) {
