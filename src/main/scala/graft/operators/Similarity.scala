@@ -280,19 +280,29 @@ object Similarity {
        |  GROUP BY vec_id, t
        |)""".stripMargin
 
-  /** LSH-bucketed ANN: top-3 over the UNION of the query's L buckets.
-    * Candidate generation is ids-only (the bucket join and the distinct
-    * carry (q_id, vec_id) pairs, never vectors); vectors join back in
-    * only for the final scoring pass, so the extra table fan-out costs
-    * L small id-rows per vector, not L vector copies. Recall loss vs
+  /** LSH-bucketed ANN: top-3 over the UNION of the query's L buckets,
+    * MULTIPROBED — each table also probes the P buckets at Hamming
+    * distance 1 from the query's own (flip one plane's sign bit), the
+    * standard multi-probe LSH recall knob (Lv et al., VLDB'07): a true
+    * neighbor that disagrees on exactly one plane of a table is still
+    * found in that table. Probing is QUERY-side only — the corpus keeps
+    * one row per (vector, table); only the tiny broadcast probe set
+    * fans out ×(P+1), so corpus-side cost and state are unchanged at any
+    * scale. Candidate generation stays ids-only (the bucket join and the
+    * distinct carry (q_id, vec_id) pairs, never vectors); vectors join
+    * back in only for the final scoring pass. Residual recall loss vs
     * the brute-force baseline is the LSH trade, floored by RecallSpec —
     * identical in the oracle since bucketing is bit-deterministic. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val all = vecs(spark, dir)
     val buckets = lshBuckets(spark, dir)
+    // mask 0 = the bucket itself; 1<<p = flip plane p
+    val masks = (0L +: (0 until lshPlanes).map(p => 1L << p)).toDF("mask")
     val qb = buckets.filter(col("vec_id") < numQueries)
+      .crossJoin(masks)
       .select(col("vec_id").as("q_id"), col("t").as("qt"),
-        col("bucket").as("qb"))
+        col("bucket").bitwiseXOR(col("mask")).as("qb"))
     val cand = buckets.join(broadcast(qb),
         col("t") === col("qt") && col("bucket") === col("qb") &&
           col("vec_id") =!= col("q_id"))
@@ -310,10 +320,13 @@ object Similarity {
         col("sim_r"))
   }
 
-  val annLshTopkSql: String =
+  val annLshTopkSql: String = {
+    val maskList = (0L +: (0 until lshPlanes).map(p => 1L << p))
+      .map(m => s"$m::BIGINT").mkString("[", ", ", "]")
     s"""WITH $vecsSql,
        |$lshBucketsSql,
-       |qb AS (SELECT vec_id AS q_id, t, bucket AS qb FROM b
+       |qb AS (SELECT vec_id AS q_id, t, xor(bucket, mask) AS qb
+       |  FROM b CROSS JOIN (SELECT unnest($maskList) AS mask)
        |  WHERE vec_id < $numQueries),
        |cand AS (
        |  SELECT DISTINCT q.q_id, c.vec_id
@@ -332,6 +345,7 @@ object Similarity {
        |)
        |SELECT q_id, "rank", vec_id AS cand_id, sim_r
        |FROM r WHERE "rank" <= 3""".stripMargin
+  }
 
   private val ivfCells = 8
   private val ivfCentBase = 100L // k-means INIT seed ids (disjoint from queries)

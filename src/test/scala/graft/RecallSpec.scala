@@ -36,7 +36,9 @@ class RecallSpec extends SparkSpec {
     val ivf = recall(topk(Similarity.annIvfTopk(spark, dir), 3), bf)
     val mp = recall(topk(Similarity.annIvfMultiprobe(spark, dir), 3), bf)
     info(f"recall@3 lsh=$lsh%.3f ivf=$ivf%.3f ivf_multiprobe=$mp%.3f")
-    assert(lsh >= 0.5, s"multi-table sign-LSH recall@3 $lsh below floor 0.5")
+    // multiprobe (hamming-1 query-side probes) measured 1.000 at sf0.01;
+    // floor leaves slack for data regeneration
+    assert(lsh >= 0.8, s"multi-probe sign-LSH recall@3 $lsh below floor 0.8")
     assert(ivf >= 0.15, s"IVF nprobe=1 recall@3 $ivf below floor 0.15")
     assert(mp >= 0.3, s"IVF nprobe=2 recall@3 $mp below floor 0.3")
     assert(mp >= ivf, "multi-probe must never lose recall vs nprobe=1")
