@@ -321,6 +321,44 @@ object Corpus {
        |    ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  // --------------------------------------------------- per-domain cap
+
+  private val domainCapK = 10
+
+  /** Per-DOMAIN document cap — the anti-domination gate every crawl
+    * pipeline runs before training (a single boilerplate-heavy domain
+    * must not become 30% of the corpus): keep at most `domainCapK` docs
+    * per `source`, chosen by a salted md5 rank of doc_id so the kept
+    * subset is an unbiased deterministic sample, not "first K by id"
+    * (ids correlate with crawl time).
+    *
+    * Runs on the custom bounded-heap operator
+    * ([[graft.plans.TopKPerKey]]) rather than a rank window: no
+    * per-domain sort, no WindowExec buffering of the whole domain — a
+    * hot domain with 10^8 docs costs a K-row heap per task and K rows
+    * into the shuffle, which is exactly the 100 TB shape (the window
+    * form buffers the hot domain's full partition). */
+  def domainCap(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      Tables.documents(spark, dir)
+        .withColumn("h",
+          conv(substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long"))
+        .select("source", "doc_id", "n_chars", "h"),
+      keys = Seq(col("source")),
+      order = Seq(col("h"), col("doc_id")),
+      k = domainCapK)
+      .drop("h")
+
+  val domainCapSql: String =
+    s"""SELECT source, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY
+       |      CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+       |      doc_id) AS rn
+       |  FROM documents
+       |) WHERE rn <= $domainCapK""".stripMargin
+
   // ------------------------------------------------------- corpus clean
 
   private val qualityMin = 0.2
@@ -555,6 +593,7 @@ object Corpus {
     "seq_packing" -> (seqPacking _),
     "corpus_clean" -> (corpusClean _),
     "corpus_decontaminate" -> (decontaminate _),
+    "corpus_domain_cap" -> (domainCap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -566,5 +605,6 @@ object Corpus {
     "seq_packing" -> seqPackingSql,
     "corpus_clean" -> corpusCleanSql,
     "corpus_decontaminate" -> decontaminateSql,
+    "corpus_domain_cap" -> domainCapSql,
   )
 }

@@ -527,7 +527,48 @@ object TextAnalysis {
        |  min(flog2) AS min_flog2
        |FROM j GROUP BY 1""".stripMargin
 
+  /** N-gram NOVELTY score — the cross-document companion to
+    * [[docRepetition]]'s within-document signals (the RefinedWeb /
+    * Gopher "duplicate n-gram fraction" family): per document, the
+    * fraction of its distinct word-3-shingles that occur in NO other
+    * document. Boilerplate-heavy docs score near 0, unique prose near 1;
+    * a culling pass drops the low tail. Documents with fewer than 3
+    * tokens have no shingles and emit NO row (same absence-is-reject
+    * contract as [[textStats]]).
+    *
+    * Scale shape: shingle document frequency is one hash aggregate on
+    * the shingle (map-side partial combine; the key space is the
+    * shingle set, which cannot concentrate), one equi-join back on the
+    * same key, and one per-doc aggregate. No windows, no driver state.
+    * Exactness: novelty is ONE double division of two exact integers —
+    * identical IEEE op in both engines. */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleRows(Tables.documents(spark, dir))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles"))
+  }
+
+  val docNoveltySql: String =
+    s"""WITH tt AS (
+       |  SELECT doc_id, ${Dedup.tokensSql("text")} AS toks FROM documents
+       |), shx AS (
+       |  SELECT doc_id, unnest(${Dedup.shinglesSql("toks")}) AS sh FROM tt
+       |), d AS (
+       |  SELECT sh, count(*) AS df FROM shx GROUP BY 1
+       |)
+       |SELECT shx.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / count(*) AS novelty
+       |FROM shx JOIN d USING (sh) GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_novelty" -> (docNovelty _),
     "doc_repetition" -> (docRepetition _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
@@ -543,6 +584,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_novelty" -> docNoveltySql,
     "doc_repetition" -> docRepetitionSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

@@ -75,6 +75,48 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("doc_novelty: bounds, totals, and exact duplicates score zero") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val rows = TextAnalysis.docNovelty(spark, dir)
+      .select("doc_id", "n_shingles", "n_unique", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, u, nov) =>
+      assert(n > 0 && u >= 0 && u <= n, s"doc $id")
+      assert(nov == u.toDouble / n, s"doc $id")
+    }
+    // every shingle of an exact-duplicate doc occurs in its twin too
+    val dupIds = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .groupBy(_._2).values.filter(_.length > 1).flatten.map(_._1).toSet
+    val byId = rows.map(r => r._1 -> r._4).toMap
+    dupIds.foreach(id => byId.get(id).foreach(nov =>
+      assert(nov == 0.0, s"exact-dup doc $id must have novelty 0")))
+    // docs with < 3 tokens emit no row (absence-is-reject contract)
+    val shingled = rows.map(_._1).toSet
+    assert(shingled.subsetOf(docs.select("doc_id").as[Long].collect().toSet))
+  }
+
+  test("corpus_domain_cap: at most K per source, deterministic unbiased pick") {
+    val capped = graft.operators.Corpus.domainCap(spark, dir)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    val bySource = capped.groupBy(_._1)
+    bySource.foreach { case (s, rows) =>
+      assert(rows.length <= 10, s"source $s over cap")
+      assert(rows.map(_._2).distinct.length == rows.length, s"source $s dup doc")
+    }
+    // deterministic: a second run picks the identical subset
+    val again = graft.operators.Corpus.domainCap(spark, dir)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(capped.toSet == again.toSet)
+    // sources with <= K docs are kept in full
+    val totals = graft.sources.Tables.documents(spark, dir)
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    bySource.foreach { case (s, rows) =>
+      assert(rows.length == math.min(10L, totals(s)), s"source $s")
+    }
+  }
+
   test("doc_repetition: fraction bounds and internal consistency") {
     val rows = TextAnalysis.docRepetition(spark, dir)
       .as[(Long, Long, Long, Double, Long, Long, Double)].collect()
