@@ -84,6 +84,18 @@ class PlanInvariantSpec extends SparkSpec {
       s"vocab side did not broadcast at test scale:\n$plan")
   }
 
+  test("corpus_domain_cap: bounded-heap pair, no window, no sort") {
+    // The anti-domination gate must stay on TopKPerKey (partial heap ->
+    // key exchange -> final heap). A Window/rank regression buffers the
+    // hottest domain's whole partition — exactly what the op exists to
+    // avoid.
+    val plan = formatted("corpus_domain_cap")
+    def nodes(op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
+    assert(nodes("TopKPerKey") == 2, plan) // partial + final
+    assert(nodes("Window") == 0 && nodes("Sort") == 0, plan)
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
