@@ -655,6 +655,59 @@ object Similarity {
        |  CAST(max(norm_u) AS DOUBLE) / 1000000.0 AS max_norm
        |FROM u GROUP BY 1""".stripMargin
 
+  /** INT8 quantization audit — the storage step every 100 TB vector
+    * store runs (symmetric per-vector max-abs int8: 4× smaller, SIMD
+    * dot products) paired with the question that decides whether it's
+    * safe: how much reconstruction error per label? Per vector:
+    * scale = max|v_i|/127, q_i = floor(v_i/scale + 0.5), error =
+    * max_i |v_i − q_i·scale|; per label: count, mean and worst of the
+    * per-vector max error. Zero vectors carry no information to
+    * quantize and are dropped (same contract as [[vecs]]).
+    *
+    * Exactness: every per-element value is a short chain of single
+    * correctly-rounded IEEE ops (one div, floor, one mul, sub, abs) —
+    * bit-deterministic in any engine; the per-vector MAX is pure
+    * comparison (no accumulation); cross-vector aggregation quantizes to
+    * 1e-9 integer units so the label mean is an order-free long sum.
+    * One projection + one tiny hash aggregate on label — no shuffle of
+    * vector payloads beyond the label agg's partial rows. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("m") > 0.0)
+      .withColumn("scale", col("m") / 127.0)
+      .withColumn("max_err_u",
+        floor(array_max(transform(col("v"),
+          x => abs(x - floor(x / col("scale") + 0.5) * col("scale"))))
+          * 1000000000.0 + 0.5).cast("long"))
+    e.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("max_err_u").as("su"),
+        max("max_err_u").as("mx"))
+      .select(col("label"), col("n"),
+        (col("su").cast("double") / col("n") / 1000000000.0).as("mean_max_err"),
+        (col("mx").cast("double") / 1000000000.0).as("worst_err"))
+  }
+
+  val embeddingQuantizeSql: String =
+    s"""WITH v AS (
+       |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), s AS (
+       |  SELECT label, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM v WHERE list_max(list_transform(v, x -> abs(x))) > 0.0
+       |), u AS (
+       |  SELECT label,
+       |    CAST(floor(list_max(list_transform(v,
+       |      x -> abs(x - floor(x / scale + 0.5) * scale)))
+       |      * 1000000000.0 + 0.5) AS BIGINT) AS max_err_u
+       |  FROM s
+       |)
+       |SELECT label, count(*) AS n,
+       |  CAST(sum(max_err_u) AS DOUBLE) / count(*) / 1000000000.0 AS mean_max_err,
+       |  CAST(max(max_err_u) AS DOUBLE) / 1000000000.0 AS worst_err
+       |FROM u GROUP BY 1""".stripMargin
+
   /** Hard-NEGATIVE mining — the embedding-model curation step: for each
     * query vector, the top-3 most-similar candidates with a DIFFERENT
     * label (high-similarity cross-label pairs are exactly the negatives
@@ -704,6 +757,7 @@ object Similarity {
     "ann_hard_negatives" -> (annHardNegatives _),
     "ann_range_search" -> (annRangeSearch _),
     "embedding_norm_stats" -> (embeddingNormStats _),
+    "embedding_quantize" -> (embeddingQuantize _),
     "embedding_neardup_pairs" -> (neardupPairs _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -715,6 +769,7 @@ object Similarity {
     "ann_hard_negatives" -> annHardNegativesSql,
     "ann_range_search" -> annRangeSearchSql,
     "embedding_norm_stats" -> embeddingNormStatsSql,
+    "embedding_quantize" -> embeddingQuantizeSql,
     "embedding_neardup_pairs" -> neardupPairsSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,

@@ -117,6 +117,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding_quantize: int8 error bounded by half the quant step") {
+    val rows = Similarity.embeddingQuantize(spark, dir)
+      .select("label", "n", "mean_max_err", "worst_err")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // |v - q*scale| <= scale/2 for round-half-up, and scale <= maxAbs/127
+    val maxAbs = graft.sources.Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.array_max(
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.col("embedding").cast("array<double>"),
+          x => org.apache.spark.sql.functions.abs(x))).as("m"))
+      .agg(org.apache.spark.sql.functions.max("m")).as[Double].head()
+    val bound = maxAbs / 127.0 / 2.0 * (1.0 + 1e-9)
+    rows.foreach { case (label, n, mean, worst) =>
+      assert(n > 0 && mean >= 0 && worst >= mean, s"label $label")
+      assert(worst <= bound, s"label $label: worst_err $worst > bound $bound")
+    }
+  }
+
   test("doc_repetition: fraction bounds and internal consistency") {
     val rows = TextAnalysis.docRepetition(spark, dir)
       .as[(Long, Long, Long, Double, Long, Long, Double)].collect()
