@@ -435,8 +435,112 @@ object Dedup {
        |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(h1, h2)) <= $hammingMax""".stripMargin
 
+  // --------------------------------------------------- incremental dedup
+
+  private val incrMod = 10L
+  private val incrRem = 7L
+
+  /** INCREMENTAL dedup — the production daily shape: dedup a NEW batch
+    * against the EXISTING corpus, without re-running whole-corpus dedup
+    * (at 100 TB the base is never re-paired against itself; only
+    * batch-vs-base work is done per increment). The `doc_id % 10 == 7`
+    * slice stands in for "today's crawl"; a real run substitutes its
+    * batch on the same shape.
+    *
+    * Pipeline order mirrors production: exact first (digest equi-join
+    * against the base's digest table, keeper = smallest base doc_id),
+    * then near-dup (word-3-shingle Jaccard >= 0.8) for batch docs NOT
+    * already exact-matched, against the CANONICALIZED base (pairing with
+    * every copy of a base duplicate group is wasted work), over a
+    * shingle universe capped by the base's hot-shingle list ([[maxDf]] —
+    * the same skew guard as [[ngramJaccard]], applied to both sides so
+    * Jaccard is computed in one consistent universe).
+    *
+    * Scale shape: base digests and base shingles are exactly the
+    * artifacts a production pipeline keeps precomputed; every join here
+    * is a hash equi-join keyed by digest/shingle, and the batch side is
+    * the small one — Catalyst's size estimate (or AQE at runtime)
+    * broadcasts it without a forced hint (a hint would OOM the one day
+    * someone replays a month of crawl as a single batch). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val newDocs = docs.filter(col("doc_id") % incrMod === incrRem)
+    val baseDocs = docs.filter(col("doc_id") % incrMod =!= incrRem)
+    val baseDig = baseDocs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("base_doc_id"))
+    val exactHits = eager(
+      newDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(baseDig, "fp")
+        .select(col("doc_id"), col("base_doc_id"),
+          lit("exact").as("kind"), lit(1.0).as("jaccard")))
+    val baseSh = shingleRows(canonicalDocs(baseDocs))
+    val hot = baseSh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val baseIdx = eager(baseSh.join(broadcast(hot), Seq("sh"), "left_anti"))
+    val newIdx = shingleRows(newDocs)
+      .join(broadcast(hot), Seq("sh"), "left_anti")
+      .join(exactHits.select("doc_id"), Seq("doc_id"), "left_anti")
+    val nNew = newIdx.groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val nBase = baseIdx.groupBy("doc_id").agg(count(lit(1)).as("n_base"))
+    val common = newIdx.as("a").join(baseIdx.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("base_doc_id"))
+      .agg(count(lit(1)).as("common"))
+    val nearHits = common
+      .join(nNew, "doc_id")
+      .join(nBase.withColumnRenamed("doc_id", "base_doc_id"), "base_doc_id")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_new") + col("n_base") - col("common")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_id"), col("base_doc_id"),
+        lit("near").as("kind"), col("jaccard"))
+    exactHits.unionAll(nearHits)
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % $incrMod = $incrRem),
+       |bd AS (SELECT doc_id, text FROM documents WHERE doc_id % $incrMod <> $incrRem),
+       |bdig AS (SELECT md5(text) AS fp, min(doc_id) AS base_doc_id FROM bd GROUP BY 1),
+       |ex AS (
+       |  SELECT n.doc_id, b.base_doc_id, 'exact' AS kind,
+       |    CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM (SELECT doc_id, md5(text) AS fp FROM nd) n JOIN bdig b USING (fp)
+       |),
+       |bcanon AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, row_number() OVER (
+       |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM bd
+       |  ) WHERE rn = 1
+       |),
+       |btt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM bcanon),
+       |bshx AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS sh FROM btt),
+       |hot AS (SELECT sh FROM bshx GROUP BY sh HAVING count(*) > $maxDf),
+       |bidx AS (SELECT * FROM bshx ANTI JOIN hot USING (sh)),
+       |ntt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM nd),
+       |nshx AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS sh FROM ntt),
+       |nidx AS (
+       |  SELECT * FROM (SELECT * FROM nshx ANTI JOIN hot USING (sh))
+       |  ANTI JOIN ex USING (doc_id)
+       |),
+       |nn AS (SELECT doc_id, count(*) AS n_new FROM nidx GROUP BY 1),
+       |nb AS (SELECT doc_id AS base_doc_id, count(*) AS n_base FROM bidx GROUP BY 1),
+       |cm AS (
+       |  SELECT a.doc_id, b.doc_id AS base_doc_id, count(*) AS common
+       |  FROM nidx a JOIN bidx b ON a.sh = b.sh GROUP BY 1, 2
+       |),
+       |nr AS (
+       |  SELECT cm.doc_id, cm.base_doc_id, 'near' AS kind,
+       |    CAST(common AS DOUBLE) / (n_new + n_base - common) AS jaccard
+       |  FROM cm JOIN nn USING (doc_id) JOIN nb USING (base_doc_id)
+       |  WHERE CAST(common AS DOUBLE) / (n_new + n_base - common) >= $jaccardThreshold
+       |)
+       |SELECT doc_id, base_doc_id, kind, jaccard FROM ex
+       |UNION ALL
+       |SELECT doc_id, base_doc_id, kind, jaccard FROM nr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
+    "dedup_incremental" -> (incrementalDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
@@ -444,6 +548,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
+    "dedup_incremental" -> incrementalDedupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashPairsSql,

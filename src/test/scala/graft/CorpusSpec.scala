@@ -36,6 +36,31 @@ class CorpusSpec extends SparkSpec {
     assert(rows.forall { case (_, cl, _) => ids.contains(cl) })
   }
 
+  test("dedup_incremental: batch-vs-base semantics") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val isNew = (id: Long) => id % 10 == 7
+    val rows = Dedup.incrementalDedup(spark, dir)
+      .select("doc_id", "base_doc_id", "kind", "jaccard")
+      .as[(Long, Long, String, Double)].collect()
+    rows.foreach { case (d, b, kind, j) =>
+      assert(isNew(d) && !isNew(b), s"($d, $b) crosses the slice wrong way")
+      assert(kind == "exact" || kind == "near")
+      if (kind == "near") assert(j >= 0.8 && j <= 1.0)
+    }
+    // exact hits = precisely the new docs whose text exists in the base,
+    // matched to the SMALLEST base doc with that text
+    val baseByText = docs.filterNot(d => isNew(d._1))
+      .groupBy(_._2).map { case (t, g) => t -> g.map(_._1).min }
+    val expectedExact = docs.filter(d => isNew(d._1))
+      .flatMap { case (id, t) => baseByText.get(t).map(b => (id, b)) }.toSet
+    val gotExact = rows.filter(_._3 == "exact").map(r => (r._1, r._2)).toSet
+    assert(gotExact == expectedExact)
+    // pipeline order: an exact-matched batch doc never reappears as near
+    val exactIds = gotExact.map(_._1)
+    assert(rows.filter(_._3 == "near").forall(r => !exactIds.contains(r._1)))
+  }
+
   test("corpus_split: deterministic, total, and roughly proportioned") {
     val rows = Corpus.corpusSplit(spark, dir)
       .as[(Long, Long, String)].collect()
