@@ -171,12 +171,7 @@ object Corpus {
     * the cached frame is unrecomputable and must be REBUILT, not served. */
   private val labelCache = new graft.util.SessionCache[
       (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
-    valid = (spark, v) => {
-      val rdd = v._2
-      spark.sparkContext.getRDDStorageInfo
-        .exists(i => i.id == rdd.id &&
-          i.numCachedPartitions == rdd.getNumPartitions)
-    })
+    valid = (spark, v) => graft.util.Ckpt.blocksPresent(spark, v._2))
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     labelCache.get(spark, dir)(componentsWithRdd(dupEdges(spark, dir)))._1
