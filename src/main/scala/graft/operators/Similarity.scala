@@ -160,13 +160,30 @@ object Similarity {
     * slower for O(n² d) math). The inner loop is the same ascending-index
     * sequential fold as the SQL oracle, and x*y multiplication commutes
     * exactly in IEEE, so results are bit-identical either orientation. */
-  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def neardupPairs(spark: SparkSession, dir: String): DataFrame =
+    neardupPairsCapped(spark, dir, auditMaxRows)
+
+  /** Hard cap on the exact all-pairs audit: 100k vectors is ~5e9 pair
+    * evaluations — an already-expensive but finishable audit job. Beyond
+    * it the operator REFUSES to run (pointing a O(n²) audit at a
+    * production-size corpus is always a mistake — the near-dup answer at
+    * that scale is [[annLshTopk]]/[[annIvfTopk]]); the count costs one
+    * cheap pre-pass over two columns. */
+  private val auditMaxRows = 100000L
+
+  private[graft] def neardupPairsCapped(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
     import spark.implicits._
     val B = neardupBlocks
     val t = pairThreshold
     val base = vecs(spark, dir)
       .select(col("vec_id"), col("v"), col("norm"))
       .as[(Long, Array[Double], Double)]
+    val n = base.count()
+    require(n <= cap,
+      s"neardupPairs is the exact O(n^2) audit: $n vectors exceed the " +
+        s"$cap-row cap (~${n * n / 2} pair evaluations). Use the " +
+        "LSH/IVF family (annLshTopk, annIvfTopk) for production near-dup.")
     val replicated = base.flatMap { case (id, v, n) =>
       val b = (id % B).toInt
       Iterator.range(b, B).map(j => (b * B + j, false, id, v, n)) ++

@@ -53,4 +53,14 @@ class RecallSpec extends SparkSpec {
     assert(minhash >= 0.9, s"MinHash-LSH recall $minhash below floor 0.9")
     assert(simhash >= 0.4, s"SimHash recall $simhash below floor 0.4")
   }
+
+  test("neardupPairs refuses corpora above the O(n^2) audit cap") {
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.neardupPairsCapped(spark, dir, cap = 10L)
+    }
+    assert(e.getMessage.contains("annLshTopk"),
+      s"guard message should point at the scale path: ${e.getMessage}")
+    // and the default-capped entry point still runs at fixture scale
+    assert(graft.operators.Similarity.neardupPairs(spark, dir).count() > 0)
+  }
 }
