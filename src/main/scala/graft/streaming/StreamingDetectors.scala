@@ -163,9 +163,14 @@ object StreamingDetectors {
     * per-event transition the reference's processElement performs
     * (AnomalyProcessFunction.java:106-143).
     *
-    * `ttl` evicts idle-key state without the busy-loop caveat the
-    * flatMapGroupsWithState timeout carries ([[alerts]] NOTE): TTL here
-    * is enforced by the state store, not by timer-driven empty batches.
+    * `ttl` evicts idle-key state in the state store itself (no per-key
+    * timers), but a TTL query still schedules a micro-batch EVERY
+    * trigger to advance its processing-time clock — so (a) give it a
+    * non-zero `Trigger.ProcessingTime` or the empty batches run
+    * back-to-back, and (b) `processAllAvailable` NEVER settles on it
+    * (each trigger is a new batch; the no-new-data condition is never
+    * reached — observed on Spark 4.1, tools/StateScaleBench): tests and
+    * drains must poll the sink / `lastProgress` instead.
     * Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass` =
     * `...state.RocksDBStateStoreProvider`) — transformWithState does not

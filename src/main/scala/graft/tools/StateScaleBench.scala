@@ -1,0 +1,130 @@
+package graft.tools
+
+import graft.model._
+import graft.streaming.{SEvent, StreamingDetectors}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.TTLConfig
+
+/** Scratch probe: `alertsTws` (transformWithState on RocksDB) at high key
+  * cardinality — the measurement behind the 100 TB state-scale claim.
+  *
+  * Phase 1 (growth): 8 batches x 250k events, every event a NEW key ->
+  * 2M distinct keys of live detector state (one rate deque + one stat
+  * deque + threshold evaluation per key). Records per-batch wall time,
+  * store rows, and RocksDB on-disk/memory size from the progress metrics:
+  * batch cost must track BATCH SIZE, not total state size, and memory
+  * must stay bounded (RocksDB spills to SST files, unlike the in-heap
+  * HDFS-backed store).
+  *
+  * Phase 2 (revisit): 4 more batches re-touching a 250k-key slice -> the
+  * read path against a 2M-key store; same flat-cost expectation.
+  *
+  * Phase 3 (TTL): a fresh query with a 5 s processing-time TTL ingests
+  * 250k keys, idles past the TTL, and reports expired-value removals —
+  * the unbounded-state fix the reference lacks (no TTL anywhere in its
+  * keyed state, AnomalyProcessFunction.java). A TTL query batches on
+  * EVERY trigger and `processAllAvailable` never settles on it
+  * (alertsTws scaladoc), so this phase polls `lastProgress`.
+  *
+  * Run: `sbt "runMain graft.tools.StateScaleBench [grow|ttl]"`; results
+  * recorded in SCALE_NOTES.md (round 7). */
+object StateScaleBench {
+
+  private val rules: Seq[DetectionRule] = Seq(
+    ThresholdRule("t1", "value", 95.0),
+    RateRule("r1", "key", 3600, 5.0),
+    StatisticalRule("s1", "value", windowSize = 10, deviationFactor = 3.0))
+
+  private def mkEvents(firstId: Long, n: Int, keyOf: Long => Long): Seq[SEvent] =
+    (0 until n).map { i =>
+      val id = firstId + i
+      SEvent(s"k${keyOf(id)}", id, id / 1000,
+        Map("value" -> (id % 100).toDouble), "{}")
+    }
+
+  private def report(tag: String, q: org.apache.spark.sql.streaming.StreamingQuery,
+      sec: Double): Unit = {
+    val p = q.lastProgress
+    val so = p.stateOperators.apply(0)
+    val cm = so.customMetrics
+    def m(k: String): Long = Option(cm.get(k)).map(_.longValue).getOrElse(-1L)
+    println(f"$tag%-12s ${sec}%6.2f s  rows=${so.numRowsTotal}%9d " +
+      f"updated=${so.numRowsUpdated}%8d memMB=${so.memoryUsedBytes / 1e6}%8.1f " +
+      f"sstMB=${m("rocksdbSstFileSize") / 1e6}%8.1f " +
+      f"ttlExpired=${m("numValuesRemovedDueToTTLExpiry")}%d")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.sources.Sessions.builder("local[16]", 16).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing is the large-state production posture: each
+    // commit uploads the batch's delta; full snapshots move to the
+    // background maintenance thread. Without it every task commit zips and
+    // uploads its ENTIRE store — measured here at minutes/batch once the
+    // store holds ~2M keys, wholly checkpoint overhead, not compute.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val perBatch = 250000
+    val phase = if (args.nonEmpty) args(0) else "all"
+
+    if (phase == "all" || phase == "grow") {
+      val ms = MemoryStream[SEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ssb").toString
+      val q = StreamingDetectors.alertsTws(ms.toDS(), rules)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        // phase 1: 8 batches, all-new keys -> 2M keys of live state
+        (0 until 8).foreach { b =>
+          ms.addData(mkEvents(b.toLong * perBatch, perBatch, id => id))
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          report(s"grow b$b", q, (System.nanoTime() - t0) / 1e9)
+        }
+        // phase 2: 4 batches revisiting the first 250k keys
+        (0 until 4).foreach { b =>
+          ms.addData(mkEvents((8L + b) * perBatch, perBatch, id => id % perBatch))
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          report(s"revisit b$b", q, (System.nanoTime() - t0) / 1e9)
+        }
+      } finally q.stop()
+    }
+
+    if (phase == "all" || phase == "ttl") {
+      // phase 3: TTL eviction. No processAllAvailable here — a TTL query
+      // batches on every trigger and never satisfies its no-new-data
+      // condition (alertsTws scaladoc); poll lastProgress instead.
+      val ms2 = MemoryStream[SEvent]
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ssb-ttl").toString
+      val q2 = StreamingDetectors.alertsTws(ms2.toDS(), rules,
+          TTLConfig(java.time.Duration.ofSeconds(5)))
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"))
+        .option("checkpointLocation", ckpt2).start()
+      def rowsNow: Long = Option(q2.lastProgress)
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.apply(0).numRowsTotal).getOrElse(-1L)
+      def waitFor(tag: String, deadlineSec: Int)(done: => Boolean): Unit = {
+        val t0 = System.nanoTime()
+        while (!done && (System.nanoTime() - t0) / 1e9 < deadlineSec)
+          Thread.sleep(500)
+        report(tag, q2, (System.nanoTime() - t0) / 1e9)
+      }
+      try {
+        ms2.addData(mkEvents(0L, perBatch, id => id))
+        waitFor("ttl fill", 300)(rowsNow >= perBatch)
+        // idle past the TTL; the per-trigger cleanup scan evicts expired
+        // values and numRowsTotal collapses
+        waitFor("ttl evict", 300)(rowsNow >= 0 && rowsNow < perBatch / 10)
+      } finally q2.stop()
+    }
+    spark.stop()
+  }
+}

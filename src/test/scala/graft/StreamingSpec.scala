@@ -212,6 +212,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState TTL evicts idle-key detector state") {
+    // Rate rule with a huge window and threshold 2: the 3rd event for a
+    // key alerts IF its deque survived. Two events, an idle gap past the
+    // TTL, two more: with eviction the counts restart at 1 -> NO alert;
+    // state surviving the gap would fire on both later events. The no-TTL
+    // control in the same layout must fire, proving the assertion bites.
+    import org.apache.spark.sql.streaming.TTLConfig
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rr = Seq(RateRule("r", "key", 1000000, 2.0))
+      // A TTL query batches on every trigger and processAllAvailable
+      // never settles on it (alertsTws scaladoc) — poll the progress's
+      // input-row total to know a batch landed instead.
+      def run(ttl: TTLConfig, gapMs: Long): Long = {
+        implicit val sqlCtx = spark.sqlContext
+        val ms = MemoryStream[SEvent]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+        val name = s"ttl_out_${System.nanoTime()}"
+        val q = StreamingDetectors.alertsTws(ms.toDS(), rr, ttl)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+          .start()
+        def ingested: Long = q.recentProgress.map(_.numInputRows).sum
+        def await(n: Long): Unit = {
+          val t0 = System.nanoTime()
+          while (ingested < n && (System.nanoTime() - t0) / 1e9 < 60)
+            Thread.sleep(100)
+          assert(ingested >= n, s"timed out waiting for $n input rows")
+        }
+        try {
+          ms.addData(Seq(SEvent("k", 1, 10, Some(1.0)), SEvent("k", 2, 11, Some(1.0))))
+          await(2)
+          Thread.sleep(gapMs)
+          ms.addData(Seq(SEvent("k", 3, 12, Some(1.0)), SEvent("k", 4, 13, Some(1.0))))
+          await(4)
+          spark.table(name).count()
+        } finally q.stop()
+      }
+      assert(run(TTLConfig.NONE, gapMs = 0L) == 2L,
+        "control: without TTL the 3rd and 4th events must alert")
+      assert(run(TTLConfig(java.time.Duration.ofSeconds(1)), gapMs = 2500L) == 0L,
+        "idle state outliving its TTL must be evicted, resetting the deque")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("full EP1 topology: raw JSON in, JSON alerts out, malformed dropped") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
