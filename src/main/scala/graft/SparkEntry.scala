@@ -44,6 +44,10 @@ object SparkEntry {
       Detectors.thresholdAlerts(Tables.events(s, dir), FixtureRules.threshold)),
     "rate_alerts" -> ((s, dir) =>
       Detectors.rateAlerts(Tables.events(s, dir), FixtureRules.rate)),
+    // identical alerts, slice-parallel window: a hot key spreads across
+    // timeline-slice tasks instead of serializing through one
+    "rate_alerts_sliced" -> ((s, dir) =>
+      Detectors.rateAlertsSliced(Tables.events(s, dir), FixtureRules.rate)),
     "stat_alerts" -> ((s, dir) =>
       Detectors.statisticalAlerts(Tables.events(s, dir), FixtureRules.statistical)),
     "all_alerts" -> ((s, dir) =>
@@ -81,6 +85,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "threshold_alerts" -> DetectorSql.threshold(FixtureRules.threshold),
     "rate_alerts" -> DetectorSql.rate(FixtureRules.rate),
+    // same oracle as rate_alerts: the sliced plan must be output-identical
+    "rate_alerts_sliced" -> DetectorSql.rate(FixtureRules.rate),
     "stat_alerts" -> DetectorSql.statistical(FixtureRules.statistical),
     "all_alerts" -> DetectorSql.all(FixtureRules.all),
     "throttled_alerts" -> DetectorSql.throttled(FixtureRules.threshold, 600L),

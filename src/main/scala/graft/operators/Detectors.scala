@@ -143,6 +143,50 @@ object Detectors {
       .select(alertCols.map(col): _*)
   }
 
+  /** Slice-parallel formulation of [[rateAlerts]] — identical output,
+    * skew-proof execution. The plain RANGE window serializes each key
+    * through ONE task, so a pathologically hot key (the sf1 events_hot
+    * probe: half of all events on one user) caps scaling at that task.
+    * Because the frame only looks back `windowSeconds`, the timeline
+    * chops into `sliceSeconds` slices computed independently: each event
+    * goes to its home slice, and events in the last `windowSeconds` of a
+    * slice are ALSO copied into the next slice as context rows (flagged,
+    * counted by neighbors, then dropped). Any frame member is at most
+    * `windowSeconds` behind its row, so it lives in the same slice or the
+    * context band — each exactly once, making every count identical to
+    * the single-partition window's. The window key becomes (key, slice):
+    * a hot key spreads over timeline/sliceSeconds tasks at a replication
+    * overhead of windowSeconds/sliceSeconds (default 1/64). */
+  def rateAlertsSliced(events: DataFrame, rule: RateRule,
+      sliceSeconds: Long = 0L): DataFrame = {
+    val s = if (sliceSeconds > 0) sliceSeconds
+      else math.max(rule.windowSeconds.toLong * 64L, 3600L)
+    require(s > rule.windowSeconds,
+      s"sliceSeconds ($s) must exceed the rule window (${rule.windowSeconds})")
+    val prep = prepareEvents(events, rule.keyField)
+    val sliceOf = floor(col("ts_sec") / s).cast("long")
+    val home = prep
+      .withColumn("slice", sliceOf)
+      .withColumn("is_ctx", lit(false))
+    val ctx = prep
+      .withColumn("slice", sliceOf + 1)
+      .withColumn("is_ctx", lit(true))
+      .filter(col("ts_sec") >= col("slice") * s - rule.windowSeconds)
+    val w = Window.partitionBy("key", "slice").orderBy("ts_sec")
+      .rangeBetween(-rule.windowSeconds, 0)
+    withOriginalEvent(
+      home.unionByName(ctx)
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(!col("is_ctx") && col("cnt") > lit(rule.threshold)))
+      .withColumn("rule_name", lit(rule.name))
+      .withColumn("value", col("cnt").cast("double"))
+      .withColumn("details", concat(
+        lit("Rate spike: "), col("cnt").cast("string"),
+        lit(" events in %d seconds (threshold: %.0f)"
+          .format(rule.windowSeconds, rule.threshold))))
+      .select(alertCols.map(col): _*)
+  }
+
   /** Moving mean/sigma over the PREVIOUS windowSize values (ROWS BETWEEN
     * windowSize PRECEDING AND 1 PRECEDING — the -1 upper bound encodes
     * check-before-insert). Rows with a null/non-numeric field are excluded

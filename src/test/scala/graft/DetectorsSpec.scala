@@ -65,6 +65,23 @@ class DetectorsSpec extends SparkSpec {
     assert(run(df, rate).isEmpty)
   }
 
+  test("rate sliced == plain across slice boundaries (incl. fixture)") {
+    // slice=16s on a 10s window: boundaries at 96, 112, 128... the burst
+    // straddles them, exercising context-band counting both ways
+    val df = events((0 until 40).map(i =>
+      (i.toLong, 90L + i * 2, (i % 3).toLong, 1.0)))
+    val r = RateRule("r", "user_id", 10, 2.0)
+    def set(d: DataFrame) = d.select("event_id", "value", "details")
+      .as[(Long, Double, String)].collect().toSet
+    assert(set(Detectors.rateAlertsSliced(df, r, sliceSeconds = 16L)) ==
+      set(Detectors.rateAlerts(df, r)))
+    // and on the real fixture with the registered rule/default slice
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val fr = graft.SparkEntry.FixtureRules.rate
+    assert(set(Detectors.rateAlertsSliced(ev, fr)) ==
+      set(Detectors.rateAlerts(ev, fr)))
+  }
+
   test("rate: keys are independent") {
     val df = events(Seq((0L, 100L, 1L, 1.0), (1L, 100L, 2L, 1.0),
       (2L, 100L, 3L, 1.0), (3L, 100L, 4L, 1.0)))
