@@ -96,6 +96,22 @@ class PlanInvariantSpec extends SparkSpec {
     assert(nodes("Window") == 0 && nodes("Sort") == 0, plan)
   }
 
+  test("rate_alerts_sliced: one window over (key, slice), never key alone") {
+    // The whole point of the sliced form is that no single window
+    // partition holds a key's full timeline: the hash exchange and the
+    // window spec must both carry (key, slice). A regression to
+    // partitioning by key alone silently restores the hot-key straggler
+    // while producing identical results — only the plan shows it.
+    val plan = formatted("rate_alerts_sliced")
+    def nodes(op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
+    assert(nodes("Window") == 1, plan)
+    val spec = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(spec.contains("key") && spec.contains("slice"),
+      s"window spec lost the slice dimension:\n$spec")
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
