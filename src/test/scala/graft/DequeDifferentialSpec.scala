@@ -132,6 +132,25 @@ class DequeDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("rate sliced == plain on random streams and random slice sizes") {
+    // The slice-parallel window must be output-identical to the plain
+    // RANGE window on ANY stream, for ANY slice size > windowSeconds —
+    // including slices barely above the window, where nearly every row
+    // is also a context copy.
+    val rnd = new scala.util.Random(13)
+    (1 to 10).foreach { trial =>
+      val evs = gen(rnd, 40 + rnd.nextInt(120), keys = 3, tieBias = 0.3)
+      val slice = rateRule.windowSeconds.toLong + 1L + rnd.nextInt(100).toLong
+      val df = evs.toDF("event_id", "ts_sec", "user_id", "value")
+      def out(d: org.apache.spark.sql.DataFrame) =
+        d.select("event_id", "value", "details")
+          .as[(Long, Double, String)].collect().toSet
+      assert(out(Detectors.rateAlertsSliced(df, rateRule, slice)) ==
+        out(Detectors.rateAlerts(df, rateRule)),
+        s"trial $trial diverged at slice=$slice")
+    }
+  }
+
   test("rate: unique per-key seconds — batch == deque, counts included") {
     val rnd = new scala.util.Random(11)
     (1 to 15).foreach { trial =>
