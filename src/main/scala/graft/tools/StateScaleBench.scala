@@ -97,6 +97,43 @@ object StateScaleBench {
       } finally q.stop()
     }
 
+    if (phase == "all" || phase == "etime") {
+      // phase 4: the event-time mode — 1M out-of-order events over 250k
+      // keys, 300 s disorder bands, 60 s watermark delay. Every batch
+      // buffers into per-key ListState and registers a timer; the next
+      // batch's watermark advance drains the prior band through
+      // processEvent in (tsSec, eventId) order. Measures the
+      // buffer-then-drain cost the arrival-order paths don't pay.
+      val ms3 = MemoryStream[SEvent]
+      val ckpt3 = java.nio.file.Files.createTempDirectory("graft-ssb-et").toString
+      val q3 = StreamingDetectors.alertsEventTime(ms3.toDS(), rules,
+          java.time.Duration.ofSeconds(60))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt3).start()
+      try {
+        (0 until 4).foreach { b =>
+          val base = b.toLong * 300L
+          val evs = (0 until perBatch).map { i =>
+            val id = b.toLong * perBatch + i
+            // deterministic shuffle of event times inside the band
+            val ts = base + (id * 2654435761L) % 300L
+            SEvent(s"k${id % 250000L}", id, ts,
+              Map("value" -> (id % 100).toDouble), "{}")
+          }
+          ms3.addData(evs)
+          val t0 = System.nanoTime()
+          q3.processAllAvailable()
+          report(s"etime b$b", q3, (System.nanoTime() - t0) / 1e9)
+        }
+        // sentinel far-future event pushes the watermark past every band
+        ms3.addData(Seq(SEvent("flush", 4L * perBatch, 1000000L,
+          Map("value" -> 1.0), "{}")))
+        val tf = System.nanoTime()
+        q3.processAllAvailable()
+        report("etime flush", q3, (System.nanoTime() - tf) / 1e9)
+      } finally q3.stop()
+    }
+
     if (phase == "all" || phase == "ttl") {
       // phase 3: TTL eviction. No processAllAvailable here — a TTL query
       // batches on every trigger and never satisfies its no-new-data
