@@ -97,6 +97,28 @@ object StateScaleBench {
       } finally q.stop()
     }
 
+    if (phase == "all" || phase == "hot") {
+      // phase 1b: hot-key adversary for the streaming path — 50% of
+      // every batch lands on ONE key, the rest spread over 125k keys.
+      // The hot key's ~125k events serialize through one task's
+      // processEvent loop; per-key state stays bounded (deque windows),
+      // so the cost is the loop, not memory.
+      val msH = MemoryStream[SEvent]
+      val ckptH = java.nio.file.Files.createTempDirectory("graft-ssb-hot").toString
+      val qH = StreamingDetectors.alertsTws(msH.toDS(), rules)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckptH).start()
+      try {
+        (0 until 4).foreach { b =>
+          msH.addData(mkEvents(b.toLong * perBatch, perBatch,
+            id => if (id % 2 == 0) 42L else id))
+          val t0 = System.nanoTime()
+          qH.processAllAvailable()
+          report(s"hot b$b", qH, (System.nanoTime() - t0) / 1e9)
+        }
+      } finally qH.stop()
+    }
+
     if (phase == "all" || phase == "etime") {
       // phase 4: the event-time mode — 1M out-of-order events over 250k
       // keys, 300 s disorder bands, 60 s watermark delay. Every batch
