@@ -418,6 +418,42 @@ object Corpus {
        |WHERE ${hashBucketSql("sample:", "doc_id")} < $rateSql""".stripMargin
   }
 
+  /** Quality-weighted importance sampling — the SOFT quality gate the
+    * hard filter families approximate: each document is kept with
+    * probability equal to its [[TextAnalysis.textStatsOf quality_score]]
+    * (∈ (0, 1] by construction), decided by an independent salted hash,
+    * and kept rows carry the Horvitz-Thompson weight 1/p̂ so any
+    * downstream weighted statistic stays unbiased for the full corpus.
+    * Low-quality text thins out smoothly instead of dying at a cliff.
+    *
+    * Exactness: the score's IEEE product is already hash-proven
+    * cross-engine by `text_stats`; the keep decision quantizes it to an
+    * integer threshold (HALF_UP at 1e-6, the repo's Fmt idiom) and
+    * compares against an integer hash draw — no float comparison crosses
+    * engines. Stateless per-row decision like [[corpusSample]]: at
+    * 100 TB this is one fused scan-projection-filter, no shuffle. */
+  def corpusImportanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val stats = TextAnalysis.textStatsOf(Tables.documents(spark, dir))
+    val thresh = floor(col("quality_score") * 1000000.0 + 0.5).cast("long")
+    val draw = conv(substring(
+        md5(concat(lit("isample:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000000L
+    stats
+      .withColumn("keep_thresh", thresh)
+      .filter(draw < col("keep_thresh"))
+      .withColumn("weight", lit(1000000.0) / col("keep_thresh"))
+      .select("doc_id", "quality_score", "weight")
+  }
+
+  val corpusImportanceSampleSql: String = {
+    val draw = "(CAST(('0x' || substr(md5('isample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000)"
+    val thresh = "CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH ${TextAnalysis.textStatsCtes("documents")},
+       |q AS (${TextAnalysis.textStatsSelect})
+       |SELECT doc_id, quality_score, 1000000.0 / $thresh AS weight
+       |FROM q WHERE $draw < $thresh""".stripMargin
+  }
+
   /** Per-language epoch weights for training-data mixing: copies of each
     * document = floor(weight), plus one more with probability
     * frac(weight) — decided by an independent salted hash so fractional
@@ -584,6 +620,7 @@ object Corpus {
     "dedup_canonical" -> (dedupCanonical _),
     "corpus_split" -> (corpusSplit _),
     "corpus_sample" -> (corpusSample _),
+    "corpus_importance_sample" -> (corpusImportanceSample _),
     "corpus_mixture" -> (corpusMixture _),
     "seq_packing" -> (seqPacking _),
     "corpus_clean" -> (corpusClean _),
@@ -596,6 +633,7 @@ object Corpus {
     "dedup_canonical" -> dedupCanonicalSql,
     "corpus_split" -> corpusSplitSql,
     "corpus_sample" -> corpusSampleSql,
+    "corpus_importance_sample" -> corpusImportanceSampleSql,
     "corpus_mixture" -> corpusMixtureSql,
     "seq_packing" -> seqPackingSql,
     "corpus_clean" -> corpusCleanSql,

@@ -288,4 +288,26 @@ class PipelineOpsSpec extends SparkSpec {
       assert(mn > 0, "a zero norm would mean a dead vector")
     }
   }
+
+  test("corpus_importance_sample: keep rate tracks quality; HT weights unbiased") {
+    val stats = TextAnalysis.textStats(spark, dir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val kept = graft.operators.Corpus.corpusImportanceSample(spark, dir)
+      .select("doc_id", "quality_score", "weight")
+      .as[(Long, Double, Double)].collect()
+    assert(kept.nonEmpty && kept.length < stats.size,
+      "the soft gate must keep some and drop some")
+    kept.foreach { case (id, q, w) =>
+      assert(q == stats(id))
+      // weight is exactly the inverse of the quantized keep probability
+      val thresh = math.floor(q * 1000000.0 + 0.5).toLong
+      assert(w == 1000000.0 / thresh)
+    }
+    // Horvitz-Thompson: the weighted kept count estimates the corpus
+    // size without bias; on the fixture the draw is deterministic, so
+    // just bound the realized estimate loosely
+    val est = kept.map(_._3).sum
+    assert(math.abs(est - stats.size) / stats.size < 0.25,
+      s"HT estimate $est vs corpus ${stats.size}")
+  }
 }
