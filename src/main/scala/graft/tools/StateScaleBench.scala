@@ -97,6 +97,31 @@ object StateScaleBench {
       } finally q.stop()
     }
 
+    if (phase == "all" || phase == "json") {
+      // phase 0: the reference's own end-to-end use case — raw JSON in,
+      // JSON alerts out (parse -> null filter -> keyBy -> stateful
+      // detect -> serialize), 1M events over 100k keys. The headline
+      // events/s/node number comparable to the reference topology.
+      val msJ = MemoryStream[String]
+      val ckptJ = java.nio.file.Files.createTempDirectory("graft-ssb-json").toString
+      val qJ = StreamingDetectors.jsonPipeline(
+          msJ.toDS().toDF("value"), rules, keyField = "user_id")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckptJ).start()
+      try {
+        (0 until 4).foreach { b =>
+          val raw = (0 until perBatch).map { i =>
+            val id = b.toLong * perBatch + i
+            s"""{"user_id":"u${id % 100000}","event_id":$id,"ts":${id / 1000},"value":${id % 100}}"""
+          }
+          msJ.addData(raw)
+          val t0 = System.nanoTime()
+          qJ.processAllAvailable()
+          report(s"json b$b", qJ, (System.nanoTime() - t0) / 1e9)
+        }
+      } finally qJ.stop()
+    }
+
     if (phase == "all" || phase == "hot") {
       // phase 1b: hot-key adversary for the streaming path — 50% of
       // every batch lands on ONE key, the rest spread over 125k keys.
