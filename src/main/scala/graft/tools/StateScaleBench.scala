@@ -26,8 +26,12 @@ import org.apache.spark.sql.streaming.TTLConfig
   * EVERY trigger and `processAllAvailable` never settles on it
   * (alertsTws scaladoc), so this phase polls `lastProgress`.
   *
-  * Run: `sbt "runMain graft.tools.StateScaleBench [grow|ttl]"`; results
-  * recorded in SCALE_NOTES.md (round 7). */
+  * Run: `sbt "runMain graft.tools.StateScaleBench [grow|hot|etime|ttl|json]"`
+  * (no arg = all); results recorded in SCALE_NOTES.md (round 7):
+  * grow/revisit = key-cardinality growth, hot = hot-key adversary (the
+  * phase that exposed the quadratic rate-deque eviction), etime =
+  * event-time buffering, ttl = idle-state eviction, json = end-to-end
+  * raw-JSON topology throughput. */
 object StateScaleBench {
 
   private val rules: Seq[DetectionRule] = Seq(
