@@ -115,5 +115,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorExprs.dotDescription)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RateWindowRewrite)
   }
 }

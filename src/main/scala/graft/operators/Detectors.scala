@@ -126,7 +126,14 @@ object Detectors {
     * (RateSpikeDetector.java:85-87). NOTE on ties: events sharing a second
     * are RANGE peers and all see each other; the streaming deque only sees
     * earlier arrivals — the batch formulation is the set-semantics reading
-    * and is what the oracle checks. */
+    * and is what the oracle checks.
+    *
+    * Written in the canonical window shape; under [[graft.functions
+    * .GraftExtensions]] the [[graft.plans.RateWindowRewrite]] optimizer rule
+    * re-plans it into the slice-parallel form automatically, so the
+    * skew-safe plan is the default for every caller (including
+    * [[compile]]'s rule dispatch) — see [[rateAlertsSliced]] for the
+    * hand-written equivalent and the equivalence argument. */
   def rateAlerts(events: DataFrame, rule: RateRule): DataFrame = {
     val w = Window.partitionBy("key").orderBy("ts_sec")
       .rangeBetween(-rule.windowSeconds, 0)
@@ -165,19 +172,21 @@ object Detectors {
       s"sliceSeconds ($s) must exceed the rule window (${rule.windowSeconds})")
     val prep = prepareEvents(events, rule.keyField)
     val sliceOf = floor(col("ts_sec") / s).cast("long")
+    // the reserved __graft_* names tell RateWindowRewrite this plan is
+    // already sliced by hand, so the rule doesn't re-slice it
     val home = prep
-      .withColumn("slice", sliceOf)
-      .withColumn("is_ctx", lit(false))
+      .withColumn("__graft_slice", sliceOf)
+      .withColumn("__graft_ctx", lit(false))
     val ctx = prep
-      .withColumn("slice", sliceOf + 1)
-      .withColumn("is_ctx", lit(true))
-      .filter(col("ts_sec") >= col("slice") * s - rule.windowSeconds)
-    val w = Window.partitionBy("key", "slice").orderBy("ts_sec")
+      .withColumn("__graft_slice", sliceOf + 1)
+      .withColumn("__graft_ctx", lit(true))
+      .filter(col("ts_sec") >= col("__graft_slice") * s - rule.windowSeconds)
+    val w = Window.partitionBy("key", "__graft_slice").orderBy("ts_sec")
       .rangeBetween(-rule.windowSeconds, 0)
     withOriginalEvent(
       home.unionByName(ctx)
         .withColumn("cnt", count(lit(1)).over(w))
-        .filter(!col("is_ctx") && col("cnt") > lit(rule.threshold)))
+        .filter(!col("__graft_ctx") && col("cnt") > lit(rule.threshold)))
       .withColumn("rule_name", lit(rule.name))
       .withColumn("value", col("cnt").cast("double"))
       .withColumn("details", concat(
