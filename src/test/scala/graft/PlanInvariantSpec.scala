@@ -112,6 +112,23 @@ class PlanInvariantSpec extends SparkSpec {
       s"window spec lost the slice dimension:\n$spec")
   }
 
+  test("q13: orders pre-aggregate below the join (one join row per customer)") {
+    // The join must consume count-per-custkey, not raw orders: an
+    // aggregate on o_custkey has to sit INSIDE a join child. A regression
+    // to join-then-count still returns identical rows but shuffles one
+    // row per order into the join — only the plan shows it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = SparkEntry.queries("q13_custdist")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 1, plan.treeString)
+    val preAgg = joins.head.children.exists(_.collectFirst {
+      case a: Aggregate if a.groupingExpressions.exists(
+        _.references.exists(_.name == "o_custkey")) => a
+    }.nonEmpty)
+    assert(preAgg, s"orders are not pre-aggregated below the join:\n${plan.treeString}")
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
