@@ -45,6 +45,7 @@ final class HealthServer(metrics: Option[() => LatencyStats] = None) {
   private val body = "{\"status\":\"UP\"}".getBytes(StandardCharsets.UTF_8)
   private val running = new AtomicBoolean(false)
   @volatile private var server: HttpServer = _
+  @volatile private var metricsExec: java.util.concurrent.ExecutorService = _
 
   /** Start on `port`; must be in [1, 65535]. */
   def start(port: Int): Unit = {
@@ -55,7 +56,20 @@ final class HealthServer(metrics: Option[() => LatencyStats] = None) {
       server = HttpServer.create(new InetSocketAddress(port), 0)
       server.createContext("/health", handle(_))
       server.createContext("/readiness", handle(_))
-      metrics.foreach(m => server.createContext("/metrics", handleMetrics(m, _)))
+      // /metrics runs on its OWN thread: the scrape takes the listener's
+      // stats lock (contended by streaming progress callbacks), and the
+      // class invariant is that a slow scrape must never delay a K8s
+      // liveness/readiness answer. The handler hops executors and returns;
+      // the exchange completes when the metrics thread closes the body.
+      metrics.foreach { m =>
+        metricsExec = Executors.newSingleThreadExecutor { r =>
+          val t = new Thread(r, "health-metrics")
+          t.setDaemon(true)
+          t
+        }
+        server.createContext("/metrics",
+          ex => metricsExec.execute(() => handleMetrics(m, ex)))
+      }
       server.setExecutor(Executors.newSingleThreadExecutor { r =>
         val t = new Thread(r, "health-server")
         t.setDaemon(true)
@@ -74,6 +88,7 @@ final class HealthServer(metrics: Option[() => LatencyStats] = None) {
   def stop(): Unit =
     if (server != null && running.compareAndSet(true, false)) {
       server.stop(0)
+      if (metricsExec != null) metricsExec.shutdownNow()
       log.info("Health server stopped")
     }
 
@@ -90,9 +105,18 @@ final class HealthServer(metrics: Option[() => LatencyStats] = None) {
   /** Prometheus text exposition 0.0.4 of the listener snapshot. Counters
     * are cumulative (monotone across scrapes by [[SentinelQueryListener]]
     * construction); the latency histogram surfaces as a summary with the
-    * reference's p50/p95/p99 readings over its 350-sample window. */
+    * reference's p50/p95/p99 readings over its 350-sample window.
+    * Runs on the dedicated `health-metrics` thread (never the probe
+    * thread); a throwing supplier answers 500 instead of leaking the
+    * exchange. */
   private def handleMetrics(m: () => LatencyStats, exchange: HttpExchange): Unit = {
-    val s = m()
+    val s = try m() catch {
+      case e: Throwable =>
+        log.error(s"metrics snapshot failed: ${e.getMessage}", e)
+        exchange.sendResponseHeaders(500, -1L)
+        exchange.close()
+        return
+    }
     val g = Metrics.metricGroup
     val text =
       s"""# HELP ${g}_events_processed_total Events evaluated across all micro-batches.

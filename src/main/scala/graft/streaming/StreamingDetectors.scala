@@ -84,7 +84,13 @@ object StreamingDetectors {
         val windowStart = e.tsSec - r.windowSeconds
         // Head-only eviction — EXACTLY the reference's deque loop
         // (RateSpikeDetector.java:85-87: pop while head < windowStart)
-        // and amortized O(1) per event. The previous filter(...) scanned
+        // and amortized O(1) per event. NOTE: head-only is equivalent to
+        // full eviction only when per-key ts is nondecreasing (the
+        // reference's ingestion clock guarantees it; jsonPipeline's
+        // event-time clock does not) — an out-of-order ts leaves expired
+        // entries mid-deque and inflates later counts, identically in the
+        // reference and here; pinned by DequeDifferentialSpec's
+        // out-of-order differential. The previous filter(...) scanned
         // the whole deque per event, quadratic on a hot key whose window
         // never evicts: StateScaleBench's hot phase measured 273 s for
         // one 125k-event key vs ~2 s uniform. Vector keeps append and
@@ -379,7 +385,15 @@ object StreamingDetectors {
     *
     * Clock: the event's own numeric `ts` field when present (the
     * deterministic-test substitution the reference's own unit tests use),
-    * else the ingestion timestamp — EventDeserializationSchema.java:36. */
+    * else the ingestion timestamp — EventDeserializationSchema.java:36.
+    * Unlike the reference's always-ingestion clock, the event-time path
+    * admits per-key ts REGRESSIONS; the rate deque's head-only eviction
+    * then leaves expired entries mid-deque and can over-count (possible
+    * spurious rate alerts) — the same thing the reference's own loop
+    * would do on a non-monotone clock. Pinned, with a deterministic
+    * witness, by DequeDifferentialSpec's out-of-order differential;
+    * stamp ingestion time upstream if strict parity with the
+    * reference's clock is required. */
   def jsonPipeline(raw: DataFrame, rules: Seq[DetectionRule],
       keyField: String, rawCol: String = "value"): DataFrame = {
     import raw.sparkSession.implicits._

@@ -23,14 +23,26 @@ import org.apache.spark.sql.SparkSession
   *     recomputing. The caller-supplied `valid` predicate runs on every
   *     serve; a false verdict recomputes and replaces the entry.
   *
-  * Compute-once semantics: lookups go through `ConcurrentHashMap.compute`,
-  * so concurrent callers of the same key block rather than duplicating the
-  * (expensive, block-pinning) computation.
+  * Compute-once semantics WITHOUT holding the map's bin lock through the
+  * computation: `computeIfAbsent` only installs a cheap lazy holder, and
+  * the (expensive — often a full Spark job) computation runs under the
+  * holder's own monitor. Running it inside `ConcurrentHashMap.compute`
+  * would pin the bin lock for minutes — blocking unrelated keys that hash
+  * to the same bin, stalling the listener-bus thread when
+  * `onApplicationEnd`'s removeIf hits the bin, and deadlocking any
+  * re-entrant get from inside a computation (CHM recursive-update).
+  * Concurrent callers of the same key still block on the holder rather
+  * than duplicating the computation.
   */
 final class SessionCache[V](
     valid: (SparkSession, V) => Boolean = (_: SparkSession, _: V) => true) {
 
-  private val m = new ConcurrentHashMap[(String, String), V]()
+  /** `value` memoizes under the holder's monitor (Scala lazy val); a
+    * throwing computation leaves it uninitialized, so the next caller
+    * retries instead of caching the failure. */
+  private final class Holder(compute: () => V) { lazy val value: V = compute() }
+
+  private val m = new ConcurrentHashMap[(String, String), Holder]()
   private val hooked = ConcurrentHashMap.newKeySet[String]()
 
   // Spark's own sessionUUID is private[sql]; mint one per session instance
@@ -45,8 +57,16 @@ final class SessionCache[V](
   def get(spark: SparkSession, key: String)(compute: => V): V = {
     val u = uuid(spark)
     hook(spark, u)
-    m.compute((u, key), (_, cur) =>
-      if (cur != null && valid(spark, cur)) cur else compute)
+    val k = (u, key)
+    var result: Option[V] = None
+    while (result.isEmpty) {
+      var fresh = false
+      val h = m.computeIfAbsent(k, _ => { fresh = true; new Holder(() => compute) })
+      val v = h.value // may run the computation — outside any map lock
+      if (fresh || valid(spark, v)) result = Some(v)
+      else m.remove(k, h) // stale (e.g. checkpoint blocks lost): retry fresh
+    }
+    result.get
   }
 
   /** Entry count (test hook). */

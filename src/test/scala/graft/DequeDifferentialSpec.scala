@@ -91,7 +91,10 @@ class DequeDifferentialSpec extends SparkSpec {
   /** Arrival sequences with per-key NONDECREASING seconds and heavy ties
     * (`tieBias` of steps stay on the same second) — ingestion time is
     * monotone per key by construction in the reference (stamped at
-    * deserialize), so this is the full reachable input space. */
+    * deserialize), so this is the full space reachable through the
+    * reference's ingestion clock. graft's `jsonPipeline` additionally
+    * admits NON-monotone per-key ts (it trusts the event's own `ts`
+    * field); that space is pinned separately below with [[genAnyOrder]]. */
   private def gen(rnd: scala.util.Random, n: Int, keys: Int, tieBias: Double): Seq[Ev] = {
     val clock = scala.collection.mutable.Map.empty[Long, Long]
     (0 until n).map { i =>
@@ -102,6 +105,59 @@ class DequeDifferentialSpec extends SparkSpec {
       clock(k) = ts
       (i.toLong, ts, k, rnd.nextInt(2000) / 100.0)
     }
+  }
+
+  /** Arrival sequences where per-key ts can REGRESS (event-time random
+    * walk) — the extra space graft's jsonPipeline reaches when events
+    * carry their own out-of-order `ts`. */
+  private def genAnyOrder(rnd: scala.util.Random, n: Int, keys: Int): Seq[Ev] = {
+    val clock = scala.collection.mutable.Map.empty[Long, Long]
+    (0 until n).map { i =>
+      val k = rnd.nextInt(keys).toLong
+      val prev = clock.getOrElse(k, 1000L)
+      val ts = math.max(0L, prev + rnd.nextInt(36).toLong - 15L)
+      clock(k) = ts
+      (i.toLong, ts, k, rnd.nextInt(2000) / 100.0)
+    }
+  }
+
+  /** graft's streaming state machine (the Vector head-scan + drop(k) hot
+    * path, StreamingDetectors.processEvent) folded over an arrival
+    * sequence: event_id -> deque size after insert. */
+  private def streamingRate(evs: Seq[Ev]): Map[Long, Long] = {
+    import graft.streaming.{DetState, SEvent, StreamingDetectors}
+    val st = scala.collection.mutable.Map.empty[Long, DetState]
+    evs.map { case (id, ts, key, v) =>
+      val s0 = st.getOrElse(key, DetState(Map.empty, Map.empty))
+      val (_, s1) = StreamingDetectors.processEvent(
+        Seq(rateRule), SEvent(key.toString, id, ts, Some(v)), s0)
+      st(key) = s1
+      id -> s1.rate(rateRule.name).size.toLong
+    }.toMap
+  }
+
+  test("rate: OUT-OF-ORDER ts — streaming head-only eviction == reference deque, over-count included") {
+    // jsonPipeline takes tsSec from the event's own `ts` JSON field, so
+    // per-key ts may regress — then head-only eviction leaves expired
+    // timestamps mid-deque and INFLATES later counts. That is the
+    // reference's own behavior (its pop-while loop is head-only too,
+    // RateSpikeDetector.java:85-87); this pins graft's Vector hot path to
+    // the line-faithful deque model on the full non-monotone space.
+    val rnd = new scala.util.Random(31)
+    (1 to 15).foreach { trial =>
+      val evs = genAnyOrder(rnd, 60 + rnd.nextInt(140), keys = 3)
+      assert(streamingRate(evs) == rateDeque(evs, rateRule.windowSeconds.toLong),
+        s"trial $trial")
+    }
+    // deterministic over-count witness: w=30, ts [100, 40, 100] — at the
+    // third event the head (100) is fresh so eviction stops, the expired
+    // 40 survives mid-deque, and the count reads 3 where the true RANGE
+    // count is 2. Both machines agree on 3 — the documented delta.
+    val witness = Seq((0L, 100L, 1L, 1.0), (1L, 40L, 1L, 1.0), (2L, 100L, 1L, 1.0))
+    val w = rateRule.windowSeconds.toLong
+    assert(rateDeque(witness, w)(2L) == 3L)
+    assert(streamingRate(witness)(2L) == 3L)
+    assert(rateRange(witness, w)(2L) == 2L)
   }
 
   test("rate: tied seconds — batch ⊇ deque, delta is exactly the later same-second arrivals") {

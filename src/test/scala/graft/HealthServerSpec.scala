@@ -60,6 +60,38 @@ class HealthServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("a blocked /metrics scrape never delays the liveness probe") {
+    // The scrape path contends on the listener's stats lock; the probe
+    // path must not (class invariant). Block the metrics supplier on a
+    // latch, start a scrape, then require /health to answer while the
+    // scrape is still stuck on the dedicated health-metrics thread.
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val srv = new HealthServer(Some(() => {
+      entered.countDown()
+      gate.await()
+      graft.observe.LatencyStats(1, 1, 1, 1.0, 1.0, 1.0)
+    }))
+    val port = freePort()
+    srv.start(port)
+    try {
+      val scrape = HttpClient.newHttpClient().sendAsync(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "scrape never reached the metrics supplier")
+      val t0 = System.nanoTime()
+      assert(get(port, "/health").statusCode() == 200)
+      val probeSec = (System.nanoTime() - t0) / 1e9
+      assert(probeSec < 5.0, f"probe waited $probeSec%.1fs behind the scrape")
+      gate.countDown()
+      assert(scrape.get(10, java.util.concurrent.TimeUnit.SECONDS).statusCode() == 200)
+    } finally {
+      gate.countDown()
+      srv.stop()
+    }
+  }
+
   test("no /metrics context without a metrics source") {
     val srv = new HealthServer
     val port = freePort()

@@ -226,19 +226,38 @@ class StreamingSpec extends SparkSpec {
     try {
       val rr = Seq(RateRule("r", "key", 1000000, 2.0))
       // A TTL query batches on every trigger and processAllAvailable
-      // never settles on it (alertsTws scaladoc) — poll the progress's
-      // input-row total to know a batch landed instead.
+      // never settles on it (alertsTws scaladoc). recentProgress is a
+      // BOUNDED buffer (~100 entries) that the per-trigger empty batches
+      // can flush real entries out of under CI stalls — accumulate input
+      // rows through a StreamingQueryListener instead, which sees every
+      // progress event exactly once.
       def run(ttl: TTLConfig, gapMs: Long): Long = {
         implicit val sqlCtx = spark.sqlContext
         val ms = MemoryStream[SEvent]
         val ckpt = java.nio.file.Files.createTempDirectory("graft-ttl").toString
         val name = s"ttl_out_${System.nanoTime()}"
+        val totals =
+          new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+        import org.apache.spark.sql.streaming.StreamingQueryListener
+        val lst = new StreamingQueryListener {
+          override def onQueryStarted(
+              e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: StreamingQueryListener.QueryProgressEvent): Unit =
+            totals.merge(e.progress.runId,
+              java.lang.Long.valueOf(e.progress.numInputRows),
+              (a, b) => java.lang.Long.valueOf(a + b))
+          override def onQueryTerminated(
+              e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        }
+        spark.streams.addListener(lst)
         val q = StreamingDetectors.alertsTws(ms.toDS(), rr, ttl)
           .writeStream.format("memory").queryName(name)
           .outputMode("append").option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
           .start()
-        def ingested: Long = q.recentProgress.map(_.numInputRows).sum
+        def ingested: Long =
+          Option(totals.get(q.runId)).map(_.longValue).getOrElse(0L)
         def await(n: Long): Unit = {
           val t0 = System.nanoTime()
           while (ingested < n && (System.nanoTime() - t0) / 1e9 < 60)
@@ -252,7 +271,10 @@ class StreamingSpec extends SparkSpec {
           ms.addData(Seq(SEvent("k", 3, 12, Some(1.0)), SEvent("k", 4, 13, Some(1.0))))
           await(4)
           spark.table(name).count()
-        } finally q.stop()
+        } finally {
+          q.stop()
+          spark.streams.removeListener(lst)
+        }
       }
       assert(run(TTLConfig.NONE, gapMs = 0L) == 2L,
         "control: without TTL the 3rd and 4th events must alert")
