@@ -481,17 +481,48 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val newDocs = docs.filter(col("doc_id") % incrMod === incrRem)
     val baseDocs = docs.filter(col("doc_id") % incrMod =!= incrRem)
-    val baseDig = baseDocs.groupBy(md5(col("text")).as("fp"))
+    hitsAgainstBase(newDocs, baseDigests(baseDocs),
+      shingleRows(canonicalDocs(baseDocs)))
+  }
+
+  /** The base digest table — exactly the artifact a production pipeline
+    * keeps persistent between increments: one (md5, keeper doc_id) row
+    * per distinct base text. */
+  def baseDigests(baseDocs: DataFrame): DataFrame =
+    baseDocs.groupBy(md5(col("text")).as("fp"))
       .agg(min("doc_id").as("base_doc_id"))
-    val exactHits = eager(
+
+  /** Core of the incremental shape, shared verbatim by the batch operator
+    * above and the streaming twin
+    * ([[graft.streaming.StreamingIncrementalDedup]]), so the two paths
+    * agree by construction: `newDocs` against persistent base artifacts —
+    * `baseDig` (one (fp, keeper) row per distinct base text,
+    * [[baseDigests]]) and `baseSh` ((doc_id, sh) shingle rows over
+    * CANONICAL base docs). Exact hits via digest equi-join; near hits via
+    * DF-capped shingle Jaccard for batch docs not exact-matched, with the
+    * hot-shingle cap derived from the CURRENT base and applied to both
+    * sides (one consistent shingle universe). Each new doc's verdict
+    * depends only on (doc, base) — never on other new docs — which is
+    * what makes the operator splittable into arbitrary micro-batches
+    * against a static base.
+    *
+    * `track` observes every DataFrame this method caches ([[eager]]), so
+    * a per-micro-batch caller (the streaming twin) can unpersist them
+    * when its batch ends — leaving them cached across batches would both
+    * accumulate storage and risk serving a stale base after grow-mode
+    * appends (cached plans match by canonicalized equality, not by the
+    * files on disk). */
+  private[graft] def hitsAgainstBase(newDocs: DataFrame, baseDig: DataFrame,
+      baseSh: DataFrame, track: DataFrame => Unit = _ => ()): DataFrame = {
+    def mat(df: DataFrame): DataFrame = { val e = eager(df); track(e); e }
+    val exactHits = mat(
       newDocs.select(col("doc_id"), md5(col("text")).as("fp"))
         .join(baseDig, "fp")
         .select(col("doc_id"), col("base_doc_id"),
           lit("exact").as("kind"), lit(1.0).as("jaccard")))
-    val baseSh = shingleRows(canonicalDocs(baseDocs))
     val hot = baseSh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
-    val baseIdx = eager(baseSh.join(broadcast(hot), Seq("sh"), "left_anti"))
+    val baseIdx = mat(baseSh.join(broadcast(hot), Seq("sh"), "left_anti"))
     val newIdx = shingleRows(newDocs)
       .join(broadcast(hot), Seq("sh"), "left_anti")
       .join(exactHits.select("doc_id"), Seq("doc_id"), "left_anti")

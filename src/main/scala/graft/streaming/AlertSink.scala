@@ -58,13 +58,8 @@ object AlertSink {
     * function is what `foreachBatch` runs. */
   def idempotent(ledgerDir: String, deliver: (DataFrame, Long) => Unit)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val fs = new Path(ledgerDir).getFileSystem(
-      batch.sparkSession.sessionState.newHadoopConf())
-    val marker = new Path(ledgerDir, batchId.toString)
-    if (!fs.exists(marker)) {
+    BatchLedger.once(ledgerDir, batch, batchId) {
       deliver(dedupIdentity(batch), batchId)
-      fs.mkdirs(new Path(ledgerDir))
-      fs.create(marker, false).close()
     }
   }
 
@@ -80,4 +75,25 @@ object AlertSink {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch(idempotent(s"$checkpointDir/_graft_delivery_ledger", deliver))
       .start()
+}
+
+/** The marker half of the AlertSink protocol, reusable by any
+  * `foreachBatch` body with side effects (alert delivery, base-table
+  * growth): run `body` only if `<ledgerDir>/<batchId>` does not exist,
+  * then atomically create it (create-no-overwrite). A crash between
+  * `body` and the marker re-runs the body once on replay — the residual
+  * window only a transactional target closes; every Spark-side replay
+  * after the marker (crash before Spark's own commit-log write, the
+  * common case) is skipped. */
+object BatchLedger {
+  def once(ledgerDir: String, batch: DataFrame, batchId: Long)(body: => Unit): Unit = {
+    val fs = new Path(ledgerDir).getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    val marker = new Path(ledgerDir, batchId.toString)
+    if (!fs.exists(marker)) {
+      body
+      fs.mkdirs(new Path(ledgerDir))
+      fs.create(marker, false).close()
+    }
+  }
 }

@@ -17,7 +17,27 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver fixtures are single files; Spark-written replicas (MakeSfN)
+    # are directories of part files
+    pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
+
+# Spark reads the driver's TIMESTAMP(NANOS) events.ts as BIGINT nanos
+# (nanosAsLong) and Spark-written replicas (MakeSfN) persist it that way,
+# where epoch_ns(ts)/strftime(ts, ...) can't bind (and DuckDB 1.0 has no
+# make_timestamp_ns to rebuild sub-microsecond values). The oracle SQL is
+# our own generated text, so rewrite the two ts idioms mechanically:
+# epoch_ns(BIGINT ns) is the identity, and strftime only formats at day
+# granularity so microsecond truncation is lossless there.
+ts_is_bigint = any(
+    c[0] == "ts" and c[1] == "BIGINT"
+    for c in con.execute("DESCRIBE events").fetchall())
+
+def adapt(sql: str) -> str:
+    if not ts_is_bigint:
+        return sql
+    return (sql.replace("epoch_ns(ts)", "ts")
+               .replace("strftime(ts,", "strftime(make_timestamp(ts // 1000),"))
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
@@ -35,7 +55,7 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: no spark output dir"); fails += 1; continue
     try:
         got = pd.read_parquet(spark_path)
-        want = con.sql(sql).df()
+        want = con.sql(adapt(sql)).df()
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
     if sorted(got.columns) != sorted(want.columns):
