@@ -26,12 +26,13 @@ import org.apache.spark.sql.streaming.TTLConfig
   * EVERY trigger and `processAllAvailable` never settles on it
   * (alertsTws scaladoc), so this phase polls `lastProgress`.
   *
-  * Run: `sbt "runMain graft.tools.StateScaleBench [grow|hot|etime|ttl|json]"`
-  * (no arg = all); results recorded in SCALE_NOTES.md (round 7):
+  * Run: `sbt "runMain graft.tools.StateScaleBench [grow|hot|etime|ttl|json|restart]"`
+  * (no arg = all); results recorded in SCALE_NOTES.md (rounds 7-8):
   * grow/revisit = key-cardinality growth, hot = hot-key adversary (the
   * phase that exposed the quadratic rate-deque eviction), etime =
   * event-time buffering, ttl = idle-state eviction, json = end-to-end
-  * raw-JSON topology throughput. */
+  * raw-JSON topology throughput, restart = stop/restore a 1M-key store
+  * mid-stream with an alert-multiset continuity oracle. */
 object StateScaleBench {
 
   private val rules: Seq[DetectionRule] = Seq(
@@ -99,6 +100,56 @@ object StateScaleBench {
           report(s"revisit b$b", q, (System.nanoTime() - t0) / 1e9)
         }
       } finally q.stop()
+    }
+
+    if (phase == "all" || phase == "restart") {
+      // phase 5: checkpoint-restore at state scale. Grow 1M keys under
+      // query A (4 batches), STOP, start query B on the same checkpoint
+      // (executor-side RocksDB restore from changelog + SST), then 2
+      // batches revisiting the first 500k keys — their rate/stat
+      // evaluations only come out right if the restored deques hold the
+      // pre-restart history. Continuity oracle: an uninterrupted control
+      // run of the same 6 batches on a fresh checkpoint must produce the
+      // IDENTICAL alert multiset (count + order-independent hash).
+      def runSeq(label: String, stopAfter: Option[Int]): (Long, Long) = {
+        val ms = MemoryStream[SEvent]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-ssb-rst").toString
+        val nAlerts = new java.util.concurrent.atomic.AtomicLong
+        val hAlerts = new java.util.concurrent.atomic.AtomicLong
+        def startQ() = StreamingDetectors.alertsTws(ms.toDS(), rules)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.SAlert], _: Long) =>
+            import org.apache.spark.sql.functions._
+            val r = b.toDF().agg(count(lit(1)),
+              sum(hash(col("rule_name"), col("key"), col("event_id")).cast("long"))).collect()(0)
+            nAlerts.addAndGet(r.getLong(0))
+            hAlerts.addAndGet(if (r.isNullAt(1)) 0L else r.getLong(1))
+            ()
+          }.start()
+        var q = startQ()
+        try {
+          (0 until 6).foreach { b =>
+            // b0-b3: all-new keys -> 1M; b4-b5: revisit the first 500k
+            ms.addData(mkEvents(b.toLong * perBatch, perBatch,
+              id => if (b < 4) id else id % (2L * perBatch)))
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            report(s"$label b$b", q, (System.nanoTime() - t0) / 1e9)
+            if (stopAfter.contains(b)) {
+              q.stop()
+              val t1 = System.nanoTime()
+              q = startQ()
+              println(f"$label%-12s restart submitted after b$b " +
+                f"(${(System.nanoTime() - t1) / 1e9}%5.2f s to start)")
+            }
+          }
+        } finally q.stop()
+        (nAlerts.get(), hAlerts.get())
+      }
+      val control = runSeq("rst-ctrl", None)
+      val restarted = runSeq("rst-kill", Some(3))
+      println(s"restart-parity control=$control restarted=$restarted " +
+        (if (control == restarted) "MATCH" else "*** MISMATCH ***"))
     }
 
     if (phase == "all" || phase == "json") {

@@ -212,6 +212,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("alertsTws stop/restart: restored RocksDB state continues the deques") {
+    // Rate rule with threshold 2: a key's THIRD event alerts only if the
+    // deque holding its first two timestamps survived the restart. Two
+    // events per key pre-restart, one post-restart: every post-restart
+    // event must alert — a query that lost state would see count 1 and
+    // stay silent, so the assertion bites exactly on restore.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rr = Seq(RateRule("r", "key", 1000000, 2.0))
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[SEvent]
+      // the memory sink refuses checkpoint recovery; foreachBatch is the
+      // recoverable sink shape (same as AlertSink's delivery path)
+      val got = new scala.collection.mutable.ArrayBuffer[SAlert]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-restart").toString
+      val keys = (1 to 50).map(i => s"k$i")
+      def startQ() =
+        StreamingDetectors.alertsTws(ms.toDS(), rr)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[SAlert], _: Long) =>
+            val rows = b.collect()
+            got.synchronized { got ++= rows }
+            ()
+          }.start()
+      val q1 = startQ()
+      try {
+        ms.addData(keys.zipWithIndex.map { case (k, i) => SEvent(k, i, 10, Some(1.0)) })
+        ms.addData(keys.zipWithIndex.map { case (k, i) => SEvent(k, 100 + i, 11, Some(1.0)) })
+        q1.processAllAvailable()
+        assert(got.synchronized(got.isEmpty), "no key has 3 events yet")
+      } finally q1.stop()
+      val q2 = startQ()
+      try {
+        ms.addData(keys.zipWithIndex.map { case (k, i) => SEvent(k, 200 + i, 12, Some(1.0)) })
+        q2.processAllAvailable()
+        val alerts = got.synchronized(got.toVector)
+        assert(alerts.map(_.key).sorted == keys.sorted,
+          "every key's third event must fire against the restored deque")
+        assert(alerts.forall(a => a.value == 3.0 && a.event_id >= 200),
+          "counts must continue from the pre-restart history")
+      } finally q2.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState TTL evicts idle-key detector state") {
     // Rate rule with a huge window and threshold 2: the 3rd event for a
     // key alerts IF its deque survived. Two events, an idle gap past the
