@@ -44,6 +44,26 @@ class RecallSpec extends SparkSpec {
     assert(mp >= ivf, "multi-probe must never lose recall vs nprobe=1")
   }
 
+  test("ANN family recall@3 holds at sf0.1 (10x corpus density)") {
+    // Recall degrades with corpus density (more near-ties at the top-k
+    // boundary, fuller LSH buckets, coarser IVF cells relative to the
+    // data); the sf0.01 floors alone would let a density regression ship.
+    val d = "/root/testdata/sf0.1"
+    val bf = topk(Similarity.annTopkCosine(spark, d), 3)
+    assert(bf.nonEmpty)
+    val lsh = recall(topk(Similarity.annLshTopk(spark, d), 3), bf)
+    val ivf = recall(topk(Similarity.annIvfTopk(spark, d), 3), bf)
+    val mp = recall(topk(Similarity.annIvfMultiprobe(spark, d), 3), bf)
+    // measured: lsh 1.000, ivf 0.267, multiprobe 0.600 — density helps
+    // IVF here (10x the vectors per cell raises the odds the true top-3
+    // live in the probed cells); floors sit under measurement with slack
+    info(f"sf0.1 recall@3 lsh=$lsh%.3f ivf=$ivf%.3f ivf_multiprobe=$mp%.3f")
+    assert(lsh >= 0.8, s"multi-probe sign-LSH recall@3 $lsh below sf0.1 floor 0.8")
+    assert(ivf >= 0.2, s"IVF nprobe=1 recall@3 $ivf below sf0.1 floor 0.2")
+    assert(mp >= 0.4, s"IVF nprobe=2 recall@3 $mp below sf0.1 floor 0.4")
+    assert(mp >= ivf, "multi-probe must never lose recall vs nprobe=1")
+  }
+
   test("dedup sketch recall vs verified n-gram Jaccard pairs") {
     val truth = pairs(Dedup.ngramJaccard(spark, dir))
     assert(truth.nonEmpty)
