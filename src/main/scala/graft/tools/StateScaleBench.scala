@@ -60,7 +60,15 @@ object StateScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = graft.sources.Sessions.builder("local[16]", 16).getOrCreate()
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,8192] runs the probe with
+    // separate executor JVMs (state store + changelog upload + restore on
+    // the executor side, shuffled over RPC); requires SPARK_SCALA_VERSION
+    // to be exported for the standalone executor launcher
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[16]")
+    val spark = graft.sources.Sessions.builder(master, 16)
+      .config("spark.executor.memory", "7g")
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
