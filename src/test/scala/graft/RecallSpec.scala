@@ -74,6 +74,26 @@ class RecallSpec extends SparkSpec {
     assert(simhash >= 0.4, s"SimHash recall $simhash below floor 0.4")
   }
 
+  test("semantic dedup (cell-bounded) recall vs the exact all-pairs audit") {
+    // SemDeDup's trade: pairs straddling an IVF cell boundary are missed.
+    // Pin the fraction found so a centroid/assignment regression (which
+    // would still be oracle-hash-exact) can't silently gut it, and pin
+    // zero false positives: every emitted pair must be in the audit set
+    // (same radius, same rounded-cosine metric).
+    import org.apache.spark.sql.functions.col
+    def vpairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("v1"), col("v2")).as[(Long, Long)].collect().toSet
+    val truth = vpairs(Similarity.neardupPairs(spark, dir))
+    val got = vpairs(Similarity.semanticDedup(spark, dir))
+    assert(truth.nonEmpty && got.nonEmpty)
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    val r = recall(got, truth)
+    // measured 0.714 with top-2 probing (0.214 single-cell); floor under
+    // measurement with slack for data regeneration
+    info(f"semantic-dedup recall=$r%.3f (${got.size}/${truth.size} pairs)")
+    assert(r >= 0.5, s"cell-bounded dedup recall $r below floor 0.5")
+  }
+
   test("neardupPairs refuses corpora above the O(n^2) audit cap") {
     val e = intercept[IllegalArgumentException] {
       graft.operators.Similarity.neardupPairsCapped(spark, dir, cap = 10L)
