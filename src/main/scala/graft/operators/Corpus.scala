@@ -215,6 +215,51 @@ object Corpus {
        |  d.doc_id = coalesce(cl.cluster_id, d.doc_id) AS is_keeper
        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
 
+  /** Duplication-factor profile — the corpus-report statistic a dedup
+    * pass is judged by: for each duplicate-cluster SIZE, how many
+    * clusters have it and how many documents they hold (so "what
+    * fraction of the corpus is duplicate mass" reads off directly:
+    * docs in size>=2 rows vs total). Reuses the memoized cluster labels
+    * ([[dedupClusters]]'s substrate), then two tiny hash aggregates:
+    * one row per cluster crosses the first shuffle, one row per distinct
+    * size (a few dozen at any scale) crosses the second. */
+  def dedupProfile(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+
+  /** Oracle: same cluster CTEs, then the same two stacked aggregates. */
+  val dedupProfileSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtes},
+       |ex AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS d1,
+       |      doc_id AS d2
+       |    FROM documents
+       |  ) WHERE d1 <> d2
+       |),
+       |e0 AS (SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM ex),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM e0
+       |  UNION SELECT d2, d1 FROM e0
+       |),
+       |reach(doc_id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+       |),
+       |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |),
+       |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  count(*) * cluster_size AS n_docs
+       |FROM cs GROUP BY 1""".stripMargin
+
   // -------------------------------------------------- canonical per cluster
 
   /** Canonical-document selection — the "keep ONE per duplicate cluster"
@@ -618,6 +663,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
+    "dedup_profile" -> (dedupProfile _),
     "corpus_split" -> (corpusSplit _),
     "corpus_sample" -> (corpusSample _),
     "corpus_importance_sample" -> (corpusImportanceSample _),
@@ -630,6 +676,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_profile" -> dedupProfileSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "corpus_split" -> corpusSplitSql,
     "corpus_sample" -> corpusSampleSql,

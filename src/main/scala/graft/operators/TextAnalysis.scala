@@ -567,7 +567,41 @@ object TextAnalysis {
        |    / count(*) AS novelty
        |FROM shx JOIN d USING (sh) GROUP BY 1""".stripMargin
 
+  /** Token-length histogram in power-of-2 buckets (bucket = floor(log2 n)
+    * via the same exact `length(bin(n)) - 1` bit math as [[tokenRarity]];
+    * empty docs land in bucket -1) with document and token mass per
+    * bucket — the planning statistic behind context-length choices and
+    * [[graft.operators.Corpus.seqPacking]] bin sizing (how much of the
+    * corpus is short-tail vs long documents, in tokens not chars).
+    * Scale shape: scan-side projection, one hash aggregate; ~60 buckets
+    * cross the shuffle whatever the corpus. */
+  def docLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tok",
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+          .cast("long"))
+      .withColumn("bucket", when(col("n_tok") === 0L, lit(-1L))
+        .otherwise((length(bin(col("n_tok"))) - 1).cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
+        min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"))
+
+  val docLengthHistogramSql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), b AS (
+       |  SELECT CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)
+       |    ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END AS bucket, n_tok
+       |  FROM t
+       |)
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |  min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
+       |FROM b GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_length_histogram" -> (docLengthHistogram _),
     "doc_novelty" -> (docNovelty _),
     "doc_repetition" -> (docRepetition _),
     "text_stats" -> (textStats _),
@@ -584,6 +618,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_length_histogram" -> docLengthHistogramSql,
     "doc_novelty" -> docNoveltySql,
     "doc_repetition" -> docRepetitionSql,
     "text_stats" -> textStatsSql,
