@@ -639,6 +639,88 @@ object Similarity {
 
   private val semdedupTau = 0.45 // same radius as the exact audit
   private val semdedupProbes = 2 // index replication: top-2 cells per vector
+  private val embIncrMod = 10L   // today's-crawl slice, as Dedup.incrementalDedup
+  private val embIncrRem = 7L
+
+  /** Trained centroids for `dir` as the broadcast-ready frame — the
+    * public accessor the streaming twin uses to PERSIST the training
+    * artifact (the same deterministic k-means every IVF oracle replays). */
+  def centroidsDf(spark: SparkSession, dir: String): DataFrame =
+    ivfCentsDf(spark, dir)
+
+  /** Similarity-ready projection of an arbitrary (vec_id, embedding)
+    * frame — [[vecs]]'s shape without the table read (streaming inputs). */
+  def normalized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("norm") > 0.0)
+
+  /** The cell-indexed vector table over an arbitrary vector subset —
+    * every vector under its [[semdedupProbes]] nearest trained cells
+    * (multi-probe indexing). The persistent artifact of the embedding
+    * dedup family: [[semanticDedup]] self-joins it, the incremental
+    * shape probes it, the streaming twin stores it as parquet. */
+  private[graft] def cellIndex(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val cw = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
+      .withColumn("c_rank", row_number().over(cw))
+      .filter(col("c_rank") <= semdedupProbes)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+  }
+
+  /** New-vs-base pairs between two cell indexes ([[cellIndex]] outputs):
+    * shared-cell candidates at the audit radius, distinct over the
+    * (<= probes²) cells a pair can meet in. Shared verbatim by
+    * [[embeddingDedupIncremental]] and the streaming twin
+    * ([[graft.streaming.StreamingEmbeddingDedup]]) — each new vector's
+    * verdict depends only on (vector, base index), never on other new
+    * vectors, so the operator splits into arbitrary micro-batches
+    * against a static base. */
+  private[graft] def pairsAgainstBase(newIdx: DataFrame,
+      baseIdx: DataFrame): DataFrame =
+    newIdx.as("x").join(baseIdx.as("y"), col("x.cell") === col("y.cell"))
+      .withColumn("sim_r",
+        simRound(dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))))
+      .filter(col("sim_r") >= semdedupTau)
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"), col("sim_r"))
+      .distinct()
+
+  /** Incremental (batch-vs-base) EMBEDDING dedup — the daily-crawl shape
+    * of [[semanticDedup]], mirroring [[graft.operators.Dedup
+    * .incrementalDedup]] on the embedding table: today's vectors
+    * (`vec_id % 10 == 7` stands in for the increment) dedup against the
+    * persistent base cell index only — the base never re-pairs against
+    * itself, so per-increment work is O(batch x cell), not O(corpus²).
+    * Centroids are the SAME trained artifact every IVF query replays
+    * (k-means on the bounded sample, oracle-identical), so the cell
+    * space is stable as increments arrive — exactly how a production
+    * pipeline amortizes one training run across many daily batches
+    * (periodic re-training = rebuilding the index artifact). */
+  def embeddingDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentsDf(spark, dir)
+    val all = vecs(spark, dir)
+    val newIdx = cellIndex(all.filter(col("vec_id") % embIncrMod === embIncrRem), cents)
+    val baseIdx = Dedup.eager(
+      cellIndex(all.filter(col("vec_id") % embIncrMod =!= embIncrRem), cents))
+    pairsAgainstBase(newIdx, baseIdx)
+  }
+
+  val embeddingDedupIncrementalSql: String =
+    s"""WITH $vecsSql,
+       |$ivfAsgCtes, a2 AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM asg
+       |  WHERE c_rank <= $semdedupProbes
+       |), nx AS (SELECT * FROM a2 WHERE vec_id % $embIncrMod = $embIncrRem),
+       |bx AS (SELECT * FROM a2 WHERE vec_id % $embIncrMod <> $embIncrRem),
+       |p AS (
+       |  SELECT x.vec_id AS v1, y.vec_id AS v2,
+       |    ${simRoundSql(dotSql("x.v", "y.v") + " / (x.norm * y.norm)")} AS sim_r
+       |  FROM nx x JOIN bx y ON x.cell = y.cell
+       |)
+       |SELECT DISTINCT v1, v2, sim_r FROM p WHERE sim_r >= $semdedupTau""".stripMargin
 
   /** Semantic dedup, SemDeDup-shaped (Abbas et al. 2023: cluster the
     * embedding space, then pair ONLY within clusters): every vector is
@@ -663,16 +745,8 @@ object Similarity {
     * bounded by the cell, no driver materialization — survives 100x
     * where the audit cannot run at all. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val cents = ivfCentsDf(spark, dir)
-    val cw = Window.partitionBy("vec_id")
-      .orderBy(col("c_sim").desc, col("cent_id"))
     val assigned = Dedup.eager(
-      vecs(spark, dir).crossJoin(broadcast(cents))
-        .withColumn("c_sim",
-          simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
-        .withColumn("c_rank", row_number().over(cw))
-        .filter(col("c_rank") <= semdedupProbes)
-        .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell")))
+      cellIndex(vecs(spark, dir), ivfCentsDf(spark, dir)))
     assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("sim_r",
@@ -837,6 +911,7 @@ object Similarity {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_multiprobe" -> (annIvfMultiprobe _),
     "semantic_dedup" -> (semanticDedup _),
+    "embedding_dedup_incremental" -> (embeddingDedupIncremental _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -850,5 +925,6 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_multiprobe" -> annIvfMultiprobeSql,
     "semantic_dedup" -> semanticDedupSql,
+    "embedding_dedup_incremental" -> embeddingDedupIncrementalSql,
   )
 }
