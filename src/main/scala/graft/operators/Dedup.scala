@@ -542,6 +542,92 @@ object Dedup {
     exactHits.unionAll(nearHits)
   }
 
+  // --------------------------------------------- exact-substring spans
+
+  private val spanLen = 10
+
+  /** Distinct (doc_id, md5-of-span) rows over `spanLen`-token rolling
+    * windows (stride 1) — the candidate substrate of exact-substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": memorization risk comes from long verbatim spans
+    * repeated across documents, which document-level shingle Jaccard
+    * does not localize). Same primitive-loop rationale as
+    * [[shingleRows]]; the md5 is computed in the loop so only 32-byte
+    * hex keys (never span text) leave the scan. Tokenization matches
+    * [[tokens]] / [[tokensSql]]. */
+  private def spanRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = spanLen
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, text) =>
+          val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          val set = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i + n - 1 < toks.length) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j))
+              j += 1
+            }
+            digest.reset()
+            val hex = digest.digest(sb.toString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            set.add(hex)
+            i += 1
+          }
+          set.iterator.map(h => (docId, h))
+        }
+      }.toDF("doc_id", "h")
+  }
+
+  /** Per-document duplicated-span profile: of each doc's distinct
+    * `spanLen`-token windows, how many appear verbatim in at least one
+    * OTHER document's windows (span document-frequency >= 2 counts the
+    * doc itself once, since spans are distinct per doc). `dup_frac` is
+    * the memorization-risk score exact-substring dedup cuts on.
+    *
+    * 100 TB shape: spans never self-join — the only shuffles are a
+    * groupBy on the 16-byte span digest (df count), the digest-keyed
+    * join back, and the per-doc agg; all map-side-combinable, none
+    * concentrating (a globally repeated span raises one df counter,
+    * not a pair explosion). Docs shorter than `spanLen` tokens have no
+    * windows and are absent, identically in both engines. */
+  def spanDedupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sp = eager(spanRows(Tables.documents(spark, dir)))
+    val df = sp.groupBy("h").agg(count(lit(1)).as("span_df"))
+    sp.join(df, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac",
+        col("dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
+  val spanDedupProfileSql: String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |sp AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(toks) >= $spanLen
+       |    THEN list_transform(generate_series(1, len(toks) - ${spanLen - 1}),
+       |      i -> md5(array_to_string(list_slice(toks, i, i + ${spanLen - 1}), ' ')))
+       |    ELSE [] END)) AS h
+       |  FROM t
+       |),
+       |sdf AS (SELECT h, count(*) AS span_df FROM sp GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_spans,
+       |  CAST(sum(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS dup_frac
+       |FROM sp JOIN sdf USING (h)
+       |GROUP BY doc_id""".stripMargin
+
   val incrementalDedupSql: String =
     s"""WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % $incrMod = $incrRem),
        |bd AS (SELECT doc_id, text FROM documents WHERE doc_id % $incrMod <> $incrRem),
@@ -590,6 +676,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
+    "dedup_span_profile" -> (spanDedupProfile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -598,5 +685,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashPairsSql,
+    "dedup_span_profile" -> spanDedupProfileSql,
   )
 }

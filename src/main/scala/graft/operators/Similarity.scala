@@ -900,6 +900,132 @@ object Similarity {
        |SELECT q_id, q_label, "rank", vec_id AS cand_id, cand_label, sim_r
        |FROM r WHERE "rank" <= 3""".stripMargin
 
+  // ------------------------------------- random-projection (JL) audit
+
+  private val jlDims = 16
+
+  /** Deterministic +-1 Johnson-Lindenstrauss coefficients for projected
+    * dim `j`, input dim d: md5 parity of "jl_j_d" (salted so the table
+    * is independent of the LSH planes in [[planeCoefsSql]]). +-1 entries
+    * are the Achlioptas (2003) database-friendly JL construction; the
+    * 1/k variance scaling is applied at distance time ([[jlDistortion]]'s
+    * `pd2 / jlDims`), not baked into the coefficients. */
+  private def jlCoefsSql(j: String): String =
+    s"""list_transform(generate_series(0, ${dims - 1}), d ->
+       | 1.0 - 2.0 * (CAST(('0x' || substr(md5('jl_' || CAST($j AS VARCHAR) || '_' ||
+       | CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % 2))""".stripMargin
+      .replace("\n", "")
+
+  /** The same coefficients materialized driver-side (they are constants):
+    * parity of the identical md5 the SQL twin computes. Row index = j. */
+  private lazy val jlCoefArrays: Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(jlDims, dims) { (j, d) =>
+      digest.reset()
+      val hex = digest.digest(s"jl_${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      1.0 - 2.0 * (java.lang.Long.parseLong(hex, 16) % 2).toDouble
+    }
+  }
+
+  /** Each similarity-ready vector with its `jlDims`-dim +-1 random
+    * projection appended. Primitive per-partition loop for the same
+    * reason as [[lshBuckets]] (the coefficient table is a driver
+    * constant; per-element md5 inside a Catalyst lambda is the hot
+    * path), ascending-index fold matching the SQL twin bit-for-bit. */
+  private def jlProjected(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val coefs = jlCoefArrays
+    vecs(spark, dir).select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val pv = new Array[Double](coefs.length)
+          var j = 0
+          while (j < coefs.length) {
+            val cj = coefs(j)
+            var s = 0.0
+            var d = 0
+            while (d < cj.length) { s += v(d) * cj(d); d += 1 }
+            pv(j) = s
+            j += 1
+          }
+          (id, v, pv)
+        }
+      }.toDF("vec_id", "v", "pv")
+  }
+
+  /** Dimensionality-reduction distortion audit: per query vector, the
+    * distribution of ||Ax−Ay||²/k over ||x−y||² across the corpus — the
+    * measurement that decides whether a 64→16 random projection is safe
+    * as the cheap first pass of the dedup/ANN family (JL lemma: the
+    * ratio concentrates near 1; a heavy tail means 16 dims is too few
+    * for this corpus). Identical-point pairs (orig distance 0) carry no
+    * ratio and are dropped in both engines.
+    *
+    * Exactness: both squared distances expand to the shared ascending-
+    * index dot kernel (xx + yy − 2·xy, the identical expression tree in
+    * the oracle), the per-pair ratio quantizes to 1e-6 fixed point, and
+    * cross-pair aggregation is an order-free integer sum — no double
+    * accumulates across rows. Plan shape: one projection pass (O(n·k·d)
+    * inside the scan), broadcast query set, one tiny per-query agg —
+    * no shuffle of vector payloads; same 100 TB posture as
+    * [[annRangeSearch]]. */
+  def jlDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val pj = jlProjected(spark, dir)
+    val q = pj.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("pv").as("qpv"))
+    pj.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2",
+        (dot(col("qv"), col("qv")) + dot(col("v"), col("v")))
+          - lit(2.0) * dot(col("qv"), col("v")))
+      .withColumn("pd2",
+        (dot(col("qpv"), col("qpv")) + dot(col("pv"), col("pv")))
+          - lit(2.0) * dot(col("qpv"), col("pv")))
+      .filter(col("d2") > 0.0)
+      .withColumn("fx",
+        floor(((col("pd2") / jlDims.toDouble) / col("d2"))
+          * 1000000.0 + 0.5).cast("long"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("fx").as("sfx"),
+        min("fx").as("mnx"), max("fx").as("mxx"))
+      .select(col("q_id"), col("n_pairs"),
+        (col("sfx").cast("double") / col("n_pairs") / 1000000.0)
+          .as("avg_ratio"),
+        (col("mnx").cast("double") / 1000000.0).as("min_ratio"),
+        (col("mxx").cast("double") / 1000000.0).as("max_ratio"))
+  }
+
+  val jlDistortionSql: String =
+    s"""WITH $vecsSql,
+       |pj AS (
+       |  SELECT vec_id, v,
+       |    list_transform(generate_series(0, ${jlDims - 1}),
+       |      j -> ${dotSql("v", jlCoefsSql("j"))}) AS pv
+       |  FROM vn
+       |), q AS (
+       |  SELECT vec_id AS q_id, v AS qv, pv AS qpv FROM pj
+       |  WHERE vec_id < $numQueries
+       |), pr AS (
+       |  SELECT q.q_id,
+       |    (${dotSql("q.qv", "q.qv")} + ${dotSql("c.v", "c.v")})
+       |      - 2.0 * ${dotSql("q.qv", "c.v")} AS d2,
+       |    (${dotSql("q.qpv", "q.qpv")} + ${dotSql("c.pv", "c.pv")})
+       |      - 2.0 * ${dotSql("q.qpv", "c.pv")} AS pd2
+       |  FROM pj c CROSS JOIN q WHERE c.vec_id <> q.q_id
+       |), fx AS (
+       |  SELECT q_id,
+       |    CAST(floor(((pd2 / ${jlDims}.0) / d2) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS fx
+       |  FROM pr WHERE d2 > 0.0
+       |)
+       |SELECT q_id, count(*) AS n_pairs,
+       |  CAST(sum(fx) AS DOUBLE) / count(*) / 1000000.0 AS avg_ratio,
+       |  CAST(min(fx) AS DOUBLE) / 1000000.0 AS min_ratio,
+       |  CAST(max(fx) AS DOUBLE) / 1000000.0 AS max_ratio
+       |FROM fx GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> (annTopkCosine _),
     "ann_hard_negatives" -> (annHardNegatives _),
@@ -912,6 +1038,7 @@ object Similarity {
     "ann_ivf_multiprobe" -> (annIvfMultiprobe _),
     "semantic_dedup" -> (semanticDedup _),
     "embedding_dedup_incremental" -> (embeddingDedupIncremental _),
+    "embedding_jl_distortion" -> (jlDistortion _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -926,5 +1053,6 @@ object Similarity {
     "ann_ivf_multiprobe" -> annIvfMultiprobeSql,
     "semantic_dedup" -> semanticDedupSql,
     "embedding_dedup_incremental" -> embeddingDedupIncrementalSql,
+    "embedding_jl_distortion" -> jlDistortionSql,
   )
 }

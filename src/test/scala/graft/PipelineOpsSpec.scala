@@ -310,4 +310,74 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(est - stats.size) / stats.size < 0.25,
       s"HT estimate $est vs corpus ${stats.size}")
   }
+
+  test("dedup_span_profile: exact match vs in-memory replay") {
+    val rows = graft.operators.Dedup.spanDedupProfile(spark, dir)
+      .select("doc_id", "n_spans", "dup_spans", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, d, f) =>
+      assert(n > 0 && d >= 0 && d <= n, s"doc $id")
+      assert(f == d.toDouble / n, s"doc $id")
+    }
+    // independent in-memory replay of the whole profile (500 docs)
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val spans: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      id -> toks.sliding(10).filter(_.length == 10)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val df = spans.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val expected = spans.collect { case (id, ss) if ss.nonEmpty =>
+      val dup = ss.count(df(_) >= 2).toLong
+      id -> ((ss.size.toLong, dup, dup.toDouble / ss.size))
+    }
+    assert(rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap == expected)
+  }
+
+  test("embedding_jl_distortion: exact match vs in-memory replay") {
+    val rows = Similarity.jlDistortion(spark, dir)
+      .select("q_id", "n_pairs", "avg_ratio", "min_ratio", "max_ratio")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.length == 10)
+    // independent replay: same md5-parity coefficients, same ascending
+    // folds, same 1e-6 fixed-point quantization, plain Scala end to end
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coef(j: Int, d: Int): Double = {
+      md.reset()
+      val hex = md.digest(s"jl_${j}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      1.0 - 2.0 * (java.lang.Long.parseLong(hex, 16) % 2).toDouble
+    }
+    val coefs = Array.tabulate(16, 64)(coef)
+    val vecsArr = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+      .filter { case (_, v) => math.sqrt(v.map(x => x * x).sum) > 0.0 }
+      .sortBy(_._1)
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val proj = vecsArr.map { case (id, v) =>
+      id -> ((v, coefs.map(c => dotp(v, c))))
+    }.toMap
+    val expected = proj.keys.filter(_ < 10).map { qid =>
+      val (qv, qpv) = proj(qid)
+      val fxs = proj.toSeq.collect { case (id, (v, pv)) if id != qid =>
+        val d2 = (dotp(qv, qv) + dotp(v, v)) - 2.0 * dotp(qv, v)
+        val pd2 = (dotp(qpv, qpv) + dotp(pv, pv)) - 2.0 * dotp(qpv, pv)
+        (d2, pd2)
+      }.filter(_._1 > 0.0).map { case (d2, pd2) =>
+        math.floor(((pd2 / 16.0) / d2) * 1000000.0 + 0.5).toLong
+      }
+      qid -> ((fxs.size.toLong, fxs.sum.toDouble / fxs.size / 1000000.0,
+        fxs.min.toDouble / 1000000.0, fxs.max.toDouble / 1000000.0))
+    }.toMap
+    assert(rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap == expected)
+    // JL sanity: the cross-anchor mean ratio concentrates near 1
+    val grand = rows.map(_._3).sum / rows.length
+    assert(grand > 0.7 && grand < 1.3, s"grand mean ratio $grand")
+  }
 }
