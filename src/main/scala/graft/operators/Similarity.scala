@@ -369,6 +369,7 @@ object Similarity {
   private val ivfSampleMod = 4   // train on every 4th vector...
   private val ivfSampleCap = 4096 // ...capped (bounded driver memory at any SF)
   private val ivfIters = 3       // fixed Lloyd iterations (unrolled in the oracle)
+  private val sdCellTarget = 256 // dedup-index target cell size (vectors/cell)
 
   /** K-means-trained IVF centroids, reproduced EXACTLY by the DuckDB
     * oracle (the training CTE chain in [[ivfTrainCtes]]):
@@ -399,22 +400,28 @@ object Similarity {
     s
   }
 
-  private def trainedCents(spark: SparkSession, dir: String)
+  private def trainedCents(spark: SparkSession, dir: String, k: Int)
       : Array[(Long, Array[Double], Double)] =
-    centCache.computeIfAbsent(dir, _ => {
+    centCache.computeIfAbsent(s"$dir#$k", _ => {
       import spark.implicits._
       val all = vecs(spark, dir)
       val samp = all.filter(col("vec_id") % ivfSampleMod === 0)
         .sort("vec_id").limit(ivfSampleCap)
         .select(col("vec_id"), col("v"), col("norm"))
         .as[(Long, Array[Double], Double)].collect()
+      // cent_id = vec_id - base (NOT a dense index): if an init id is
+      // norm-filtered away the id space keeps the gap, identically to the
+      // oracle's `vec_id - base AS cent_id`
       val init = all
         .filter(col("vec_id") >= ivfCentBase &&
-          col("vec_id") < ivfCentBase + ivfCells)
-        .sort("vec_id").select(col("v")).as[Array[Double]].collect()
-      val d = init(0).length
+          col("vec_id") < ivfCentBase + k)
+        .sort("vec_id").select(col("vec_id"), col("v"))
+        .as[(Long, Array[Double])].collect()
+      val centIds = init.map(_._1 - ivfCentBase)
+      val nc = init.length
+      val d = init(0)._2.length
       val q = samp.map(_._2.map(x => math.floor(x * 1000000.0 + 0.5).toLong))
-      var cents = init
+      var cents = init.map(_._2)
       var it = 0
       while (it < ivfIters) {
         val cns = cents.map(c => math.sqrt(seqDot(c, c)))
@@ -423,8 +430,8 @@ object Similarity {
         // assert loudly rather than let 0/0 diverge silently cross-engine
         require(cns.forall(_ > 0.0),
           s"IVF training produced a zero-norm centroid at iteration $it ($dir)")
-        val sums = Array.fill(ivfCells)(new Array[Long](d))
-        val counts = new Array[Long](ivfCells)
+        val sums = Array.fill(nc)(new Array[Long](d))
+        val counts = new Array[Long](nc)
         var si = 0
         while (si < samp.length) {
           val v = samp(si)._2
@@ -432,7 +439,7 @@ object Similarity {
           var best = 0
           var bestSim = Double.NegativeInfinity
           var c = 0
-          while (c < ivfCells) {
+          while (c < nc) {
             val sim = math.floor(
               seqDot(v, cents(c)) / (n * cns(c)) * 1000000.0 + 0.5) / 1000000.0
             if (sim > bestSim) { bestSim = sim; best = c } // ties keep low id
@@ -444,20 +451,22 @@ object Similarity {
           counts(best) += 1
           si += 1
         }
-        cents = Array.tabulate(ivfCells) { c =>
+        cents = Array.tabulate(nc) { c =>
           if (counts(c) == 0L) cents(c)
           else Array.tabulate(d)(i => sums(c)(i).toDouble / counts(c) / 1000000.0)
         }
         it += 1
       }
-      cents.zipWithIndex.map { case (cv, id) =>
-        (id.toLong, cv, math.sqrt(seqDot(cv, cv)))
+      cents.zip(centIds).map { case (cv, id) =>
+        (id, cv, math.sqrt(seqDot(cv, cv)))
       }
     })
 
   /** Oracle twin of [[trainedCents]]: the unrolled Lloyd chain. Ends at
-    * CTE `cent` (cent_id, cv, cn) — drop-in for the old seed CTE. */
-  private def ivfTrainCtes: String = {
+    * CTE `cent` (cent_id, cv, cn) — drop-in for the old seed CTE.
+    * `kSql` is the cell count: a literal for the ANN family, the
+    * corpus-scaled scalar subquery for the dedup family ([[sdTrainCtes]]). */
+  private def trainCtes(kSql: String): String = {
     val sb = new StringBuilder
     sb ++= s"""samp AS (
        |  SELECT vec_id, v, norm,
@@ -467,7 +476,7 @@ object Similarity {
        |), dims AS (SELECT unnest(generate_series(0, ${dims - 1})) AS d),
        |cent0 AS (
        |  SELECT vec_id - $ivfCentBase AS cent_id, v AS cv, norm AS cn
-       |  FROM vn WHERE vec_id >= $ivfCentBase AND vec_id < ${ivfCentBase + ivfCells}
+       |  FROM vn WHERE vec_id >= $ivfCentBase AND vec_id < $ivfCentBase + ($kSql)
        |)""".stripMargin
     for (i <- 0 until ivfIters) {
       val sim = simRoundSql(dotSql("s.v", "c.cv") + " / (s.norm * c.cn)")
@@ -495,6 +504,22 @@ object Similarity {
     sb.toString
   }
 
+  private def ivfTrainCtes: String = trainCtes(s"$ivfCells")
+
+  /** Corpus-scaled train chain for the DEDUP family: cell count
+    * K = max(ivfCells, ceil(n / sdCellTarget)) computed FROM THE DATA in
+    * both engines (Scala twin [[sdK]]), so the within-cell self-join
+    * stays O(n·cellTarget) as the corpus grows instead of O(n²/constant).
+    * At the oracle-gate SFs (n <= ivfCells·sdCellTarget) K collapses to
+    * ivfCells and the chain is value-identical to [[ivfTrainCtes]]. */
+  private def sdTrainCtes: String =
+    s"""kk AS (
+       |  SELECT greatest($ivfCells,
+       |    CAST(ceil(count(*) / $sdCellTarget.0) AS BIGINT)) AS k
+       |  FROM vn
+       |),
+       |""".stripMargin + trainCtes("SELECT k FROM kk")
+
   /** IVF-style ANN: coarse-quantize every vector to its nearest of
     * `ivfCells` centroid vectors (the inverted-file cell), then search
     * only the query's cell — the second of the two classic ANN scale paths
@@ -517,7 +542,28 @@ object Similarity {
     * broadcast side of the assignment join. */
   private def ivfCentsDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    trainedCents(spark, dir).toSeq.toDF("cent_id", "cv", "cn")
+    trainedCents(spark, dir, ivfCells).toSeq.toDF("cent_id", "cv", "cn")
+  }
+
+  /** Dedup-family cell count: one cell per [[sdCellTarget]] vectors
+    * (floored at [[ivfCells]]) — the SemDeDup K knob, derived from the
+    * corpus so the within-cell pairing stays linear-per-vector at any
+    * scale. Memoized per dir (one norm-filtered count). SQL twin: the
+    * `kk` CTE in [[sdTrainCtes]]. */
+  private val sdKCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def sdK(spark: SparkSession, dir: String): Int =
+    sdKCache.computeIfAbsent(dir, _ => {
+      val n = vecs(spark, dir).count()
+      math.max(ivfCells, math.ceil(n / sdCellTarget.toDouble).toInt)
+    })
+
+  /** Trained centroids for the dedup family: same Lloyd recipe, corpus-
+    * scaled K (tiny frame — K ~ n/256, e.g. ~1.5M rows of 64 doubles at
+    * 100 TB-scale 400B vectors would shard training instead; at any SF
+    * this repo reaches, K stays broadcast-size). */
+  private def sdCentsDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedCents(spark, dir, sdK(spark, dir)).toSeq.toDF("cent_id", "cv", "cn")
   }
 
   /** The inverted file: every vector with its argmax cell (max_by hash
@@ -555,8 +601,8 @@ object Similarity {
     * unrolled Lloyd chain), per-vector centroid ranking, and the rank-1
     * inverted file. Single source of truth for both IVF oracles (Spark
     * twin: [[trainedCents]]/[[ivfAssigned]]). */
-  private def ivfAsgCtes: String =
-    s"""$ivfTrainCtes, asg AS (
+  private def asgCtes(train: String): String =
+    s"""$train, asg AS (
        |  SELECT vec_id, v, norm, cent_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY
        |      ${simRoundSql(dotSql("v", "cv") + " / (norm * cn)")} DESC, cent_id) AS c_rank
@@ -564,6 +610,11 @@ object Similarity {
        |), a AS (
        |  SELECT vec_id, v, norm, cent_id AS cell FROM asg WHERE c_rank = 1
        |)""".stripMargin
+
+  private def ivfAsgCtes: String = asgCtes(ivfTrainCtes)
+
+  /** [[ivfAsgCtes]] with the corpus-scaled dedup cell count. */
+  private def sdAsgCtes: String = asgCtes(sdTrainCtes)
 
   val annIvfTopkSql: String =
     s"""WITH $vecsSql,
@@ -646,7 +697,7 @@ object Similarity {
     * public accessor the streaming twin uses to PERSIST the training
     * artifact (the same deterministic k-means every IVF oracle replays). */
   def centroidsDf(spark: SparkSession, dir: String): DataFrame =
-    ivfCentsDf(spark, dir)
+    sdCentsDf(spark, dir)
 
   /** Similarity-ready projection of an arbitrary (vec_id, embedding)
     * frame — [[vecs]]'s shape without the table read (streaming inputs). */
@@ -700,7 +751,7 @@ object Similarity {
     * pipeline amortizes one training run across many daily batches
     * (periodic re-training = rebuilding the index artifact). */
   def embeddingDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val cents = ivfCentsDf(spark, dir)
+    val cents = sdCentsDf(spark, dir)
     val all = vecs(spark, dir)
     val newIdx = cellIndex(all.filter(col("vec_id") % embIncrMod === embIncrRem), cents)
     val baseIdx = Dedup.eager(
@@ -710,7 +761,7 @@ object Similarity {
 
   val embeddingDedupIncrementalSql: String =
     s"""WITH $vecsSql,
-       |$ivfAsgCtes, a2 AS (
+       |$sdAsgCtes, a2 AS (
        |  SELECT vec_id, v, norm, cent_id AS cell FROM asg
        |  WHERE c_rank <= $semdedupProbes
        |), nx AS (SELECT * FROM a2 WHERE vec_id % $embIncrMod = $embIncrRem),
@@ -731,8 +782,12 @@ object Similarity {
     * over the (<=probes) cells a pair can meet in. This is the SCALABLE
     * embedding-dedup shape: where the exact audit is O(n²) over the
     * corpus (and refuses >100k vectors), this is O(probes²·Σ cell²) —
-    * with K balanced cells, (probes·n)²/K — and the K knob grows with the
-    * corpus (SemDeDup runs ~50k clusters at web scale). The price is
+    * with K balanced cells, (probes·n)²/K — and the K knob GROWS WITH THE
+    * CORPUS here: K = max(8, ceil(n/[[sdCellTarget]])) ([[sdK]], same
+    * formula in the oracle's `kk` CTE), so per-vector pairing work stays
+    * O(cellTarget) at any scale (SemDeDup runs ~50k clusters at web
+    * scale; a fixed K measured 14.6x cost at 10x data — the round-8
+    * sf1 probe — vs ~linear with the scaled K). The price is
     * recall: a near-dup pair sharing NONE of their top-probes cells is
     * missed; single-cell assignment measured 0.21 vs the audit on the
     * near-random fixture (a worst case for clusterability — real
@@ -746,7 +801,7 @@ object Similarity {
     * where the audit cannot run at all. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val assigned = Dedup.eager(
-      cellIndex(vecs(spark, dir), ivfCentsDf(spark, dir)))
+      cellIndex(vecs(spark, dir), sdCentsDf(spark, dir)))
     assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("sim_r",
@@ -758,7 +813,7 @@ object Similarity {
 
   val semanticDedupSql: String =
     s"""WITH $vecsSql,
-       |$ivfAsgCtes, a2 AS (
+       |$sdAsgCtes, a2 AS (
        |  SELECT vec_id, v, norm, cent_id AS cell FROM asg
        |  WHERE c_rank <= $semdedupProbes
        |), p AS (
