@@ -77,6 +77,8 @@ object SparkEntry {
         .toDF()
     }),
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
+    "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
+    "multimodal_resize" -> ((s, dir) => Multimodal.resize(s, dir)),
   ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++
     TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries
 
@@ -91,6 +93,8 @@ object SparkEntry {
     "all_alerts" -> DetectorSql.all(FixtureRules.all),
     "throttled_alerts" -> DetectorSql.throttled(FixtureRules.threshold, 600L),
     "multimodal_features" -> Multimodal.featuresSql,
+    "multimodal_frames" -> Multimodal.framesSql,
+    "multimodal_resize" -> Multimodal.resizeSql,
     "props_threshold" ->
       """SELECT event_id,
         |  coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",

@@ -30,6 +30,47 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("frames: exploded rows cover the sampled stride; digests agree with features") {
+    val fr = Multimodal.frames(spark, dir).as[Multimodal.FrameRow].collect()
+    val feat = Multimodal.features(spark, dir)
+      .select("doc_id", "n_bytes", "n_frames", "n_sampled")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(fr.nonEmpty)
+    fr.groupBy(_.doc_id).foreach { case (id, rows) =>
+      val (_, nBytes, nFrames, nSampled) = feat(id)
+      // one row per every-kth frame, ids are the unsampled indices
+      assert(rows.length == nSampled, s"doc $id")
+      val sorted = rows.sortBy(_.frame_id)
+      assert(sorted.map(_.frame_id).toSeq ==
+        (0L until nFrames by Multimodal.sampleEvery.toLong).toSeq)
+      sorted.foreach { r =>
+        assert(r.f_offset == r.frame_id * Multimodal.frameBytes)
+        val expLen = math.min(Multimodal.frameBytes.toLong, nBytes - r.f_offset)
+        assert(r.frame_len == expLen, s"doc $id frame ${r.frame_id}")
+        assert(r.frame_md5.length == 32)
+      }
+    }
+  }
+
+  test("resize: block means bounded and reproduce from the raw text bytes") {
+    val th = Multimodal.resize(spark, dir).as[Multimodal.Thumb].collect()
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(th.length == texts.size)
+    th.foreach { t =>
+      val bytes = texts(t.doc_id).getBytes("UTF-8")
+      assert(t.n_bytes == bytes.length)
+      assert(t.n_blocks == (bytes.length + Multimodal.resizeBlock - 1) / Multimodal.resizeBlock)
+      val vals = t.thumb_csv.split(",").map(_.toLong)
+      assert(vals.length == t.n_blocks)
+      // independent replay of the integer block means
+      val exp = bytes.grouped(Multimodal.resizeBlock)
+        .map(b => b.map(_ & 0xff).map(_.toLong).sum / b.length).toArray
+      assert(vals.sameElements(exp), s"doc ${t.doc_id}")
+      assert(t.thumb_md5.length == 32)
+    }
+  }
+
   test("observe() counters flow through a batch run") {
     import org.apache.spark.sql.Observation
     val obs = Observation("stream_sentinel_events_test")
