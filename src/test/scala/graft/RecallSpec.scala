@@ -94,6 +94,42 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.5, s"cell-bounded dedup recall $r below floor 0.5")
   }
 
+  test("semantic dedup cell count SCALES with the corpus; pairs stay audit-subset") {
+    // The round-8 sf1 probe caught fixed-K as quadratic (14.6x at 10x
+    // data); pin the fix at test time: a corpus past ivfCells*cellTarget
+    // must train MORE cells (K = ceil(n/256)), and the cell-bounded pairs
+    // must remain a subset of the exact audit at the same radius.
+    import org.apache.spark.sql.functions.col
+    val n = 3000 // > 8*256, -> K = ceil(3000/256) = 12
+    val dims = 64
+    // deterministic synthetic vectors: a few hundred tight near-dup
+    // clusters (base direction per cluster, small per-member perturbation)
+    val rows = (0 until n).map { id =>
+      val cluster = id % 300
+      val v = Array.tabulate(dims) { d =>
+        val base = ((cluster * 131 + d * 17) % 19 - 9) / 9.0f
+        val eps = ((id * 31 + d * 7) % 11 - 5) / 500.0f
+        base + eps
+      }
+      (id.toLong, v, cluster % 5)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("sdscale").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // fixture corpora stay at the K floor; the synthetic corpus scales
+    assert(Similarity.centroidsDf(spark, dir).count() == 8L)
+    assert(Similarity.centroidsDf(spark, tmp).count() == 12L)
+    def vpairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("v1"), col("v2")).as[(Long, Long)].collect().toSet
+    val truth = vpairs(Similarity.neardupPairs(spark, tmp))
+    val got = vpairs(Similarity.semanticDedup(spark, tmp))
+    assert(truth.nonEmpty && got.nonEmpty)
+    assert(got.subsetOf(truth), s"false positives: ${(got -- truth).take(5)}")
+    val r = recall(got, truth)
+    info(f"scaled-K (12 cells) recall=$r%.3f (${got.size}/${truth.size} pairs)")
+    assert(r >= 0.5, s"scaled-K dedup recall $r below floor 0.5")
+  }
+
   test("neardupPairs refuses corpora above the O(n^2) audit cap") {
     val e = intercept[IllegalArgumentException] {
       graft.operators.Similarity.neardupPairsCapped(spark, dir, cap = 10L)
