@@ -600,7 +600,70 @@ object TextAnalysis {
        |  min(n_tok) AS min_tokens, max(n_tok) AS max_tokens
        |FROM b GROUP BY 1""".stripMargin
 
+  /** Per-language quality-threshold CALIBRATION (the CCNet/Gopher move:
+    * language-relative cutoffs, since absolute quality scores aren't
+    * comparable across languages): exact q25/q50/q75 of
+    * [[textStats]]' quality score per `lang`, the artifact a filtering
+    * pass cuts against ("drop the bottom quartile of each language").
+    *
+    * Scale shape — exact quantiles WITHOUT a per-document sort: scores
+    * quantize to 1e-6 fixed point, one map-side-combinable hash agg
+    * builds the per-(lang, value) histogram, and the rank scan runs over
+    * THAT (window partition size = distinct score values, bounded by the
+    * quantization domain — never corpus-sized; a per-lang sort of doc
+    * rows would serialize a billion-row language through one task). The
+    * quantile is type-1 (value at rank floor((n-1)·p)+1 = the smallest
+    * histogram value whose cumulative count reaches the rank), exact on
+    * the quantized domain in both engines. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val scored = textStatsOf(docs).select(col("doc_id"), col("quality_score"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("qs_u",
+        floor(col("quality_score") * 1000000.0 + 0.5).cast("long"))
+    val hist = scored.groupBy("lang", "qs_u").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("lang").orderBy("qs_u")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("c").over(wcum))
+    val n = hist.groupBy("lang").agg(sum("c").as("n_docs"))
+    def qAt(p: Double, name: String) =
+      (min(when(col("cum") >= floor((col("n_docs") - 1) * lit(p)) + 1,
+        col("qs_u"))).cast("double") / 1000000.0).as(name)
+    cum.join(n, "lang")
+      .groupBy(col("lang"), col("n_docs"))
+      .agg(qAt(0.25, "q25"), qAt(0.50, "q50"), qAt(0.75, "q75"))
+      .select("lang", "n_docs", "q25", "q50", "q75")
+  }
+
+  val qualityCalibrationSql: String =
+    s"""WITH ${textStatsCtes("documents")},
+       |q AS (
+       |$textStatsSelect
+       |), l AS (
+       |  SELECT d.lang,
+       |    CAST(floor(q.quality_score * 1000000.0 + 0.5) AS BIGINT) AS qs_u
+       |  FROM q JOIN documents d USING (doc_id)
+       |), h AS (
+       |  SELECT lang, qs_u, count(*) AS c FROM l GROUP BY 1, 2
+       |), cu AS (
+       |  SELECT lang, qs_u, c,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY qs_u
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM h
+       |), n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs FROM h GROUP BY 1)
+       |SELECT cu.lang, n.n_docs,
+       |  CAST(min(CASE WHEN cum >= CAST(floor((n_docs - 1) * 0.25) AS BIGINT) + 1
+       |    THEN qs_u END) AS DOUBLE) / 1000000.0 AS q25,
+       |  CAST(min(CASE WHEN cum >= CAST(floor((n_docs - 1) * 0.5) AS BIGINT) + 1
+       |    THEN qs_u END) AS DOUBLE) / 1000000.0 AS q50,
+       |  CAST(min(CASE WHEN cum >= CAST(floor((n_docs - 1) * 0.75) AS BIGINT) + 1
+       |    THEN qs_u END) AS DOUBLE) / 1000000.0 AS q75
+       |FROM cu JOIN n USING (lang)
+       |GROUP BY cu.lang, n.n_docs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_calibration" -> (qualityCalibration _),
     "doc_length_histogram" -> (docLengthHistogram _),
     "doc_novelty" -> (docNovelty _),
     "doc_repetition" -> (docRepetition _),
@@ -618,6 +681,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "quality_calibration" -> qualityCalibrationSql,
     "doc_length_histogram" -> docLengthHistogramSql,
     "doc_novelty" -> docNoveltySql,
     "doc_repetition" -> docRepetitionSql,

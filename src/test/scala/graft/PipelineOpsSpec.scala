@@ -311,6 +311,30 @@ class PipelineOpsSpec extends SparkSpec {
       s"HT estimate $est vs corpus ${stats.size}")
   }
 
+  test("quality_calibration: exact match vs in-memory type-1 quantiles") {
+    val rows = TextAnalysis.qualityCalibration(spark, dir)
+      .select("lang", "n_docs", "q25", "q50", "q75")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // independent replay: quantize each doc's score, sort per lang, pick
+    // rank floor((n-1)p)+1 (1-based)
+    val scored = TextAnalysis.textStats(spark, dir)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val langs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = langs.collect { case (id, l) if scored.contains(id) =>
+      l -> math.floor(scored(id) * 1000000.0 + 0.5).toLong
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { case (lang, n, q25, q50, q75) =>
+      val vs = byLang(lang)
+      assert(n == vs.length, s"lang $lang")
+      def tq(p: Double) = vs((math.floor((n - 1) * p) + 1).toInt - 1) / 1000000.0
+      assert((q25, q50, q75) == ((tq(0.25), tq(0.50), tq(0.75))), s"lang $lang")
+      assert(q25 <= q50 && q50 <= q75, s"lang $lang")
+    }
+    assert(rows.map(_._2).sum == byLang.values.map(_.length).sum)
+  }
+
   test("dedup_span_profile: exact match vs in-memory replay") {
     val rows = graft.operators.Dedup.spanDedupProfile(spark, dir)
       .select("doc_id", "n_spans", "dup_spans", "dup_frac")
