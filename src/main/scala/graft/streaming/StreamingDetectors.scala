@@ -383,30 +383,40 @@ object StreamingDetectors {
     * that fired, the strongest form of the reference's inline
     * originalEvent copy (Alert.java:31-43).
     *
-    * Clock: the event's own numeric `ts` field when present (the
-    * deterministic-test substitution the reference's own unit tests use),
-    * else the ingestion timestamp — EventDeserializationSchema.java:36.
-    * Unlike the reference's always-ingestion clock, the event-time path
-    * admits per-key ts REGRESSIONS; the rate deque's head-only eviction
-    * then leaves expired entries mid-deque and can over-count (possible
-    * spurious rate alerts) — the same thing the reference's own loop
-    * would do on a non-monotone clock. Pinned, with a deterministic
-    * witness, by DequeDifferentialSpec's out-of-order differential;
-    * stamp ingestion time upstream if strict parity with the
-    * reference's clock is required. */
+    * Clock (`ingestionClock = false`, default): the event's own numeric
+    * `ts` field when present (the deterministic-test substitution the
+    * reference's own unit tests use), else the ingestion timestamp —
+    * EventDeserializationSchema.java:36. Unlike the reference's
+    * always-ingestion clock, the event-time path admits per-key ts
+    * REGRESSIONS; the rate deque's head-only eviction then leaves expired
+    * entries mid-deque and can over-count (possible spurious rate
+    * alerts) — the same thing the reference's own loop would do on a
+    * non-monotone clock. Pinned, with a deterministic witness, by
+    * DequeDifferentialSpec's out-of-order differential.
+    *
+    * `ingestionClock = true` stamps `ingest_ts` for EVERY event (the
+    * reference's exact clock, EventDeserializationSchema.java:36) —
+    * per-key nondecreasing by construction, so head-only eviction is
+    * exact and the over-count space above is unreachable. Choose it when
+    * strict reference-clock parity matters more than deterministic
+    * replay. */
   def jsonPipeline(raw: DataFrame, rules: Seq[DetectionRule],
-      keyField: String, rawCol: String = "value"): DataFrame = {
+      keyField: String, rawCol: String = "value",
+      ingestionClock: Boolean = false): DataFrame = {
     import raw.sparkSession.implicits._
     val parsed = graft.sources.EventJson.parsed(raw, rawCol)
     val fieldEntries = measuredFields(rules).flatMap { f =>
       Seq(lit(f), col("fields").getItem(f).try_cast("double"))
     }
+    val clock =
+      if (ingestionClock) unix_timestamp(col("ingest_ts"))
+      else coalesce(col("fields").getItem("ts").try_cast("long"),
+        unix_timestamp(col("ingest_ts")))
     val sev = parsed.select(
         coalesce(col("fields").getItem(keyField), lit("__unknown__")).as("key"),
         coalesce(col("fields").getItem("event_id").try_cast("long"), lit(0L))
           .as("eventId"),
-        coalesce(col("fields").getItem("ts").try_cast("long"),
-          unix_timestamp(col("ingest_ts"))).as("tsSec"),
+        clock.as("tsSec"),
         (if (fieldEntries.isEmpty) map().cast("map<string,double>")
          else map_filter(map(fieldEntries: _*), (_, v) => v.isNotNull))
           .as("fields"),

@@ -374,6 +374,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jsonPipeline ingestionClock: reference clock, event ts ignored") {
+    // ADVICE r8 item 1 closure, opt-in half: with `ingestionClock = true`
+    // the pipeline stamps EVERY event with ingest_ts (the reference's
+    // clock, EventDeserializationSchema.java:36) — monotone per key by
+    // construction, so the rate deque's head-only eviction is exact and
+    // the event-time over-count space (DequeDifferentialSpec's
+    // out-of-order differential) is unreachable. Witness: 6 events whose
+    // OWN ts values are years apart (event-time clock: no rate window
+    // ever holds >1, stays silent) all land on the one ingestion second,
+    // so the ingestion clock fires the rate rule where the default
+    // clock cannot.
+    import org.apache.spark.sql.functions.col
+    def ev(id: Long, ts: Long): String =
+      s"""{"event_id": $id, "userId": "u1", "ts": $ts, "amount": 1.0}"""
+    val years = (0 until 6).map(i => ev(i, 1000000L + i * 86400L * 365L))
+    val raw = years.toDF("value")
+    val silent = StreamingDetectors.jsonPipeline(raw, rules, keyField = "userId")
+      .select(col("value")).as[String].collect()
+    assert(silent.isEmpty, "event-time clock must not fire across years")
+    val t0 = System.currentTimeMillis() / 1000L
+    val fired = StreamingDetectors.jsonPipeline(raw, rules,
+        keyField = "userId", ingestionClock = true)
+      .select(col("value")).as[String].collect()
+    assert(fired.count(_.contains("\"rule_name\":\"high_rate\"")) == 1,
+      "ingestion clock lands all six on one second -> rate fires once")
+    // the alert clock IS ingestion time, not the event's ancient ts
+    val tsSecs = fired.map(a =>
+      "\"ts_sec\":(\\d+)".r.findFirstMatchIn(a).get.group(1).toLong)
+    assert(tsSecs.forall(_ >= t0 - 60),
+      "alert ts_sec must be the ingestion stamp, not the event ts")
+  }
+
   test("checkpoint recovery: restart resumes state, file sink stays exactly-once") {
     import org.apache.spark.sql.functions.col
     val srcDir = java.nio.file.Files.createTempDirectory("graft-rec-src")
