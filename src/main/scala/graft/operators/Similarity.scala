@@ -1089,7 +1089,24 @@ object Similarity {
        |  CAST(max(fx) AS DOUBLE) / 1000000.0 AS max_ratio
        |FROM fx GROUP BY 1""".stripMargin
 
+  /** IVF index-health profile: occupancy of every inverted-file cell
+    * (rank-1 assignment, the exact index [[annIvfTopk]] searches). The
+    * stat an IVF deployment is monitored by — a skewed profile means some
+    * cells degrade toward per-cell brute force while others sit empty,
+    * exactly the failure mode the corpus-scaled K ([[sdK]]) exists to
+    * prevent; this query makes that judgment oracle-checkable instead of
+    * anecdotal. One hash agg over the inverted file, K rows out. */
+  def ivfCellProfile(spark: SparkSession, dir: String): DataFrame =
+    ivfAssigned(vecs(spark, dir), sdCentsDf(spark, dir))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+
+  val ivfCellProfileSql: String =
+    s"""WITH $vecsSql,
+       |$sdAsgCtes
+       |SELECT cell, count(*) AS n_vectors FROM a GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_cell_profile" -> (ivfCellProfile _),
     "ann_topk_cosine" -> (annTopkCosine _),
     "ann_hard_negatives" -> (annHardNegatives _),
     "ann_range_search" -> (annRangeSearch _),
@@ -1105,6 +1122,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "ivf_cell_profile" -> ivfCellProfileSql,
     "ann_topk_cosine" -> annTopkCosineSql,
     "ann_hard_negatives" -> annHardNegativesSql,
     "ann_range_search" -> annRangeSearchSql,

@@ -666,7 +666,72 @@ object TextAnalysis {
        |FROM cu JOIN n USING (lang)
        |GROUP BY cu.lang, n.n_docs""".stripMargin
 
+  private val tokVocabSize = 16
+  private val tokOovId = tokVocabSize.toLong // ids 0..15 in-vocab, 16 = OOV
+  private val tokMaxPos = 32
+
+  /** Tokenizer APPLICATION — the text -> input_ids step every training
+    * pipeline runs after vocabulary induction: rank the corpus's terms by
+    * total occurrence (count desc, term asc — the deterministic tie-break),
+    * keep the top [[tokVocabSize]] as ids 0..V-1, and encode the first
+    * [[tokMaxPos]] token positions of every document as
+    * (doc_id, pos, token_id) rows, unknown terms -> the OOV id V.
+    *
+    * Shape at 100 TB: term counting is one map-combinable hash agg; the
+    * vocabulary cut is TakeOrdered (per-partition heap, V-row driver
+    * merge — never a global sort), and the V-row id table re-ranks under a
+    * window that costs one task over V rows. Encoding is a scan-side
+    * posexplode capped at [[tokMaxPos]] per doc (bounded fan-out, no skew
+    * amplification) + a broadcast left join against the V-row vocab — the
+    * corpus never shuffles. Exploded (doc_id, pos, token_id) rows, not a
+    * packed array column, so the result joins/filters columnar downstream
+    * (and the hash oracle compares scalars). */
+  def tokenIdsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.withColumn("toks", tokens(col("text")))
+    val vocab = toks
+      .select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(tokVocabSize)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    val ids = vocab.withColumn("token_id",
+      (row_number().over(w) - 1).cast("long")).select("term", "token_id")
+    toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .filter(col("pos") < tokMaxPos)
+      .join(broadcast(ids), Seq("term"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(tokOovId)).as("token_id"))
+  }
+
+  def tokenIds(spark: SparkSession, dir: String): DataFrame =
+    tokenIdsOf(Tables.documents(spark, dir))
+
+  val tokenIdsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), vc AS (
+       |  SELECT term, count(*) AS cnt
+       |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1
+       |), vr AS (
+       |  SELECT term, row_number() OVER (ORDER BY cnt DESC, term) - 1 AS token_id
+       |  FROM (SELECT * FROM vc ORDER BY cnt DESC, term LIMIT $tokVocabSize)
+       |), tk AS (
+       |  SELECT doc_id, s['pos'] AS pos, s['term'] AS term
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(
+       |        generate_series(1, least(len(toks), $tokMaxPos)),
+       |        i -> {'pos': CAST(i - 1 AS BIGINT), 'term': toks[i]})) AS s
+       |    FROM t
+       |  )
+       |)
+       |SELECT tk.doc_id, tk.pos, coalesce(vr.token_id, $tokOovId) AS token_id
+       |FROM tk LEFT JOIN vr USING (term)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_ids" -> (tokenIds _),
     "quality_calibration" -> (qualityCalibration _),
     "doc_length_histogram" -> (docLengthHistogram _),
     "doc_novelty" -> (docNovelty _),
@@ -685,6 +750,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "token_ids" -> tokenIdsSql,
     "quality_calibration" -> qualityCalibrationSql,
     "doc_length_histogram" -> docLengthHistogramSql,
     "doc_novelty" -> docNoveltySql,
