@@ -79,6 +79,7 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resize(s, dir)),
+    "multimodal_phash_dedup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
   ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++
     TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries
 
@@ -95,6 +96,7 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frames" -> Multimodal.framesSql,
     "multimodal_resize" -> Multimodal.resizeSql,
+    "multimodal_phash_dedup" -> Multimodal.phashDedupSql,
     "props_threshold" ->
       """SELECT event_id,
         |  coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",

@@ -628,6 +628,117 @@ object Dedup {
        |FROM sp JOIN sdf USING (h)
        |GROUP BY doc_id""".stripMargin
 
+  /** Exact-substring span REMOVAL — the apply step that
+    * [[spanDedupProfile]] only scores (Lee et al.'s pipeline cuts the
+    * duplicated spans out of the corpus, it doesn't just flag them).
+    * Every `spanLen`-token rolling window that appears verbatim anywhere
+    * else in the corpus keeps only its GLOBAL FIRST occurrence (lowest
+    * `(doc_id, pos)`); every token covered by a non-first occurrence is
+    * dropped and the cleaned text is re-joined from the surviving tokens
+    * in position order. Emits `(doc_id, n_tokens, kept_tokens,
+    * clean_md5)` — the md5 of the cleaned text is the oracle-checkable
+    * proxy for the text itself (keeps the result set small; the cleaned
+    * string is one `array_join` away if a caller wants it).
+    *
+    * 100 TB shape: ONE corpus scan emits every token with its position
+    * plus (where a full window starts) the span's 16-byte md5 — spans
+    * and tokens come from the same loop so tokenization cannot drift
+    * between the two uses. The only shuffles are the digest groupBy
+    * (first-occurrence min, map-side combinable), the digest-keyed join
+    * back (covered positions), the (doc_id, pos) anti-join, and the
+    * per-doc reassembly agg. Nothing self-joins and nothing
+    * concentrates: a globally repeated span contributes one `min(struct)`
+    * counter update per occurrence, never a pair explosion. Per-doc
+    * memory in the reassembly is bounded by the doc's own token count —
+    * the same bound as holding the text column. */
+  def spanDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = spanLen
+    val docs = Tables.documents(spark, dir)
+    val base = eager(docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, text) =>
+          val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          Iterator.tabulate(toks.length) { i =>
+            val h = if (i + n - 1 < toks.length) {
+              val sb = new java.lang.StringBuilder
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j))
+                j += 1
+              }
+              digest.reset()
+              digest.digest(sb.toString.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+            } else null
+            (docId, i, toks(i), h)
+          }
+        }
+      }.toDF("doc_id", "pos", "tok", "h"))
+    val spans = base.where(col("h").isNotNull)
+      .select(col("doc_id"), col("pos"), col("h"))
+    // global first occurrence per span = lexicographic min (doc_id, pos);
+    // identical to the oracle's row_number ORDER BY doc_id, pos
+    val firsts = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val covered = spans.join(firsts, "h")
+      .where(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = base.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept_tokens"),
+      expr("array_join(transform(array_sort(collect_list(struct(pos, tok)))," +
+        " x -> x.tok), ' ')").as("cleaned"))
+    val totals = base.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        md5(coalesce(col("cleaned"), lit("")).cast("binary")).as("clean_md5"))
+  }
+
+  val spanDedupApplySql: String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |  FROM (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 1
+       |    THEN generate_series(1, len(toks)) ELSE [] END) AS i FROM t)
+       |),
+       |sp AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    md5(array_to_string(list_slice(toks, i, i + ${spanLen - 1}), ' ')) AS h
+       |  FROM (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= $spanLen
+       |    THEN generate_series(1, len(toks) - ${spanLen - 1}) ELSE [] END) AS i
+       |    FROM t)
+       |),
+       |rk AS (SELECT doc_id, pos, h,
+       |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM sp),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + off AS pos
+       |  FROM (SELECT doc_id, pos, unnest(generate_series(0, ${spanLen - 1})) AS off
+       |    FROM rk WHERE rn > 1)
+       |),
+       |kept AS (SELECT doc_id, pos, tok FROM tok ANTI JOIN cov USING (doc_id, pos)),
+       |ka AS (
+       |  SELECT doc_id, count(*) AS kept_tokens,
+       |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       |  FROM kept GROUP BY doc_id
+       |),
+       |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(tot.n_tokens, 0) AS n_tokens,
+       |  coalesce(ka.kept_tokens, 0) AS kept_tokens,
+       |  md5(coalesce(ka.cleaned, '')) AS clean_md5
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN tot USING (doc_id)
+       |LEFT JOIN ka USING (doc_id)""".stripMargin
+
   val incrementalDedupSql: String =
     s"""WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % $incrMod = $incrRem),
        |bd AS (SELECT doc_id, text FROM documents WHERE doc_id % $incrMod <> $incrRem),
@@ -677,6 +788,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_span_profile" -> (spanDedupProfile _),
+    "span_dedup_apply" -> (spanDedupApply _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -686,5 +798,6 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashPairsSql,
     "dedup_span_profile" -> spanDedupProfileSql,
+    "span_dedup_apply" -> spanDedupApplySql,
   )
 }

@@ -235,6 +235,137 @@ object Multimodal {
        |SELECT doc_id, n_bytes, n_blocks, thumb_csv, md5(thumb_csv) AS thumb_md5
        |FROM t""".stripMargin
 
+  // ------------------------------------------- perceptual-hash dedup
+
+  val phashBits = 60 // 60 not 64: keeps the packed hash positive in BIGINT
+  val phashChunkBits = 5 // 12 bands of 5 bits (see recall note below)
+  val phashHammingMax = 10 // pigeonhole-exact: 10 < 12 bands
+
+  // Band-width note: real imagery clusters near-dups at hamming <= ~5
+  // of 64, where 8-bit bands (256-value buckets) are the standard
+  // multi-index-hashing trade. These fixtures synthesize media from
+  // TEXT, whose small edits shift every downstream byte — measured
+  // near-dup pairs sit at hamming 8-12 — so the bands widen to 5 bits
+  // to keep the guarantee (hamming <= hammingMax always shares a band
+  // iff hammingMax < band count). Coarser bands mean fuller buckets;
+  // the DISTINCT-signature join below bounds that exactly like simhash
+  // (cost O(distinct_sigs per bucket), never O(docs)).
+
+  /** Per-doc perceptual hash (aHash family) over the stub-decoded media
+    * stream: the stream is cut into [[phashBits]] contiguous regions
+    * (`[b*n/60, (b+1)*n/60)` — the 1-D analog of resizing an image to an
+    * 8x8 grid), and bit b is set iff region b's mean exceeds the global
+    * mean. The compare is INTEGER cross-multiplication
+    * (`region_sum * n > total_sum * region_len`) so both engines decide
+    * every bit exactly — no float mean ever materializes. Docs shorter
+    * than [[phashBits]] bytes have under-defined regions and are
+    * excluded, identically in both engines. Overflow bound:
+    * `sum * n <= 255 * n^2` stays in Long for payloads < ~190 MB; media
+    * larger than that would hash per-tile anyway. */
+  def phashDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, payload) =>
+          val d = stubDecode(payload)
+          val n = d.length
+          if (n < phashBits) Iterator.empty
+          else {
+            var total = 0L
+            var i = 0
+            while (i < n) { total += (d(i) & 0xff); i += 1 }
+            var hash = 0L
+            var b = 0
+            while (b < phashBits) {
+              val from = (b.toLong * n / phashBits).toInt
+              val until = ((b + 1).toLong * n / phashBits).toInt
+              var s = 0L
+              var j = from
+              while (j < until) { s += (d(j) & 0xff); j += 1 }
+              if (s * n > total * (until - from)) hash |= (1L << b)
+              b += 1
+            }
+            Iterator.single((docId, hash))
+          }
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Perceptual near-dup IMAGE pairs: ties the multimodal and dedup
+    * families together — [[phashDocs]] signatures, then the exact
+    * [[Dedup.simhashPairs]] candidate shape: distinct signatures band
+    * into 4 x 15-bit chunks, candidates share a chunk at the same index
+    * (pigeonhole: hamming <= [[phashHammingMax]] always shares one, so
+    * recall is exact), verified by popcount. Same hot-bucket posture as
+    * simhash: a flood of byte-identical media collapses to ONE distinct
+    * signature before the banded join; doc fan-in only happens on
+    * verified signature pairs and on the equal-signature equi-join.
+    * Payload bytes never shuffle — only (doc_id, 8-byte hash) leaves the
+    * scan. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ph = Dedup.eager(phashDocs(spark, dir))
+    val hs = ph.select("phash").distinct()
+    val chunks = spark.range(phashBits / phashChunkBits).toDF("c")
+    val keyed = hs.crossJoin(broadcast(chunks))
+      .withColumn("chunk_val",
+        expr(s"shiftright(phash, CAST(c * $phashChunkBits AS INT))" +
+          s" & ${(1L << phashChunkBits) - 1}"))
+    val hp = keyed.as("x").join(keyed.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.phash") < col("y.phash"))
+      .select(col("x.phash").as("h1"), col("y.phash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= phashHammingMax)
+    val cross = ph.as("a")
+      .join(hp, col("a.phash") === col("h1"))
+      .join(ph.as("b"), col("b.phash") === col("h2"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"), col("hamming"))
+    val same = ph.as("a").join(ph.as("b"),
+        col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(0).cast("int").as("hamming"))
+    cross.union(same)
+  }
+
+  /** DuckDB twin of [[phashDedup]]: identical integer cross-multiplied
+    * bits in hex-space, doc-level banded self-join (output-identical to
+    * the Spark side's distinct-signature form). */
+  def phashDedupSql: String = {
+    val packed = (0 until phashBits).map { b =>
+      s"(CASE WHEN list_sum(list_slice(byts, ($b * n) // $phashBits + 1," +
+        s" (${b + 1} * n) // $phashBits)) * n > total *" +
+        s" ((${b + 1} * n) // $phashBits - ($b * n) // $phashBits)" +
+        s" THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents
+       |), bb AS (
+       |  SELECT doc_id, n,
+       |    list_transform(generate_series(1, CAST(n AS INT)),
+       |      i -> CAST(('0x' || substr(hx, 2*i - 1, 2)) AS BIGINT)) AS byts
+       |  FROM m WHERE n >= $phashBits
+       |), r AS (SELECT doc_id, n, byts, list_sum(byts) AS total FROM bb),
+       |ph AS (SELECT doc_id, CAST($packed AS BIGINT) AS phash FROM r),
+       |k AS (
+       |  SELECT doc_id, phash, c,
+       |    (phash >> (c * $phashChunkBits)) & ${(1L << phashChunkBits) - 1} AS chunk_val
+       |  FROM ph CROSS JOIN (SELECT unnest(generate_series(0, ${phashBits / phashChunkBits - 1})) AS c)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, x.phash AS h1, y.doc_id AS d2, y.phash AS h2
+       |  FROM k x JOIN k y ON x.c = y.c AND x.chunk_val = y.chunk_val
+       |    AND x.doc_id < y.doc_id
+       |)
+       |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= $phashHammingMax""".stripMargin
+  }
+
   /** DuckDB twin of [[features]]: identical math in hex-string space
     * (DuckDB 1.0 has no BLOB md5/substring, hence the hex indirection on
     * both sides). */

@@ -396,9 +396,23 @@ object Similarity {
     *    unrelated keys hashing to the same bin and deadlock a re-entrant
     *    get — the [[graft.util.SessionCache]] contract; ADVICE r8). The
     *    k-means collect runs under the holder's own monitor; a throwing
-    *    run leaves the lazy val uninitialized so the next caller retries
-    *    instead of caching the failure. */
-  private final class Memo[V](compute: () => V) { lazy val value: V = compute() }
+    *    run evicts THIS holder from its cache (so the next caller builds a
+    *    fresh Memo over its own live session instead of retrying a stale
+    *    closure), and a successful run NULLs the thunk so the captured
+    *    SparkSession is unreachable once the plain-array value exists
+    *    (ADVICE r9: Scala keeps lazy-val ctor params as fields, so an
+    *    un-cleared thunk would pin the training session for the JVM
+    *    lifetime, contradicting the "no session references" contract). */
+  private final class Memo[V](key: String,
+      cache: java.util.concurrent.ConcurrentHashMap[String, _],
+      c0: () => V) {
+    private[this] var c: () => V = c0
+    lazy val value: V = {
+      val v = try c() catch { case t: Throwable => cache.remove(key, this); throw t }
+      c = null
+      v
+    }
+  }
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
     String, Memo[Array[(Long, Array[Double], Double)]]]()
 
@@ -410,7 +424,7 @@ object Similarity {
 
   private def trainedCents(spark: SparkSession, dir: String, k: Int)
       : Array[(Long, Array[Double], Double)] =
-    centCache.computeIfAbsent(s"$dir#$k", _ => new Memo(() => {
+    centCache.computeIfAbsent(s"$dir#$k", key => new Memo(key, centCache, () => {
       import spark.implicits._
       val all = vecs(spark, dir)
       val samp = all.filter(col("vec_id") % ivfSampleMod === 0)
@@ -538,7 +552,7 @@ object Similarity {
     * count). SQL twin: the `kk` CTE in [[sdTrainCtes]]. */
   private val sdKCache = new java.util.concurrent.ConcurrentHashMap[String, Memo[Int]]()
   private def sdK(spark: SparkSession, dir: String): Int =
-    sdKCache.computeIfAbsent(dir, _ => new Memo(() => {
+    sdKCache.computeIfAbsent(dir, key => new Memo(key, sdKCache, () => {
       // the count is a Spark job — run it under the holder, not the bin
       // lock (same contract as [[centCache]])
       val n = vecs(spark, dir).count()
@@ -695,6 +709,241 @@ object Similarity {
        |)
        |SELECT q_id, "rank", vec_id AS cand_id, sim_r, cell, probe
        |FROM r WHERE "rank" <= 3""".stripMargin
+
+  // ------------------------------------------------------------ IVF-PQ
+
+  private val pqM = 8              // subspaces
+  private val pqDs = dims / pqM    // dims per subspace
+  private val pqCodes = 16         // codes per subspace codebook
+  private val pqCentBase = 200L    // codebook k-means INIT seed ids
+  private val pqIters = 2          // per-subspace Lloyd iterations
+
+  /** Squared L2 distance via three sequential-fold dots —
+    * `x·x - 2·x·c + c·c` with identical operation order in both engines
+    * (each dot is an ascending-index IEEE fold, then two flat binary
+    * ops), so the rounded value is bit-identical cross-engine. */
+  private def d2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  private def d2Sql(a: String, b: String): String =
+    s"${dotSql(a, a)} - 2.0 * ${dotSql(a, b)} + ${dotSql(b, b)}"
+
+  /** Product-quantization codebooks: per subspace m, [[pqCodes]]
+    * sub-centroids trained by the same deterministic bounded-sample
+    * driver k-means discipline as [[trainedCents]] (rounded-distance
+    * argmin with lowest-code tie-break, EXACT integer sums of
+    * 1e-6-quantized elements, empty code keeps its previous value), so
+    * the DuckDB oracle replays training bit-for-bit. Returns
+    * (m, code, sub-centroid) rows; code ids keep gaps if an init id is
+    * norm-filtered away (`vec_id - pqCentBase`), as in the oracle. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Memo[Array[(Int, Long, Array[Double])]]]()
+  private def pqCodebook(spark: SparkSession, dir: String)
+      : Array[(Int, Long, Array[Double])] =
+    pqCache.computeIfAbsent(dir, key => new Memo(key, pqCache, () => {
+      import spark.implicits._
+      val all = vecs(spark, dir)
+      val samp = all.filter(col("vec_id") % ivfSampleMod === 0)
+        .sort("vec_id").limit(ivfSampleCap)
+        .select(col("vec_id"), col("v")).as[(Long, Array[Double])].collect()
+      val init = all
+        .filter(col("vec_id") >= pqCentBase && col("vec_id") < pqCentBase + pqCodes)
+        .sort("vec_id").select(col("vec_id"), col("v"))
+        .as[(Long, Array[Double])].collect()
+      require(init.nonEmpty, s"no PQ init vectors in [$pqCentBase, ${pqCentBase + pqCodes}) at $dir")
+      val codeIds = init.map(_._1 - pqCentBase)
+      val nc = init.length
+      (0 until pqM).toArray.flatMap { m =>
+        val off = m * pqDs
+        val sub = samp.map(_._2.slice(off, off + pqDs))
+        val q = sub.map(_.map(x => math.floor(x * 1000000.0 + 0.5).toLong))
+        var cbs = init.map(_._2.slice(off, off + pqDs))
+        var it = 0
+        while (it < pqIters) {
+          val sums = Array.fill(nc)(new Array[Long](pqDs))
+          val counts = new Array[Long](nc)
+          var si = 0
+          while (si < sub.length) {
+            val x = sub(si)
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < nc) {
+              val raw = seqDot(x, x) - 2.0 * seqDot(x, cbs(c)) + seqDot(cbs(c), cbs(c))
+              val dd = math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+              if (dd < bestD) { bestD = dd; best = c } // ties keep low code
+              c += 1
+            }
+            val qv = q(si)
+            var i = 0
+            while (i < pqDs) { sums(best)(i) += qv(i); i += 1 }
+            counts(best) += 1
+            si += 1
+          }
+          cbs = Array.tabulate(nc) { c =>
+            if (counts(c) == 0L) cbs(c)
+            else Array.tabulate(pqDs)(i => sums(c)(i).toDouble / counts(c) / 1000000.0)
+          }
+          it += 1
+        }
+        cbs.zip(codeIds).map { case (cv, code) => (m, code, cv) }
+      }
+    })).value
+
+  private def pqCodebookDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pqCodebook(spark, dir).toSeq.toDF("m", "code", "cv")
+  }
+
+  /** IVF-PQ top-k: the 100 TB ANN storage tier — the inverted file keeps
+    * [[pqM]] one-byte codes + one stored norm per vector instead of the
+    * vector itself (64 doubles -> 8 codes + 8 bytes here, a 30x+ store
+    * shrink; the int8 audit [[embeddingQuantize]] bounds the per-element
+    * error of this family). Search is classic ADC (asymmetric distance
+    * computation): each query precomputes a [[pqM]]x[[pqCodes]]
+    * lookup table of partial dots against the codebooks (driver-size:
+    * 128 rows/query), and a candidate's approximate dot is the SUM of 8
+    * table hits — no candidate vector is ever touched.
+    *
+    * Determinism: partial dots are 1e-6 fixed-point LONGS, so the
+    * 8-term ADC sum is exact integer addition (order-free across
+    * engines); the single double division happens once at the end and
+    * is rounded like every other similarity.
+    *
+    * Plan shape: codes are assigned by a broadcast codebook crossJoin
+    * collapsed map-side by `min_by` under a hash aggregate (the shuffle
+    * carries n*M code rows, never the n*M*[[pqCodes]] candidate fan);
+    * the ADC join is candidate-codes x broadcast LUT, grouped with
+    * map-side partial sums. Candidates come from the same corpus-scaled
+    * IVF cells as [[annIvfTopk]] — this is that index with the exact
+    * re-rank replaced by the compressed-store scoring. */
+  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val assigned = Dedup.eager(ivfAssigned(all, sdCentsDf(spark, dir)))
+    val cb = pqCodebookDf(spark, dir)
+    val codes = assigned.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cb))
+      .withColumn("sv", expr(s"slice(v, m * $pqDs + 1, $pqDs)"))
+      .withColumn("dd", simRound(d2(col("sv"), col("cv"))))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("code"), struct(col("dd"), col("code"))).as("code"))
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("cell").as("qcell"))
+    val lut = q.crossJoin(cb)
+      .withColumn("pd",
+        floor(dot(expr(s"slice(qv, m * $pqDs + 1, $pqDs)"), col("cv"))
+          * 1000000.0 + 0.5).cast("long"))
+      .select(col("q_id"), col("m"), col("code"), col("pd"))
+    val cand = assigned
+      .join(broadcast(q.select("q_id", "qn", "qcell")),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"), col("norm"), col("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
+    cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "vec_id", "cell", "norm", "qn")
+      .agg(sum("pd").as("adcq"))
+      .withColumn("sim_r",
+        simRound((col("adcq").cast("double") / 1000000.0) / (col("qn") * col("norm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("cand_id"),
+        col("sim_r"), col("cell"))
+  }
+
+  /** Oracle twin of the PQ train chain: per-subspace unrolled Lloyd,
+    * ending at CTE `pqf` (m, code, cv). */
+  private def pqTrainCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""pm AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS m),
+       |pdims AS (SELECT unnest(generate_series(0, ${pqDs - 1})) AS d),
+       |psq AS (
+       |  SELECT s.vec_id, pm.m,
+       |    list_slice(s.v, pm.m * $pqDs + 1, pm.m * $pqDs + $pqDs) AS sv,
+       |    list_transform(list_slice(s.v, pm.m * $pqDs + 1, pm.m * $pqDs + $pqDs),
+       |      x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM (SELECT vec_id, v FROM vn WHERE vec_id % $ivfSampleMod = 0
+       |        ORDER BY vec_id LIMIT $ivfSampleCap) s CROSS JOIN pm
+       |),
+       |pq0 AS (
+       |  SELECT pm.m, CAST(vec_id - $pqCentBase AS BIGINT) AS code,
+       |    list_slice(v, pm.m * $pqDs + 1, pm.m * $pqDs + $pqDs) AS cv
+       |  FROM vn CROSS JOIN pm
+       |  WHERE vec_id >= $pqCentBase AND vec_id < ${pqCentBase + pqCodes}
+       |)""".stripMargin
+    for (i <- 0 until pqIters) {
+      sb ++= s""",
+       |pasg$i AS (
+       |  SELECT s.vec_id, s.m, s.q, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${simRoundSql(d2Sql("s.sv", "c.cv"))} ASC, c.code) AS rn
+       |  FROM psq s JOIN pq$i c ON s.m = c.m
+       |), psum$i AS (
+       |  SELECT m, code, d, sum(q[d + 1]) AS sq, count(*) AS n
+       |  FROM (SELECT * FROM pasg$i WHERE rn = 1) CROSS JOIN pdims
+       |  GROUP BY 1, 2, 3
+       |), pnew$i AS (
+       |  SELECT m, code, list(CAST(sq AS DOUBLE) / n / 1000000.0 ORDER BY d) AS cv
+       |  FROM psum$i GROUP BY 1, 2
+       |), pq${i + 1} AS (
+       |  SELECT c.m, c.code, coalesce(nw.cv, c.cv) AS cv
+       |  FROM pq$i c LEFT JOIN pnew$i nw ON c.m = nw.m AND c.code = nw.code
+       |)""".stripMargin
+    }
+    sb ++= s""",
+       |pqf AS (SELECT m, code, cv FROM pq$pqIters)""".stripMargin
+    sb.toString
+  }
+
+  val annIvfPqTopkSql: String =
+    s"""WITH $vecsSql,
+       |$sdAsgCtes, $pqTrainCtes,
+       |pcode AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT v.vec_id, c.m, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, c.m
+       |        ORDER BY ${simRoundSql(d2Sql(
+                 s"list_slice(v.v, c.m * $pqDs + 1, c.m * $pqDs + $pqDs)", "c.cv"))} ASC,
+       |        c.code) AS rn
+       |    FROM vn v CROSS JOIN pqf c
+       |  ) WHERE rn = 1
+       |),
+       |q AS (
+       |  SELECT vec_id AS q_id, v AS qv, norm AS qn, cell AS qcell
+       |  FROM a WHERE vec_id < $numQueries
+       |),
+       |plut AS (
+       |  SELECT q.q_id, c.m, c.code,
+       |    CAST(floor(${dotSql(
+                s"list_slice(q.qv, c.m * $pqDs + 1, c.m * $pqDs + $pqDs)", "c.cv")}
+       |      * 1000000.0 + 0.5) AS BIGINT) AS pd
+       |  FROM q CROSS JOIN pqf c
+       |),
+       |pcand AS (
+       |  SELECT q.q_id, c.vec_id, c.cell, c.norm, q.qn
+       |  FROM a c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.q_id
+       |),
+       |padc AS (
+       |  SELECT cd.q_id, cd.vec_id, cd.cell, cd.norm, cd.qn,
+       |    sum(l.pd) AS adcq
+       |  FROM pcand cd
+       |  JOIN pcode pc ON cd.vec_id = pc.vec_id
+       |  JOIN plut l ON l.q_id = cd.q_id AND l.m = pc.m AND l.code = pc.code
+       |  GROUP BY 1, 2, 3, 4, 5
+       |),
+       |pr AS (
+       |  SELECT q_id, vec_id, cell,
+       |    ${simRoundSql("(CAST(adcq AS DOUBLE) / 1000000.0) / (qn * norm)")} AS sim_r
+       |  FROM padc
+       |),
+       |prr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim_r DESC, vec_id) AS "rank"
+       |  FROM pr
+       |)
+       |SELECT q_id, "rank", vec_id AS cand_id, sim_r, cell
+       |FROM prr WHERE "rank" <= 3""".stripMargin
 
   private val semdedupTau = 0.45 // same radius as the exact audit
   private val semdedupProbes = 2 // index replication: top-2 cells per vector
@@ -1116,6 +1365,7 @@ object Similarity {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_multiprobe" -> (annIvfMultiprobe _),
+    "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "semantic_dedup" -> (semanticDedup _),
     "embedding_dedup_incremental" -> (embeddingDedupIncremental _),
     "embedding_jl_distortion" -> (jlDistortion _),
@@ -1132,6 +1382,7 @@ object Similarity {
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_multiprobe" -> annIvfMultiprobeSql,
+    "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "semantic_dedup" -> semanticDedupSql,
     "embedding_dedup_incremental" -> embeddingDedupIncrementalSql,
     "embedding_jl_distortion" -> jlDistortionSql,

@@ -41,6 +41,10 @@ class FixtureSchemaSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
 
   // The fixture is micro-precision; expectations truncate ns → us → ns.
+  // The ns→us truncation below uses `ts div 1000` (integer division):
+  // `col / 1000L` is double division, and ~1.7e18 ns exceeds 2^53, so a
+  // non-double-representable constant would silently round micros off by
+  // one (ADVICE r9).
   private val expected = rowsNs.map { case (id, ns, _, _, _, _) =>
     (id, ns / 1000L * 1000L, ns / 1000000000L)
   }
@@ -53,13 +57,13 @@ class FixtureSchemaSpec extends SparkSpec {
   }
 
   test("loader analyzes on TIMESTAMP ts with sub-second precision") {
-    val dir = writeEvents(timestamp_micros(col("ts") / 1000L cast LongType))
+    val dir = writeEvents(timestamp_micros(expr("ts div 1000")))
     assert(clock(dir) == expected)
   }
 
   test("loader analyzes on TIMESTAMP_NTZ ts with sub-second precision") {
     val dir = writeEvents(
-      timestamp_micros(col("ts") / 1000L cast LongType).cast("timestamp_ntz"))
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
     assert(clock(dir) == expected)
   }
 
@@ -67,9 +71,9 @@ class FixtureSchemaSpec extends SparkSpec {
     val long = clock(writeEvents(col("ts"))).map { case (id, ns, s) =>
       (id, ns / 1000L * 1000L, s) // truncate the long branch to us for parity
     }
-    val ts = clock(writeEvents(timestamp_micros(col("ts") / 1000L cast LongType)))
+    val ts = clock(writeEvents(timestamp_micros(expr("ts div 1000"))))
     val ntz = clock(writeEvents(
-      timestamp_micros(col("ts") / 1000L cast LongType).cast("timestamp_ntz")))
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
     assert(long == ts)
     assert(ts == ntz)
   }
