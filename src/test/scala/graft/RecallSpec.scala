@@ -64,6 +64,26 @@ class RecallSpec extends SparkSpec {
     assert(mp >= ivf, "multi-probe must never lose recall vs nprobe=1")
   }
 
+  test("IVF-PQ: compressed-store scoring holds recall vs the exact index") {
+    // Two floors. (1) vs brute force: the PQ tier searches the same cells
+    // as annIvfTopk, so its bf-recall ceiling IS the ivf number — pin that
+    // it doesn't fall below ivf's floor. (2) ADC fidelity: within the
+    // shared candidate set, the code-based ranking must mostly agree with
+    // the exact full-vector rerank — this is the quantization-quality
+    // floor that a codebook regression (still oracle-hash-exact) would
+    // gut. Measured at sf0.01: pq_vs_bf 0.200 (== ivf), pq_vs_ivf 0.667;
+    // sf0.1: 0.267 (== ivf), 0.767. Floors sit under measurement.
+    val bf = topk(Similarity.annTopkCosine(spark, dir), 3)
+    val ivf = topk(Similarity.annIvfTopk(spark, dir), 3)
+    val pq = topk(Similarity.annIvfPqTopk(spark, dir), 3)
+    assert(bf.nonEmpty && ivf.nonEmpty && pq.nonEmpty)
+    val vsBf = recall(pq, bf)
+    val vsIvf = recall(pq, ivf)
+    info(f"ivfpq recall@3 vs_bf=$vsBf%.3f vs_exact_ivf=$vsIvf%.3f")
+    assert(vsBf >= 0.15, s"IVF-PQ recall@3 vs brute force $vsBf below floor 0.15")
+    assert(vsIvf >= 0.5, s"ADC agreement with exact in-cell rerank $vsIvf below floor 0.5")
+  }
+
   test("dedup sketch recall vs verified n-gram Jaccard pairs") {
     val truth = pairs(Dedup.ngramJaccard(spark, dir))
     assert(truth.nonEmpty)
