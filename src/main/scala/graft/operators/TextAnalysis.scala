@@ -481,6 +481,112 @@ object TextAnalysis {
        |SELECT pair, count(*) AS n FROM p
        |GROUP BY 1 ORDER BY n DESC, pair LIMIT $bpeK""".stripMargin
 
+  private val bpeRounds = 8
+  private val bpeS = "\u0002" // token-start sentinel (never in [a-z0-9 ] tokens)
+  private val bpeE = "\u0003" // token-end sentinel
+
+  /** Iterative BPE trainer: [[bpeTopMerges]] is ONE round's candidate
+    * statistic; this runs [[bpeRounds]] full merge-select-apply rounds
+    * and emits the real MERGE TABLE (round, lhs, rhs, n) — the training
+    * artifact a tokenizer ships. Each round: count adjacent pairs over
+    * the current token stream, pick the most frequent (ties:
+    * lexicographic smallest lhs, rhs — exact integer counts, ASCII-only
+    * tokens, so both engines agree), then merge every occurrence
+    * greedily left-to-right.
+    *
+    * The APPLY step is the subtle bit: the token stream is encoded as a
+    * sentinel-delimited string (`\\x02 tok \\x03` per token — the
+    * sentinels cannot occur in tokens, and merged tokens keep an
+    * interior space, which is not a boundary), so one plain-string
+    * `replace()` per round IS the greedy non-overlapping left-to-right
+    * BPE merge, with identical semantics in Spark and DuckDB (a match
+    * can never start inside a replacement: the pattern starts with
+    * `\\x02 lhs \\x03` and "lhs rhs" != lhs). Tokens are [a-z0-9]+ so
+    * pair literals embed in SQL with no escaping.
+    *
+    * 100 TB shape: per round, ONE map-side-combinable pair count whose
+    * shuffle carries (distinct pairs) rows, one TakeOrdered(1), and one
+    * scan-local string replace; the state is re-materialized per round
+    * (cache here, checkpoint at scale) so round k never replays rounds
+    * 0..k-1. Driver holds only the K merge rows — the classic
+    * iterative-trainer shape (k-means, PQ codebooks) applied to BPE. */
+  def bpeMergeTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var state = Dedup.eager(
+      Tables.documents(spark, dir)
+        .select(concat(lit(bpeS),
+          array_join(tokens(col("text")), bpeE + bpeS), lit(bpeE)).as("s"))
+        .filter(col("s") =!= bpeS + bpeE))
+    val toksCol = expr(
+      s"filter(split(substring(s, 2, length(s) - 2), '$bpeE$bpeS'), x -> x <> '')")
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var round = 0
+    var continue = true
+    while (round < bpeRounds && continue) {
+      val best = state.select(toksCol.as("toks"))
+        .select(explode(expr(
+          "IF(size(toks) >= 2, transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS lhs, element_at(toks, i + 1) AS rhs)), " +
+            "array())")).as("p"))
+        .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .groupBy("lhs", "rhs").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) continue = false
+      else {
+        val (l, r, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round.toLong, l, r, n))
+        val pat = bpeS + l + bpeE + bpeS + r + bpeE
+        val rep = bpeS + l + " " + r + bpeE
+        val next = Dedup.eager(
+          state.select(expr(s"replace(s, '$pat', '$rep')").as("s")))
+        state.unpersist()
+        state = next
+      }
+      round += 1
+    }
+    state.unpersist()
+    merges.toSeq.toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** Oracle twin of [[bpeMergeTable]]: [[bpeRounds]] unrolled
+    * select-apply rounds; `LEFT JOIN ON TRUE` keeps the state total if a
+    * round has no pairs (the Spark side stops early, emitting the same
+    * absent rows). */
+  val bpeMergeTableSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH t0 AS (
+       |  SELECT chr(2) || array_to_string(${tokensSql("text")}, chr(3) || chr(2))
+       |    || chr(3) AS s
+       |  FROM documents WHERE len(${tokensSql("text")}) >= 1
+       |)""".stripMargin
+    for (i <- 0 until bpeRounds) {
+      sb ++= s""",
+       |tk$i AS (
+       |  SELECT string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2)) AS toks
+       |  FROM t$i
+       |), p$i AS (
+       |  SELECT toks[i] AS lhs, toks[i + 1] AS rhs
+       |  FROM (SELECT toks, unnest(CASE WHEN len(toks) >= 2
+       |    THEN generate_series(1, len(toks) - 1) ELSE [] END) AS i FROM tk$i)
+       |), b$i AS (
+       |  SELECT lhs, rhs, count(*) AS n FROM p$i
+       |  GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1
+       |), t${i + 1} AS (
+       |  SELECT CASE WHEN b.lhs IS NULL THEN t.s ELSE
+       |    replace(t.s, chr(2) || b.lhs || chr(3) || chr(2) || b.rhs || chr(3),
+       |      chr(2) || b.lhs || ' ' || b.rhs || chr(3)) END AS s
+       |  FROM t$i t LEFT JOIN b$i b ON TRUE
+       |)""".stripMargin
+    }
+    sb ++= (0 until bpeRounds).map { i =>
+      s"""
+       |SELECT CAST($i AS BIGINT) AS round, lhs, rhs, n FROM b$i""".stripMargin
+    }.mkString("", "\nUNION ALL", "")
+    sb.toString
+  }
+
   /** Per-document token-rarity profile — the CCNet-style "LM quality
     * filter" shape with an EXACT-arithmetic stand-in for the language
     * model: each token scores floor(log2(global count)) computed as
@@ -745,6 +851,7 @@ object TextAnalysis {
     "vocab_topk" -> (vocabTopk _),
     "corpus_scrub" -> (corpusScrub _),
     "bpe_top_merges" -> (bpeTopMerges _),
+    "bpe_merge_table" -> (bpeMergeTable _),
     "token_rarity" -> (tokenRarity _),
     "chunk_dedup" -> (chunkDedup _),
   )
@@ -764,6 +871,7 @@ object TextAnalysis {
     "vocab_topk" -> vocabTopkSql,
     "corpus_scrub" -> corpusScrubSql,
     "bpe_top_merges" -> bpeTopMergesSql,
+    "bpe_merge_table" -> bpeMergeTableSql,
     "token_rarity" -> tokenRaritySql,
     "chunk_dedup" -> chunkDedupSql,
   )
