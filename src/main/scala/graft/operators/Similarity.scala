@@ -425,6 +425,7 @@ object Similarity {
   private def trainedCents(spark: SparkSession, dir: String, k: Int)
       : Array[(Long, Array[Double], Double)] =
     centCache.computeIfAbsent(s"$dir#$k", key => new Memo(key, centCache, () => {
+      trainingRuns.incrementAndGet()
       import spark.implicits._
       val all = vecs(spark, dir)
       val samp = all.filter(col("vec_id") % ivfSampleMod === 0)
@@ -555,6 +556,7 @@ object Similarity {
     sdKCache.computeIfAbsent(dir, key => new Memo(key, sdKCache, () => {
       // the count is a Spark job — run it under the holder, not the bin
       // lock (same contract as [[centCache]])
+      trainingRuns.incrementAndGet()
       val n = vecs(spark, dir).count()
       math.max(ivfCells, math.ceil(n / sdCellTarget.toDouble).toInt)
     })).value
@@ -564,9 +566,53 @@ object Similarity {
     * ~1.5M rows of 64 doubles at 100 TB-scale 400B vectors would shard
     * training instead; at any SF this repo reaches, K stays
     * broadcast-size). */
-  private def sdCentsDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    trainedCents(spark, dir, sdK(spark, dir)).toSeq.toDF("cent_id", "cv", "cn")
+  private def sdCentsDf(spark: SparkSession, dir: String): DataFrame =
+    loadArtifact(spark, "centroids").getOrElse {
+      import spark.implicits._
+      trainedCents(spark, dir, sdK(spark, dir)).toSeq.toDF("cent_id", "cv", "cn")
+    }
+
+  // ------------------------------------------------- trained artifacts
+
+  /** Count of in-JVM training runs (k-means / PQ codebook / cell-count
+    * jobs) — test hook: ArtifactReuseSpec pins that artifact-backed
+    * sessions answer queries WITHOUT retraining. */
+  private[graft] val trainingRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Drop every in-JVM training cache — simulates a cold JVM for the
+    * artifact-reuse spec (the caches are per-JVM; a real cold start has
+    * them empty). */
+  private[graft] def clearTrainingCaches(): Unit = {
+    centCache.clear(); sdKCache.clear(); pqCache.clear()
+  }
+
+  /** When `spark.graft.ann.artifactDir` is set and `<dir>/<sub>` exists,
+    * trained structures load from parquet instead of retraining. This
+    * unifies the batch ANN family with the streaming twin's persisted
+    * base layout ([[graft.streaming.StreamingEmbeddingDedup.initBase]]
+    * writes the same `centroids/` + `pq_codebook/` via
+    * [[saveIndexArtifacts]]): ONE training run's artifact serves every
+    * later session — the production retraining cadence is "rebuild the
+    * artifact dir, reindex" — while an unset conf or a missing artifact
+    * falls back to the in-JVM train-and-memoize path unchanged.
+    * Parquet round-trips doubles exactly, so loaded-vs-trained results
+    * are identical (pinned by ArtifactReuseSpec). */
+  private def loadArtifact(spark: SparkSession, sub: String): Option[DataFrame] =
+    spark.conf.getOption("spark.graft.ann.artifactDir").flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+
+  /** Persist the trained ANN artifacts for `dir` (IVF centroids + PQ
+    * codebooks) under `artifactDir`, in the layout [[loadArtifact]] and
+    * the streaming base share. */
+  def saveIndexArtifacts(spark: SparkSession, dir: String,
+      artifactDir: String): Unit = {
+    sdCentsDf(spark, dir).write.mode("overwrite")
+      .parquet(s"$artifactDir/centroids")
+    pqCodebookDf(spark, dir).write.mode("overwrite")
+      .parquet(s"$artifactDir/pq_codebook")
   }
 
   /** The inverted file: every vector with its argmax cell (max_by hash
@@ -579,6 +625,103 @@ object Similarity {
         max_by(col("cent_id"),
           struct(col("c_sim"), (-col("cent_id")).as("nc"))).as("cell"),
         first(col("v")).as("v"), first(col("norm")).as("norm"))
+
+  /** [[ivfAssigned]] over a dir — spec hook for occupancy audits under
+    * an arbitrary (possibly rebalanced) centroid set. */
+  private[graft] def assignCells(spark: SparkSession, dir: String,
+      cents: DataFrame): DataFrame =
+    ivfAssigned(vecs(spark, dir), cents)
+
+  /** Driver k-means on a collected member set — the SPLIT step of
+    * [[rebalancedCentroids]]. Same determinism discipline as
+    * [[trainedCents]] (rounded-cosine argmax with lowest-slot tie-break,
+    * quantized integer sums, empty slot keeps its previous centroid);
+    * no SQL twin needed — index maintenance is spec-pinned, not
+    * oracle-gated (the hot-cell set is data-dependent). */
+  private def lloydSplit(members: Array[(Array[Double], Double)],
+      init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    val nc = init.length
+    val d = init(0).length
+    val q = members.map(_._1.map(x => math.floor(x * 1000000.0 + 0.5).toLong))
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val cns = cents.map(c => math.sqrt(seqDot(c, c)))
+      val sums = Array.fill(nc)(new Array[Long](d))
+      val counts = new Array[Long](nc)
+      var si = 0
+      while (si < members.length) {
+        val (v, n) = members(si)
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < nc) {
+          if (cns(c) > 0.0) {
+            val sim = math.floor(
+              seqDot(v, cents(c)) / (n * cns(c)) * 1000000.0 + 0.5) / 1000000.0
+            if (sim > bestSim) { bestSim = sim; best = c }
+          }
+          c += 1
+        }
+        val qv = q(si)
+        var i = 0
+        while (i < d) { sums(best)(i) += qv(i); i += 1 }
+        counts(best) += 1
+        si += 1
+      }
+      cents = Array.tabulate(nc) { c =>
+        if (counts(c) == 0L) cents(c)
+        else Array.tabulate(d)(i => sums(c)(i).toDouble / counts(c) / 1000000.0)
+      }
+      it += 1
+    }
+    cents.filter(c => seqDot(c, c) > 0.0)
+  }
+
+  /** Centroid RETRAIN/REBALANCE — the repair [[ivfCellProfile]] only
+    * observes (VERDICT r9 item 5): any cell whose occupancy exceeds
+    * `cellCap` is SPLIT by a k-means run over (a bounded sample of) its
+    * own members into ceil(occupancy/cellCap) sub-centroids; cold cells
+    * keep their centroids and ids, split cells' ids are retired and
+    * replaced by fresh ids past the old maximum (so downstream caches
+    * keyed by cent_id can't alias old and new cells).
+    *
+    * 100 TB shape: occupancy is one map-side-combinable count over the
+    * assignment; each hot cell collects at most [[ivfSampleCap]] members
+    * (lowest vec_ids — deterministic) for its driver split, so driver
+    * memory is bounded by hot_cells x cap regardless of corpus size, and
+    * the full reassignment under the new set is the same broadcast
+    * crossJoin + max_by pass every query already runs. The operator
+    * returns the new centroid frame; persisting it is
+    * [[saveIndexArtifacts]]'s layout (overwrite `centroids/`, reindex). */
+  def rebalancedCentroids(spark: SparkSession, dir: String,
+      cellCap: Int): DataFrame = {
+    import spark.implicits._
+    val cents = sdCentsDf(spark, dir)
+    val assigned = Dedup.eager(ivfAssigned(vecs(spark, dir), cents))
+    val occ = assigned.groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    val hot = occ.filter(_._2 > cellCap).keys.toSeq.sorted
+    val centArr = cents.select(col("cent_id"), col("cv"), col("cn"))
+      .as[(Long, Array[Double], Double)].collect()
+    if (hot.isEmpty) return centArr.toSeq.toDF("cent_id", "cv", "cn")
+    var nextId = centArr.map(_._1).max + 1
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]()
+    out ++= centArr.filterNot(c => hot.contains(c._1))
+    for (cell <- hot) {
+      val ksub = math.max(2, math.ceil(occ(cell).toDouble / cellCap).toInt)
+      val members = assigned.filter(col("cell") === cell)
+        .sort("vec_id").limit(ivfSampleCap)
+        .select(col("v"), col("norm")).as[(Array[Double], Double)].collect()
+      val init = members.take(ksub).map(_._1)
+      for (cv <- lloydSplit(members, init, ivfIters)) {
+        out += ((nextId, cv, math.sqrt(seqDot(cv, cv))))
+        nextId += 1
+      }
+    }
+    assigned.unpersist()
+    out.toSeq.toDF("cent_id", "cv", "cn")
+  }
 
   /** IVF-style ANN: coarse-quantize every vector to its nearest of K
     * corpus-scaled centroid vectors ([[sdK]] — one cell per
@@ -600,12 +743,19 @@ object Similarity {
     * inverted file is hash-partitioned by cell id, and a query probes
     * exactly one cell (nprobe=1; multi-probe = relaxing the rank-1 filter
     * to rank <= nprobe). */
-  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
+    annIvfTopkWith(spark, dir, sdCentsDf(spark, dir))
+
+  /** [[annIvfTopk]] under an arbitrary centroid frame — the query path a
+    * rebalanced index serves ([[rebalancedCentroids]]); also the spec
+    * hook proving rebalance preserves retrieval. */
+  private[graft] def annIvfTopkWith(spark: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
     val all = vecs(spark, dir)
     // eagerly materialized: both the broadcast query side and the
     // candidate side below reference this subtree in ONE action — without
     // it the K-way assignment (the expensive stage) computes twice
-    val assigned = Dedup.eager(ivfAssigned(all, sdCentsDf(spark, dir)))
+    val assigned = Dedup.eager(ivfAssigned(all, cents))
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell").as("qcell"))
@@ -747,6 +897,7 @@ object Similarity {
   private def pqCodebook(spark: SparkSession, dir: String)
       : Array[(Int, Long, Array[Double])] =
     pqCache.computeIfAbsent(dir, key => new Memo(key, pqCache, () => {
+      trainingRuns.incrementAndGet()
       import spark.implicits._
       val all = vecs(spark, dir)
       val samp = all.filter(col("vec_id") % ivfSampleMod === 0)
@@ -796,10 +947,11 @@ object Similarity {
       }
     })).value
 
-  private def pqCodebookDf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    pqCodebook(spark, dir).toSeq.toDF("m", "code", "cv")
-  }
+  private def pqCodebookDf(spark: SparkSession, dir: String): DataFrame =
+    loadArtifact(spark, "pq_codebook").getOrElse {
+      import spark.implicits._
+      pqCodebook(spark, dir).toSeq.toDF("m", "code", "cv")
+    }
 
   /** IVF-PQ top-k: the 100 TB ANN storage tier — the inverted file keeps
     * [[pqM]] one-byte codes + one stored norm per vector instead of the

@@ -42,8 +42,11 @@ object StreamingEmbeddingDedup {
     * replays) and the cell index over `baseVecs` (vec_id, v, norm). */
   def initBase(spark: SparkSession, dir: String, baseVecs: DataFrame,
       baseDir: String): Unit = {
-    val cents = Similarity.centroidsDf(spark, dir)
-    cents.write.mode("overwrite").parquet(s"$baseDir/centroids")
+    // one artifact layout for streaming and batch: `centroids/` +
+    // `pq_codebook/` here are exactly what a batch session loads via
+    // `spark.graft.ann.artifactDir` (Similarity.saveIndexArtifacts)
+    Similarity.saveIndexArtifacts(spark, dir, baseDir)
+    val cents = spark.read.parquet(s"$baseDir/centroids")
     Similarity.cellIndex(baseVecs, cents)
       .write.mode("overwrite").parquet(s"$baseDir/cells")
   }
