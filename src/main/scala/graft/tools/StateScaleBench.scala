@@ -160,6 +160,69 @@ object StateScaleBench {
         (if (control == restarted) "MATCH" else "*** MISMATCH ***"))
     }
 
+    if (phase == "all" || phase == "etrestart") {
+      // phase 5b (round 10): checkpoint-restore for the EVENT-TIME mode
+      // under out-of-order replay — the restart probe above, but with
+      // per-key ListState BUFFERS and armed event-time timers live at the
+      // stop point. b0-b3 grow 1M keys (300 s disorder bands, 60 s
+      // watermark), b4-b5 revisit the first 500k; the kill lands after b3
+      // with band 3 still buffered below the watermark. Continuity
+      // oracle: identical alert multiset to an uninterrupted control.
+      val etPerBatch = perBatch
+      def runSeqEt(label: String, stopAfter: Option[Int]): (Long, Long) = {
+        val ms = MemoryStream[SEvent]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-ssb-etr").toString
+        val nAlerts = new java.util.concurrent.atomic.AtomicLong
+        val hAlerts = new java.util.concurrent.atomic.AtomicLong
+        def startQ() = StreamingDetectors.alertsEventTime(ms.toDS(), rules,
+            java.time.Duration.ofSeconds(60))
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.SAlert], _: Long) =>
+            import org.apache.spark.sql.functions._
+            val r = b.toDF().agg(count(lit(1)),
+              sum(hash(col("rule_name"), col("key"), col("event_id")).cast("long"))).collect()(0)
+            nAlerts.addAndGet(r.getLong(0))
+            hAlerts.addAndGet(if (r.isNullAt(1)) 0L else r.getLong(1))
+            ()
+          }.start()
+        var q = startQ()
+        try {
+          (0 until 6).foreach { b =>
+            val base = b.toLong * 300L
+            val evs = (0 until etPerBatch).map { i =>
+              val id = b.toLong * etPerBatch + i
+              val ts = base + (id * 2654435761L) % 300L // in-band shuffle
+              val key = if (b < 4) id else id % (2L * etPerBatch)
+              SEvent(s"k$key", id, ts,
+                Map("value" -> (id % 100).toDouble), "{}")
+            }
+            ms.addData(evs)
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            report(s"$label b$b", q, (System.nanoTime() - t0) / 1e9)
+            if (stopAfter.contains(b)) {
+              q.stop()
+              val t1 = System.nanoTime()
+              q = startQ()
+              println(f"$label%-12s restart submitted after b$b " +
+                f"(${(System.nanoTime() - t1) / 1e9}%5.2f s to start)")
+            }
+          }
+          // sentinel far-future event drains every buffered band
+          ms.addData(Seq(SEvent("zz_flush", 6L * etPerBatch, 1000000L,
+            Map("value" -> 1.0), "{}")))
+          val tf = System.nanoTime()
+          q.processAllAvailable()
+          report(s"$label flush", q, (System.nanoTime() - tf) / 1e9)
+        } finally q.stop()
+        (nAlerts.get(), hAlerts.get())
+      }
+      val controlEt = runSeqEt("etr-ctrl", None)
+      val restartedEt = runSeqEt("etr-kill", Some(3))
+      println(s"etrestart-parity control=$controlEt restarted=$restartedEt " +
+        (if (controlEt == restartedEt) "MATCH" else "*** MISMATCH ***"))
+    }
+
     if (phase == "all" || phase == "json") {
       // phase 0: the reference's own end-to-end use case — raw JSON in,
       // JSON alerts out (parse -> null filter -> keyBy -> stateful
