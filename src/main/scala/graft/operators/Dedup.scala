@@ -683,11 +683,15 @@ object Dedup {
     // identical to the oracle's row_number ORDER BY doc_id, pos
     val firsts = spans.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    // NO distinct on the exploded cover set: the left-anti probe only
+    // tests existence, so overlapping spans' duplicate (doc_id, pos)
+    // rows are harmless — deduping them would cost a full extra shuffle
+    // over the ~spanLen-times-exploded rows (measured 5.3 s -> see
+    // SCALE_NOTES r10) for zero semantic effect
     val covered = spans.join(firsts, "h")
       .where(struct(col("doc_id"), col("pos")) =!= col("first"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
-      .distinct()
     val kept = base.join(covered, Seq("doc_id", "pos"), "left_anti")
     val agg = kept.groupBy("doc_id").agg(
       count(lit(1)).as("kept_tokens"),

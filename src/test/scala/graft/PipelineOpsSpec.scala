@@ -360,6 +360,78 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap == expected)
   }
 
+  test("span_dedup_apply: exact match vs in-memory greedy-removal replay") {
+    val rows = graft.operators.Dedup.spanDedupApply(spark, dir)
+      .select("doc_id", "n_tokens", "kept_tokens", "clean_md5")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // plain-Scala replay of the whole operator: ALL span occurrences
+    // (with positions), global first per span by (doc_id, pos), covered
+    // positions dropped, survivors re-joined and md5'd
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val toksOf = docs.map { case (id, text) =>
+      id -> text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    }.toMap
+    val occ = docs.flatMap { case (id, _) =>
+      val t = toksOf(id)
+      (0 to t.length - 10).map(p => (t.slice(p, p + 10).mkString(" "), id, p))
+    }
+    val firstOf = occ.groupBy(_._1).map { case (s, os) =>
+      s -> os.map(o => (o._2, o._3)).min
+    }
+    val covered: Map[Long, Set[Int]] = occ
+      .filter { case (s, id, p) => firstOf(s) != ((id, p)) }
+      .flatMap { case (_, id, p) => (p until p + 10).map(id -> _) }
+      .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.map { case (id, _) =>
+      val t = toksOf(id)
+      val keep = t.indices.filterNot(covered.getOrElse(id, Set.empty))
+      val cleaned = keep.map(t).mkString(" ")
+      md.reset()
+      val h = md.digest(cleaned.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      id -> ((t.length.toLong, keep.length.toLong, h))
+    }.toMap
+    assert(rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap == expected)
+    // and the removal is real on this corpus: some doc lost tokens
+    assert(rows.exists(r => r._3 < r._2), "no spans were removed")
+  }
+
+  test("multimodal_phash_dedup: hash replay + exact duplicates pair at hamming 0") {
+    // in-memory replay of the aHash bits on the fixture payloads
+    val got = graft.operators.Multimodal.phashDocs(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.flatMap { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val n = b.length
+      if (n < 60) None
+      else {
+        val total = b.map(_ & 0xff).map(_.toLong).sum
+        var h = 0L
+        for (bit <- 0 until 60) {
+          val f = (bit.toLong * n / 60).toInt
+          val u = ((bit + 1).toLong * n / 60).toInt
+          val s = (f until u).map(i => (b(i) & 0xff).toLong).sum
+          if (s * n > total * (u - f)) h |= (1L << bit)
+        }
+        Some(id -> h)
+      }
+    }.toMap
+    assert(got == expected)
+    // crafted corpus: exact duplicate payloads must pair at hamming 0
+    val tmp = java.nio.file.Files.createTempDirectory("phash").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    Seq((1L, base), (2L, base), (3L, "a completely different text body " * 4))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = graft.operators.Multimodal.phashDedup(spark, tmp)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)), s"missing exact pair: $pairs")
+  }
+
   test("embedding_jl_distortion: exact match vs in-memory replay") {
     val rows = Similarity.jlDistortion(spark, dir)
       .select("q_id", "n_pairs", "avg_ratio", "min_ratio", "max_ratio")
