@@ -54,14 +54,17 @@ class RecallSpec extends SparkSpec {
     val lsh = recall(topk(Similarity.annLshTopk(spark, d), 3), bf)
     val ivf = recall(topk(Similarity.annIvfTopk(spark, d), 3), bf)
     val mp = recall(topk(Similarity.annIvfMultiprobe(spark, d), 3), bf)
-    // measured: lsh 1.000, ivf 0.267, multiprobe 0.600 — density helps
-    // IVF here (10x the vectors per cell raises the odds the true top-3
-    // live in the probed cells); floors sit under measurement with slack
-    info(f"sf0.1 recall@3 lsh=$lsh%.3f ivf=$ivf%.3f ivf_multiprobe=$mp%.3f")
+    val pq = recall(topk(Similarity.annIvfPqTopk(spark, d), 3), bf)
+    // measured: lsh 1.000, ivf 0.267, multiprobe 0.600, ivfpq 0.267 —
+    // density helps IVF here (10x the vectors per cell raises the odds
+    // the true top-3 live in the probed cells); floors sit under
+    // measurement with slack
+    info(f"sf0.1 recall@3 lsh=$lsh%.3f ivf=$ivf%.3f ivf_multiprobe=$mp%.3f ivfpq=$pq%.3f")
     assert(lsh >= 0.8, s"multi-probe sign-LSH recall@3 $lsh below sf0.1 floor 0.8")
     assert(ivf >= 0.2, s"IVF nprobe=1 recall@3 $ivf below sf0.1 floor 0.2")
     assert(mp >= 0.4, s"IVF nprobe=2 recall@3 $mp below sf0.1 floor 0.4")
     assert(mp >= ivf, "multi-probe must never lose recall vs nprobe=1")
+    assert(pq >= 0.2, s"IVF-PQ recall@3 $pq below sf0.1 floor 0.2")
   }
 
   test("IVF-PQ: compressed-store scoring holds recall vs the exact index") {
