@@ -613,6 +613,10 @@ object Similarity {
       .parquet(s"$artifactDir/centroids")
     pqCodebookDf(spark, dir).write.mode("overwrite")
       .parquet(s"$artifactDir/pq_codebook")
+    // the compressed inverted file itself — the store a 100 TB ANN tier
+    // serves from (codes + norms, no vectors)
+    pqEncodedIndex(spark, dir).write.mode("overwrite")
+      .parquet(s"$artifactDir/pq_codes")
   }
 
   /** The inverted file: every vector with its argmax cell (max_by hash
@@ -975,17 +979,35 @@ object Similarity {
     * map-side partial sums. Candidates come from the same corpus-scaled
     * IVF cells as [[annIvfTopk]] — this is that index with the exact
     * re-rank replaced by the compressed-store scoring. */
+  /** The PQ-ENCODED inverted file — the artifact a 100 TB deployment
+    * actually stores: one row per vector with its cell, true norm, and
+    * the [[pqM]] codebook codes IN SUBSPACE ORDER; the raw vector is
+    * gone. ~(8 + 1 + M) bytes of payload per vector vs 8*dims.
+    * Persisted as `pq_codes/` by [[saveIndexArtifacts]]; loaded in
+    * preference to recomputation when the artifact conf is set. */
+  private def pqEncodedIndex(spark: SparkSession, dir: String): DataFrame =
+    loadArtifact(spark, "pq_codes").getOrElse {
+      val assigned = ivfAssigned(vecs(spark, dir), sdCentsDf(spark, dir))
+      val cb = pqCodebookDf(spark, dir)
+      val codes = assigned.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cb))
+        .withColumn("sv", expr(s"slice(v, m * $pqDs + 1, $pqDs)"))
+        .withColumn("dd", simRound(d2(col("sv"), col("cv"))))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("code"), struct(col("dd"), col("code"))).as("code"))
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, code)))," +
+          " x -> x.code)").as("codes"))
+      assigned.select("vec_id", "cell", "norm").join(codes, "vec_id")
+    }
+
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
-    val assigned = Dedup.eager(ivfAssigned(all, sdCentsDf(spark, dir)))
+    // the index never carries vectors; the only raw-vector read is the
+    // query set's own rows (at 100 TB: the 10-row query frame)
+    val idx = Dedup.eager(pqEncodedIndex(spark, dir))
     val cb = pqCodebookDf(spark, dir)
-    val codes = assigned.select(col("vec_id"), col("v"))
-      .crossJoin(broadcast(cb))
-      .withColumn("sv", expr(s"slice(v, m * $pqDs + 1, $pqDs)"))
-      .withColumn("dd", simRound(d2(col("sv"), col("cv"))))
-      .groupBy("vec_id", "m")
-      .agg(min_by(col("code"), struct(col("dd"), col("code"))).as("code"))
-    val q = assigned.filter(col("vec_id") < numQueries)
+    val q = vecs(spark, dir).filter(col("vec_id") < numQueries)
+      .join(idx.select(col("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qn"), col("cell").as("qcell"))
     val lut = q.crossJoin(cb)
@@ -993,12 +1015,14 @@ object Similarity {
         floor(dot(expr(s"slice(qv, m * $pqDs + 1, $pqDs)"), col("cv"))
           * 1000000.0 + 0.5).cast("long"))
       .select(col("q_id"), col("m"), col("code"), col("pd"))
-    val cand = assigned
+    val codeRows = idx.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("m", "code")))
+    val cand = idx
       .join(broadcast(q.select("q_id", "qn", "qcell")),
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("cell"), col("norm"), col("qn"))
     val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
-    cand.join(codes, "vec_id")
+    cand.join(codeRows, "vec_id")
       .join(broadcast(lut), Seq("q_id", "m", "code"))
       .groupBy("q_id", "vec_id", "cell", "norm", "qn")
       .agg(sum("pd").as("adcq"))
