@@ -1034,6 +1034,129 @@ object Similarity {
         col("sim_r"), col("cell"))
   }
 
+  private val pqNprobe = 2
+  private val pqShortlist = 10
+
+  /** The full production ANN search path: IVF-PQ MULTIPROBE + EXACT
+    * RE-RANK. Each query probes its [[pqNprobe]] nearest cells, scores
+    * every candidate there by ADC over the stored codes (never touching
+    * a raw vector), keeps the top-[[pqShortlist]] shortlist, and only
+    * then fetches the shortlist's raw vectors for an exact cosine
+    * re-rank of the final top-3 — the two-stage shape every large-scale
+    * vector store runs (coarse quantizer -> compressed scoring -> exact
+    * refinement on R rows). Per query the raw-vector fetch is R rows
+    * regardless of corpus size; everything upstream reads codes only.
+    * Same determinism discipline throughout: integer ADC sums, rounded
+    * sims, vec_id tie-breaks at both ranking stages. */
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val idx = Dedup.eager(pqEncodedIndex(spark, dir))
+    val cents = sdCentsDf(spark, dir)
+    val cb = pqCodebookDf(spark, dir)
+    val cw = Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("cent_id"))
+    val qcells = all.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
+      .withColumn("c_rank", row_number().over(cw))
+      .filter(col("c_rank") <= pqNprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("cent_id").as("qcell"))
+    val lut = qcells.select("q_id", "qv").distinct().crossJoin(cb)
+      .withColumn("pd",
+        floor(dot(expr(s"slice(qv, m * $pqDs + 1, $pqDs)"), col("cv"))
+          * 1000000.0 + 0.5).cast("long"))
+      .select(col("q_id"), col("m"), col("code"), col("pd"))
+    val codeRows = idx.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("m", "code")))
+    val cand = idx
+      .join(broadcast(qcells.select("q_id", "qn", "qcell")),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"), col("norm"), col("qn"))
+    val sw = Window.partitionBy("q_id").orderBy(col("adc_sim").desc, col("vec_id"))
+    val shortlist = cand.join(codeRows, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy("q_id", "vec_id", "cell", "norm", "qn")
+      .agg(sum("pd").as("adcq"))
+      .withColumn("adc_sim",
+        simRound((col("adcq").cast("double") / 1000000.0) / (col("qn") * col("norm"))))
+      .withColumn("s_rank", row_number().over(sw))
+      .filter(col("s_rank") <= pqShortlist)
+      .select(col("q_id"), col("vec_id"), col("cell"))
+    // exact refinement: fetch raw vectors for the R-row shortlist only
+    val qv = all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    val rw = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
+    shortlist
+      .join(all.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("sim_r",
+        simRound(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("cand_id"),
+        col("sim_r"), col("cell"))
+  }
+
+  val annIvfPqRerankSql: String =
+    s"""WITH $vecsSql,
+       |$sdAsgCtes, $pqTrainCtes,
+       |pcode AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT v.vec_id, c.m, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, c.m
+       |        ORDER BY ${simRoundSql(d2Sql(
+                 s"list_slice(v.v, c.m * $pqDs + 1, c.m * $pqDs + $pqDs)", "c.cv"))} ASC,
+       |        c.code) AS rn
+       |    FROM vn v CROSS JOIN pqf c
+       |  ) WHERE rn = 1
+       |),
+       |q AS (
+       |  SELECT vec_id AS q_id, v AS qv, norm AS qn, cent_id AS qcell
+       |  FROM asg WHERE vec_id < $numQueries AND c_rank <= $pqNprobe
+       |),
+       |plut AS (
+       |  SELECT DISTINCT q.q_id, c.m, c.code,
+       |    CAST(floor(${dotSql(
+                s"list_slice(q.qv, c.m * $pqDs + 1, c.m * $pqDs + $pqDs)", "c.cv")}
+       |      * 1000000.0 + 0.5) AS BIGINT) AS pd
+       |  FROM q CROSS JOIN pqf c
+       |),
+       |pcand AS (
+       |  SELECT q.q_id, c.vec_id, c.cell, c.norm, q.qn
+       |  FROM a c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.q_id
+       |),
+       |padc AS (
+       |  SELECT cd.q_id, cd.vec_id, cd.cell, cd.norm, cd.qn,
+       |    sum(l.pd) AS adcq
+       |  FROM pcand cd
+       |  JOIN pcode pc ON cd.vec_id = pc.vec_id
+       |  JOIN plut l ON l.q_id = cd.q_id AND l.m = pc.m AND l.code = pc.code
+       |  GROUP BY 1, 2, 3, 4, 5
+       |),
+       |psl AS (
+       |  SELECT q_id, vec_id, cell FROM (
+       |    SELECT q_id, vec_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        ${simRoundSql("(CAST(adcq AS DOUBLE) / 1000000.0) / (qn * norm)")} DESC,
+       |        vec_id) AS s_rank
+       |    FROM padc
+       |  ) WHERE s_rank <= $pqShortlist
+       |),
+       |pex AS (
+       |  SELECT s.q_id, s.vec_id, s.cell,
+       |    ${simRoundSql(dotSql("qq.v", "c.v") + " / (qq.norm * c.norm)")} AS sim_r
+       |  FROM psl s
+       |  JOIN vn c ON c.vec_id = s.vec_id
+       |  JOIN vn qq ON qq.vec_id = s.q_id
+       |),
+       |prr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim_r DESC, vec_id) AS "rank"
+       |  FROM pex
+       |)
+       |SELECT q_id, "rank", vec_id AS cand_id, sim_r, cell
+       |FROM prr WHERE "rank" <= 3""".stripMargin
+
   /** Oracle twin of the PQ train chain: per-subspace unrolled Lloyd,
     * ending at CTE `pqf` (m, code, cv). */
   private def pqTrainCtes: String = {
@@ -1548,6 +1671,7 @@ object Similarity {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_multiprobe" -> (annIvfMultiprobe _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
+    "ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "semantic_dedup" -> (semanticDedup _),
     "embedding_dedup_incremental" -> (embeddingDedupIncremental _),
     "embedding_jl_distortion" -> (jlDistortion _),
@@ -1565,6 +1689,7 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_multiprobe" -> annIvfMultiprobeSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
+    "ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "semantic_dedup" -> semanticDedupSql,
     "embedding_dedup_incremental" -> embeddingDedupIncrementalSql,
     "embedding_jl_distortion" -> jlDistortionSql,

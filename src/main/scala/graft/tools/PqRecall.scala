@@ -9,9 +9,9 @@ object PqRecall {
       def topk(df: org.apache.spark.sql.DataFrame) =
         df.filter(col("rank") <= 3).select("q_id", "cand_id").as[(Long, Long)].collect().toSet
       val bf = topk(graft.operators.Similarity.annTopkCosine(spark, dir))
-      val pq = topk(graft.operators.Similarity.annIvfPqTopk(spark, dir))
-      val ivf = topk(graft.operators.Similarity.annIvfTopk(spark, dir))
-      println(f"[pqrecall] $dir pq_vs_bf=${pq.intersect(bf).size.toDouble/bf.size}%.3f ivf_vs_bf=${ivf.intersect(bf).size.toDouble/bf.size}%.3f pq_vs_ivf=${pq.intersect(ivf).size.toDouble/ivf.size}%.3f")
+      val mp = topk(graft.operators.Similarity.annIvfMultiprobe(spark, dir))
+      val rr = topk(graft.operators.Similarity.annIvfPqRerank(spark, dir))
+      println(f"[pqrecall] $dir rerank_vs_bf=${rr.intersect(bf).size.toDouble/bf.size}%.3f multiprobe_vs_bf=${mp.intersect(bf).size.toDouble/bf.size}%.3f rerank_vs_mp=${rr.intersect(mp).size.toDouble/mp.size}%.3f")
     }
     spark.stop()
   }
