@@ -512,11 +512,18 @@ object TextAnalysis {
     * iterative-trainer shape (k-means, PQ codebooks) applied to BPE. */
   def bpeMergeTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var state = Dedup.eager(
-      Tables.documents(spark, dir)
-        .select(concat(lit(bpeS),
-          array_join(tokens(col("text")), bpeE + bpeS), lit(bpeE)).as("s"))
-        .filter(col("s") =!= bpeS + bpeE))
+    // LAZY cache per round: the pair-count action below is the first
+    // consumer and materializes it, so an up-front eager count() would
+    // be a pure extra scan per round (8 of them). The parent round's
+    // cache is only dropped AFTER the child materialized (prev/state
+    // two-generation window) — unpersisting earlier would make the
+    // child recompute the whole replace chain from the scan.
+    var state = Tables.documents(spark, dir)
+      .select(concat(lit(bpeS),
+        array_join(tokens(col("text")), bpeE + bpeS), lit(bpeE)).as("s"))
+      .filter(col("s") =!= bpeS + bpeE)
+      .cache()
+    var prev: DataFrame = null
     val toksCol = expr(
       s"filter(split(substring(s, 2, length(s) - 2), '$bpeE$bpeS'), x -> x <> '')")
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
@@ -532,6 +539,8 @@ object TextAnalysis {
         .groupBy("lhs", "rhs").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
+      // state is materialized now; the grandparent cache is safe to drop
+      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) continue = false
       else {
         val (l, r, n) =
@@ -539,14 +548,14 @@ object TextAnalysis {
         merges += ((round.toLong, l, r, n))
         val pat = bpeS + l + bpeE + bpeS + r + bpeE
         val rep = bpeS + l + " " + r + bpeE
-        val next = Dedup.eager(
-          state.select(expr(s"replace(s, '$pat', '$rep')").as("s")))
-        state.unpersist()
+        val next = state.select(expr(s"replace(s, '$pat', '$rep')").as("s")).cache()
+        prev = state
         state = next
       }
       round += 1
     }
     state.unpersist()
+    if (prev != null) prev.unpersist()
     merges.toSeq.toDF("round", "lhs", "rhs", "n")
   }
 

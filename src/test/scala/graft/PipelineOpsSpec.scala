@@ -432,6 +432,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0)), s"missing exact pair: $pairs")
   }
 
+  test("bpe_merge_table: greedy-overlap semantics vs reference trainer") {
+    // adversarial corpus: runs of identical tokens (overlapping pair
+    // occurrences must merge greedily left-to-right: "x x x" -> [x x, x])
+    // and enough repeated bigrams that later rounds merge MERGED tokens
+    val docs = Seq(
+      (1L, "x x x x x"),
+      (2L, "a b a b a b"),
+      (3L, "a b c a b c a b c"),
+      (4L, "x x a b"),
+      (5L, "solo"))
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.TextAnalysis.bpeMergeTable(spark, tmp)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    // reference trainer: plain-Scala greedy merge loop
+    def applyMerge(t: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == l && t(i + 1) == r) {
+          out += (l + " " + r); i += 2
+        } else { out += t(i); i += 1 }
+      }
+      out.toList
+    }
+    var st = docs.map(_._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toList)
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var round = 0
+    var go = true
+    while (round < 8 && go) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      st.foreach(_.sliding(2).foreach {
+        case List(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+        case _ =>
+      })
+      if (counts.isEmpty) go = false
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        expected += ((round.toLong, l, r, n))
+        st = st.map(applyMerge(_, l, r))
+      }
+      round += 1
+    }
+    assert(got == expected.toSeq,
+      s"got=${got.mkString("; ")}\nexpected=${expected.mkString("; ")}")
+    // round 0 merges (a, b): 3 + 3 + 1 = 7 occurrences; the overlap case
+    // is exercised when (x, x) merges — its 4 overlapping occurrences in
+    // doc 1 must collapse greedily to 2 non-overlapping merges
+    assert(expected.head == ((0L, "a", "b", 7L)))
+    assert(expected.exists(m => m._2 == "x" && m._3 == "x"),
+      "the overlapping-pair case never merged")
+  }
+
   test("embedding_jl_distortion: exact match vs in-memory replay") {
     val rows = Similarity.jlDistortion(spark, dir)
       .select("q_id", "n_pairs", "avg_ratio", "min_ratio", "max_ratio")
