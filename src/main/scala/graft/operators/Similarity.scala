@@ -1034,6 +1034,57 @@ object Similarity {
         col("sim_r"), col("cell"))
   }
 
+  private val clusterKw = 5
+
+  /** Per-CLUSTER topic audit — the curation report a SemDeDup-style
+    * pipeline is judged by ("what lives in each embedding cell?"): join
+    * the inverted file's cell assignment to the documents table
+    * (`doc_id == vec_id` in these fixtures — the embeddings are the
+    * documents' embeddings) and rank each cell's non-stopword terms by
+    * occurrence. Cross-family by design: the cells come from the same
+    * trained-centroid artifact every ANN query uses, the term filter is
+    * the same list [[TextAnalysis.docKeywords]] cuts on.
+    *
+    * Plan shape: the term explode is scan-side; one (cell, term) hash
+    * agg (map-side combinable); the rank-<=K window auto-plans as the
+    * bounded heap via TopKWindowRewrite, so a giant cell costs a K-row
+    * heap per task, never a buffered window partition. */
+  def clusterKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val cells = ivfAssigned(vecs(spark, dir), sdCentsDf(spark, dir))
+      .select(col("vec_id"), col("cell"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) >= 3 &&
+        !col("term").isInCollection(TextAnalysis.stopwords))
+    val w = Window.partitionBy("cell").orderBy(col("cnt").desc, col("term"))
+    toks.join(cells, col("doc_id") === col("vec_id"))
+      .groupBy("cell", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= clusterKw)
+      .select("cell", "rank", "term", "cnt")
+  }
+
+  val clusterKeywordsSql: String = {
+    val stops = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH $vecsSql,
+       |$sdAsgCtes,
+       |tt AS (
+       |  SELECT doc_id, unnest(${Dedup.tokensSql("text")}) AS term FROM documents
+       |),
+       |f AS (
+       |  SELECT a.cell, t.term, count(*) AS cnt
+       |  FROM tt t JOIN a ON t.doc_id = a.vec_id
+       |  WHERE length(t.term) >= 3 AND NOT list_contains($stops, t.term)
+       |  GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cell
+       |    ORDER BY cnt DESC, term) AS "rank"
+       |  FROM f
+       |)
+       |SELECT cell, "rank", term, cnt FROM r WHERE "rank" <= $clusterKw""".stripMargin
+  }
+
   private val pqNprobe = 2
   private val pqShortlist = 10
 
@@ -1672,6 +1723,7 @@ object Similarity {
     "ann_ivf_multiprobe" -> (annIvfMultiprobe _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_rerank" -> (annIvfPqRerank _),
+    "cluster_keywords" -> (clusterKeywords _),
     "semantic_dedup" -> (semanticDedup _),
     "embedding_dedup_incremental" -> (embeddingDedupIncremental _),
     "embedding_jl_distortion" -> (jlDistortion _),
@@ -1690,6 +1742,7 @@ object Similarity {
     "ann_ivf_multiprobe" -> annIvfMultiprobeSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank" -> annIvfPqRerankSql,
+    "cluster_keywords" -> clusterKeywordsSql,
     "semantic_dedup" -> semanticDedupSql,
     "embedding_dedup_incremental" -> embeddingDedupIncrementalSql,
     "embedding_jl_distortion" -> jlDistortionSql,

@@ -17,7 +17,7 @@ object TextAnalysis {
 
   import Dedup.{tokens, tokensSql}
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
     "that", "it", "for")
 
   /** Tiny per-language function-word lexicons for the heuristic language
