@@ -651,11 +651,15 @@ object Dedup {
     * counter update per occurrence, never a pair explosion. Per-doc
     * memory in the reassembly is bounded by the doc's own token count —
     * the same bound as holding the text column. */
-  def spanDedupApply(spark: SparkSession, dir: String): DataFrame = {
+  /** Every token of every doc with its position, plus — where a full
+    * [[spanLen]] window starts — that window's md5: tokens and span
+    * digests from ONE loop so tokenization cannot drift between the two
+    * uses. Shared by [[spanDedupApply]] and [[spanDedupIncremental]]. */
+  private def tokenSpanRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val n = spanLen
-    val docs = Tables.documents(spark, dir)
-    val base = eager(docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (docId, text) =>
@@ -676,7 +680,13 @@ object Dedup {
             (docId, i, toks(i), h)
           }
         }
-      }.toDF("doc_id", "pos", "tok", "h"))
+      }.toDF("doc_id", "pos", "tok", "h")
+  }
+
+  def spanDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val n = spanLen
+    val docs = Tables.documents(spark, dir)
+    val base = eager(tokenSpanRows(docs))
     val spans = base.where(col("h").isNotNull)
       .select(col("doc_id"), col("pos"), col("h"))
     // global first occurrence per span = lexicographic min (doc_id, pos);
@@ -743,6 +753,94 @@ object Dedup {
        |LEFT JOIN tot USING (doc_id)
        |LEFT JOIN ka USING (doc_id)""".stripMargin
 
+  /** INCREMENTAL exact-substring span removal — the daily-crawl shape of
+    * [[spanDedupApply]], mirroring [[incrementalDedup]]: today's batch
+    * (`doc_id % 10 == 7`) cleans against the BASE corpus's span-digest
+    * set only. A batch token is dropped iff it is covered by a window
+    * whose digest exists anywhere in the base (the base, being prior
+    * corpus, owns the first occurrence by construction); batch-internal
+    * duplication is left to the next full [[spanDedupApply]] pass —
+    * documented production semantics (per-increment work must depend on
+    * the increment, not on batch self-pairing).
+    *
+    * 100 TB shape: per increment, ONE scan of the batch (tokens + span
+    * digests), one semi-join of batch digests against the base digest
+    * table (the persistent artifact — at scale it is stored, not
+    * recomputed), and the same anti-join + reassembly as the full
+    * apply. The base is never re-paired against itself. */
+  def spanDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val n = spanLen
+    val docs = Tables.documents(spark, dir)
+    val batchDocs = docs.filter(col("doc_id") % incrMod === incrRem)
+    val baseH = spanRows(docs.filter(col("doc_id") % incrMod =!= incrRem))
+      .select("h").distinct()
+    val batch = eager(tokenSpanRows(batchDocs))
+    val covered = batch.where(col("h").isNotNull)
+      .join(baseH, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+    val kept = batch.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept_tokens"),
+      expr("array_join(transform(array_sort(collect_list(struct(pos, tok)))," +
+        " x -> x.tok), ' ')").as("cleaned"))
+    val totals = batch.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    batchDocs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        md5(coalesce(col("cleaned"), lit("")).cast("binary")).as("clean_md5"))
+  }
+
+  val spanDedupIncrementalSql: String =
+    s"""WITH bd AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % $incrMod <> $incrRem),
+       |nd AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % $incrMod = $incrRem),
+       |bt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM bd),
+       |bh AS (
+       |  SELECT DISTINCT md5(array_to_string(
+       |    list_slice(toks, i, i + ${spanLen - 1}), ' ')) AS h
+       |  FROM (SELECT toks, unnest(CASE WHEN len(toks) >= $spanLen
+       |    THEN generate_series(1, len(toks) - ${spanLen - 1}) ELSE [] END) AS i
+       |    FROM bt)
+       |),
+       |nt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM nd),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |  FROM (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 1
+       |    THEN generate_series(1, len(toks)) ELSE [] END) AS i FROM nt)
+       |),
+       |sp AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    md5(array_to_string(list_slice(toks, i, i + ${spanLen - 1}), ' ')) AS h
+       |  FROM (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= $spanLen
+       |    THEN generate_series(1, len(toks) - ${spanLen - 1}) ELSE [] END) AS i
+       |    FROM nt)
+       |),
+       |cov AS (
+       |  SELECT DISTINCT s.doc_id, s.pos + off AS pos
+       |  FROM (SELECT sp.doc_id, sp.pos,
+       |      unnest(generate_series(0, ${spanLen - 1})) AS off
+       |    FROM sp SEMI JOIN bh USING (h)) s
+       |),
+       |kept AS (SELECT doc_id, pos, tok FROM tok ANTI JOIN cov USING (doc_id, pos)),
+       |ka AS (
+       |  SELECT doc_id, count(*) AS kept_tokens,
+       |    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       |  FROM kept GROUP BY doc_id
+       |),
+       |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(tot.n_tokens, 0) AS n_tokens,
+       |  coalesce(ka.kept_tokens, 0) AS kept_tokens,
+       |  md5(coalesce(ka.cleaned, '')) AS clean_md5
+       |FROM (SELECT doc_id FROM nd) d
+       |LEFT JOIN tot USING (doc_id)
+       |LEFT JOIN ka USING (doc_id)""".stripMargin
+
   val incrementalDedupSql: String =
     s"""WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % $incrMod = $incrRem),
        |bd AS (SELECT doc_id, text FROM documents WHERE doc_id % $incrMod <> $incrRem),
@@ -793,6 +891,7 @@ object Dedup {
     "dedup_simhash" -> (simhashPairs _),
     "dedup_span_profile" -> (spanDedupProfile _),
     "span_dedup_apply" -> (spanDedupApply _),
+    "span_dedup_incremental" -> (spanDedupIncremental _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -803,5 +902,6 @@ object Dedup {
     "dedup_simhash" -> simhashPairsSql,
     "dedup_span_profile" -> spanDedupProfileSql,
     "span_dedup_apply" -> spanDedupApplySql,
+    "span_dedup_incremental" -> spanDedupIncrementalSql,
   )
 }
