@@ -555,7 +555,7 @@ object Dedup {
     * [[shingleRows]]; the md5 is computed in the loop so only 32-byte
     * hex keys (never span text) leave the scan. Tokenization matches
     * [[tokens]] / [[tokensSql]]. */
-  private def spanRows(docs: DataFrame): DataFrame = {
+  private[graft] def spanRows(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = spanLen
@@ -769,12 +769,32 @@ object Dedup {
     * recomputed), and the same anti-join + reassembly as the full
     * apply. The base is never re-paired against itself. */
   def spanDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val n = spanLen
     val docs = Tables.documents(spark, dir)
-    val batchDocs = docs.filter(col("doc_id") % incrMod === incrRem)
-    val baseH = spanRows(docs.filter(col("doc_id") % incrMod =!= incrRem))
-      .select("h").distinct()
-    val batch = eager(tokenSpanRows(batchDocs))
+    spanCleanAgainstBase(
+      docs.filter(col("doc_id") % incrMod === incrRem),
+      baseSpanDigests(docs.filter(col("doc_id") % incrMod =!= incrRem)))
+  }
+
+  /** The base corpus's distinct span-digest set — the persistent
+    * artifact of the span-dedup family (the streaming twin stores it as
+    * parquet; [[spanDedupIncremental]] derives it in-query). */
+  private[graft] def baseSpanDigests(baseDocs: DataFrame): DataFrame =
+    spanRows(baseDocs).select("h").distinct()
+
+  /** Batch-vs-base span cleaning core, shared VERBATIM by
+    * [[spanDedupIncremental]] and the streaming twin
+    * ([[graft.streaming.StreamingSpanDedup]]) — each batch doc's cleaned
+    * text depends only on (doc, base digest set), never on other batch
+    * docs, so the operator splits into arbitrary micro-batches against a
+    * static base (the parity theorem the streaming spec checks). Caches
+    * it creates are reported to `track` for end-of-batch unpersist. */
+  private[graft] def spanCleanAgainstBase(batchDocs: DataFrame,
+      baseH: DataFrame, track: DataFrame => Unit = _ => ()): DataFrame = {
+    val n = spanLen
+    val batch = tokenSpanRows(batchDocs)
+    batch.cache()
+    batch.count()
+    track(batch)
     val covered = batch.where(col("h").isNotNull)
       .join(baseH, "h")
       .select(col("doc_id"),
