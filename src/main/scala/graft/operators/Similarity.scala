@@ -987,7 +987,10 @@ object Similarity {
     * preference to recomputation when the artifact conf is set. */
   private def pqEncodedIndex(spark: SparkSession, dir: String): DataFrame =
     loadArtifact(spark, "pq_codes").getOrElse {
-      val assigned = ivfAssigned(vecs(spark, dir), sdCentsDf(spark, dir))
+      // eager: the assignment subtree feeds BOTH the code build and the
+      // final (vec_id, cell, norm) join — unmaterialized it would run
+      // the K-way assignment twice in the one action that builds the index
+      val assigned = Dedup.eager(ivfAssigned(vecs(spark, dir), sdCentsDf(spark, dir)))
       val cb = pqCodebookDf(spark, dir)
       val codes = assigned.select(col("vec_id"), col("v"))
         .crossJoin(broadcast(cb))
