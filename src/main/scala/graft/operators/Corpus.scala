@@ -644,6 +644,28 @@ object Corpus {
         countDistinct("eval_id").as("n_eval_docs"))
   }
 
+  /** Span-level decontamination — the SURGICAL form of [[decontaminate]]
+    * (which only FLAGS training docs sharing n-grams with the held-out
+    * slice): every 10-token window of a training doc that appears
+    * verbatim in the eval slice is CUT OUT of the training text, Lee
+    * et-al.-style, instead of dropping the whole doc. Same batch-vs-base
+    * core as `span_dedup_incremental` ([[Dedup.spanCleanAgainstBase]])
+    * with (train, eval) in the (batch, base) roles: one training-corpus
+    * scan, one digest semi-join against the (small, broadcastable) eval
+    * span set — at 100 TB the eval set is fixed-size, so this is a
+    * shuffle-light map over the corpus. */
+  def decontaminateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.spanCleanAgainstBase(
+      docs.filter(col("doc_id") % decontEvalMod =!= decontEvalRem),
+      Dedup.baseSpanDigests(
+        docs.filter(col("doc_id") % decontEvalMod === decontEvalRem)))
+  }
+
+  val decontaminateSpansSql: String = Dedup.spanCleanSql(
+    s"doc_id % $decontEvalMod <> $decontEvalRem",
+    s"doc_id % $decontEvalMod = $decontEvalRem")
+
   val decontaminateSql: String =
     s"""WITH tt AS (
        |  SELECT doc_id, ${Dedup.tokensSql("text")} AS toks FROM documents
@@ -671,6 +693,7 @@ object Corpus {
     "seq_packing" -> (seqPacking _),
     "corpus_clean" -> (corpusClean _),
     "corpus_decontaminate" -> (decontaminate _),
+    "decontaminate_spans" -> (decontaminateSpans _),
     "corpus_domain_cap" -> (domainCap _),
   )
 
@@ -685,6 +708,7 @@ object Corpus {
     "seq_packing" -> seqPackingSql,
     "corpus_clean" -> corpusCleanSql,
     "corpus_decontaminate" -> decontaminateSql,
+    "decontaminate_spans" -> decontaminateSpansSql,
     "corpus_domain_cap" -> domainCapSql,
   )
 }

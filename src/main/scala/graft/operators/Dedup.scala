@@ -814,11 +814,14 @@ object Dedup {
         md5(coalesce(col("cleaned"), lit("")).cast("binary")).as("clean_md5"))
   }
 
-  val spanDedupIncrementalSql: String =
-    s"""WITH bd AS (SELECT doc_id, text FROM documents
-       |  WHERE doc_id % $incrMod <> $incrRem),
-       |nd AS (SELECT doc_id, text FROM documents
-       |  WHERE doc_id % $incrMod = $incrRem),
+  /** Oracle builder for the batch-vs-base span cleaning core — the SQL
+    * twin of [[spanCleanAgainstBase]] with pluggable batch/base slice
+    * predicates (shared by `span_dedup_incremental` and
+    * `decontaminate_spans`). */
+  private[operators] def spanCleanSql(batchWhere: String,
+      baseWhere: String): String =
+    s"""WITH bd AS (SELECT doc_id, text FROM documents WHERE $baseWhere),
+       |nd AS (SELECT doc_id, text FROM documents WHERE $batchWhere),
        |bt AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM bd),
        |bh AS (
        |  SELECT DISTINCT md5(array_to_string(
@@ -860,6 +863,9 @@ object Dedup {
        |FROM (SELECT doc_id FROM nd) d
        |LEFT JOIN tot USING (doc_id)
        |LEFT JOIN ka USING (doc_id)""".stripMargin
+
+  val spanDedupIncrementalSql: String = spanCleanSql(
+    s"doc_id % $incrMod = $incrRem", s"doc_id % $incrMod <> $incrRem")
 
   val incrementalDedupSql: String =
     s"""WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % $incrMod = $incrRem),
