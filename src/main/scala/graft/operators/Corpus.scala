@@ -644,6 +644,54 @@ object Corpus {
         countDistinct("eval_id").as("n_eval_docs"))
   }
 
+  private val reportQualityCut = 0.25 // report threshold for "low quality"
+
+  /** One-row DATASET CARD — the corpus-level summary a training-data
+    * release ships (and the first thing a 100 TB run prints): doc/token/
+    * char volume, language spread, exact-duplicate mass, and the count
+    * under the quality cut. Every column is an exact integer count (the
+    * quality gate compares each doc's deterministic score to the cut
+    * per-row — no float is ever summed, so the row is bit-stable
+    * cross-engine). Shape: two scans (stats projection + digest groupBy)
+    * collapsing map-side to 1-row/tiny aggregates, then broadcast-joined
+    * — nothing scales with the corpus but the scans. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = TextAnalysis.textStatsOf(docs)
+    val s1 = stats.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum("len_chars").as("n_chars"),
+      sum(when(col("quality_score") < reportQualityCut, 1L).otherwise(0L))
+        .as("low_quality_docs"))
+    val s2 = docs.agg(countDistinct("lang").as("n_langs"))
+    val s3 = docs.groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L))
+        .as("dup_docs"))
+    s1.crossJoin(s2).crossJoin(s3)
+  }
+
+  val corpusReportSql: String =
+    s"""WITH ${TextAnalysis.textStatsCtes("documents")},
+       |st AS (${TextAnalysis.textStatsSelect}),
+       |a1 AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(len_chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(CASE WHEN quality_score < $reportQualityCut
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS low_quality_docs
+       |  FROM st
+       |),
+       |a2 AS (SELECT count(DISTINCT lang) AS n_langs FROM documents),
+       |a3 AS (
+       |  SELECT coalesce(CAST(sum(CASE WHEN c >= 2 THEN c END) AS BIGINT), 0)
+       |    AS dup_docs
+       |  FROM (SELECT md5(text) AS fp, count(*) AS c FROM documents GROUP BY 1)
+       |)
+       |SELECT n_docs, n_tokens, n_chars, low_quality_docs, n_langs, dup_docs
+       |FROM a1 CROSS JOIN a2 CROSS JOIN a3""".stripMargin
+
   /** Span-level decontamination — the SURGICAL form of [[decontaminate]]
     * (which only FLAGS training docs sharing n-grams with the held-out
     * slice): every 10-token window of a training doc that appears
@@ -694,6 +742,7 @@ object Corpus {
     "corpus_clean" -> (corpusClean _),
     "corpus_decontaminate" -> (decontaminate _),
     "decontaminate_spans" -> (decontaminateSpans _),
+    "corpus_report" -> (corpusReport _),
     "corpus_domain_cap" -> (domainCap _),
   )
 
@@ -709,6 +758,7 @@ object Corpus {
     "corpus_clean" -> corpusCleanSql,
     "corpus_decontaminate" -> decontaminateSql,
     "decontaminate_spans" -> decontaminateSpansSql,
+    "corpus_report" -> corpusReportSql,
     "corpus_domain_cap" -> domainCapSql,
   )
 }
