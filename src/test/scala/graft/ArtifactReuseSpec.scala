@@ -24,8 +24,9 @@ class ArtifactReuseSpec extends SparkSpec {
     // warm path: train in-JVM, record results, persist the artifacts
     val ivfTrained = rows(Similarity.annIvfTopk(spark, dir))
     val pqTrained = rows(Similarity.annIvfPqTopk(spark, dir))
+    val rrTrained = rows(Similarity.annIvfPqRerank(spark, dir))
     Similarity.saveIndexArtifacts(spark, dir, art)
-    assert(ivfTrained.nonEmpty && pqTrained.nonEmpty)
+    assert(ivfTrained.nonEmpty && pqTrained.nonEmpty && rrTrained.nonEmpty)
 
     // cold JVM: caches emptied, artifact dir wired in
     Similarity.clearTrainingCaches()
@@ -34,6 +35,7 @@ class ArtifactReuseSpec extends SparkSpec {
       val before = Similarity.trainingRuns.get()
       assert(rows(Similarity.annIvfTopk(spark, dir)) == ivfTrained)
       assert(rows(Similarity.annIvfPqTopk(spark, dir)) == pqTrained)
+      assert(rows(Similarity.annIvfPqRerank(spark, dir)) == rrTrained)
       assert(Similarity.trainingRuns.get() == before,
         "artifact-backed session must not retrain")
     } finally spark.conf.unset("spark.graft.ann.artifactDir")
