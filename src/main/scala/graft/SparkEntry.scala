@@ -81,7 +81,8 @@ object SparkEntry {
     "multimodal_resize" -> ((s, dir) => Multimodal.resize(s, dir)),
     "multimodal_phash_dedup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
   ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++
-    TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries
+    TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries ++
+    Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -105,5 +106,6 @@ object SparkEntry {
         |FROM events
         |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50.0""".stripMargin,
   ) ++ Analytics.oracles ++ Warehouse.oracles ++ Dedup.oracles ++
-    TextAnalysis.oracles ++ Similarity.oracles ++ Corpus.oracles
+    TextAnalysis.oracles ++ Similarity.oracles ++ Corpus.oracles ++
+    Retrieval.oracles
 }

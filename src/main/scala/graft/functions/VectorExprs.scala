@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -85,6 +85,66 @@ case class DotDouble(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst dot product over two `array<bigint>` columns — the
+  * EXACT-arithmetic sibling of [[DotDouble]] for fixed-point vector
+  * math (quantized embeddings, integer centroids). Where [[DotDouble]]
+  * trades on IEEE determinism of an ordered fold, this one needs no
+  * ordering argument at all: long multiply-add wraps identically in
+  * every engine and the operands are bounded well below 2^63 by the
+  * callers' quantization contracts (1e-6 fixed point, |x| < ~1e6, so a
+  * 64-dim dot tops out near 1e14). Same null/length semantics as
+  * [[DotDouble]]: null array → null, null elements read as 0, fold
+  * over the shorter prefix — all out of the quantized-embedding domain.
+  *
+  * Registered as SQL `graft_dotl` via [[GraftExtensions]]. */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dotl requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_dotl"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** DataFrame-API and SQL-registry surface for the graft expressions. */
 object VectorExprs {
 
@@ -92,6 +152,22 @@ object VectorExprs {
   def dotd(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotDouble(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact long dot as a Column — wraps [[DotLong]]. */
+  def dotl(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The `injectFunction` description for `graft_dotl`. */
+  val dotlDescription: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dotl"),
+      new ExpressionInfo(classOf[DotLong].getName, "graft_dotl"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dotl expects 2 arguments, got ${children.length}")
+        DotLong(children.head, children(1))
+      })
 
   /** The `injectFunction` description for `graft_dot`. */
   val dotDescription: (FunctionIdentifier, ExpressionInfo,
@@ -113,6 +189,7 @@ object VectorExprs {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExprs.dotDescription)
+    ext.injectFunction(VectorExprs.dotlDescription)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RateWindowRewrite)

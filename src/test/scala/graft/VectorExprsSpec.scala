@@ -71,4 +71,57 @@ class VectorExprsSpec extends SparkSpec {
     }
     assert(hasWsc, df.queryExecution.executedPlan.toString)
   }
+
+  // ---- DotLong: the exact fixed-point sibling ----
+
+  test("graft_dotl matches a local exact long fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(100) { i =>
+      (i.toLong, Array.fill(64)(rnd.nextInt(2000001) - 1000000L),
+        Array.fill(64)(rnd.nextInt(2000001) - 1000000L))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"), VectorExprs.dotl(col("a"), col("b")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, a, b) =>
+      val want = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(got(id) == want, s"row $id")
+    }
+  }
+
+  test("graft_dotl resolves from SQL and rejects non-long arrays") {
+    val r = spark.sql(
+      "SELECT graft_dotl(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect()(0)
+    assert(r.getLong(0) == 32L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dotl(array(1.0d), array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("graft_dotl"))
+  }
+
+  test("graft_dotl null array yields null") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1L, 2L)), None: Option[Array[Long]]))
+      .toDF("a", "b")
+    val r = df.select(VectorExprs.dotl(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("projection with graft_dotl stays inside whole-stage codegen") {
+    val df = spark.range(100)
+      .select(array(col("id"), lit(2L)).as("a"),
+        array(lit(3L), col("id")).as("b"))
+      .select(VectorExprs.dotl(col("a"), col("b")).as("d"))
+    assert(df.agg(sum("d")).collect()(0).getLong(0) ==
+      (0 until 100).map(i => i * 3L + 2L * i).sum)
+    val hasWsc = df.queryExecution.executedPlan.exists {
+      case w: WholeStageCodegenExec =>
+        w.child.expressions.exists(_.exists(
+          _.isInstanceOf[graft.functions.DotLong]))
+      case _ => false
+    }
+    assert(hasWsc, df.queryExecution.executedPlan.toString)
+  }
 }
