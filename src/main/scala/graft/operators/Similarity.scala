@@ -1713,7 +1713,119 @@ object Similarity {
        |$sdAsgCtes
        |SELECT cell, count(*) AS n_vectors FROM a GROUP BY 1""".stripMargin
 
+  // ---- nearest-centroid classification ----------------------------------
+
+  /** Nearest-centroid label classification (Rocchio) — the cheap,
+    * trainable-in-one-pass classifier a data pipeline uses for domain
+    * tagging and quality-class routing before anything neural: per-label
+    * mean embedding from a deterministic train split, each held-out
+    * vector assigned to the cosine-nearest centroid, and the L x L
+    * confusion matrix emitted (exact integer counts).
+    *
+    * Exactness contract: vectors are quantized to 1e-6 fixed-point
+    * LONGS, so the per-label, per-dim sums are exact integers (order
+    * never matters). The centroid component is `floor(sum / n)` with the
+    * division done in DOUBLE — a single correctly-rounded IEEE op, then
+    * floored — rather than integer division, whose negative-operand
+    * truncation direction differs across engines. Dots of the quantized
+    * vector against the integer centroid use [[graft.functions.DotLong]]
+    * (exact long multiply-add, no ordering sensitivity at all); the final
+    * cosine is dot / (sqrt(|q|^2) * sqrt(|c|^2)) — three deterministic
+    * IEEE ops on exact integers — and argmax ties break on label asc.
+    *
+    * Scale shape: training is posexplode -> one map-combinable hash agg
+    * keyed on (label, dim) — the exchange carries L x 64 x tasks rows
+    * regardless of corpus size; centroid averaging caps components at
+    * quantized-input magnitude (~1e6), so classification dots stay
+    * within long range at ANY corpus size (64 x 1e6 x 1e6 ~ 6e13).
+    * Classification is a broadcast crossJoin of the tiny centroid table
+    * against the held-out scan with the codegen'd long-dot kernel in the
+    * whole-stage loop — the same shape as the ANN brute-force tier. */
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    val qexpr = transform(col("v"),
+      x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("norm") > 0.0)
+      .select(col("vec_id"), col("label"), qexpr.as("q"))
+
+    // train split: per-label, per-dim exact long sums -> floored mean
+    val tsum = base.filter(col("vec_id") % 4 =!= 0)
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "qd")))
+      .groupBy("label", "d")
+      .agg(sum("qd").as("sq"), count(lit(1)).as("n"))
+    val cent = tsum
+      .withColumn("cfp",
+        floor(col("sq").cast("double") / col("n").cast("double")).cast("long"))
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cfp")))),
+        s => s.getField("cfp")).as("c"))
+      .withColumn("nc2", ldot(col("c"), col("c")))
+      .filter(col("nc2") > 0L)
+
+    val test = base.filter(col("vec_id") % 4 === 0)
+      .withColumn("nq2", ldot(col("q"), col("q")))
+      .filter(col("nq2") > 0L)
+
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("c_label").asc)
+    test.crossJoin(broadcast(cent))
+      .withColumn("cos", ldot(col("q"), col("c")).cast("double") /
+        (sqrt(col("nq2").cast("double")) * sqrt(col("nc2").cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("c_label").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def ldot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotl(a, b)
+
+  private def ldotSql(a: String, b: String): String =
+    s"CAST(${dotSql(a, b)} AS BIGINT)"
+
+  val centroidClassifySql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), vl AS (
+       |  SELECT * FROM (SELECT vec_id, label, v,
+       |    sqrt(${dotSql("v", "v")}) AS norm FROM v) WHERE norm > 0.0
+       |), qv AS (
+       |  SELECT vec_id, label,
+       |    list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM vl
+       |), dims AS (SELECT unnest(generate_series(1, $dims)) AS d),
+       |tsum AS (
+       |  SELECT label, d, CAST(sum(q[d]) AS BIGINT) AS sq, count(*) AS n
+       |  FROM (SELECT * FROM qv WHERE vec_id % 4 <> 0) CROSS JOIN dims
+       |  GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label AS c_label,
+       |    list(CAST(floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+       |      ORDER BY d) AS c
+       |  FROM tsum GROUP BY 1
+       |), centn AS (
+       |  SELECT * FROM (SELECT c_label, c, ${ldotSql("c", "c")} AS nc2 FROM cent)
+       |  WHERE nc2 > 0
+       |), test AS (
+       |  SELECT * FROM (SELECT vec_id, label, q, ${ldotSql("q", "q")} AS nq2
+       |    FROM qv WHERE vec_id % 4 = 0) WHERE nq2 > 0
+       |), s AS (
+       |  SELECT t.vec_id, t.label, c.c_label,
+       |    CAST(${ldotSql("t.q", "c.c")} AS DOUBLE)
+       |      / (sqrt(CAST(t.nq2 AS DOUBLE)) * sqrt(CAST(c.nc2 AS DOUBLE))) AS cos
+       |  FROM test t CROSS JOIN centn c
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, c_label) AS rn FROM s
+       |)
+       |SELECT label, c_label AS pred_label, count(*) AS n
+       |FROM r WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "centroid_classify" -> (centroidClassify _),
     "ivf_cell_profile" -> (ivfCellProfile _),
     "ann_topk_cosine" -> (annTopkCosine _),
     "ann_hard_negatives" -> (annHardNegatives _),
@@ -1733,6 +1845,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "centroid_classify" -> centroidClassifySql,
     "ivf_cell_profile" -> ivfCellProfileSql,
     "ann_topk_cosine" -> annTopkCosineSql,
     "ann_hard_negatives" -> annHardNegativesSql,
