@@ -887,7 +887,66 @@ object Analytics {
       |FROM ev JOIN c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Seasonal-baseline anomaly detection: flag events whose value sits
+    * more than 3 sigma from the mean OF ITS OWN (event_type, hour-of-day)
+    * cell. The diurnal companion to the reference's trailing-window
+    * statistical rule ([[Detectors.statisticalAlerts]]): a $250 charge at
+    * 3 am is anomalous even when the 24 h trailing window says otherwise,
+    * because the right baseline is "3 am traffic", not "recent traffic".
+    *
+    * Exactness: cents-quantized integer moments per cell (order-free
+    * exact sums), and the sigma test is cross-multiplied so no division
+    * ever happens: |c*n - s1| > 3*sqrt(n*s2 - s1^2), LHS an exact long
+    * cast to double, RHS a single deterministic sqrt of an exact long.
+    * Documented long-range bound (same contract as the q18 cents sum):
+    * cents^2 * n < 2^63 per cell — at max |value| ~ 5e4 cents that is
+    * ~3.7e9 rows per (type, hour) cell; past that the moment columns
+    * switch to decimal(38,0).
+    *
+    * Scale shape: the baseline is one map-combinable hash agg whose key
+    * space (|types| x 24) cannot concentrate, broadcast back against a
+    * second column-pruned scan — the same two-scan global-baseline shape
+    * as `above_mean_events`, with no window function and no shuffle of
+    * the event stream itself. `hr` derives from ts_sec by integer
+    * arithmetic (div/mod), not timezone functions, identically in both
+    * engines. */
+  def seasonalAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts_sec"), col("value"))
+      .withColumn("hr", (expr("ts_sec div 3600") % 24).cast("long"))
+      .withColumn("c", cents(col("value")))
+    val base = ev.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    ev.join(broadcast(base), Seq("event_type", "hr"))
+      .filter(col("n") >= 24 &&
+        abs(col("c") * col("n") - col("s1")).cast("double") >
+          lit(3.0) * sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")))
+      .select(col("event_id"), col("event_type"), col("hr"), col("value"),
+        col("n").as("n_base"))
+  }
+
+  val seasonalAlertsSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec, value
+      |  FROM events WHERE value IS NOT NULL
+      |), c AS (
+      |  SELECT *, (ts_sec // 3600) % 24 AS hr,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM e
+      |), b AS (
+      |  SELECT event_type, hr, count(*) AS n, CAST(sum(c) AS BIGINT) AS s1,
+      |    CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM c GROUP BY 1, 2
+      |)
+      |SELECT c.event_id, c.event_type, c.hr, c.value, b.n AS n_base
+      |FROM c JOIN b USING (event_type, hr)
+      |WHERE b.n >= 24 AND
+      |  CAST(abs(c.c * b.n - b.s1) AS DOUBLE) >
+      |    3.0 * sqrt(CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seasonal_alerts" -> (seasonalAlerts _),
     "hourly_gapfill" -> (hourlyGapfill _),
     "value_percent_rank" -> (valuePercentRank _),
     "funnel_ordered" -> (funnelOrdered _),
@@ -920,6 +979,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "seasonal_alerts" -> seasonalAlertsSql,
     "hourly_gapfill" -> hourlyGapfillSql,
     "value_percent_rank" -> valuePercentRankSql,
     "funnel_ordered" -> funnelOrderedSql,
