@@ -82,7 +82,7 @@ object SparkEntry {
     "multimodal_phash_dedup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
   ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++
     TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries ++
-    Retrieval.queries
+    Retrieval.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -107,5 +107,5 @@ object SparkEntry {
         |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50.0""".stripMargin,
   ) ++ Analytics.oracles ++ Warehouse.oracles ++ Dedup.oracles ++
     TextAnalysis.oracles ++ Similarity.oracles ++ Corpus.oracles ++
-    Retrieval.oracles
+    Retrieval.oracles ++ Graph.oracles
 }

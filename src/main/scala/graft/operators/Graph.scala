@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over behavior derived from the event stream.
+  *
+  * [[typeMarkovRank]] builds the event-type TRANSITION graph (how users
+  * move between event types, the Markov chain funnel analysts reason
+  * about) and ranks its nodes by PageRank — the steady-state importance
+  * of each state under the random-surfer model (Page et al., 1999;
+  * damping 0.85, 10 power iterations).
+  *
+  * Exactness contract: the entire iteration is INTEGER arithmetic.
+  * Ranks live in 1e-12 fixed point (SCALE = 1e12), per-edge transition
+  * probabilities in 1e-6 fixed point (`(w * 1e6) div out`), and every
+  * division is integer division on non-negative operands — truncation
+  * equals floor, so Spark's `div` and DuckDB's `//` agree bit-for-bit
+  * with zero float ops anywhere. Dangling states (a type that never
+  * precedes anything) leak their mass each round — the standard
+  * simplification, identical in both engines. Overflow headroom:
+  * r * p <= 1e12 * 1e6 = 1e18 < 2^63.
+  *
+  * Scale shape: the DATA-scale work is the transition extraction — one
+  * hash exchange on user_id feeding an in-partition window `lag`, then
+  * a map-combinable hash agg down to (src, dst, w). Everything after
+  * runs on the AGGREGATED graph, whose size is the type-domain squared,
+  * not the corpus; the 10 power iterations are tiny broadcast joins with
+  * a `localCheckpoint` per round to keep the lineage flat (the same
+  * iterate-on-the-reduced-set discipline as [[Corpus.dedupClusters]]).
+  * The implementation never assumes the node domain is small — with a
+  * URL-scale node set the same plan degrades to hash joins on `src`. */
+object Graph {
+
+  private val SCALE = 1000000000000L // 1e-12 fixed-point rank
+  private val PSCALE = 1000000L      // 1e-6 fixed-point edge probability
+  private val iters = 10
+
+  /** (src, dst, w, p): observed transitions with integer edge probability. */
+  private def transitionMatrix(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+    val edges = ev
+      .withColumn("src", lag("event_type", 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val out = edges.groupBy("src").agg(sum("w").as("out"))
+    edges.join(out, "src")
+      .withColumn("p", expr(s"(w * $PSCALE) div out"))
+  }
+
+  /** PageRank of event types in the user transition graph.
+    * Output: (event_type, rank_fp) with rank_fp in 1e-12 fixed point. */
+  def typeMarkovRank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts_sec"), col("event_id"))
+    val p = transitionMatrix(ev).localCheckpoint()
+    val nodes = ev.select(col("event_type").as("node")).distinct().localCheckpoint()
+
+    // node-domain cardinality: a bounded driver scalar (the node set is
+    // the aggregated type domain, not the corpus) feeding the teleport
+    // constant — same adjudicated pattern as the IVF centroid collect
+    val n = nodes.count()
+    val r0 = SCALE / n
+    val teleport = (15L * r0) / 100L
+
+    var ranks = nodes.withColumn("r", lit(r0))
+    for (_ <- 0 until iters) {
+      val contrib = p.join(ranks, p("src") === ranks("node"))
+        .select(col("dst"), expr(s"(r * p) div $PSCALE").as("ct"))
+        .groupBy("dst").agg(sum("ct").as("contrib"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as("event_type"), col("r").as("rank_fp"))
+  }
+
+  val typeMarkovRankSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec, event_id
+       |  FROM events WHERE user_id IS NOT NULL
+       |), s AS (
+       |  SELECT event_type AS dst, lag(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY ts_sec, event_id) AS src
+       |  FROM e
+       |), ed AS (
+       |  SELECT src, dst, count(*) AS w FROM s WHERE src IS NOT NULL GROUP BY 1, 2
+       |), o AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ed GROUP BY 1
+       |), p AS (
+       |  SELECT ed.src, ed.dst, (ed.w * $PSCALE) // o.outw AS p
+       |  FROM ed JOIN o USING (src)
+       |), nodes AS (
+       |  SELECT DISTINCT event_type AS node FROM e
+       |), nn AS (SELECT count(*) AS n FROM nodes),
+       |it(i, node, r) AS (
+       |  SELECT 0, node, (SELECT $SCALE // n FROM nn) FROM nodes
+       |  UNION ALL
+       |  SELECT i, node, r FROM (
+       |    SELECT coalesce(c.i, max(c.i) OVER ()) + 1 AS i, n2.node,
+       |      (SELECT (15 * ($SCALE // n)) // 100 FROM nn)
+       |        + (85 * coalesce(c.contrib, 0)) // 100 AS r
+       |    FROM nodes n2 LEFT JOIN (
+       |      SELECT it.i AS i, p.dst, CAST(sum((it.r * p.p) // $PSCALE) AS BIGINT) AS contrib
+       |      FROM it JOIN p ON it.node = p.src
+       |      WHERE it.i < $iters
+       |      GROUP BY 1, 2
+       |    ) c ON c.dst = n2.node
+       |  ) WHERE i IS NOT NULL
+       |)
+       |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_fp
+       |FROM it WHERE i = $iters""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "type_markov_rank" -> (typeMarkovRank _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "type_markov_rank" -> typeMarkovRankSql,
+  )
+}
