@@ -808,7 +808,62 @@ object Warehouse {
       |  CAST(sum(CASE WHEN dev * 2 > mad2 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM u GROUP BY 1""".stripMargin
 
+  /** Incremental materialized-rollup maintenance (incremental view
+    * maintenance): the per-user lifetime profile is maintained as
+    * MERGEABLE PARTIAL AGGREGATES — count, cents sum, min/max day,
+    * max cents, every one associative — so a new day of data updates the
+    * stored rollup by merging partials, never by re-touching history.
+    * Here the "stored base" is the aggregate of all days before the
+    * newest day in the fixture and the "delta" is that newest day (a
+    * deterministic, data-driven cutoff); production would read the base
+    * partials from the stored rollup table and this plan's base branch
+    * is exactly what that table contains.
+    *
+    * The oracle is the FULL recompute over raw events — equality with
+    * it is precisely the IVM invariant (merge(partial(A), partial(B)) ==
+    * aggregate(A ∪ B)). Quantization: exact cents; the only doubles are
+    * final /100.0 presentations of exact longs.
+    *
+    * Scale shape: both branches are map-combinable hash aggs keyed on
+    * user_id; the merge is a union of PARTIAL ROWS (one per user per
+    * branch, not events) re-aggregated on the same key — at 100 TB the
+    * base branch is a table scan of |users| rows and the delta branch
+    * touches one day's partition only. No window functions, no sorts. */
+  def rollupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("day_num", expr("ts_sec div 86400"))
+      .withColumn("c", Analytics.cents(col("value")))
+      .select("user_id", "day_num", "c")
+    val cutoff = ev.agg(max("day_num").as("cutoff"))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+    def partial(df: DataFrame): DataFrame = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        min("day_num").as("first_day"), max("day_num").as("last_day"),
+        max("c").as("max_c"))
+    val base = partial(tagged.filter(col("day_num") < col("cutoff")))
+    val delta = partial(tagged.filter(col("day_num") >= col("cutoff")))
+    base.unionByName(delta)
+      .groupBy("user_id")
+      .agg(sum("n").as("n"),
+        (sum("s").cast("double") / 100.0).as("total_value"),
+        min("first_day").as("first_day"), max("last_day").as("last_day"),
+        (max("max_c").cast("double") / 100.0).as("max_value"))
+  }
+
+  val rollupIncrementalSql: String =
+    """SELECT user_id, count(*) AS n,
+      |  CAST(sum(c) AS DOUBLE) / 100.0 AS total_value,
+      |  min(day_num) AS first_day, max(day_num) AS last_day,
+      |  CAST(max(c) AS DOUBLE) / 100.0 AS max_value
+      |FROM (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day_num,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM events WHERE user_id IS NOT NULL
+      |) GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rollup_incremental" -> (rollupIncremental _),
     "props_kv_stats" -> (propsKvStats _),
     "sliding_window_counts" -> (slidingWindowCounts _),
     "session_native" -> (sessionNative _),
@@ -832,6 +887,7 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "rollup_incremental" -> rollupIncrementalSql,
     "props_kv_stats" -> propsKvStatsSql,
     "sliding_window_counts" -> slidingWindowCountsSql,
     "session_native" -> sessionNativeSql,

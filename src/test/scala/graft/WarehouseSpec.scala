@@ -338,4 +338,45 @@ class WarehouseSpec extends SparkSpec {
       assert(r == expR && cov == expCov)
     }
   }
+
+  test("rollup_incremental: partial-merge equals full recompute; new/old/overlap users") {
+    // the IVM invariant on the fixture: merge(partial(base), partial(delta))
+    // == aggregate(all), recomputed here directly in one pass
+    val merged = Warehouse.rollupIncremental(spark, dir)
+      .as[(Long, Long, Option[Double], Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val direct = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.operators.Analytics.cents(col("value"))).cast("double") / 100.0)
+          .as("total_value"),
+        min(expr("ts_sec div 86400")).as("first_day"),
+        max(expr("ts_sec div 86400")).as("last_day"),
+        (max(graft.operators.Analytics.cents(col("value"))).cast("double") / 100.0)
+          .as("max_value"))
+      .as[(Long, Long, Option[Double], Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(merged == direct)
+
+    // constructed delta structure: user 1 only in history, user 2 only in
+    // the newest day, user 3 in both — merge must handle all three
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val rows = Seq(
+      (1L, 0L * day, 1L, "a", 10.0, "{}"),
+      (3L, 0L * day, 3L, "a", 20.0, "{}"),
+      (3L, 1L * day, 3L, "a", 30.0, "{}"),
+      (2L, 1L * day, 2L, "a", 40.0, "{}"))
+      .map { case (id, ts, u, t, v, p) => (id, 1700000000000000000L + ts, u, t, v, p) }
+    val tmp = java.nio.file.Files.createTempDirectory("ivm").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Warehouse.rollupIncremental(spark, tmp)
+      .as[(Long, Long, Option[Double], Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L && got(3L)._2 == 2L)
+    assert(got(3L)._3.contains(50.0) && got(3L)._6.contains(30.0))
+    assert(got(3L)._4 < got(3L)._5) // spans both days
+  }
 }
