@@ -862,7 +862,81 @@ object Warehouse {
       |  FROM events WHERE user_id IS NOT NULL
       |) GROUP BY 1""".stripMargin
 
+  /** SCD Type-2 dimension merge — the versioned-history half of
+    * warehouse maintenance beside [[rollupIncremental]]'s aggregate half.
+    * A stored dimension history (simulated initial load: every customer
+    * at version 1, open-ended) receives an update batch (every 5th
+    * customer re-stated, with a deterministic account-balance delta that
+    * is ZERO for every 15th customer — the no-op case MERGE must not
+    * version): rows whose TRACKED attributes actually changed close
+    * their current version (valid_to set, is_current dropped) and append
+    * the next version; unchanged and untouched rows pass through — the
+    * standard close-and-insert MERGE decomposition.
+    *
+    * Determinism: the attribute comparison and the restated balance are
+    * pure IEEE add/multiply on the stored doubles, identical trees both
+    * engines;
+    * everything else is integers/strings/booleans.
+    *
+    * Scale shape: one equi-join of the update batch against the CURRENT
+    * slice of the dimension (at 100 TB: update batches are small —
+    * broadcast; the history scan prunes to is_current), one anti-join
+    * for pass-through, and a union — no window functions, no sorts, and
+    * history rows that cannot change (closed versions) are never
+    * rewritten. */
+  def scd2CustomerHistory(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val upd = cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + (col("c_custkey") % 3).cast("double") * lit(50.0))
+          .as("u_acctbal"),
+        col("c_mktsegment").as("u_mktsegment"))
+    val chg = cust.join(upd, "c_custkey")
+      .filter(col("u_acctbal") =!= col("c_acctbal") ||
+        col("u_mktsegment") =!= col("c_mktsegment"))
+    val untouched = cust.join(chg.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(1L).as("version"),
+        col("c_acctbal"), col("c_mktsegment"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    val closed = chg
+      .select(col("c_custkey"), lit(1L).as("version"),
+        col("c_acctbal"), col("c_mktsegment"),
+        lit(0L).as("valid_from"), lit(1L).as("valid_to"),
+        lit(false).as("is_current"))
+    val opened = chg
+      .select(col("c_custkey"), lit(2L).as("version"),
+        col("u_acctbal").as("c_acctbal"), col("u_mktsegment").as("c_mktsegment"),
+        lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    untouched.unionByName(closed).unionByName(opened)
+  }
+
+  val scd2CustomerHistorySql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      |), upd AS (
+      |  SELECT c_custkey,
+      |    c_acctbal + CAST(c_custkey % 3 AS DOUBLE) * 50.0 AS u_acctbal,
+      |    c_mktsegment AS u_mktsegment
+      |  FROM cust WHERE c_custkey % 5 = 0
+      |), chg AS (
+      |  SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, u.u_acctbal, u.u_mktsegment
+      |  FROM cust c JOIN upd u USING (c_custkey)
+      |  WHERE u.u_acctbal <> c.c_acctbal OR u.u_mktsegment <> c.c_mktsegment
+      |)
+      |SELECT c_custkey, CAST(1 AS BIGINT) AS version, c_acctbal, c_mktsegment,
+      |  CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+      |  true AS is_current
+      |FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      |UNION ALL
+      |SELECT c_custkey, 1, c_acctbal, c_mktsegment, 0, 1, false FROM chg
+      |UNION ALL
+      |SELECT c_custkey, 2, u_acctbal, u_mktsegment, 1, NULL, true FROM chg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_customer_history" -> (scd2CustomerHistory _),
     "rollup_incremental" -> (rollupIncremental _),
     "props_kv_stats" -> (propsKvStats _),
     "sliding_window_counts" -> (slidingWindowCounts _),
@@ -887,6 +961,7 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "scd2_customer_history" -> scd2CustomerHistorySql,
     "rollup_incremental" -> rollupIncrementalSql,
     "props_kv_stats" -> propsKvStatsSql,
     "sliding_window_counts" -> slidingWindowCountsSql,

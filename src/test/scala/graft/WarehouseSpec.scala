@@ -379,4 +379,31 @@ class WarehouseSpec extends SparkSpec {
     assert(got(3L)._3.contains(50.0) && got(3L)._6.contains(30.0))
     assert(got(3L)._4 < got(3L)._5) // spans both days
   }
+
+  test("scd2: one current row per key, closed/opened chain integrity, no-op updates unversioned") {
+    val hist = Warehouse.scd2CustomerHistory(spark, dir)
+      .as[(Long, Long, Double, String, Long, Option[Long], Boolean)]
+      .collect()
+    val byKey = hist.groupBy(_._1)
+    val nCust = Tables.customer(spark, dir).count()
+    assert(byKey.size == nCust) // every customer appears
+    byKey.foreach { case (k, vs) =>
+      // exactly one current, open-ended version per key
+      val current = vs.filter(_._7)
+      assert(current.length == 1 && current.head._6.isEmpty, s"key $k")
+      // versions dense from 1; each closed version's valid_to == successor's valid_from
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"key $k")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a._7 && a._6.contains(b._5), s"key $k chain broken")
+        case _ =>
+      }
+      // only restated keys with a REAL change get a second version
+      if (vs.length == 2) {
+        assert(k % 5 == 0 && k % 15 != 0, s"key $k versioned without change")
+        assert(sorted(1)._3 == sorted(0)._3 + (k % 3) * 50.0, s"key $k balance")
+      } else assert(k % 5 != 0 || k % 15 == 0 || k % 3 == 0, s"key $k missed change")
+    }
+  }
 }
