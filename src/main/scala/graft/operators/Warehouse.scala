@@ -892,10 +892,15 @@ object Warehouse {
         (col("c_acctbal") + (col("c_custkey") % 3).cast("double") * lit(50.0))
           .as("u_acctbal"),
         col("c_mktsegment").as("u_mktsegment"))
-    val chg = cust.join(upd, "c_custkey")
+    // the update batch (and the changed subset it induces) is the small
+    // side by contract — a day's restatements vs the full dimension — so
+    // both joins broadcast it; without the hint Catalyst sees only a
+    // same-table derivation and falls back to a sort-merge anti-join
+    val chg = cust.join(broadcast(upd), "c_custkey")
       .filter(col("u_acctbal") =!= col("c_acctbal") ||
         col("u_mktsegment") =!= col("c_mktsegment"))
-    val untouched = cust.join(chg.select("c_custkey"), Seq("c_custkey"), "left_anti")
+    val untouched = cust.join(broadcast(chg.select("c_custkey")),
+      Seq("c_custkey"), "left_anti")
       .select(col("c_custkey"), lit(1L).as("version"),
         col("c_acctbal"), col("c_mktsegment"),
         lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),

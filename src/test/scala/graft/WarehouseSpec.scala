@@ -405,5 +405,15 @@ class WarehouseSpec extends SparkSpec {
         assert(sorted(1)._3 == sorted(0)._3 + (k % 3) * 50.0, s"key $k balance")
       } else assert(k % 5 != 0 || k % 15 == 0 || k % 3 == 0, s"key $k missed change")
     }
+
+    // the update batch is the contractual small side: both the change
+    // detection and the pass-through anti-join must broadcast it
+    val plan = Warehouse.scd2CustomerHistory(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    def nodes(op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
+    assert(nodes("SortMergeJoin") == 0 && nodes("ShuffledHashJoin") == 0, plan)
+    assert(nodes("BroadcastHashJoin") >= 2, plan)
   }
 }
