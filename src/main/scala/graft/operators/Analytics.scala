@@ -910,21 +910,36 @@ object Analytics {
     * the event stream itself. `hr` derives from ts_sec by integer
     * arithmetic (div/mod), not timezone functions, identically in both
     * engines. */
-  def seasonalAlerts(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  /** Shared prep for the batch query and its streaming twin
+    * ([[graft.streaming.StreamingSeasonal]]): cell key + exact cents. */
+  private[graft] def seasonalPrep(events: DataFrame): DataFrame =
+    events
       .filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"), col("ts_sec"), col("value"))
       .withColumn("hr", (expr("ts_sec div 3600") % 24).cast("long"))
       .withColumn("c", cents(col("value")))
-    val base = ev.groupBy("event_type", "hr")
+
+  /** The trained artifact: exact integer moments per (event_type, hr)
+    * cell — what a production deployment persists and refreshes offline. */
+  private[graft] def seasonalBaseline(prep: DataFrame): DataFrame =
+    prep.groupBy("event_type", "hr")
       .agg(count(lit(1)).as("n"), sum("c").as("s1"),
         sum(col("c") * col("c")).as("s2"))
-    ev.join(broadcast(base), Seq("event_type", "hr"))
+
+  /** The scoring side, shared verbatim with the streaming twin so the
+    * two cannot drift: broadcast baseline join + the division-free
+    * 3-sigma test. */
+  private[graft] def seasonalScore(prep: DataFrame, base: DataFrame): DataFrame =
+    prep.join(broadcast(base), Seq("event_type", "hr"))
       .filter(col("n") >= 24 &&
         abs(col("c") * col("n") - col("s1")).cast("double") >
           lit(3.0) * sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")))
       .select(col("event_id"), col("event_type"), col("hr"), col("value"),
         col("n").as("n_base"))
+
+  def seasonalAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val prep = seasonalPrep(Tables.events(spark, dir))
+    seasonalScore(prep, seasonalBaseline(prep))
   }
 
   val seasonalAlertsSql: String =
