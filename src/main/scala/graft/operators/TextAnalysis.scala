@@ -510,8 +510,14 @@ object TextAnalysis {
     * (cache here, checkpoint at scale) so round k never replays rounds
     * 0..k-1. Driver holds only the K merge rows — the classic
     * iterative-trainer shape (k-means, PQ codebooks) applied to BPE. */
-  def bpeMergeTable(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Shared trainer core for [[bpeMergeTable]] and [[bpeEncode]]:
+    * returns the final sentinel-stream state (doc_id kept so the encode
+    * path can attribute pieces) and the merge table. The returned state
+    * is STILL CACHED — the merge path unpersists it immediately, the
+    * encode path reads it once and leaves eviction to the session
+    * (Verify/Bench clearCache between queries). */
+  private def bpeTrain(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     // LAZY cache per round: the pair-count action below is the first
     // consumer and materializes it, so an up-front eager count() would
     // be a pure extra scan per round (8 of them). The parent round's
@@ -519,7 +525,7 @@ object TextAnalysis {
     // two-generation window) — unpersisting earlier would make the
     // child recompute the whole replace chain from the scan.
     var state = Tables.documents(spark, dir)
-      .select(concat(lit(bpeS),
+      .select(col("doc_id"), concat(lit(bpeS),
         array_join(tokens(col("text")), bpeE + bpeS), lit(bpeE)).as("s"))
       .filter(col("s") =!= bpeS + bpeE)
       .cache()
@@ -548,25 +554,56 @@ object TextAnalysis {
         merges += ((round.toLong, l, r, n))
         val pat = bpeS + l + bpeE + bpeS + r + bpeE
         val rep = bpeS + l + " " + r + bpeE
-        val next = state.select(expr(s"replace(s, '$pat', '$rep')").as("s")).cache()
+        val next = state.select(col("doc_id"),
+          expr(s"replace(s, '$pat', '$rep')").as("s")).cache()
         prev = state
         state = next
       }
       round += 1
     }
-    state.unpersist()
     if (prev != null) prev.unpersist()
-    merges.toSeq.toDF("round", "lhs", "rhs", "n")
+    (state, merges.toSeq)
+  }
+
+  def bpeMergeTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (state, merges) = bpeTrain(spark, dir)
+    state.unpersist()
+    merges.toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** Tokenizer APPLICATION of the trained merge table — the other half
+    * of the BPE loop beside [[bpeMergeTable]]: after the 8 train rounds
+    * the sentinel stream IS the encoded corpus, so encoding is one
+    * final scan-local split of the state — (doc_id, pos, piece) rows,
+    * merged pieces carrying their interior space (e.g. "th e" as one
+    * piece if (th, e) merged). In production the merge table is the
+    * shipped artifact and this apply step is the same replace() chain
+    * run under the FROZEN table — here they share one lineage, which is
+    * exactly why they cannot disagree.
+    *
+    * 100 TB shape: identical to the trainer (its cost IS the trainer's)
+    * plus one posexplode whose output rows are the encoded corpus — the
+    * thing a training pipeline materializes anyway. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (state, _) = bpeTrain(spark, dir)
+    val toksCol = expr(
+      s"filter(split(substring(s, 2, length(s) - 2), '$bpeE$bpeS'), x -> x <> '')")
+    state.select(col("doc_id"), posexplode(toksCol).as(Seq("pos", "piece")))
   }
 
   /** Oracle twin of [[bpeMergeTable]]: [[bpeRounds]] unrolled
     * select-apply rounds; `LEFT JOIN ON TRUE` keeps the state total if a
     * round has no pairs (the Spark side stops early, emitting the same
     * absent rows). */
-  val bpeMergeTableSql: String = {
+  /** The unrolled train chain shared by [[bpeMergeTableSql]] and
+    * [[bpeEncodeSql]]: CTEs t0..t{rounds} carry (doc_id, s) so the
+    * encode oracle can attribute pieces; b0..b{rounds-1} are the
+    * per-round winners. */
+  private val bpeChainCtes: String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH t0 AS (
-       |  SELECT chr(2) || array_to_string(${tokensSql("text")}, chr(3) || chr(2))
+    sb ++= s"""t0 AS (
+       |  SELECT doc_id, chr(2) || array_to_string(${tokensSql("text")}, chr(3) || chr(2))
        |    || chr(3) AS s
        |  FROM documents WHERE len(${tokensSql("text")}) >= 1
        |)""".stripMargin
@@ -583,18 +620,33 @@ object TextAnalysis {
        |  SELECT lhs, rhs, count(*) AS n FROM p$i
        |  GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1
        |), t${i + 1} AS (
-       |  SELECT CASE WHEN b.lhs IS NULL THEN t.s ELSE
+       |  SELECT t.doc_id, CASE WHEN b.lhs IS NULL THEN t.s ELSE
        |    replace(t.s, chr(2) || b.lhs || chr(3) || chr(2) || b.rhs || chr(3),
        |      chr(2) || b.lhs || ' ' || b.rhs || chr(3)) END AS s
        |  FROM t$i t LEFT JOIN b$i b ON TRUE
        |)""".stripMargin
     }
-    sb ++= (0 until bpeRounds).map { i =>
+    sb.toString
+  }
+
+  val bpeMergeTableSql: String =
+    s"WITH $bpeChainCtes" + (0 until bpeRounds).map { i =>
       s"""
        |SELECT CAST($i AS BIGINT) AS round, lhs, rhs, n FROM b$i""".stripMargin
     }.mkString("", "\nUNION ALL", "")
-    sb.toString
-  }
+
+  // NOTE: the chain is interpolated OUTSIDE any stripMargin — its `||`
+  // concatenations at line starts would otherwise be eaten as margins
+  val bpeEncodeSql: String =
+    s"WITH $bpeChainCtes,\n" +
+    s"""enc AS (
+       |  SELECT doc_id,
+       |    string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2)) AS toks
+       |  FROM t$bpeRounds
+       |)
+       |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS piece
+       |FROM (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 1
+       |  THEN generate_series(1, len(toks)) ELSE [] END) AS i FROM enc)""".stripMargin
 
   /** Per-document token-rarity profile — the CCNet-style "LM quality
     * filter" shape with an EXACT-arithmetic stand-in for the language
@@ -861,6 +913,7 @@ object TextAnalysis {
     "corpus_scrub" -> (corpusScrub _),
     "bpe_top_merges" -> (bpeTopMerges _),
     "bpe_merge_table" -> (bpeMergeTable _),
+    "bpe_encode" -> (bpeEncode _),
     "token_rarity" -> (tokenRarity _),
     "chunk_dedup" -> (chunkDedup _),
   )
@@ -881,6 +934,7 @@ object TextAnalysis {
     "corpus_scrub" -> corpusScrubSql,
     "bpe_top_merges" -> bpeTopMergesSql,
     "bpe_merge_table" -> bpeMergeTableSql,
+    "bpe_encode" -> bpeEncodeSql,
     "token_rarity" -> tokenRaritySql,
     "chunk_dedup" -> chunkDedupSql,
   )

@@ -58,4 +58,32 @@ class TokenIdsSpec extends SparkSpec {
     // than this loose bound, which only guards catastrophic collapse
     assert(prof.map(_._2).max < n, "index collapsed into one cell")
   }
+
+  test("bpe_encode: pieces round-trip to the original token stream; merges applied") {
+    val dir = "/root/testdata/sf0.001"
+    val pieces = TextAnalysis.bpeEncode(spark, dir)
+      .as[(Long, Int, String)].collect()
+    assert(pieces.nonEmpty)
+    // merged pieces carry interior spaces; splitting them back must
+    // reproduce each document's exact original token sequence
+    val rebuilt = pieces.groupBy(_._1).map { case (id, ps) =>
+      id -> ps.sortBy(_._2).flatMap(_._3.split(" ")).toSeq
+    }
+    val original = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+      .filter(_._2.nonEmpty)
+    assert(rebuilt.keySet == original.keySet)
+    rebuilt.foreach { case (id, toks) =>
+      assert(toks == original(id), s"doc $id round-trip broke")
+    }
+    // the trained merges actually applied: multi-token pieces exist and
+    // every one is a contiguous run of >= 2 original tokens
+    val merged = pieces.filter(_._3.contains(" "))
+    assert(merged.nonEmpty, "no merge ever applied")
+    // piece positions are dense from 0 per doc
+    pieces.groupBy(_._1).foreach { case (id, ps) =>
+      assert(ps.map(_._2).sorted.toSeq == (0 until ps.length).toSeq, s"doc $id")
+    }
+  }
 }
