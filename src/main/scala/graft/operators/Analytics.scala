@@ -960,7 +960,65 @@ object Analytics {
       |  CAST(abs(c.c * b.n - b.s1) AS DOUBLE) >
       |    3.0 * sqrt(CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE))""".stripMargin
 
+  /** Per-user RFM feature table — the feature-engineering shape an ML
+    * scoring pipeline materializes (recency / frequency / monetary plus
+    * timeline-span statistics): events aggregated once per user, with
+    * recency measured against the corpus clock (the global max ts, a
+    * 1-row broadcast aggregate, same shape as `above_mean_events`).
+    *
+    * Exactness: counts/cents/seconds are exact integers; the two
+    * emitted doubles are a /100.0 presentation and one exact-integer
+    * division (span / (n-1)), both single correctly-rounded IEEE ops.
+    * Scale shape: ONE map-combinable hash agg on user_id (the distinct
+    * day-count folds into the same exchange via the (user, day)
+    * pre-dedup Spark plans for count distinct), one broadcast of the
+    * 1-row clock — no windows, no second event shuffle. */
+  def userRfmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_sec"), col("value"),
+        expr("ts_sec div 86400").as("day_num"))
+    val clock = ev.agg(max("ts_sec").as("now_sec"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"),
+        min("ts_sec").as("first_sec"), max("ts_sec").as("last_sec"),
+        countDistinct(col("day_num")).as("active_days"))
+      .crossJoin(broadcast(clock))
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        (col("now_sec") - col("last_sec")).as("recency_sec"),
+        (col("last_sec") - col("first_sec")).as("span_sec"),
+        when(col("n_events") >= 2,
+          (col("last_sec") - col("first_sec")).cast("double") /
+            (col("n_events") - 1).cast("double")).as("mean_gap_sec"),
+        col("active_days"))
+  }
+
+  val userRfmFeaturesSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_sec, value,
+      |    epoch_ns(ts) // 1000000000 // 86400 AS day_num
+      |  FROM events WHERE user_id IS NOT NULL
+      |), clock AS (SELECT max(ts_sec) AS now_sec FROM e),
+      |a AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |      AS total_value,
+      |    min(ts_sec) AS first_sec, max(ts_sec) AS last_sec,
+      |    count(DISTINCT day_num) AS active_days
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT user_id, n_events, total_value,
+      |  clock.now_sec - last_sec AS recency_sec,
+      |  last_sec - first_sec AS span_sec,
+      |  CASE WHEN n_events >= 2 THEN
+      |    CAST(last_sec - first_sec AS DOUBLE) / CAST(n_events - 1 AS DOUBLE)
+      |  END AS mean_gap_sec,
+      |  active_days
+      |FROM a CROSS JOIN clock""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_rfm_features" -> (userRfmFeatures _),
     "seasonal_alerts" -> (seasonalAlerts _),
     "hourly_gapfill" -> (hourlyGapfill _),
     "value_percent_rank" -> (valuePercentRank _),
@@ -994,6 +1052,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "user_rfm_features" -> userRfmFeaturesSql,
     "seasonal_alerts" -> seasonalAlertsSql,
     "hourly_gapfill" -> hourlyGapfillSql,
     "value_percent_rank" -> valuePercentRankSql,

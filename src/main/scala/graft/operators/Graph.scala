@@ -117,11 +117,52 @@ object Graph {
        |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_fp
        |FROM it WHERE i = $iters""".stripMargin
 
+  /** Frequent-path mining — the n-step companion to [[typeMarkovRank]]'s
+    * 1-step chain: the 20 most common 3-step event-type journeys across
+    * all user timelines (sequential pattern mining in its contiguous
+    * n-gram form, the shape funnel discovery starts from).
+    *
+    * Scale shape: the same single user_id exchange + in-partition window
+    * as the transition extraction (two `lag`s share one window sort),
+    * then a map-combinable hash agg on the trigram — a key space that
+    * cannot concentrate past |types|^3 — and a TakeOrdered(20), never a
+    * global sort. All-integer output. */
+  def frequentPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts_sec"), col("event_id"))
+      .withColumn("t1", lag("event_type", 2).over(w))
+      .withColumn("t2", lag("event_type", 1).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  val frequentPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec, event_id
+      |  FROM events WHERE user_id IS NOT NULL
+      |), s AS (
+      |  SELECT event_type AS t3,
+      |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS t1,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS t2
+      |  FROM e
+      |)
+      |SELECT t1, t2, t3, count(*) AS n FROM s
+      |WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "type_markov_rank" -> (typeMarkovRank _),
+    "frequent_paths" -> (frequentPaths _),
   )
 
   val oracles: Map[String, String] = Map(
     "type_markov_rank" -> typeMarkovRankSql,
+    "frequent_paths" -> frequentPathsSql,
   )
 }

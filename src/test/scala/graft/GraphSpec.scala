@@ -50,5 +50,23 @@ class GraphSpec extends SparkSpec {
       s"hub not top: $ranks")
     // symmetric feeders tie exactly (integer arithmetic, identical inputs)
     assert(ranks("X") == ranks("Y"), s"symmetric feeders diverge: $ranks")
+
+    // frequent_paths on the same constructed corpus: each user's strict
+    // alternation F,Z,F,Z... (10 events) yields 4 (F,Z,F) and 4 (Z,F,Z)
+    // trigrams; 40 users per feeder
+    val paths = Graph.frequentPaths(spark, tmp)
+      .as[(String, String, String, Long)].collect()
+      .map(p => (p._1, p._2, p._3) -> p._4).toMap
+    assert(paths(("X", "Z", "X")) == 160L && paths(("Z", "X", "Z")) == 160L)
+    assert(paths(("Y", "Z", "Y")) == 160L && paths(("Z", "Y", "Z")) == 160L)
+    assert(paths.size == 4) // no cross-feeder trigram can exist
+  }
+
+  test("frequent_paths plan: TakeOrdered, no global sort exchange") {
+    val df = Graph.frequentPaths(spark, dir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
   }
 }

@@ -530,4 +530,34 @@ class PipelineOpsSpec extends SparkSpec {
     val grand = rows.map(_._3).sum / rows.length
     assert(grand > 0.7 && grand < 1.3, s"grand mean ratio $grand")
   }
+
+  test("user_rfm_features: invariants + exact recompute for a sample of users") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.userRfmFeatures(spark, dir)
+      .as[(Long, Long, Option[Double], Long, Long, Option[Double], Long)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, _, recency, span, gap, days) =>
+      assert(recency >= 0 && span >= 0, s"user $u")
+      assert(days >= 1 && days <= n, s"user $u")
+      assert(gap.isDefined == (n >= 2), s"user $u gap/n mismatch")
+      gap.foreach(g => assert(g == span.toDouble / (n - 1), s"user $u gap"))
+    }
+    // exact recompute for the 5 busiest users
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_sec"), col("value"))
+      .as[(Long, Long, Option[Double])].collect()
+    val now = ev.map(_._2).max
+    val byUser = ev.groupBy(_._1)
+    val got = rows.map(r => r._1 -> r).toMap
+    byUser.toSeq.sortBy(-_._2.length).take(5).foreach { case (u, es) =>
+      val r = got(u)
+      assert(r._2 == es.length)
+      val cents = es.flatMap(_._3).map(v => math.floor(v * 100.0 + 0.5).toLong)
+      if (cents.nonEmpty) assert(r._3.contains(cents.sum.toDouble / 100.0))
+      assert(r._4 == now - es.map(_._2).max)
+      assert(r._7 == es.map(_._2 / 86400).distinct.length)
+    }
+  }
 }
