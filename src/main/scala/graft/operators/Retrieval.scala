@@ -3,6 +3,7 @@ package graft.operators
 import graft.plans.TopKPerKey
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the `documents` corpus — the ranking half of
@@ -37,9 +38,10 @@ import org.apache.spark.sql.functions._
   *    every token row through the wire.)
   *  - The doc length rides the explode as a carried column, so no
   *    doc-level join is needed to length-normalize.
-  *  - df and the query table are broadcast (bounded by the query-term
-  *    vocabulary, not the corpus); corpus totals are a broadcast 1-row
-  *    aggregate.
+  *  - df is a window count over the already-tiny tf set (one exchange of
+  *    query-term matches — see the in-code note on why a second
+  *    aggregate branch would force a third corpus scan); the query
+  *    table and the corpus totals broadcast.
   *  - Final ranking is the native bounded-heap [[TopKPerKey]]: each
   *    task emits at most k rows per query_id before the exchange, so a
   *    query matching half the corpus crosses the wire as k x tasks
@@ -79,7 +81,14 @@ object Retrieval {
       .filter(col("term").isin(distinctTerms: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
 
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency as a WINDOW count over the tf rows, not a
+    // second aggregate branch: a `tf.groupBy(term)` leg gets column-
+    // pruned into a non-canonically-equal subtree, so exchange reuse
+    // cannot fire and the corpus would be scanned+exploded a third time
+    // (observed in the executed plan). The window costs one exchange of
+    // the tiny query-term-matched set instead of a corpus scan.
+    val wdf = Window.partitionBy("term")
+    val tfd = tf.withColumn("df", count(lit(1)).over(wdf))
     val q = queryTerms.toDF("query_id", "term")
 
     // the per-(doc, term) score tree — mirrored token-for-token in
@@ -92,8 +101,7 @@ object Retrieval {
     val sFp = floor(idf * ((col("tf").cast("double") * lit(2.2)) / den) *
       lit(1000000.0) + lit(0.5)).cast("long")
 
-    val scored = tf
-      .join(broadcast(dfreq), "term")
+    val scored = tfd
       .join(broadcast(q), "term")
       .crossJoin(broadcast(tot))
       .withColumn("s_fp", sFp)

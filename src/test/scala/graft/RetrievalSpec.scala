@@ -57,7 +57,7 @@ class RetrievalSpec extends SparkSpec {
     assert(tf(1L) > tf(0L)) // sanity on the fixture construction
   }
 
-  test("plan: bounded-heap top-k, broadcast df/query/totals, no global sort") {
+  test("plan: two corpus scans only, bounded-heap top-k, broadcasts, no global sort") {
     val df = Retrieval.bm25Topk(spark, dir)
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -65,8 +65,11 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
     def nodes(op: String): Int =
       s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
-    // df, query table, corpus totals all broadcast; no shuffle joins
-    assert(nodes("BroadcastHashJoin") >= 2, plan)
+    // the deliberate two scans (totals + tf) and NOT a third for df —
+    // df is a window count over the tf set, not an aggregate branch
+    assert(nodes("Scan parquet ") == 2, plan)
+    // query table broadcasts; no shuffle joins anywhere
+    assert(nodes("BroadcastHashJoin") >= 1, plan)
     assert(nodes("SortMergeJoin") == 0 && nodes("ShuffledHashJoin") == 0, plan)
   }
 }
