@@ -730,7 +730,52 @@ object Corpus {
        |  count(DISTINCT eval_id) AS n_eval_docs
        |FROM tr JOIN e USING (sh) GROUP BY 1""".stripMargin
 
+  /** Temperature-rebalanced mixture PLANNER (the UniMax / multilingual
+    * temperature-sampling shape, tau = 2): where [[corpusMixture]]
+    * applies FIXED per-language weights, this derives them from the
+    * corpus itself — p_l proportional to sqrt(n_l) — and emits the plan
+    * a mixture job consumes: per language, the observed share and the
+    * temperature share, both in exact 1e-6 fixed point.
+    *
+    * Exactness: sqrt(n) is one correctly-rounded IEEE op on an exact
+    * count; it is quantized to a 1e-6 fixed-point LONG before anything
+    * sums or divides, so the cross-language total is an exact integer
+    * and every share is integer division (non-negative operands:
+    * truncation == floor in both engines). The output is ALL integers —
+    * no float ever crosses rows.
+    *
+    * Scale shape: one map-combinable language agg (a key space of
+    * |languages|), one 1-row broadcast of the totals — nothing else. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    val tot = perLang.agg(sum("n_docs").as("n_total"), sum("w_fp").as("w_total"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("w_fp"),
+        expr("(n_docs * 1000000) div n_total").as("prop_share_fp"),
+        expr("(w_fp * 1000000) div w_total").as("temp_share_fp"))
+  }
+
+  val mixturePlanSql: String =
+    """WITH p AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS w_fp
+      |  FROM documents GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |    CAST(sum(w_fp) AS BIGINT) AS w_total FROM p
+      |)
+      |SELECT lang, n_docs, w_fp,
+      |  (n_docs * 1000000) // n_total AS prop_share_fp,
+      |  (w_fp * 1000000) // w_total AS temp_share_fp
+      |FROM p CROSS JOIN t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_plan" -> (mixturePlan _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_profile" -> (dedupProfile _),
@@ -747,6 +792,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "mixture_plan" -> mixturePlanSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_profile" -> dedupProfileSql,
     "dedup_canonical" -> dedupCanonicalSql,

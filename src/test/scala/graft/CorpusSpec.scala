@@ -215,4 +215,26 @@ class CorpusSpec extends SparkSpec {
       assert(packs.zip(packs.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("mixture_plan: temperature flattens shares toward uniform; totals conserve") {
+    val plan = Corpus.mixturePlan(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(plan.nonEmpty)
+    val n = graft.sources.Tables.documents(spark, dir).count()
+    assert(plan.map(_._2).sum == n)
+    // fixed-point truncation: shares sum to 1e6 minus at most |langs|
+    Seq(plan.map(_._4).sum, plan.map(_._5).sum).foreach { s =>
+      assert(s <= 1000000L && s > 1000000L - plan.length, s"share sum $s")
+    }
+    // sqrt-temperature moves every minority language UP and the
+    // majority language DOWN (strictly, unless already uniform)
+    val maxLang = plan.maxBy(_._2)
+    val minLang = plan.minBy(_._2)
+    if (maxLang._2 != minLang._2) {
+      assert(maxLang._5 < maxLang._4, s"majority not damped: $maxLang")
+      assert(minLang._5 > minLang._4, s"minority not boosted: $minLang")
+    }
+    // and the temperature ORDER preserves the population order
+    assert(plan.sortBy(_._2).map(_._1).toSeq == plan.sortBy(_._5).map(_._1).toSeq)
+  }
 }
