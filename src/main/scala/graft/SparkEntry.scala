@@ -76,6 +76,23 @@ object SparkEntry {
         .filter(_.k_val.exists(_ > 50.0))
         .toDF()
     }),
+    // alert FUSION across all four detector families (threshold / rate /
+    // statistical / seasonal): one row per flagged event with how many
+    // independent rules fired and which — the triage score a SIEM ranks
+    // by (an event 3 rules agree on outranks any single firing). Shape:
+    // union of the already-computed alert streams + one hash agg on
+    // event_id; rule names are sorted before joining so the list is
+    // order-free.
+    "ensemble_alerts" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = Detectors.allAlerts(Tables.events(s, dir), FixtureRules.all)
+        .select(col("event_id"), col("rule_name"))
+      val seas = Analytics.seasonalAlerts(s, dir)
+        .select(col("event_id"), lit("seasonal_value").as("rule_name"))
+      base.unionByName(seas).groupBy("event_id")
+        .agg(count(lit(1)).as("n_rules"),
+          array_join(sort_array(collect_list(col("rule_name"))), ",").as("rules"))
+    }),
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resize(s, dir)),
@@ -94,6 +111,17 @@ object SparkEntry {
     "stat_alerts" -> DetectorSql.statistical(FixtureRules.statistical),
     "all_alerts" -> DetectorSql.all(FixtureRules.all),
     "throttled_alerts" -> DetectorSql.throttled(FixtureRules.threshold, 600L),
+    "ensemble_alerts" ->
+      s"""WITH a AS (
+         |${DetectorSql.all(FixtureRules.all)}
+         |), se AS (
+         |${Analytics.seasonalAlertsSql}
+         |)
+         |SELECT event_id, count(*) AS n_rules,
+         |  array_to_string(list(rule_name ORDER BY rule_name), ',') AS rules
+         |FROM (SELECT event_id, rule_name FROM a
+         |  UNION ALL SELECT event_id, 'seasonal_value' AS rule_name FROM se)
+         |GROUP BY 1""".stripMargin,
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frames" -> Multimodal.framesSql,
     "multimodal_resize" -> Multimodal.resizeSql,

@@ -167,4 +167,27 @@ class DetectorsSpec extends SparkSpec {
     assert(DetectionRule.validate(DetectionRule.Raw(name = "x",
       `type` = "bogus")).isLeft)
   }
+
+  test("ensemble_alerts: fuses all four families, rule lists sorted and duplicate-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("ensemble_alerts")(spark, dir)
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, rules) =>
+      val rs = rules.split(",").toSeq
+      assert(rs.length == n && rs.distinct == rs, s"event $id")
+      assert(rs.sorted == rs, s"event $id rules unsorted")
+      assert(rs.forall(Set("high_value", "high_rate", "unusual_value",
+        "seasonal_value")), s"event $id unknown rule")
+    }
+    // the fusion covers exactly the union of the per-family flag sets
+    val base = graft.operators.Detectors.allAlerts(
+      graft.sources.Tables.events(spark, dir), SparkEntry.FixtureRules.all)
+      .select("event_id").as[Long].collect().toSet
+    val seas = graft.operators.Analytics.seasonalAlerts(spark, dir)
+      .select("event_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == (base ++ seas))
+  }
 }
