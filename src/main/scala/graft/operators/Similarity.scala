@@ -1741,22 +1741,25 @@ object Similarity {
     * Classification is a broadcast crossJoin of the tiny centroid table
     * against the held-out scan with the codegen'd long-dot kernel in the
     * whole-stage loop — the same shape as the ANN brute-force tier. */
-  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+  /** Quantized (vec_id, label, q) base shared by the centroid family. */
+  private def quantizedBase(spark: SparkSession, dir: String): DataFrame = {
     val qexpr = transform(col("v"),
       x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
-    val base = Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .filter(col("norm") > 0.0)
       .select(col("vec_id"), col("label"), qexpr.as("q"))
+  }
 
-    // train split: per-label, per-dim exact long sums -> floored mean
-    val tsum = base.filter(col("vec_id") % 4 =!= 0)
+  /** Per-label exact integer centroids (floored mean of the quantized
+    * components) from whatever slice of the base the caller passes. */
+  private def labelCentroids(slice: DataFrame): DataFrame =
+    slice
       .select(col("label"), posexplode(col("q")).as(Seq("d", "qd")))
       .groupBy("label", "d")
       .agg(sum("qd").as("sq"), count(lit(1)).as("n"))
-    val cent = tsum
       .withColumn("cfp",
         floor(col("sq").cast("double") / col("n").cast("double")).cast("long"))
       .groupBy(col("label").as("c_label"))
@@ -1765,6 +1768,9 @@ object Similarity {
       .withColumn("nc2", ldot(col("c"), col("c")))
       .filter(col("nc2") > 0L)
 
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    val base = quantizedBase(spark, dir)
+    val cent = labelCentroids(base.filter(col("vec_id") % 4 =!= 0))
     val test = base.filter(col("vec_id") % 4 === 0)
       .withColumn("nq2", ldot(col("q"), col("q")))
       .filter(col("nq2") > 0L)
@@ -1780,14 +1786,59 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-label embedding OUTLIERS — the curation view of the centroid
+    * family (the Cleanlab/confident-learning shape): every vector scored
+    * by cosine against its OWN label's centroid (trained on the full
+    * population), and the 3 least-typical members of each label emitted
+    * — the candidate mislabels / off-distribution vectors a curation
+    * pass reviews first.
+    *
+    * Same exactness contract as [[centroidClassify]]; the ranking cosine
+    * is deterministic bits, ties break on vec_id. Scale shape: centroid
+    * training is the same (label, dim)-keyed agg; scoring joins each
+    * vector to ONE broadcast centroid row (equi-join on label, not a
+    * crossJoin over all labels); the bottom-3 ranking is the bounded
+    * heap, so each task ships at most 3 rows per label. */
+  def labelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = quantizedBase(spark, dir)
+    val cent = labelCentroids(base)
+    val scored = base
+      .withColumn("nq2", ldot(col("q"), col("q")))
+      .filter(col("nq2") > 0L)
+      .join(broadcast(cent), col("label") === col("c_label"))
+      .withColumn("cos", ldot(col("q"), col("c")).cast("double") /
+        (sqrt(col("nq2").cast("double")) * sqrt(col("nc2").cast("double"))))
+    graft.plans.TopKPerKey.topK(scored, Seq(col("label")),
+      Seq(col("cos").asc, col("vec_id").asc), 3)
+      .select(col("label"), col("vec_id"), col("cos"))
+  }
+
+  val labelOutliersSql: String =
+    s"""WITH ${centroidCtes("TRUE")},
+       |sc AS (
+       |  SELECT q.label, q.vec_id,
+       |    CAST(${ldotSql("q.q", "c.c")} AS DOUBLE)
+       |      / (sqrt(CAST(q.nq2 AS DOUBLE)) * sqrt(CAST(c.nc2 AS DOUBLE))) AS cos
+       |  FROM (SELECT * FROM (SELECT vec_id, label, q, ${ldotSql("q", "q")} AS nq2
+       |    FROM qv) WHERE nq2 > 0) q
+       |  JOIN centn c ON q.label = c.c_label
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |    ORDER BY cos, vec_id) AS rn FROM sc
+       |)
+       |SELECT label, vec_id, cos FROM r WHERE rn <= 3""".stripMargin
+
   private def ldot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotl(a, b)
 
   private def ldotSql(a: String, b: String): String =
     s"CAST(${dotSql(a, b)} AS BIGINT)"
 
-  val centroidClassifySql: String =
-    s"""WITH v AS (
+  /** Shared centroid-training CTE chain (ends at `centn`); `trainPred`
+    * selects the training slice — the classify split or TRUE for the
+    * full-population centroids the outlier view uses. */
+  private def centroidCtes(trainPred: String): String =
+    s"""v AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), vl AS (
        |  SELECT * FROM (SELECT vec_id, label, v,
@@ -1799,7 +1850,7 @@ object Similarity {
        |), dims AS (SELECT unnest(generate_series(1, $dims)) AS d),
        |tsum AS (
        |  SELECT label, d, CAST(sum(q[d]) AS BIGINT) AS sq, count(*) AS n
-       |  FROM (SELECT * FROM qv WHERE vec_id % 4 <> 0) CROSS JOIN dims
+       |  FROM (SELECT * FROM qv WHERE $trainPred) CROSS JOIN dims
        |  GROUP BY 1, 2
        |), cent AS (
        |  SELECT label AS c_label,
@@ -1809,7 +1860,10 @@ object Similarity {
        |), centn AS (
        |  SELECT * FROM (SELECT c_label, c, ${ldotSql("c", "c")} AS nc2 FROM cent)
        |  WHERE nc2 > 0
-       |), test AS (
+       |)""".stripMargin
+
+  val centroidClassifySql: String =
+    s"""WITH ${centroidCtes("vec_id % 4 <> 0")}, test AS (
        |  SELECT * FROM (SELECT vec_id, label, q, ${ldotSql("q", "q")} AS nq2
        |    FROM qv WHERE vec_id % 4 = 0) WHERE nq2 > 0
        |), s AS (
@@ -1826,6 +1880,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "centroid_classify" -> (centroidClassify _),
+    "label_outliers" -> (labelOutliers _),
     "ivf_cell_profile" -> (ivfCellProfile _),
     "ann_topk_cosine" -> (annTopkCosine _),
     "ann_hard_negatives" -> (annHardNegatives _),
@@ -1846,6 +1901,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "centroid_classify" -> centroidClassifySql,
+    "label_outliers" -> labelOutliersSql,
     "ivf_cell_profile" -> ivfCellProfileSql,
     "ann_topk_cosine" -> annTopkCosineSql,
     "ann_hard_negatives" -> annHardNegativesSql,

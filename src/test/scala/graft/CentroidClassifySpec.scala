@@ -52,6 +52,39 @@ class CentroidClassifySpec extends SparkSpec {
     assert(cm.map(_._3).sum == rows.count(_._1 % 4 == 0))
   }
 
+  test("label_outliers: exactly the bottom-3 of an independent local recompute") {
+    val out = Similarity.labelOutliers(spark, dir)
+      .as[(Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // full local recompute: quantize, per-label floored-mean centroid,
+    // exact long dots, bottom-3 by (cos, vec_id)
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+      .filter { case (_, _, v) => math.sqrt(v.map(x => x * x).sum) > 0.0 }
+      .map { case (id, l, v) =>
+        (id, l, v.map(x => math.floor(x * 1000000.0 + 0.5).toLong).toArray)
+      }
+    val expected = vecs.groupBy(_._2).flatMap { case (l, vs) =>
+      val n = vs.length
+      val cent = Array.tabulate(vs.head._3.length) { d =>
+        math.floor(vs.map(_._3(d)).sum.toDouble / n.toDouble).toLong
+      }
+      val nc2 = cent.map(c => c * c).sum
+      if (nc2 <= 0L) Seq.empty[(Int, Long, Double)]
+      else vs.toSeq.flatMap { case (id, _, q) =>
+        val nq2 = q.map(x => x * x).sum
+        if (nq2 <= 0L) None
+        else {
+          val dot = q.zip(cent).map { case (a, b) => a * b }.sum
+          Some((l, id, dot.toDouble / (math.sqrt(nq2.toDouble) * math.sqrt(nc2.toDouble))))
+        }
+      }.sortBy(o => (o._3, o._2)).take(3)
+    }.toSet
+    assert(out.toSet == expected,
+      s"got ${out.toSet -- expected}, missing ${expected -- out.toSet}")
+  }
+
   test("plan: centroids broadcast, no shuffle join, long-dot kernel in the loop") {
     val df = Similarity.centroidClassify(spark, dir)
     val plan = df.queryExecution.explainString(
