@@ -940,7 +940,111 @@ object Warehouse {
       |UNION ALL
       |SELECT c_custkey, 2, u_acctbal, u_mktsegment, 1, NULL, true FROM chg""".stripMargin
 
+  /** TPC-H Q17 (small-quantity-order revenue), adapted to the fixture
+    * part schema (brand + size stand in for brand + container): average
+    * yearly revenue lost if small orders — below 20% of the part's own
+    * average quantity — were not filled. The correlated scalar subquery
+    * decorrelates to a per-part aggregate joined back (what a correct
+    * optimizer does; here it is explicit and oracle-mirrored).
+    *
+    * Exactness: quantities are integer-valued doubles, so their sums are
+    * exact in ANY summation order (< 2^53); the 20%-of-average test is
+    * cross-multiplied — `5 * qty * n < sum` — with no division anywhere;
+    * revenue is exact cents; the two final divisions (/100.0, /7.0) are
+    * a left-associated presentation chain, identical trees both engines.
+    *
+    * Scale shape: the brand filter broadcasts into the lineitem scan
+    * (probe rows die scan-side), per-part stats are one map-combinable
+    * agg over the FILTERED slice only (a part's lineitems all carry its
+    * partkey, so filtering first is semantics-preserving), and the
+    * stats table — bounded by the selected part count — broadcasts back. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23" && col("p_size") < 10)
+      .select("p_partkey")
+    val lf = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val qstats = lf.groupBy("l_partkey")
+      .agg(sum("l_quantity").as("sq"), count(lit(1)).as("nq"))
+    lf.join(broadcast(qstats), "l_partkey")
+      .filter(col("l_quantity") * lit(5.0) * col("nq") < col("sq"))
+      .agg(((sum(Analytics.cents(col("l_extendedprice"))).cast("double") / 100.0)
+        / 7.0).as("avg_yearly"), count(lit(1)).as("n"))
+  }
+
+  val q17Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size < 10
+      |), lf AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN p ON l_partkey = p_partkey
+      |), q AS (
+      |  SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS nq FROM lf GROUP BY 1
+      |)
+      |SELECT CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 / 7.0 AS avg_yearly,
+      |  count(*) AS n
+      |FROM lf JOIN q USING (l_partkey)
+      |WHERE l_quantity * 5.0 * nq < sq""".stripMargin
+
+  /** TPC-H Q22 (global sales opportunity), adapted to the fixture
+    * customer schema (nationkey stands in for the phone country code):
+    * customers richer than the average POSITIVE account balance with no
+    * orders in the last two years of the clock (every fixture customer has SOME
+    * order, so the faithful never-ordered form is vacuous — dormancy
+    * keeps the NOT EXISTS arm meaningful), grouped by nation.
+    * Scalar-subquery filter + anti join + aggregate — the classic
+    * dormant-account report.
+    *
+    * Exactness: balances quantize to cents (`floor(x*100+0.5)` rounds
+    * half-toward-+inf identically for the negative balances in the
+    * fixture), the above-average test is the cross-multiplied integer
+    * inequality `bal * n > total` (same pattern as `above_mean_events`),
+    * and the output sums are exact cents presented via one division.
+    *
+    * Scale shape: the 1-row positive-balance aggregate broadcasts under
+    * every customer row; the no-orders check is an anti join on the
+    * customer key (at 100 TB: the one unavoidable shuffle — or a
+    * broadcast of the rich-customer set, which the optimizer picks when
+    * it fits); one |nations|-key agg out. */
+  def q22SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        Analytics.cents(col("c_acctbal")).as("bal_c"))
+    val tot = c.filter(col("bal_c") > 0L)
+      .agg(sum("bal_c").as("s"), count(lit(1)).as("n"))
+    c.crossJoin(broadcast(tot))
+      .filter(col("bal_c") * col("n") > col("s"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        (sum("bal_c").cast("double") / 100.0).as("totacctbal"))
+  }
+
+  val q22Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+      |  FROM customer
+      |), t AS (
+      |  SELECT CAST(sum(bal_c) AS BIGINT) AS s, count(*) AS n
+      |  FROM c WHERE bal_c > 0
+      |)
+      |SELECT c_nationkey, count(*) AS numcust,
+      |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal
+      |FROM c CROSS JOIN t
+      |WHERE bal_c * n > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "scd2_customer_history" -> (scd2CustomerHistory _),
     "rollup_incremental" -> (rollupIncremental _),
     "props_kv_stats" -> (propsKvStats _),
@@ -966,6 +1070,8 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_small_quantity" -> q17Sql,
+    "q22_sales_opportunity" -> q22Sql,
     "scd2_customer_history" -> scd2CustomerHistorySql,
     "rollup_incremental" -> rollupIncrementalSql,
     "props_kv_stats" -> propsKvStatsSql,

@@ -416,4 +416,46 @@ class WarehouseSpec extends SparkSpec {
     assert(nodes("SortMergeJoin") == 0 && nodes("ShuffledHashJoin") == 0, plan)
     assert(nodes("BroadcastHashJoin") >= 2, plan)
   }
+
+  test("q17: matches a brute-force local recompute of the correlated-avg filter") {
+    val Array((avgYearly, n)) = Warehouse.q17SmallQuantity(spark, "/root/testdata/sf0.01")
+      .as[(Option[Double], Long)].collect().map(r => (r._1, r._2))
+    val parts = Tables.part(spark, "/root/testdata/sf0.01")
+      .filter(col("p_brand") === "Brand#23" && col("p_size") < 10)
+      .select("p_partkey").as[Long].collect().toSet
+    val ls = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .as[(Long, Double, Double)].collect().filter(l => parts(l._1))
+    val byPart = ls.groupBy(_._1)
+    val kept = ls.filter { case (pk, q, _) =>
+      val grp = byPart(pk)
+      q * 5.0 * grp.length < grp.map(_._2).sum
+    }
+    assert(n == kept.length && n > 0)
+    val centsSum = kept.map(l => math.floor(l._3 * 100.0 + 0.5).toLong).sum
+    assert(avgYearly.contains(centsSum.toDouble / 100.0 / 7.0))
+  }
+
+  test("q22: dormant-rich semantics — every counted customer is above-average and orderless since the cutoff") {
+    val d = "/root/testdata/sf0.01"
+    val out = Warehouse.q22SalesOpportunity(spark, d)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val cust = Tables.customer(spark, d)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, nk, b) => (k, nk, math.floor(b * 100.0 + 0.5).toLong) }
+    val pos = cust.filter(_._3 > 0L)
+    val (s, np) = (pos.map(_._3).sum, pos.length.toLong)
+    val active = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select("o_custkey").as[Long].collect().toSet
+    val expected = cust
+      .filter(c => c._3 * np > s && !active(c._1))
+      .groupBy(_._2)
+      .map { case (nk, cs) =>
+        (nk, cs.length.toLong, cs.map(_._3).sum.toDouble / 100.0)
+      }.toSet
+    assert(out.toSet == expected)
+  }
 }
