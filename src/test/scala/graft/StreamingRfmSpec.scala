@@ -65,6 +65,55 @@ class StreamingRfmSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart mid-replay converges to the identical batch profile") {
+    withRocksDBProvider {
+      implicit val sqlCtx = spark.sqlContext
+      val events = Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts_sec"), col("value"))
+        .as[RfmEvent].collect().toSeq.sortBy(_.ts_sec)
+      val ms = MemoryStream[RfmEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rfm-rst").toString
+      val got = new java.util.concurrent.ConcurrentHashMap[Long, RfmFeatures]()
+      def startQ() = StreamingRfm.features(ms.toDS())
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[RfmFeatures], _: Long) =>
+          b.collect().foreach { f =>
+            // keep the latest (highest-n) emission per user
+            got.merge(f.user_id, f,
+              (a, x) => if (x.n_events > a.n_events) x else a)
+          }
+          ()
+        }.start()
+      var q = startQ()
+      try {
+        val groups = events.grouped(211).toSeq
+        groups.zipWithIndex.foreach { case (g, i) =>
+          ms.addData(g)
+          q.processAllAvailable()
+          if (i == 1) {
+            // kill with per-user value state AND day-map entries live —
+            // the restart must restore both stores coherently
+            q.stop()
+            q = startQ()
+          }
+        }
+      } finally q.stop()
+      val want = Analytics.userRfmFeatures(spark, dir)
+        .as[(Long, Long, Option[Double], Long, Long, Option[Double], Long)]
+        .collect().map(r => r._1 -> r).toMap
+      import scala.jdk.CollectionConverters._
+      val gotMap = got.asScala
+      assert(gotMap.keySet == want.keySet)
+      gotMap.foreach { case (u, f) =>
+        val w = want(u)
+        assert(f.n_events == w._2 && f.total_value == w._3 &&
+          f.last_sec - f.first_sec == w._5 && f.active_days == w._7,
+          s"user $u diverged after restart")
+      }
+    }
+  }
+
   test("day counting is exact across batch boundaries (same day split over batches)") {
     withRocksDBProvider {
       implicit val sqlCtx = spark.sqlContext
