@@ -307,6 +307,74 @@ object StateScaleBench {
       } finally q3.stop()
     }
 
+    if (phase == "all" || phase == "rfm") {
+      // phase 6 (round 10): the streaming feature store at 1M-user state.
+      // Grow 4 batches of 250k NEW users, revisit the first 250k with
+      // later-day events, kill + restore from the checkpoint mid-profile,
+      // revisit again — continuity oracle: sampled users' features must
+      // equal an exact driver-side fold of everything fed (value state
+      // AND the per-user day map must both restore coherently).
+      import graft.streaming.{RfmEvent, RfmFeatures, StreamingRfm}
+      val sampleMod = 100000L
+      // per sampled user: (n, cents, distinct day set) — the exact fold
+      val expected = scala.collection.mutable.Map[Long, (Long, Long, Set[Long])]()
+      def mkRfm(firstId: Long, n: Int, userOf: Long => Long, day: Long): Seq[RfmEvent] =
+        (0 until n).map { i =>
+          val id = firstId + i
+          val u = userOf(id)
+          val e = RfmEvent(u, day * 86400L + (id % 86400L), Some((id % 1000L) / 100.0))
+          if (u % sampleMod == 0) {
+            val cents = math.floor(e.value.get * 100.0 + 0.5).toLong
+            val (pn, pc, pd) = expected.getOrElse(u, (0L, 0L, Set.empty[Long]))
+            expected(u) = (pn + 1, pc + cents, pd + e.ts_sec / 86400L)
+          }
+          e
+        }
+      val got = new java.util.concurrent.ConcurrentHashMap[Long, RfmFeatures]()
+      val ms3 = MemoryStream[RfmEvent]
+      val ckpt3 = java.nio.file.Files.createTempDirectory("graft-ssb-rfm").toString
+      def startRfm() = StreamingRfm.features(ms3.toDS())
+        .writeStream.option("checkpointLocation", ckpt3)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[RfmFeatures], _: Long) =>
+          b.filter(f => f.user_id % sampleMod == 0).collect().foreach { f =>
+            got.merge(f.user_id, f, (a, x) => if (x.n_events > a.n_events) x else a)
+          }
+          ()
+        }.start()
+      var q3 = startRfm()
+      try {
+        (0 until 4).foreach { b =>
+          ms3.addData(mkRfm(b.toLong * perBatch, perBatch, id => id, day = 0L))
+          val t0 = System.nanoTime()
+          q3.processAllAvailable()
+          report(s"rfm grow b$b", q3, (System.nanoTime() - t0) / 1e9)
+        }
+        ms3.addData(mkRfm(4L * perBatch, perBatch, id => id % perBatch, day = 1L))
+        var t0 = System.nanoTime()
+        q3.processAllAvailable()
+        report("rfm revisit", q3, (System.nanoTime() - t0) / 1e9)
+        q3.stop()
+        t0 = System.nanoTime()
+        q3 = startRfm()
+        ms3.addData(mkRfm(5L * perBatch, perBatch, id => id % perBatch, day = 2L))
+        q3.processAllAvailable()
+        report("rfm restore+revisit", q3, (System.nanoTime() - t0) / 1e9)
+      } finally q3.stop()
+      import scala.jdk.CollectionConverters._
+      var ok = true
+      expected.foreach { case (u, (n, cents, days)) =>
+        val f = got.get(u)
+        if (f == null || f.n_events != n ||
+            !f.total_value.contains(cents.toDouble / 100.0) ||
+            f.active_days != days.size) {
+          ok = false
+          println(s"[ssb] rfm DIVERGED user $u: got $f want n=$n cents=$cents days=${days.size}")
+        }
+      }
+      println(s"[ssb] rfm continuity ${if (ok) "OK" else "FAILED"} " +
+        s"(${expected.size} sampled users)")
+    }
+
     if (phase == "all" || phase == "ttl") {
       // phase 3: TTL eviction. No processAllAvailable here — a TTL query
       // batches on every trigger and never satisfies its no-new-data
