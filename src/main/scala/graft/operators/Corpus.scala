@@ -774,7 +774,63 @@ object Corpus {
       |  (w_fp * 1000000) // w_total AS temp_share_fp
       |FROM p CROSS JOIN t""".stripMargin
 
+  /** Term-distribution DRIFT monitor — the data-quality alarm a
+    * continuously-fed corpus needs: compare the incoming batch's token
+    * distribution (deterministic split: every 3rd doc plays "today's
+    * crawl") against the base corpus and surface the terms whose
+    * frequency share moved most. A sudden drift top-list full of one
+    * domain's vocabulary is how template floods, encoding bugs, and
+    * scraper loops get caught before they enter training.
+    *
+    * Exactness: per-split term counts and totals are exact integers;
+    * each share quantizes to 1e-6 fixed point by integer division
+    * (non-negative, so truncation == floor in both engines) BEFORE the
+    * difference — the drift score is a pure integer. Rare-term noise is
+    * gated by a minimum combined count.
+    *
+    * Scale shape: ONE scan+explode (the split tag rides along, so base
+    * and batch counts come from the same map-combinable term agg as
+    * conditional sums), a 1-row totals broadcast, TakeOrdered(20) —
+    * never a global sort, and the term key space cannot concentrate. */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select((col("doc_id") % 3 === 0).as("isNew"),
+        explode(Dedup.tokens(col("text"))).as("term"))
+    val counts = toks.groupBy("term").agg(
+      sum(when(col("isNew"), 1L).otherwise(0L)).as("c_new"),
+      sum(when(col("isNew"), 0L).otherwise(1L)).as("c_base"))
+    val tot = counts.agg(sum("c_new").as("n_new"), sum("c_base").as("n_base"))
+    val scored = counts
+      .filter(col("c_new") + col("c_base") >= 5L)
+      .crossJoin(broadcast(tot))
+      .withColumn("drift_fp",
+        abs(expr("(c_new * 1000000) div n_new") -
+          expr("(c_base * 1000000) div n_base")))
+      .select("term", "c_base", "c_new", "drift_fp")
+    scored.orderBy(col("drift_fp").desc, col("term")).limit(20)
+  }
+
+  val corpusDriftSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id % 3 = 0 AS is_new, unnest(${Dedup.tokensSql("text")}) AS term
+       |  FROM documents
+       |), c AS (
+       |  SELECT term,
+       |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new,
+       |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_base
+       |  FROM t GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(c_new) AS BIGINT) AS n_new,
+       |    CAST(sum(c_base) AS BIGINT) AS n_base FROM c
+       |)
+       |SELECT term, c_base, c_new,
+       |  abs((c_new * 1000000) // n_new - (c_base * 1000000) // n_base) AS drift_fp
+       |FROM c CROSS JOIN tot
+       |WHERE c_new + c_base >= 5
+       |ORDER BY drift_fp DESC, term LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_drift" -> (corpusDrift _),
     "mixture_plan" -> (mixturePlan _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -792,6 +848,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_drift" -> corpusDriftSql,
     "mixture_plan" -> mixturePlanSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_profile" -> dedupProfileSql,

@@ -237,4 +237,25 @@ class CorpusSpec extends SparkSpec {
     // and the temperature ORDER preserves the population order
     assert(plan.sortBy(_._2).map(_._1).toSeq == plan.sortBy(_._5).map(_._1).toSeq)
   }
+
+  test("corpus_drift: an injected template flood in the batch split tops the list") {
+    // base docs share a uniform vocabulary; every batch-split doc
+    // (doc_id % 3 == 0) is flooded with a template term
+    val rows = (0L until 90L).map { id =>
+      val base = "alpha beta gamma delta epsilon zeta"
+      val text = if (id % 3 == 0) base + (" floodterm" * 20) else base
+      (id, text, "en", "src0", text.length.toLong)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val drift = Corpus.corpusDrift(spark, tmp)
+      .as[(String, Long, Long, Long)].collect()
+    assert(drift.nonEmpty)
+    assert(drift.head._1 == "floodterm", s"flood not top: ${drift.take(3).toSeq}")
+    // one-sided: the flood exists only in the batch split
+    assert(drift.head._2 == 0L && drift.head._3 == 600L)
+    // ranked non-increasing by drift score
+    assert(drift.map(_._4).toSeq == drift.map(_._4).sortBy(-_).toSeq)
+  }
 }
