@@ -138,11 +138,86 @@ object Retrieval {
        |SELECT query_id, doc_id, score_fp FROM r WHERE rn <= $k""".stripMargin
   }
 
+  // ---- pseudo-relevance feedback -----------------------------------------
+
+  private val prfK = 5
+
+  /** Query EXPANSION by pseudo-relevance feedback (Rocchio/RM-style):
+    * take each query's BM25 top-k as the pseudo-relevant set, mine the
+    * terms that characterize it — ranked by (tf within the set) x (the
+    * same rational-odds idf, quantized to a 1e-6 fixed-point LONG so the
+    * product is exact integer math) — and emit the top-5 non-query terms
+    * per query. The output IS the expanded query a second retrieval pass
+    * runs with; feeding it back through [[bm25Topk]]'s machinery is the
+    * classic two-pass RM3 loop.
+    *
+    * Scale shape: the pseudo-relevant doc set is k x |queries| rows —
+    * broadcast against one scan+explode of the corpus (the doc_id
+    * semi-filter runs scan-side); document frequency needs the one
+    * vocabulary-keyed aggregate (map-combinable, key space = vocab);
+    * final ranking is the bounded heap. Nothing quadratic, no sorts. */
+  def bm25Prf(spark: SparkSession, dir: String): DataFrame = {
+    val topDocs = bm25Topk(spark, dir).select("query_id", "doc_id")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    val toks = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+    // corpus-wide document frequency + corpus size for the idf weight
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfAll = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // tf of every term inside each query's pseudo-relevant set
+    val tfR = toks.join(broadcast(topDocs), "doc_id")
+      .groupBy("query_id", "term").agg(count(lit(1)).as("tf_r"))
+    val wFp = floor(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) * lit(1000000.0) + lit(0.5)).cast("long")
+    val scored = tfR
+      .filter(!col("term").isin(distinctTerms: _*))
+      .join(dfAll, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w_fp", col("tf_r") * wFp)
+      .select("query_id", "term", "tf_r", "w_fp")
+    TopKPerKey.topK(scored, Seq(col("query_id")),
+      Seq(col("w_fp").desc, col("term").asc), prfK)
+      .select("query_id", "term", "tf_r", "w_fp")
+  }
+
+  val bm25PrfSql: String = {
+    val inList = distinctTerms.map(t => s"'$t'").mkString(", ")
+    // the bm25TopkSql chain, re-used verbatim up to its ranked CTE `r`
+    val base = bm25TopkSql
+      .replaceFirst("(?s)SELECT query_id, doc_id, score_fp FROM r WHERE rn <= \\d+$", "")
+      .stripSuffix("\n")
+    s"""$base,
+       |top AS (SELECT query_id, doc_id FROM r WHERE rn <= $k),
+       |tk AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |nd AS (SELECT count(*) AS n_docs FROM t),
+       |dfall AS (
+       |  SELECT term, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, term FROM tk) GROUP BY 1
+       |), tfr AS (
+       |  SELECT top.query_id, tk.term, count(*) AS tf_r
+       |  FROM tk JOIN top USING (doc_id) GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT tfr.query_id, tfr.term, tfr.tf_r,
+       |    tfr.tf_r * CAST(floor(
+       |      ((CAST(nd.n_docs - dfall.df AS DOUBLE) + 0.5)
+       |        / (CAST(dfall.df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5) AS BIGINT)
+       |      AS w_fp
+       |  FROM tfr JOIN dfall USING (term) CROSS JOIN nd
+       |  WHERE tfr.term NOT IN ($inList)
+       |), pr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY w_fp DESC, term) AS prn FROM sc
+       |)
+       |SELECT query_id, term, tf_r, w_fp FROM pr WHERE prn <= $prfK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25Topk _),
+    "bm25_prf" -> (bm25Prf _),
   )
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
+    "bm25_prf" -> bm25PrfSql,
   )
 }

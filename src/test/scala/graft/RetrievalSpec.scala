@@ -57,6 +57,29 @@ class RetrievalSpec extends SparkSpec {
     assert(tf(1L) > tf(0L)) // sanity on the fixture construction
   }
 
+  test("bm25_prf: expansion terms come from the pseudo-relevant set, never the query") {
+    val queryTerms = Set("spark", "window", "agg", "customer", "query", "join",
+      "vector", "stream", "hash", "merge", "sort", "scan", "filter")
+    val exp = Retrieval.bm25Prf(spark, dir)
+      .as[(Int, String, Long, Long)].collect()
+    assert(exp.nonEmpty)
+    assert(exp.forall(e => !queryTerms(e._2)), "query term leaked into expansion")
+    exp.groupBy(_._1).foreach { case (qid, es) =>
+      assert(es.length <= 5, s"query $qid overflow")
+      assert(es.toSeq == es.sortBy(e => (-e._4, e._2)).toSeq, s"query $qid order")
+    }
+    // every expansion term occurs in at least one of its query's top docs
+    val top = rows.map(r => (r._1, r._2)).groupBy(_._1)
+    val docToks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    exp.foreach { case (qid, term, tfR, _) =>
+      val occurrences = top(qid).map(_._2)
+        .map(d => docToks(d).count(_ == term)).sum
+      assert(occurrences == tfR, s"query $qid term $term tf mismatch")
+    }
+  }
+
   test("plan: two corpus scans only, bounded-heap top-k, broadcasts, no global sort") {
     val df = Retrieval.bm25Topk(spark, dir)
     val plan = df.queryExecution.explainString(
