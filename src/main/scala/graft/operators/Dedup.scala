@@ -267,7 +267,16 @@ object Dedup {
     * verified with true shingle Jaccard >= 0.8. Output = verified pairs
     * (identical banding in the oracle makes any LSH recall miss identical
     * on both sides). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshCandidatesWithJaccard(spark, dir)._1
+      .filter(col("jaccard") >= jaccardThreshold)
+
+  /** The shared LSH candidate machinery: (candidate pairs with EXACT
+    * Jaccard, UNfiltered — false positives included — , the signature
+    * frame). [[minhashLsh]] applies the threshold; [[minhashAccuracy]]
+    * audits the estimator against the exact value on every candidate. */
+  private def lshCandidatesWithJaccard(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val idx = sharedShingleIndex(spark, dir)
     val mh = eager(minhashSig(idx))
     // unfold the 16 columns into 4 band-signature rows per doc
@@ -303,13 +312,69 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
-    cand.join(common, Seq("d1", "d2"))
+    val pairs = cand.join(common, Seq("d1", "d2"))
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
-      .filter(col("jaccard") >= jaccardThreshold)
       .select("d1", "d2", "jaccard")
+    (pairs, mh)
+  }
+
+  /** Sketch-accuracy AUDIT for the MinHash estimator: every LSH candidate
+    * pair (INCLUDING the false positives the >= 0.8 verification later
+    * rejects — they are the audit's whole point) with the estimated
+    * Jaccard (fraction of the 16 signature slots agreeing, an exact
+    * integer ratio) beside the exact shingle Jaccard. The one-glance
+    * answer to "can the sketch be trusted at this shingle distribution"
+    * as an oracle-checkable table rather than a spec assertion.
+    *
+    * Scale shape: adds two broadcastable joins of the (candidate-pruned)
+    * signature table to the existing candidate machinery — signatures
+    * are 16 longs per doc, the pair set is the LSH output, nothing new
+    * touches the corpus. */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, mh) = lshCandidatesWithJaccard(spark, dir)
+    def side(suffix: String, key: String): DataFrame =
+      (0 until numHashes).foldLeft(mh) { (d, j) =>
+        d.withColumnRenamed(s"mh$j", s"mh$j$suffix")
+      }.withColumnRenamed("doc_id", key)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"mh${j}_a") === col(s"mh${j}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(side("_a", "d1"), "d1")
+      .join(side("_b", "d2"), "d2")
+      .withColumn("agree", agree)
+      .select(col("d1"), col("d2"), col("agree"),
+        (col("agree").cast("double") / lit(16.0)).as("est_jaccard"),
+        col("jaccard"))
+  }
+
+  // lazy: declared above minhashLshSql in source order, and vals
+  // initialize top-down — eager here would splice a null
+  lazy val minhashAccuracySql: String = {
+    val agreeSql = (0 until numHashes)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    // splice the minhashLsh chain: same CTEs, unfiltered pair select
+    val base = minhashLshSql
+      .replaceFirst("(?s)\nSELECT c\\.d1, c\\.d2,.*$", "")
+    s"""$base,
+       |pj AS (
+       |  SELECT c.d1, c.d2,
+       |    CAST(cm.common AS DOUBLE) / (x.n + y.n - cm.common) AS jaccard
+       |  FROM cand c
+       |  JOIN cm ON c.d1 = cm.d1 AND c.d2 = cm.d2
+       |  JOIN sz x ON c.d1 = x.doc_id JOIN sz y ON c.d2 = y.doc_id
+       |)
+       |SELECT p.d1, p.d2,
+       |  CAST($agreeSql AS BIGINT) AS agree,
+       |  CAST($agreeSql AS DOUBLE) / 16.0 AS est_jaccard,
+       |  p.jaccard
+       |FROM pj p
+       |JOIN mh a ON p.d1 = a.doc_id
+       |JOIN mh b ON p.d2 = b.doc_id""".stripMargin
   }
 
   val minhashLshSql: String = {
@@ -914,6 +979,7 @@ object Dedup {
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "minhash_accuracy" -> (minhashAccuracy _),
     "dedup_simhash" -> (simhashPairs _),
     "dedup_span_profile" -> (spanDedupProfile _),
     "span_dedup_apply" -> (spanDedupApply _),
@@ -925,6 +991,7 @@ object Dedup {
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "minhash_accuracy" -> minhashAccuracySql,
     "dedup_simhash" -> simhashPairsSql,
     "dedup_span_profile" -> spanDedupProfileSql,
     "span_dedup_apply" -> spanDedupApplySql,

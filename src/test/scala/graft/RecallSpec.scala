@@ -172,4 +172,27 @@ class RecallSpec extends SparkSpec {
     // and the default-capped entry point still runs at fixture scale
     assert(graft.operators.Similarity.neardupPairs(spark, dir).count() > 0)
   }
+
+  test("minhash_accuracy: audits every candidate; verified subset == the LSH output") {
+    import org.apache.spark.sql.functions.col
+    val audit = Dedup.minhashAccuracy(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(audit.nonEmpty)
+    audit.foreach { case (d1, d2, agree, est, j) =>
+      assert(d1 < d2)
+      assert(agree >= 0L && agree <= 16L)
+      assert(est == agree.toDouble / 16.0)
+      assert(j >= 0.0 && j <= 1.0)
+      // LSH candidacy guarantees at least one full band (4 slots) agrees
+      assert(agree >= 4L, s"pair ($d1,$d2) candidate without an agreeing band")
+    }
+    val verified = audit.filter(_._5 >= 0.8).map(a => (a._1, a._2)).toSet
+    val lsh = Dedup.minhashLsh(spark, "/root/testdata/sf0.001")
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect().toSet
+    assert(verified == lsh, "audit's >=0.8 slice diverges from the dedup output")
+    // the estimator is unbiased-ish on this corpus: mean abs error is
+    // well under a band's coarseness (1/4)
+    val mae = audit.map(a => math.abs(a._4 - a._5)).sum / audit.length
+    assert(mae < 0.25, s"mean |est - exact| = $mae")
+  }
 }
