@@ -1042,7 +1042,207 @@ object Warehouse {
       |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q8 (national market share): of the PROMO-part revenue sold
+    * into ASIA-customer orders in 1996–1997, what share came from
+    * NATION_2 suppliers, per order year. Completes the no-`partsupp`
+    * TPC-H surface together with [[q12PriorityLateness]] and
+    * [[q21WaitingSupplier]] (q2/q9/q11/q16/q20 need the `partsupp`
+    * table, which the fixtures don't ship — documented delta).
+    *
+    * Scale shape: the part filter (PROMO ≈ 1/6 of parts) broadcasts and
+    * prunes lineitem FIRST — at 100 TB that is the big win, the fact
+    * table shrinks before its only shuffle. Orders prune on the 2-year
+    * date range at the scan, then join customers-of-ASIA on the custkey
+    * shuffle (1/5 of all customers — deliberately NOT broadcast,
+    * customer scales with the fact side; q10 precedent). One orderkey
+    * shuffle joins the two pruned sides; supplier⋈nation broadcasts.
+    * Output is |years| rows.
+    *
+    * Exactness: volumes are exact DECIMAL sums; the share is ONE
+    * double division of the two decimal-cast sums, identical operand
+    * values and one correctly-rounded op in both engines. The
+    * numerator uses a 0-decimal `otherwise` so a NATION_2-free year is
+    * an exact 0, not NULL. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0).cast(DecimalType(18, 4))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    val sn = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2", discPrice).otherwise(zero))
+          .cast(DecimalType(38, 4)).as("nv"),
+        sum(discPrice).cast(DecimalType(38, 4)).as("tv"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_year"),
+        (col("nv").cast("double") / col("tv").cast("double")).as("mkt_share"),
+        col("nv").cast("double").as("nation_volume"),
+        col("tv").cast("double").as("total_volume"),
+        col("n_lines"))
+  }
+
+  val q8Sql: String =
+    """WITH j AS (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS vol,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |)
+      |SELECT CAST(o_year AS INT) AS o_year,
+      |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE)
+      |    / CAST(CAST(sum(vol) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share,
+      |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS DOUBLE) AS nation_volume,
+      |  CAST(CAST(sum(vol) AS DECIMAL(38,4)) AS DOUBLE) AS total_volume,
+      |  count(*) AS n_lines
+      |FROM j GROUP BY 1""".stripMargin
+
+  /** TPC-H Q12 (shipping-mode priority), adapted to the fixture
+    * lineitem schema: there is no `l_shipmode`/`l_commitdate`/
+    * `l_receiptdate`, so the grouping dimension is the LATENESS TIER of
+    * the line (shipped ≤30 / ≤90 / >90 days after the order date) and
+    * "late receipt" becomes "shipped in 1997". The analytical shape is
+    * the faithful one: fact⋈dim date-window join feeding a dual
+    * conditional aggregation (urgent vs non-urgent order counts per
+    * bucket) — the classic operational-lateness report.
+    *
+    * Scale: lineitem prunes to the ship-year at the scan; one orderkey
+    * shuffle; 3-row output. */
+  def q12PriorityLateness(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "ON-TIME")
+          .when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "LATE")
+          .otherwise("VERY-LATE").as("lateness_tier"),
+        high.as("high"))
+      .groupBy("lateness_tier")
+      .agg(sum(when(col("high"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("high"), 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT
+      |  CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'ON-TIME'
+      |       WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'LATE'
+      |       ELSE 'VERY-LATE' END AS lateness_tier,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 0 ELSE 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
+    * `l_shipdate > o_orderdate + 90 days` (no commit/receipt dates in
+    * the fixture) and the nation filter widens to region ASIA (100
+    * suppliers total, 4/nation — a single nation would leave ~4 rows).
+    * Faithful correlate semantics via the standard per-order rewrite:
+    * a supplier kept order o waiting iff o is 'F', o has lines from
+    * MORE THAN ONE supplier (the EXISTS arm), and the supplier is the
+    * ONLY one with a late line in o (the NOT EXISTS arm). Instead of
+    * the textbook double self-join of lineitem, ONE orderkey-shuffle
+    * aggregation computes per order the distinct-supplier count, the
+    * distinct-LATE-supplier count, and (valid exactly when the latter
+    * is 1) that lone late supplier — then a |suppliers|-key count and a
+    * broadcast name join. At 100 TB this is one fact shuffle instead of
+    * three; the correlated subqueries cost nothing extra because they
+    * fold into the same per-order pass. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val perOrder = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+      .join(Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_suppkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(late, col("l_suppkey"))).as("nlate"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("nsupp") > 1 && col("nlate") === 1)
+    val sAsia = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)
+              .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    perOrder.groupBy("late_supp").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sAsia), col("late_supp") === col("s_suppkey"))
+      .select("s_name", "numwait")
+  }
+
+  val q21Sql: String =
+    """WITH per_order AS (
+      |  SELECT o_orderkey,
+      |    count(DISTINCT l_suppkey) AS nsupp,
+      |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |      THEN l_suppkey END) AS nlate,
+      |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |      THEN l_suppkey END) AS late_supp
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY 1
+      |)
+      |SELECT s_name, count(*) AS numwait
+      |FROM per_order
+      |JOIN supplier ON late_supp = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |WHERE nsupp > 1 AND nlate = 1
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> (q8MarketShare _),
+    "q12_priority_lateness" -> (q12PriorityLateness _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "scd2_customer_history" -> (scd2CustomerHistory _),
@@ -1070,6 +1270,9 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" -> q8Sql,
+    "q12_priority_lateness" -> q12Sql,
+    "q21_waiting_supplier" -> q21Sql,
     "q17_small_quantity" -> q17Sql,
     "q22_sales_opportunity" -> q22Sql,
     "scd2_customer_history" -> scd2CustomerHistorySql,
