@@ -67,6 +67,20 @@ class RecallSpec extends SparkSpec {
     assert(pq >= 0.2, s"IVF-PQ recall@3 $pq below sf0.1 floor 0.2")
   }
 
+  test("SQ8: int8-code scoring holds recall@3 vs the exact float scan") {
+    // SQ8 is the lossy-STORAGE tier (not a candidate-pruning tier): the
+    // scan is still exhaustive, so any recall loss is pure quantization
+    // error. At 64-d max-abs int8 the cosine perturbation is ~1e-3 —
+    // below nearly every inter-candidate gap even on near-random
+    // embeddings — measured 0.967 at both sf0.01 and sf0.1; floor 0.9.
+    for (d <- Seq(dir, "/root/testdata/sf0.1")) {
+      val bf = topk(Similarity.annTopkCosine(spark, d), 3)
+      val sq8 = recall(topk(Similarity.annSq8Topk(spark, d), 3), bf)
+      info(f"recall@3 sq8=$sq8%.3f ($d)")
+      assert(sq8 >= 0.9, s"SQ8 recall@3 $sq8 below floor 0.9 at $d")
+    }
+  }
+
   test("IVF-PQ: compressed-store scoring holds recall vs the exact index") {
     // Two floors. (1) vs brute force: the PQ tier searches the same cells
     // as annIvfTopk, so its bf-recall ceiling IS the ivf number — pin that
