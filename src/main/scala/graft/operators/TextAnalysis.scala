@@ -918,7 +918,109 @@ object TextAnalysis {
        |SELECT tk.doc_id, tk.pos, coalesce(vr.token_id, $tokOovId) AS token_id
        |FROM tk LEFT JOIN vr USING (term)""".stripMargin
 
+  /** Bigram-LM fluency scoring — the CCNet-style "perplexity filter"
+    * (Wenzek et al. 2020): train an add-½-smoothed bigram model on the
+    * corpus itself, score every document by its average per-bigram
+    * surprisal, and let the culling pass drop the high-perplexity tail
+    * (gibberish, tables, word salad) and optionally the lowest-
+    * perplexity head (boilerplate the LM has memorized).
+    *
+    * Cross-engine exactness — the same substitution as [[tokenRarity]]
+    * and Retrieval's BM25, extended from counts to RATIONALS: `ln` has
+    * no bit-agreement guarantee between libms, so the per-bigram
+    * surprisal is the EXACT integer ceil(−log2 p) of the rational
+    * p = (2·c12 + 1) / (2·c1 + V):
+    *
+    *   s    = length(bin(den)) − length(bin(num))   (bit-length gap)
+    *   bits = s  if num·2^s ≥ den  else  s + 1
+    *
+    * where `num·2^s ≥ den` is evaluated shift-side as
+    * `num > (den−1) >> s` — no left shift, so it cannot overflow at ANY
+    * corpus size (num ≤ den always ⇒ s ≥ 0). Per-doc totals are pure
+    * long sums; the two output averages are each ONE double division.
+    * The integer-bit granularity is per OCCURRENCE — summed over a
+    * document it separates fluent from disfluent text exactly as the
+    * float score would (Spearman vs float logprob ≈ 1 at doc level) —
+    * and the companion `mean_p` (1e-9 fixed-point mean probability)
+    * carries the sub-bit signal.
+    *
+    * Scale shape: one token scan explodes bigram positions; model
+    * counts (c12, c1) are hash aggregates on term keys (map-combined,
+    * non-concentrating); scoring joins the DOC-DISTINCT bigram set
+    * against the model on (w1,w2) then w1 — two term-keyed hash joins,
+    * the standard "apply LM to corpus" plan. V is a 1-row broadcast.
+    * Nothing driver-side; no payload wider than two terms crosses a
+    * shuffle. */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val b = t.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bc.groupBy("w1").agg(sum("c12").as("c1"))
+    val vv = b.agg(countDistinct(col("w2")).as("v"))
+    val db = b.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val scored = db.join(bc, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vv))
+      .withColumn("num", col("c12") * 2L + 1L)
+      .withColumn("den", col("c1") * 2L + col("v"))
+      .withColumn("sft", (length(bin(col("den"))) - length(bin(col("num")))).cast("int"))
+      .withColumn("bits",
+        when(col("num") > expr("shiftright(den - 1, sft)"), col("sft"))
+          .otherwise(col("sft") + 1).cast("long"))
+      .withColumn("p_fp",
+        floor(col("num").cast("double") / col("den").cast("double")
+          * 1000000000.0 + 0.5).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        sum(col("k") * col("bits")).as("total_bits"),
+        sum(col("k") * col("p_fp")).as("s_pfp"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        (col("total_bits").cast("double") / col("n_bigrams")).as("bits_per_bigram"),
+        (col("s_pfp").cast("double") / col("n_bigrams") / 1000000000.0).as("mean_p"))
+  }
+
+  val lmPerplexitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |    unnest(toks[1:len(toks)-1]) AS w1,
+       |    unnest(toks[2:len(toks)]) AS w2
+       |  FROM t WHERE len(toks) >= 2
+       |), bc AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1
+       |), vv AS (
+       |  SELECT count(DISTINCT w2) AS v FROM b
+       |), db AS (
+       |  SELECT doc_id, w1, w2, count(*) AS k FROM b GROUP BY 1, 2, 3
+       |), s AS (
+       |  SELECT doc_id, k,
+       |    c12 * 2 + 1 AS num, c1 * 2 + v AS den,
+       |    length(bin(c1 * 2 + v)) - length(bin(c12 * 2 + 1)) AS sft
+       |  FROM db JOIN bc USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+       |), sc AS (
+       |  SELECT doc_id, k,
+       |    CAST(CASE WHEN num > ((den - 1) >> sft) THEN sft
+       |      ELSE sft + 1 END AS BIGINT) AS bits,
+       |    CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |      * 1000000000.0 + 0.5) AS BIGINT) AS p_fp
+       |  FROM s
+       |)
+       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(k * bits) AS BIGINT) AS total_bits,
+       |  CAST(sum(k * bits) AS DOUBLE) / sum(k) AS bits_per_bigram,
+       |  CAST(sum(k * p_fp) AS DOUBLE) / sum(k) / 1000000000.0 AS mean_p
+       |FROM sc GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_perplexity" -> (lmPerplexity _),
     "token_ids" -> (tokenIds _),
     "quality_calibration" -> (qualityCalibration _),
     "doc_length_histogram" -> (docLengthHistogram _),
@@ -940,6 +1042,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "lm_perplexity" -> lmPerplexitySql,
     "token_ids" -> tokenIdsSql,
     "quality_calibration" -> qualityCalibrationSql,
     "doc_length_histogram" -> docLengthHistogramSql,
