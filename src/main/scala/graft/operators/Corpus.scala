@@ -829,7 +829,141 @@ object Corpus {
        |WHERE c_new + c_base >= 5
        |ORDER BY drift_fp DESC, term LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------- DSIR
+
+  private val dsirBuckets = 1024L
+  private val dsirTargetLang = "en"
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): estimate a TARGET unigram
+    * distribution p (here: the `lang = 'en'` slice stands in for the
+    * curated target corpus) and the RAW distribution q over hashed
+    * n-gram features, then score every document by its importance
+    * weight Σ log(p_b/q_b) over its feature occurrences — the docs the
+    * target distribution "prefers". The paper resamples with Gumbel
+    * noise; RNG is not oracle-expressible, so selection is the
+    * deterministic above-corpus-mean test on the exact ratio signal
+    * (integer cross-multiplied, the `above_mean_events` pattern) and
+    * the full weight rides along for any downstream top-k/temperature
+    * policy.
+    *
+    * Exactness: features hash through the engine-portable
+    * [[Dedup.h60]] (md5-derived) into B=1024 buckets; p_b and q_b are
+    * add-½-smoothed RATIONALS and each log2 is the same integer
+    * ceil(−log2 ·) shift formula as [[TextAnalysis.lmPerplexity]]
+    * (no transcendentals cross engines), giving the integer
+    * `dbits(b) = s_q(b) − s_p(b)` ∈ log2(p_b/q_b) ± 1. The sub-bit
+    * signal is `r_fp` — the exact ratio (nump·denq)/(denp·numq)
+    * 1e-6-quantized; its cross-products stay < 2^53 up to ~1e7-token
+    * buckets (far past sf1; at true 100 TB counts the ratio would
+    * compute in log space off the same integer counts).
+    *
+    * Scale shape: one token scan; the model is a B-row table built by
+    * ONE map-combined aggregate (target and raw counts in the same
+    * pass) and BROADCAST into doc scoring — the corpus never joins
+    * anything bigger than 1024 rows. Tokenless docs emit no row
+    * (absence-is-reject, as [[TextAnalysis.textStats]]). */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(Dedup.tokens(col("text"))).as("term"))
+      .withColumn("bkt", pmod(Dedup.h60(lit("dsir"), col("term")), lit(dsirBuckets)))
+    val stats = toks.groupBy("bkt").agg(
+      count(lit(1)).as("cq"),
+      sum(when(col("lang") === dsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val tot = stats.agg(sum("cq").as("tq"), sum("ct").as("tt"))
+    val model = stats.crossJoin(broadcast(tot))
+      .withColumn("nump", col("ct") * 2L + 1L)
+      .withColumn("denp", col("tt") * 2L + lit(dsirBuckets))
+      .withColumn("numq", col("cq") * 2L + 1L)
+      .withColumn("denq", col("tq") * 2L + lit(dsirBuckets))
+      .withColumn("sftp",
+        (length(bin(col("denp"))) - length(bin(col("nump")))).cast("int"))
+      .withColumn("sftq",
+        (length(bin(col("denq"))) - length(bin(col("numq")))).cast("int"))
+      .withColumn("sp",
+        when(col("nump") > expr("shiftright(denp - 1, sftp)"), col("sftp"))
+          .otherwise(col("sftp") + 1).cast("long"))
+      .withColumn("sq",
+        when(col("numq") > expr("shiftright(denq - 1, sftq)"), col("sftq"))
+          .otherwise(col("sftq") + 1).cast("long"))
+      .withColumn("dbits", col("sq") - col("sp"))
+      .withColumn("r_fp",
+        floor((col("nump") * col("denq")).cast("double") /
+          (col("denp") * col("numq")).cast("double") * 1000000.0 + 0.5)
+          .cast("long"))
+      .select("bkt", "dbits", "r_fp")
+    val perDoc = toks.groupBy("doc_id", "lang", "bkt").agg(count(lit(1)).as("k"))
+      .join(broadcast(model), "bkt")
+      .groupBy("doc_id", "lang")
+      .agg(sum("k").as("n_tokens"),
+        sum(col("k") * col("dbits")).as("logw_bits"),
+        sum(col("k") * col("r_fp")).as("s_rfp"))
+    // selection: docs whose mean importance ratio beats the token-
+    // weighted corpus mean — the integer cross-multiplied inequality
+    // (above_mean_events pattern), never a float comparison
+    val glob = perDoc.agg(sum("s_rfp").as("g_rfp"), sum("n_tokens").as("g_n"))
+    perDoc.crossJoin(broadcast(glob))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("logw_bits"),
+        (col("logw_bits").cast("double") / col("n_tokens")).as("bits_per_token"),
+        (col("s_rfp").cast("double") / col("n_tokens") / 1000000.0).as("mean_ratio"),
+        (col("s_rfp") * col("g_n") > col("g_rfp") * col("n_tokens")).as("selected"))
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, unnest(${Dedup.tokensSql("text")}) AS term
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, lang,
+       |    ${Dedup.h60Sql("'dsir'", "term")} % $dsirBuckets AS bkt
+       |  FROM t
+       |), st AS (
+       |  SELECT bkt, count(*) AS cq,
+       |    CAST(sum(CASE WHEN lang = '$dsirTargetLang' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ct
+       |  FROM b GROUP BY 1
+       |), tt AS (
+       |  SELECT CAST(sum(cq) AS BIGINT) AS tq, CAST(sum(ct) AS BIGINT) AS tt
+       |  FROM st
+       |), m0 AS (
+       |  SELECT bkt, ct * 2 + 1 AS nump, tt * 2 + $dsirBuckets AS denp,
+       |    cq * 2 + 1 AS numq, tq * 2 + $dsirBuckets AS denq
+       |  FROM st CROSS JOIN tt
+       |), m1 AS (
+       |  SELECT bkt, nump, denp, numq, denq,
+       |    length(bin(denp)) - length(bin(nump)) AS sftp,
+       |    length(bin(denq)) - length(bin(numq)) AS sftq
+       |  FROM m0
+       |), m AS (
+       |  SELECT bkt,
+       |    CAST(CASE WHEN numq > ((denq - 1) >> sftq) THEN sftq
+       |        ELSE sftq + 1 END AS BIGINT)
+       |      - CAST(CASE WHEN nump > ((denp - 1) >> sftp) THEN sftp
+       |        ELSE sftp + 1 END AS BIGINT) AS dbits,
+       |    CAST(floor(CAST(nump * denq AS DOUBLE) / CAST(denp * numq AS DOUBLE)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS r_fp
+       |  FROM m1
+       |), db AS (
+       |  SELECT doc_id, lang, bkt, count(*) AS k FROM b GROUP BY 1, 2, 3
+       |), pd AS (
+       |  SELECT doc_id, lang, CAST(sum(k) AS BIGINT) AS n_tokens,
+       |    CAST(sum(k * dbits) AS BIGINT) AS logw_bits,
+       |    CAST(sum(k * r_fp) AS BIGINT) AS s_rfp
+       |  FROM db JOIN m USING (bkt) GROUP BY 1, 2
+       |), g AS (
+       |  SELECT CAST(sum(s_rfp) AS BIGINT) AS g_rfp,
+       |    CAST(sum(n_tokens) AS BIGINT) AS g_n
+       |  FROM pd
+       |)
+       |SELECT doc_id, lang, n_tokens, logw_bits,
+       |  CAST(logw_bits AS DOUBLE) / n_tokens AS bits_per_token,
+       |  CAST(s_rfp AS DOUBLE) / n_tokens / 1000000.0 AS mean_ratio,
+       |  s_rfp * g_n > g_rfp * n_tokens AS selected
+       |FROM pd CROSS JOIN g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_select" -> (dsirSelect _),
     "corpus_drift" -> (corpusDrift _),
     "mixture_plan" -> (mixturePlan _),
     "dedup_clusters" -> (dedupClusters _),
@@ -848,6 +982,7 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "dsir_select" -> dsirSelectSql,
     "corpus_drift" -> corpusDriftSql,
     "mixture_plan" -> mixturePlanSql,
     "dedup_clusters" -> dedupClustersSql,

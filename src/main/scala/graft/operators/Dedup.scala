@@ -223,10 +223,10 @@ object Dedup {
 
   /** Portable 60-bit hash of a string, salted: both engines read the first
     * 15 hex chars of md5 as an unsigned integer. */
-  private def h60(salt: Column, s: Column): Column =
+  private[operators] def h60(salt: Column, s: Column): Column =
     conv(substring(md5(concat(salt, lit(":"), s)), 1, 15), 16, 10).cast("long")
 
-  private def h60Sql(salt: String, s: String): String =
+  private[operators] def h60Sql(salt: String, s: String): String =
     s"CAST(('0x' || substr(md5($salt || ':' || $s), 1, 15)) AS BIGINT)"
 
   private val hashPrime = 2147483647L // 2^31 - 1 (Mersenne)
