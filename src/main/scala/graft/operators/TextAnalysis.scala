@@ -1019,7 +1019,140 @@ object TextAnalysis {
        |  CAST(sum(k * p_fp) AS DOUBLE) / sum(k) / 1000000000.0 AS mean_p
        |FROM sc GROUP BY 1""".stripMargin
 
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rule set (Rae et al. 2021, App. A1.1)
+    * as a per-document flag REPORT — each rule its own boolean plus the
+    * measured quantity, with `pass` = all rules, so a pipeline can both
+    * filter and audit WHICH rule kills a document (the flag histogram is
+    * how the thresholds get tuned on a new corpus):
+    *
+    *   1. 50 ≤ word count ≤ 100,000
+    *   2. 3 ≤ mean word length ≤ 10
+    *   3. symbol-to-word ratio (# and ellipsis) < 0.1
+    *   4. < 90% of lines start with a bullet
+    *   5. < 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 distinct Gopher stopwords present
+    *
+    * On this fixture corpus (space-separated word soup: no newlines, no
+    * punctuation) rules 3–5 are exercised only by the oracle, not the
+    * data; rule 1 splits the corpus ~55/45, and rule 7 REJECTS it
+    * wholesale (the synthetic vocabulary contains only "the" from
+    * Gopher's list, so n_stop_hits ≤ 1 everywhere and `pass` is
+    * all-false) — which is precisely what the per-rule flags are for:
+    * the histogram immediately shows WHICH threshold needs retuning
+    * before the filter is pointed at a new domain.
+    *
+    * Exactness: words are whitespace tokens (Gopher counts words, not
+    * the engine's [^a-z0-9] tokens); every threshold is an INTEGER
+    * cross-multiplied inequality (3w ≤ chars ≤ 10w, 10·sym < w,
+    * 10·bullets < 9·lines, 5·alpha ≥ 4·w) — no float compare crosses
+    * engines; the two display ratios are one division each. Wordless
+    * docs emit no row (absence-is-reject, as [[textStats]]).
+    *
+    * Scale shape: pure per-row projection + filter, no shuffle at all —
+    * the 100 TB plan is scan→project→filter fused in one codegen
+    * stage. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val lines = split(col("text"), "\n")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), ws.as("ws"), lines.as("lines"))
+      .withColumn("w", size(col("ws")).cast("long"))
+      .filter(col("w") > 0L)
+      .withColumn("chars",
+        aggregate(col("ws"), lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_alpha",
+        size(filter(col("ws"), x => x.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(col("lines"), l =>
+          ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+            ltrim(l).startsWith("•"))).cast("long"))
+      .withColumn("n_ell_end",
+        size(filter(col("lines"), l =>
+          rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long"))
+      .withColumn("n_sym",
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))
+          + (length(col("text"))
+            - length(replace(col("text"), lit("..."), lit("")))) / 3
+          + (length(col("text"))
+            - length(replace(col("text"), lit("…"), lit(""))))).cast("long"))
+      .withColumn("toks", array_distinct(transform(col("ws"), x => lower(x))))
+      .withColumn("n_stop_hits",
+        gopherStops.map(s => when(array_contains(col("toks"), s), 1L)
+          .otherwise(0L)).reduce(_ + _))
+    d.select(col("doc_id"), col("w").as("n_words"), col("n_lines"),
+        (col("chars").cast("double") / col("w")).as("mean_word_len"),
+        (col("n_alpha").cast("double") / col("w")).as("alpha_frac"),
+        col("n_stop_hits"),
+        (col("w") >= 50L && col("w") <= 100000L).as("ok_word_count"),
+        (col("chars") >= col("w") * 3L && col("chars") <= col("w") * 10L)
+          .as("ok_mean_word_len"),
+        (col("n_sym") * 10L < col("w")).as("ok_symbol_ratio"),
+        (col("n_bullet") * 10L < col("n_lines") * 9L).as("ok_bullet_lines"),
+        (col("n_ell_end") * 10L < col("n_lines") * 3L).as("ok_ellipsis_lines"),
+        (col("n_alpha") * 5L >= col("w") * 4L).as("ok_alpha_words"),
+        (col("n_stop_hits") >= 2L).as("ok_stopwords"))
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_bullet_lines") &&
+          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
+          col("ok_stopwords"))
+  }
+
+  val gopherRulesSql: String = {
+    val stopSum = gopherStops
+      .map(s => s"CASE WHEN list_contains(toks, '$s') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM documents
+       |), d1 AS (
+       |  SELECT doc_id, text, ws, lines,
+       |    CAST(len(ws) AS BIGINT) AS w,
+       |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS chars,
+       |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+       |      OR starts_with(ltrim(l), '*')
+       |      OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+       |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ell_end,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3
+       |      + (length(text) - length(replace(text, '…', '')))
+       |      AS BIGINT) AS n_sym,
+       |    list_distinct(list_transform(ws, x -> lower(x))) AS toks
+       |  FROM d0 WHERE len(ws) > 0
+       |), d2 AS (
+       |  SELECT *, CAST($stopSum AS BIGINT) AS n_stop_hits FROM d1
+       |)
+       |SELECT doc_id, w AS n_words, n_lines,
+       |  CAST(chars AS DOUBLE) / w AS mean_word_len,
+       |  CAST(n_alpha AS DOUBLE) / w AS alpha_frac,
+       |  n_stop_hits,
+       |  w >= 50 AND w <= 100000 AS ok_word_count,
+       |  chars >= w * 3 AND chars <= w * 10 AS ok_mean_word_len,
+       |  n_sym * 10 < w AS ok_symbol_ratio,
+       |  n_bullet * 10 < n_lines * 9 AS ok_bullet_lines,
+       |  n_ell_end * 10 < n_lines * 3 AS ok_ellipsis_lines,
+       |  n_alpha * 5 >= w * 4 AS ok_alpha_words,
+       |  n_stop_hits >= 2 AS ok_stopwords,
+       |  (w >= 50 AND w <= 100000) AND (chars >= w * 3 AND chars <= w * 10)
+       |    AND n_sym * 10 < w AND n_bullet * 10 < n_lines * 9
+       |    AND n_ell_end * 10 < n_lines * 3 AND n_alpha * 5 >= w * 4
+       |    AND n_stop_hits >= 2 AS pass
+       |FROM d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gopher_rules" -> (gopherRules _),
     "lm_perplexity" -> (lmPerplexity _),
     "token_ids" -> (tokenIds _),
     "quality_calibration" -> (qualityCalibration _),
@@ -1042,6 +1175,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "gopher_rules" -> gopherRulesSql,
     "lm_perplexity" -> lmPerplexitySql,
     "token_ids" -> tokenIdsSql,
     "quality_calibration" -> qualityCalibrationSql,
