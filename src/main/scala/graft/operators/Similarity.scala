@@ -213,6 +213,99 @@ object Similarity {
        |SELECT q_id, "rank", vec_id AS cand_id, CAST(id0 AS BIGINT) AS idot, sim_r
        |FROM r WHERE "rank" <= $topK""".stripMargin
 
+  private val matryoshkaLevels = Seq(32, 16)
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022 "Matryoshka
+    * Representation Learning"): how much cosine similarity — and how
+    * many retrieval DECISIONS — survive truncating embeddings to their
+    * d/2 and d/4 PREFIXES. MRL-trained models pack coarse semantics
+    * into the prefix so search can run at 2–4x less memory/bandwidth;
+    * this audit measures whether a given embedding column actually has
+    * that property before a pipeline switches its ANN tier to prefixes.
+    * Per level: pair count, mean/max |Δcosine| over the query×corpus
+    * grid (1e-6 fixed point), and `n_flips` — pairs whose range-search
+    * verdict at the [[annRangeSearch]] threshold would CHANGE under
+    * truncation (the decision-level error, which is what matters; these
+    * near-random fixtures have no MRL structure, so expect large
+    * deltas — the audit is what PROVES you can't truncate here).
+    *
+    * Exactness: both sims are the engine-identical dot/sqrt expression
+    * trees, 1e-6-rounded ([[simRound]]); the delta quantizes to 1e-6
+    * longs before the order-free sum. Zero-norm prefixes are dropped
+    * identically in both engines (the [[vecs]] contract, applied per
+    * level).
+    *
+    * Scale shape: same as the brute-force audit tier it instruments —
+    * broadcast queries over one corpus scan per level, 2-row output,
+    * no shuffle beyond the final tiny aggregate. */
+  def matryoshkaAudit(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    def level(prefix: Int): DataFrame = {
+      val a = all
+        .withColumn("pv", slice(col("v"), 1, prefix))
+        .withColumn("pnorm", sqrt(dot(col("pv"), col("pv"))))
+        .filter(col("pnorm") > 0.0)
+      val q = a.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("norm").as("qn"), col("pv").as("qpv"), col("pnorm").as("qpn"))
+      a.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sf", simRound(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+        .withColumn("sl", simRound(dot(col("qpv"), col("pv")) / (col("qpn") * col("pnorm"))))
+        .withColumn("d_fp",
+          floor(abs(col("sf") - col("sl")) * 1000000.0 + 0.5).cast("long"))
+        .withColumn("flip",
+          when((col("sf") >= rangeThreshold) =!= (col("sl") >= rangeThreshold), 1L)
+            .otherwise(0L))
+        .groupBy(lit(prefix).as("prefix_dim"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("d_fp").as("s_fp"), max("d_fp").as("m_fp"),
+          sum("flip").as("n_flips"))
+        .select(col("prefix_dim"), col("n_pairs"),
+          (col("s_fp").cast("double") / col("n_pairs") / 1000000.0)
+            .as("mean_abs_delta"),
+          (col("m_fp").cast("double") / 1000000.0).as("max_abs_delta"),
+          col("n_flips"))
+    }
+    matryoshkaLevels.map(level).reduce(_.union(_))
+  }
+
+  val matryoshkaAuditSql: String = {
+    def levelSql(prefix: Int): String = {
+      val pv = s"v[1:$prefix]"
+      val pd = dotSql("q.qpv", "c.pv")
+      val fd = dotSql("q.qv", "c.v")
+      s"""SELECT * FROM (
+         |WITH a$prefix AS (
+         |  SELECT vec_id, v, norm, $pv AS pv,
+         |    sqrt(${dotSql(pv, pv)}) AS pnorm
+         |  FROM vn
+         |), af$prefix AS (
+         |  SELECT * FROM a$prefix WHERE pnorm > 0.0
+         |), q$prefix AS (
+         |  SELECT vec_id AS q_id, v AS qv, norm AS qn, pv AS qpv, pnorm AS qpn
+         |  FROM af$prefix WHERE vec_id < $numQueries
+         |), p$prefix AS (
+         |  SELECT
+         |    ${simRoundSql(s"$fd / (q.qn * c.norm)")} AS sf,
+         |    ${simRoundSql(s"$pd / (q.qpn * c.pnorm)")} AS sl
+         |  FROM af$prefix c CROSS JOIN q$prefix q WHERE c.vec_id <> q.q_id
+         |), d$prefix AS (
+         |  SELECT CAST(floor(abs(sf - sl) * 1000000.0 + 0.5) AS BIGINT) AS d_fp,
+         |    CASE WHEN (sf >= $rangeThreshold) <> (sl >= $rangeThreshold)
+         |      THEN 1 ELSE 0 END AS flip
+         |  FROM p$prefix
+         |)
+         |SELECT $prefix AS prefix_dim, count(*) AS n_pairs,
+         |  CAST(sum(d_fp) AS DOUBLE) / count(*) / 1000000.0 AS mean_abs_delta,
+         |  CAST(max(d_fp) AS DOUBLE) / 1000000.0 AS max_abs_delta,
+         |  CAST(sum(flip) AS BIGINT) AS n_flips
+         |FROM d$prefix)""".stripMargin
+    }
+    s"""WITH $vecsSql
+       |${matryoshkaLevels.map(levelSql).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private val pairThreshold = 0.45
 
   /** Block count for the exact-pairs grid join: per-task memory is
@@ -1964,6 +2057,7 @@ object Similarity {
     "ann_hard_negatives" -> (annHardNegatives _),
     "ann_range_search" -> (annRangeSearch _),
     "ann_sq8_topk" -> (annSq8Topk _),
+    "embedding_matryoshka_audit" -> (matryoshkaAudit _),
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_neardup_pairs" -> (neardupPairs _),
@@ -1986,6 +2080,7 @@ object Similarity {
     "ann_hard_negatives" -> annHardNegativesSql,
     "ann_range_search" -> annRangeSearchSql,
     "ann_sq8_topk" -> annSq8TopkSql,
+    "embedding_matryoshka_audit" -> matryoshkaAuditSql,
     "embedding_norm_stats" -> embeddingNormStatsSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "embedding_neardup_pairs" -> neardupPairsSql,

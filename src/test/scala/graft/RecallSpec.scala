@@ -81,6 +81,21 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("matryoshka audit: distortion grows monotonically as the prefix shrinks") {
+    val rows = Similarity.matryoshkaAudit(spark, dir)
+      .select("prefix_dim", "n_pairs", "mean_abs_delta", "max_abs_delta", "n_flips")
+      .as[(Int, Long, Double, Double, Long)].collect().sortBy(-_._1)
+    assert(rows.map(_._1).toSeq == Seq(32, 16))
+    val Seq(h, q) = rows.toSeq
+    assert(h._2 == q._2 && h._2 > 0, "same pair grid at both levels")
+    // halving the kept dims again must not DECREASE any distortion stat
+    assert(q._3 >= h._3 && q._4 >= h._4 && q._5 >= h._5,
+      s"d/4 must distort at least as much as d/2: $rows")
+    // near-random fixtures have no MRL structure: the audit must say NO
+    // (substantial decision flips), not rubber-stamp truncation
+    assert(h._5 > 0, "expected range-verdict flips on non-MRL embeddings")
+  }
+
   test("IVF-PQ: compressed-store scoring holds recall vs the exact index") {
     // Two floors. (1) vs brute force: the PQ tier searches the same cells
     // as annIvfTopk, so its bf-recall ceiling IS the ivf number — pin that
