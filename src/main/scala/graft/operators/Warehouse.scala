@@ -1214,9 +1214,12 @@ object Warehouse {
           .select("n_nationkey")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name")
+    // output carries the KEY alongside the display name: replicated
+    // fixtures (MakeSfN) duplicate s_name across suppkey ranges, so a
+    // name-grouped result would silently merge distinct suppliers
     perOrder.groupBy("late_supp").agg(count(lit(1)).as("numwait"))
       .join(broadcast(sAsia), col("late_supp") === col("s_suppkey"))
-      .select("s_name", "numwait")
+      .select("s_suppkey", "s_name", "numwait")
   }
 
   val q21Sql: String =
@@ -1231,13 +1234,13 @@ object Warehouse {
       |  WHERE o_orderstatus = 'F'
       |  GROUP BY 1
       |)
-      |SELECT s_name, count(*) AS numwait
+      |SELECT s_suppkey, s_name, count(*) AS numwait
       |FROM per_order
       |JOIN supplier ON late_supp = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
       |WHERE nsupp > 1 AND nlate = 1
-      |GROUP BY 1""".stripMargin
+      |GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q8_market_share" -> (q8MarketShare _),
