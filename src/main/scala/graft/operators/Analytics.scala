@@ -1017,7 +1017,100 @@ object Analytics {
       |  active_days
       |FROM a CROSS JOIN clock""".stripMargin
 
+  private val hllM = 64L // 2^6 registers; std err ~1.04/sqrt(64) = 13%
+  private val hllAlpha = 0.709 // the HLL alpha_m constant for m = 64
+
+  /** PORTABLE HyperLogLog distinct-count audit — the answer to
+    * [[eventTypeReach]]'s scaladoc caveat that Spark's built-in
+    * `approx_count_distinct` sketch cannot be hash-compared across
+    * engines: this one can, because every register operation is exact
+    * integer math over the engine-portable [[Dedup.h60]] hash. Per
+    * event type: the HLL raw estimate from m=64 registers NEXT TO the
+    * exact distinct count and the relative error — the sketch-accuracy
+    * audit shape ([[Dedup.minhashAccuracy]] precedent) that tells a
+    * 100 TB deployment whether the constant-memory path is safe per
+    * group.
+    *
+    *  - register: bkt = h % 64, rho = leading-zero count of the
+    *    remaining 54-bit window + 1 = 55 − bitlength (integer, via
+    *    `bin()`); per-(type, bkt) MAX is order-free — the MERGEABLE
+    *    sketch property that makes HLL the 1000-executor cardinality
+    *    tool (map-side partial max, 64 longs per group crossing the
+    *    wire, vs the exact path's distinct-pair shuffle).
+    *  - harmonic denominator in fixed point: Σ_b 2^(50−M_b) as exact
+    *    longs (empty registers contribute 2^50; 2^50 rather than 2^60
+    *    keeps the 64-register sum under 2^57 — no int64 overflow — and
+    *    both engines truncate the >>-beyond-50 tail identically, a
+    *    <2^-44 relative perturbation), so the only float ops
+    *    are the final constant multiply and ONE division — identical
+    *    bits either engine; `ln`-based small-range correction is
+    *    deliberately omitted (house no-transcendentals rule), which the
+    *    audit itself justifies: rel_err is reported, not assumed. */
+  def hllDistinctAudit(spark: SparkSession, dir: String): DataFrame = {
+    val key = coalesce(col("user_id").cast("string"), lit("__unknown__"))
+    val h = Dedup.h60(lit("hll"), key)
+    val regs = Tables.events(spark, dir)
+      .select(col("event_type"), (h % hllM).as("bkt"), (h / hllM).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("w"))).cast("long")))
+      .groupBy("event_type", "bkt").agg(max("rho").as("mx"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftright(1125899906842624, mx)")).as("s_present"))
+      .withColumn("s",
+        col("s_present") + (lit(hllM) - col("n_regs")) * 1125899906842624L)
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(coalesce(col("user_id").cast("string"),
+        lit("__unknown__"))).as("n_exact"))
+    regs.join(broadcast(exact), "event_type")
+      .select(col("event_type"), lit(hllM).as("m"), col("n_exact"),
+        (lit(hllM) - col("n_regs")).as("v_zero"),
+        (lit(hllAlpha) * lit(4096.0) * lit(1.125899906842624e15)
+          / col("s").cast("double")).as("est_raw"))
+      .withColumn("rel_err",
+        abs(col("est_raw") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"))
+  }
+
+  val hllDistinctAuditSql: String =
+    s"""WITH k AS (
+       |  SELECT event_type,
+       |    ${Dedup.h60Sql("'hll'", "coalesce(CAST(user_id AS VARCHAR), '__unknown__')")} AS h
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, h % $hllM AS bkt,
+       |    CASE WHEN h // $hllM = 0 THEN 55
+       |      ELSE 55 - length(bin(h // $hllM)) END AS rho
+       |  FROM k
+       |), mr AS (
+       |  SELECT event_type, bkt, max(rho) AS mx FROM r GROUP BY 1, 2
+       |), s AS (
+       |  SELECT event_type, count(*) AS n_regs,
+       |    CAST(sum(1125899906842624 >> mx) AS BIGINT)
+       |      + ($hllM - count(*)) * 1125899906842624 AS s
+       |  FROM mr GROUP BY 1
+       |), x AS (
+       |  SELECT event_type,
+       |    count(DISTINCT coalesce(CAST(user_id AS VARCHAR), '__unknown__'))
+       |      AS n_exact
+       |  FROM events GROUP BY 1
+       |), e AS (
+       |  SELECT s.event_type, CAST($hllM AS BIGINT) AS m, x.n_exact,
+       |    $hllM - n_regs AS v_zero,
+       |    CAST($hllAlpha AS DOUBLE) * CAST(4096 AS DOUBLE)
+       |      * CAST(1125899906842624 AS DOUBLE) / CAST(s AS DOUBLE)
+       |      AS est_raw
+       |  FROM s JOIN x ON s.event_type = x.event_type
+       |)
+       |SELECT event_type, m, n_exact, v_zero, est_raw,
+       |  abs(est_raw - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+       |    AS rel_err
+       |FROM e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_distinct_audit" -> (hllDistinctAudit _),
     "user_rfm_features" -> (userRfmFeatures _),
     "seasonal_alerts" -> (seasonalAlerts _),
     "hourly_gapfill" -> (hourlyGapfill _),
@@ -1052,6 +1145,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "hll_distinct_audit" -> hllDistinctAuditSql,
     "user_rfm_features" -> userRfmFeaturesSql,
     "seasonal_alerts" -> seasonalAlertsSql,
     "hourly_gapfill" -> hourlyGapfillSql,

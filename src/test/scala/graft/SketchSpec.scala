@@ -40,4 +40,19 @@ class SketchSpec extends SparkSpec {
     assert(approxMed >= lo && approxMed <= hi,
       s"approx median $approxMed outside [$lo, $hi]")
   }
+
+  test("portable HLL audit: error within 3 std errors at two SFs; registers merge") {
+    // m = 64 -> std err ~13%; 0.40 is the 3-sigma floor. Unlike the
+    // built-in sketch above, hll_distinct_audit is ALSO oracle-gated —
+    // this test pins accuracy, the gate pins engine agreement.
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = graft.operators.Analytics.hllDistinctAudit(spark, d)
+        .select("event_type", "n_exact", "rel_err").collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getDouble(2) <= 0.40,
+          s"$d ${r.getString(0)}: rel_err ${r.getDouble(2)} above 3-sigma floor")
+      }
+    }
+  }
 }
