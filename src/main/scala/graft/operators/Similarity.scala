@@ -306,6 +306,132 @@ object Similarity {
        |${matryoshkaLevels.map(levelSql).mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  private val pcaIters = 8
+  private val pcaDim = 64
+
+  /** Top-principal-component extraction by DISTRIBUTED power iteration —
+    * the data-adaptive companion to [[jlDistortion]]'s oblivious
+    * projection audit: what fraction of the embedding variance does one
+    * direction explain? (On an MRL-style or anisotropic embedding this
+    * drives whitening / dimension-dropping decisions; on these
+    * near-random fixtures it reports the null answer ~1/64, which is
+    * itself the audit.) The covariance matrix is NEVER formed: each of
+    * the 8 unrolled iterations computes u = Σ_rows (x·w)·x directly,
+    * which is one corpus pass — the O(n·d) plan that scales to 100 TB,
+    * vs the O(n·d²) Gram accumulation.
+    *
+    * Cross-engine exactness (the [[trainedCents]] discipline, fully
+    * distributed this time): inter-ROW sums are the only
+    * order-sensitive float reductions, so every per-row contribution
+    * quantizes to 1e-6 fixed-point longs first — the mean vector, the
+    * trace, and each iteration's 64 accumulator components are
+    * order-free long sums; within-row folds (x·w, ‖u‖²) are the
+    * ascending-index IEEE chain both engines share ([[dot]]/[[dotSql]]).
+    * Start vector e₁, fixed 8 iterations, no convergence test — the
+    * iteration count IS the spec. λ₁ = ‖u₈‖/n, share = λ₁·n/Σ‖x‖².
+    *
+    * Scale shape: per iteration, one scan emitting 64-key partial
+    * aggregates (map-side combined; nothing wider than (j, long)
+    * crosses the wire) and a 1-row broadcast of w back out. The
+    * corpus is re-scanned per iteration by design — at 100 TB you
+    * cache/checkpoint the centered frame; here lineage re-read keeps
+    * the operator stateless for the oracle. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dims = raw.select(posexplode(col("v")).as(Seq("j", "vj")))
+      .groupBy("j")
+      .agg(sum(floor(col("vj") * 1000000.0 + 0.5).cast("long")).as("sfp"),
+        count(lit(1)).as("nn"))
+    val mu = dims
+      .agg(sort_array(collect_list(struct(col("j"), col("sfp")))).as("a"),
+        max("nn").as("n"))
+      .select(transform(col("a"),
+        e => e("sfp").cast("double") / 1000000.0 / col("n")).as("mu"), col("n"))
+    val xs = raw.crossJoin(broadcast(mu))
+      .select(col("vec_id"), zip_with(col("v"), col("mu"), (a, b) => a - b).as("x"))
+    val trace = xs.agg(
+      sum(floor(dot(col("x"), col("x")) * 1000000.0 + 0.5).cast("long")).as("trfp"))
+    val w0 = mu.select(transform(sequence(lit(1), lit(pcaDim)),
+      i => when(i === 1, 1.0).otherwise(0.0)).as("w"))
+    val wFinal = (1 to pcaIters).foldLeft(w0) { case (w, _) =>
+      xs.crossJoin(broadcast(w))
+        .withColumn("s", dot(col("x"), col("w")))
+        .select(col("s"), posexplode(col("x")).as(Seq("j", "xj")))
+        .groupBy("j")
+        .agg(sum(floor(col("s") * col("xj") * 1000000.0 + 0.5).cast("long")).as("su"))
+        .agg(sort_array(collect_list(struct(col("j"), col("su")))).as("a"))
+        .select(transform(col("a"), e => e("su").cast("double") / 1000000.0).as("u"))
+        .withColumn("nrm", sqrt(dot(col("u"), col("u"))))
+        .select(transform(col("u"), e => e / col("nrm")).as("w"), col("nrm"))
+    }
+    wFinal.crossJoin(broadcast(trace)).crossJoin(broadcast(mu.select("n")))
+      .select(col("n"),
+        (col("trfp").cast("double") / 1000000.0 / col("n")).as("trace_mean"),
+        (col("nrm") / col("n")).as("lambda1"),
+        (col("nrm") / (col("trfp").cast("double") / 1000000.0)).as("var_share"),
+        simRound(element_at(col("w"), 1)).as("w1"),
+        simRound(element_at(col("w"), 2)).as("w2"),
+        simRound(element_at(col("w"), 3)).as("w3"),
+        simRound(element_at(col("w"), 4)).as("w4"))
+  }
+
+  val pcaPowerSql: String = {
+    val dotL = (a: String, b: String) =>
+      s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
+    val iters = (1 to pcaIters).map { t =>
+      val prev = if (t == 1) "w0" else s"wn${t - 1}"
+      s"""s$t AS (
+         |  SELECT x, ${dotL("x", "w")} AS s FROM xc CROSS JOIN $prev
+         |), u$t AS (
+         |  SELECT g.j,
+         |    CAST(sum(CAST(floor(s * x[g.j] * 1000000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS su
+         |  FROM s$t, (SELECT unnest(generate_series(1, $pcaDim)) AS j) g
+         |  GROUP BY 1
+         |), l$t AS (
+         |  SELECT list(CAST(su AS DOUBLE) / 1000000.0 ORDER BY j) AS u FROM u$t
+         |), n$t AS (
+         |  SELECT u, sqrt(${dotL("u", "u")}) AS nrm FROM l$t
+         |), wn$t AS (
+         |  SELECT list_transform(u, e -> e / nrm) AS w, nrm FROM n$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), dm AS (
+       |  SELECT g.j,
+       |    CAST(sum(CAST(floor(v[g.j] * 1000000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS sfp,
+       |    count(*) AS nn
+       |  FROM v0, (SELECT unnest(generate_series(1, $pcaDim)) AS j) g
+       |  GROUP BY 1
+       |), mu AS (
+       |  SELECT list(CAST(sfp AS DOUBLE) / 1000000.0 / nn ORDER BY j) AS mu,
+       |    max(nn) AS n
+       |  FROM dm
+       |), xc AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, $pcaDim), i -> v[i] - mu[i]) AS x
+       |  FROM v0 CROSS JOIN mu
+       |), tr AS (
+       |  SELECT CAST(sum(CAST(floor(${dotL("x", "x")} * 1000000.0 + 0.5)
+       |    AS BIGINT)) AS BIGINT) AS trfp
+       |  FROM xc
+       |), w0 AS (
+       |  SELECT list_transform(generate_series(1, $pcaDim),
+       |    i -> CASE WHEN i = 1 THEN CAST(1 AS DOUBLE)
+       |      ELSE CAST(0 AS DOUBLE) END) AS w
+       |),
+       |$iters
+       |SELECT n, CAST(trfp AS DOUBLE) / 1000000.0 / n AS trace_mean,
+       |  nrm / n AS lambda1,
+       |  nrm / (CAST(trfp AS DOUBLE) / 1000000.0) AS var_share,
+       |  ${simRoundSql("w[1]")} AS w1, ${simRoundSql("w[2]")} AS w2,
+       |  ${simRoundSql("w[3]")} AS w3, ${simRoundSql("w[4]")} AS w4
+       |FROM wn$pcaIters CROSS JOIN tr CROSS JOIN (SELECT n FROM mu)""".stripMargin
+  }
+
   private val pairThreshold = 0.45
 
   /** Block count for the exact-pairs grid join: per-task memory is
@@ -2058,6 +2184,7 @@ object Similarity {
     "ann_range_search" -> (annRangeSearch _),
     "ann_sq8_topk" -> (annSq8Topk _),
     "embedding_matryoshka_audit" -> (matryoshkaAudit _),
+    "embedding_pca_power" -> (pcaPower _),
     "embedding_norm_stats" -> (embeddingNormStats _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_neardup_pairs" -> (neardupPairs _),
@@ -2081,6 +2208,7 @@ object Similarity {
     "ann_range_search" -> annRangeSearchSql,
     "ann_sq8_topk" -> annSq8TopkSql,
     "embedding_matryoshka_audit" -> matryoshkaAuditSql,
+    "embedding_pca_power" -> pcaPowerSql,
     "embedding_norm_stats" -> embeddingNormStatsSql,
     "embedding_quantize" -> embeddingQuantizeSql,
     "embedding_neardup_pairs" -> neardupPairsSql,
