@@ -1151,7 +1151,74 @@ object TextAnalysis {
        |FROM d2""".stripMargin
   }
 
+  private val cmsDepth = 4
+  private val cmsWidth = 256L
+  private val cmsTopK = 20
+
+  /** Count-Min Sketch heavy-hitter AUDIT — third member of the portable
+    * sketch-accuracy family ([[Dedup.minhashAccuracy]],
+    * [[Analytics.hllDistinctAudit]]): build a 4×256 CMS over the term
+    * stream, then report, for the top-20 EXACT heavy hitters, the
+    * sketch estimate next to the truth. CMS never underestimates
+    * (est ≥ exact, a hard invariant the oracle enforces row-by-row) and
+    * overestimates by collision mass; `over` is what tells a 100 TB
+    * deployment whether 4 KB of counters suffices for its skew
+    * monitoring, BEFORE it swaps the exact vocab aggregate for the
+    * sketch. Everything is integer arithmetic over [[Dedup.h60]] —
+    * exactly reproducible in any engine, unlike library sketches.
+    *
+    * Scale shape: counters are a (depth×width)-bounded aggregate
+    * (map-side combined; 1024 rows broadcast back); the exact top-k is
+    * the [[vocabTopk]] TakeOrdered shape. The sketch side never
+    * shuffles more than 1024 keys — that's the CMS deployment point:
+    * per-executor partial counters merge by ADDITION. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+    val rows = (0 until cmsDepth).map { k =>
+      terms.select(lit(k).as("k"),
+        pmod(Dedup.h60(lit(s"cms$k"), col("term")), lit(cmsWidth)).as("bkt"))
+    }.reduce(_.union(_))
+    val counters = rows.groupBy("k", "bkt").agg(count(lit(1)).as("cnt"))
+    val top = terms.groupBy("term").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("term")).limit(cmsTopK)
+    val probes = (0 until cmsDepth).map { k =>
+      top.select(col("term"), col("exact"), lit(k).as("k"),
+        pmod(Dedup.h60(lit(s"cms$k"), col("term")), lit(cmsWidth)).as("bkt"))
+    }.reduce(_.union(_))
+    probes.join(broadcast(counters), Seq("k", "bkt"))
+      .groupBy("term", "exact")
+      .agg(min("cnt").as("est"))
+      .select(col("term"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("over"))
+  }
+
+  val cmsHeavyHittersSql: String = {
+    val rowSel = (0 until cmsDepth).map { k =>
+      s"SELECT $k AS k, ${Dedup.h60Sql(s"'cms$k'", "term")} % $cmsWidth AS bkt FROM t"
+    }.mkString("\n  UNION ALL ")
+    val probeSel = (0 until cmsDepth).map { k =>
+      s"SELECT term, exact, $k AS k, ${Dedup.h60Sql(s"'cms$k'", "term")} % $cmsWidth AS bkt FROM top"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT unnest(${tokensSql("text")}) AS term FROM documents
+       |), r AS (
+       |  $rowSel
+       |), counters AS (
+       |  SELECT k, bkt, count(*) AS cnt FROM r GROUP BY 1, 2
+       |), top AS (
+       |  SELECT term, count(*) AS exact FROM t GROUP BY 1
+       |  ORDER BY exact DESC, term LIMIT $cmsTopK
+       |), p AS (
+       |  $probeSel
+       |)
+       |SELECT term, exact, min(cnt) AS est, min(cnt) - exact AS over
+       |FROM p JOIN counters USING (k, bkt)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "gopher_rules" -> (gopherRules _),
     "lm_perplexity" -> (lmPerplexity _),
     "token_ids" -> (tokenIds _),
@@ -1175,6 +1242,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "gopher_rules" -> gopherRulesSql,
     "lm_perplexity" -> lmPerplexitySql,
     "token_ids" -> tokenIdsSql,

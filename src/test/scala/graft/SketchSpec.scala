@@ -41,6 +41,25 @@ class SketchSpec extends SparkSpec {
       s"approx median $approxMed outside [$lo, $hi]")
   }
 
+  test("CMS audit: estimates never underestimate; overestimate bounded by collision mass") {
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = graft.operators.TextAnalysis.cmsHeavyHitters(spark, d)
+        .select("term", "exact", "est", "over").collect()
+      assert(rows.length == 20)
+      val totalTerms = Tables.documents(spark, d)
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
+        .count()
+      rows.foreach { r =>
+        val (exact, over) = (r.getLong(1), r.getLong(3))
+        assert(over >= 0L, s"$d ${r.getString(0)}: CMS underestimated")
+        // expected collision mass per cell ~ N/width; 4 independent rows
+        // taking the min should stay well under 8x that
+        assert(over <= totalTerms / 256 * 8,
+          s"$d ${r.getString(0)}: over $over vs exact $exact implausible")
+      }
+    }
+  }
+
   test("portable HLL audit: error within 3 std errors at two SFs; registers merge") {
     // m = 64 -> std err ~13%; 0.40 is the 3-sigma floor. Unlike the
     // built-in sketch above, hll_distinct_audit is ALSO oracle-gated —
