@@ -1217,7 +1217,67 @@ object TextAnalysis {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Tokenizer ROUND-TRIP audit — the integrity check every tokenizer
+    * pipeline runs before training: decode(encode(doc)) must reproduce
+    * the original token stream for EVERY document. BPE merges only glue
+    * adjacent tokens (a piece "a b" decodes by construction), so a
+    * mismatch here means merge-table corruption, a sentinel collision,
+    * or an encode/train drift — the failure modes that silently poison
+    * a corpus. Also reports the compression the merge table actually
+    * bought (pieces per token < 1 iff merges fired).
+    *
+    * Decode is piece-concatenation with single spaces; comparison is by
+    * md5 so full texts never cross the shuffle (the [[corpusScrub]]
+    * idiom). Trained state is the memoized [[trainedBpe]] artifact —
+    * the audit costs one join over it, not a retrain. */
+  def bpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val (state, _) = trainedBpe(spark, dir)
+    val piecesCol = expr(
+      s"filter(split(substring(s, 2, length(s) - 2), '$bpeE$bpeS'), x -> x <> '')")
+    val enc = state.select(col("doc_id"), piecesCol.as("pieces"))
+      .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"),
+        md5(array_join(col("pieces"), " ")).as("rmd5"))
+    val orig = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("toks"), " ")).as("omd5"))
+    enc.join(orig, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rmd5") === col("omd5"), 1L).otherwise(0L)).as("n_match"),
+        sum("n_pieces").as("n_pieces"), sum("n_tokens").as("n_tokens"))
+      .select(col("n_docs"), col("n_match"), col("n_pieces"), col("n_tokens"),
+        (col("n_pieces").cast("double") / col("n_tokens")).as("pieces_per_token"))
+  }
+
+  // NOTE: bpeChainCtes must be concatenated AFTER stripMargin (the
+  // bpeMergeTableSql idiom) — its lines starting with `||` would lose a
+  // pipe to stripMargin if interpolated into this string first.
+  val bpeRoundtripSql: String =
+    s"WITH $bpeChainCtes,\n" +
+    s"""enc AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(substr(s, 2, length(s) - 2),
+       |      chr(3) || chr(2)), x -> x <> '') AS pieces
+       |  FROM t$bpeRounds
+       |), e2 AS (
+       |  SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |    md5(array_to_string(pieces, ' ')) AS rmd5
+       |  FROM enc
+       |), o AS (
+       |  SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |    md5(array_to_string(${tokensSql("text")}, ' ')) AS omd5
+       |  FROM documents WHERE len(${tokensSql("text")}) >= 1
+       |)
+       |SELECT count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN rmd5 = omd5 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_pieces) AS DOUBLE) / sum(n_tokens) AS pieces_per_token
+       |FROM e2 JOIN o USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_roundtrip" -> (bpeRoundtrip _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "gopher_rules" -> (gopherRules _),
     "lm_perplexity" -> (lmPerplexity _),
@@ -1242,6 +1302,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "bpe_roundtrip" -> bpeRoundtripSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "gopher_rules" -> gopherRulesSql,
     "lm_perplexity" -> lmPerplexitySql,

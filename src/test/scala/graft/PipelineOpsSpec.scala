@@ -560,4 +560,15 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r._7 == es.map(_._2 / 86400).distinct.length)
     }
   }
+
+  test("bpe_roundtrip: every document decodes exactly; merges compress") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val r = graft.operators.TextAnalysis.bpeRoundtrip(spark, d).collect()(0)
+      val (nDocs, nMatch, nPieces, nTokens) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDocs > 0 && nMatch == nDocs, s"$d: $nMatch/$nDocs round-trips")
+      assert(nPieces < nTokens, s"$d: merge table bought no compression")
+      assert(r.getDouble(4) == nPieces.toDouble / nTokens)
+    }
+  }
 }
