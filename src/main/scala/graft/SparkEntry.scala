@@ -97,6 +97,7 @@ object SparkEntry {
     "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resize(s, dir)),
     "multimodal_phash_dedup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
+    "multimodal_phash_clusters" -> ((s, dir) => Multimodal.phashClusters(s, dir)),
   ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++
     TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries ++
     Retrieval.queries ++ Graph.queries
@@ -126,6 +127,7 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.framesSql,
     "multimodal_resize" -> Multimodal.resizeSql,
     "multimodal_phash_dedup" -> Multimodal.phashDedupSql,
+    "multimodal_phash_clusters" -> Multimodal.phashClustersSql,
     "props_threshold" ->
       """SELECT event_id,
         |  coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",

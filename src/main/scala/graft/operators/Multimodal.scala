@@ -392,4 +392,51 @@ object Multimodal {
        |    b -> CAST(len(list_filter(byts, x -> x % $histBuckets = b)) AS VARCHAR)), ',') AS hist_csv,
        |  md5(array_to_string(fr_md5s, '')) AS frames_digest
        |FROM s""".stripMargin
+
+  /** Image duplicate CLUSTERS — [[phashDedup]]'s pairs closed into
+    * connected components, the same pairs→keeper step the TEXT family
+    * runs ([[Corpus.dedupClusters]]): a media item re-encoded or resized
+    * k times forms one k-clique of near-identical perceptual hashes, and
+    * deduping keeps one member per COMPONENT, not per pair. Output is
+    * the per-cluster profile a dedup pass is judged by: member count,
+    * edge count, and the worst intra-cluster Hamming distance
+    * (max_hamming near the [[phashHammingMax]] threshold flags chains —
+    * A~B~C where A,C are NOT near — exactly the transitive-closure
+    * artifact to audit before deleting members).
+    *
+    * Scale shape: min-label propagation over the banded candidate
+    * pairs ([[Corpus.components]]: id-keyed joins + localCheckpoint per
+    * round, O(log diameter) rounds); the profile is two tiny aggregates
+    * on cluster_id. Only pair endpoints enter the loop — singleton
+    * media never shuffles. */
+  def phashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.eager(phashDedup(spark, dir))
+    val labels = Corpus.components(pairs.select("d1", "d2"))
+    val prof = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val es = pairs.join(labels, pairs("d1") === labels("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_edges"), max("hamming").as("max_hamming"))
+    prof.join(es, "cluster_id")
+  }
+
+  def phashClustersSql: String =
+    s"""WITH RECURSIVE pp AS MATERIALIZED (
+       |  SELECT * FROM ($phashDedupSql)
+       |), edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pp
+       |  UNION SELECT d2, d1 FROM pp
+       |), reach(doc_id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+       |), cl AS (
+       |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+       |), prof AS (
+       |  SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY 1
+       |), es AS (
+       |  SELECT cl.cluster_id, count(*) AS n_edges, max(pp.hamming) AS max_hamming
+       |  FROM pp JOIN cl ON pp.d1 = cl.doc_id GROUP BY 1
+       |)
+       |SELECT cluster_id, n_members, n_edges, max_hamming
+       |FROM prof JOIN es USING (cluster_id)""".stripMargin
 }
