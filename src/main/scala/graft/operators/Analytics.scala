@@ -1050,7 +1050,12 @@ object Analytics {
     val key = coalesce(col("user_id").cast("string"), lit("__unknown__"))
     val h = Dedup.h60(lit("hll"), key)
     val regs = Tables.events(spark, dir)
-      .select(col("event_type"), (h % hllM).as("bkt"), (h / hllM).as("w"))
+      // `div`, not `/`: Column./ on longs is DOUBLE division, and h
+      // reaches 2^60 — the 54-bit quotient would round in the mantissa
+      // and could flip a register's bit length at dyadic boundaries
+      .withColumn("h", h)
+      .select(col("event_type"), (col("h") % hllM).as("bkt"),
+        expr(s"h div $hllM").as("w"))
       .withColumn("rho",
         when(col("w") === 0L, lit(55L))
           .otherwise(lit(55L) - length(bin(col("w"))).cast("long")))
