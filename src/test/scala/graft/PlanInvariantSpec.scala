@@ -129,6 +129,41 @@ class PlanInvariantSpec extends SparkSpec {
     assert(preAgg, s"orders are not pre-aggregated below the join:\n${plan.treeString}")
   }
 
+  test("gopher_rules: one fused codegen stage — zero exchanges, zero joins") {
+    val plan = formatted("gopher_rules")
+    def nodes(op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
+    assert(nodes("Exchange") == 0, plan)
+    assert(!plan.contains("Join"), plan)
+    // scan reads only the two referenced columns
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("dsir_select: the 1024-row model broadcasts; the corpus never joins big") {
+    val plan = formatted("dsir_select")
+    def nodes(op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
+    assert(nodes("BroadcastHashJoin") >= 1, plan)
+    assert(nodes("SortMergeJoin") == 0 && nodes("ShuffledHashJoin") == 0, plan)
+  }
+
+  test("lm_perplexity: model joins are term-keyed hash joins, never nested loops") {
+    val plan = formatted("lm_perplexity")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      // the 1-row V aggregate legitimately broadcasts as NLJ
+      """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).length <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("hll_distinct_audit: register aggregation is map-side combined (partial max)") {
+    val plan = formatted("hll_distinct_audit")
+    // two-phase agg: partial HashAggregate before the exchange means only
+    // (type, bkt, max) rows — never raw events — cross the wire
+    assert("partial_max|PartialMerge|partial".r.findFirstIn(plan.toLowerCase).isDefined, plan)
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
