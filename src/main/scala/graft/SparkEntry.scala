@@ -100,7 +100,7 @@ object SparkEntry {
     "multimodal_phash_clusters" -> ((s, dir) => Multimodal.phashClusters(s, dir)),
   ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++
     TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries ++
-    Retrieval.queries ++ Graph.queries
+    Retrieval.queries ++ Graph.queries ++ Linkage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -137,5 +137,5 @@ object SparkEntry {
         |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50.0""".stripMargin,
   ) ++ Analytics.oracles ++ Warehouse.oracles ++ Dedup.oracles ++
     TextAnalysis.oracles ++ Similarity.oracles ++ Corpus.oracles ++
-    Retrieval.oracles ++ Graph.oracles
+    Retrieval.oracles ++ Graph.oracles ++ Linkage.oracles
 }

@@ -1114,7 +1114,70 @@ object Analytics {
        |    AS rel_err
        |FROM e""".stripMargin
 
+  /** EWMA smoothing horizon: weights 2^(20-j) for lag j = 1..20, i.e. a
+    * half-life of one event with the geometric tail truncated at 20 lags
+    * (the dropped tail mass is 2^-20 of the total — below cent
+    * resolution). Truncation is what keeps the state exact AND windowable:
+    * untruncated EWMA is a sequential fold, 20-lag EWMA is a fixed set of
+    * `lag()` reads off one frame buffer. */
+  private val ewmaLags = 20
+
+  /** EWMA spike score: each event's value against the exponentially-
+    * weighted moving average of its key's previous 20 values — the
+    * classic monitoring baseline (recent behavior dominates, old behavior
+    * decays geometrically), as the trailing companion of the equal-weight
+    * statistical rule. All integer: values quantize to cents, the
+    * weighted sum keeps the 2^(20-j) weights explicit (`ewma_num` /
+    * `ewma_w` are exact longs; the baseline is their quotient), and the
+    * 3×-baseline spike test cross-multiplies (`v*w > 3*num`) so no
+    * division ever happens in either engine.
+    *
+    * Plan: ONE window (partition by key, order by time) computing twenty
+    * `lag()` reads from the same frame buffer — a single sort-based
+    * WindowExec after a single hash exchange, constant memory per row.
+    * At 100 TB this is the same shape as `value_lag_delta`: the shuffle
+    * carries (key, ts, cents) only. */
+  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("ts_ns", "event_id")
+    val lags = (1 to ewmaLags).map(j => lag(col("v_cents"), j).over(w) -> (1L << (ewmaLags - j)))
+    val num = lags.map { case (c, wt) => coalesce(c, lit(0L)) * lit(wt) }.reduce(_ + _)
+    val den = lags.map { case (c, wt) => when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    Detectors.prepareEvents(Tables.events(spark, dir))
+      .filter(col("value").isNotNull)
+      .select(col("key"), col("event_id"), col("ts_ns"), col("ts_sec"),
+        cents(col("value")).as("v_cents"))
+      .withColumn("ewma_num", num)
+      .withColumn("ewma_w", den)
+      .withColumn("is_spike",
+        col("ewma_w") > 0 && col("v_cents") * col("ewma_w") > lit(3L) * col("ewma_num"))
+      .drop("ts_ns")
+  }
+
+  val ewmaAnomalySql: String = {
+    val num = (1 to ewmaLags)
+      .map(j => s"coalesce(lag(v_cents, $j) OVER w, 0) * ${1L << (ewmaLags - j)}")
+      .mkString(" + ")
+    val den = (1 to ewmaLags)
+      .map(j => s"CASE WHEN lag(v_cents, $j) OVER w IS NOT NULL THEN ${1L << (ewmaLags - j)} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT "key", event_id, ts_sec, v_cents, ewma_num, ewma_w,
+       |  (ewma_w > 0 AND v_cents * ewma_w > 3 * ewma_num) AS is_spike
+       |FROM (
+       |  SELECT "key", event_id, ts_sec, v_cents,
+       |    $num AS ewma_num,
+       |    $den AS ewma_w
+       |  FROM (
+       |    SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+       |      event_id, epoch_ns(ts) AS ts_ns,
+       |      epoch_ns(ts) // 1000000000 AS ts_sec,
+       |      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+       |    FROM events WHERE value IS NOT NULL)
+       |  WINDOW w AS (PARTITION BY "key" ORDER BY ts_ns, event_id))""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ewma_anomaly" -> (ewmaAnomaly _),
     "hll_distinct_audit" -> (hllDistinctAudit _),
     "user_rfm_features" -> (userRfmFeatures _),
     "seasonal_alerts" -> (seasonalAlerts _),
@@ -1150,6 +1213,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "ewma_anomaly" -> ewmaAnomalySql,
     "hll_distinct_audit" -> hllDistinctAuditSql,
     "user_rfm_features" -> userRfmFeaturesSql,
     "seasonal_alerts" -> seasonalAlertsSql,

@@ -1736,6 +1736,54 @@ object Similarity {
        |)
        |SELECT DISTINCT v1, v2, sim_r FROM p WHERE sim_r >= $semdedupTau""".stripMargin
 
+  /** k-NN GRAPH over the corpus (top-3 neighbors per vector via the
+    * trained IVF cell index) — the construction step behind
+    * graph-based curation: SemDeDup's cluster pruning, NN-descent
+    * refinement, label-propagation cleaning, and duplicate-community
+    * mining all start from exactly this table. Where [[semanticDedup]]
+    * emits the unordered pairs inside a fixed radius, this emits each
+    * vector's best-k DIRECTED edges with no radius at all — the
+    * all-purpose neighborhood artifact.
+    *
+    * Shape: self-join of the multi-probe cell index on the cell id (the
+    * one hash shuffle), `distinct` folds the <= probes² cells a pair can
+    * meet in, and the per-source top-3 runs on the native bounded-heap
+    * operator ([[graft.plans.TopKPerKey]]) — every map task reduces a
+    * source's candidates to 3 rows before the exchange, so the output
+    * stays 3·n rows no matter how hot a cell is. Same recall contract as
+    * the rest of the IVF family: a true neighbor sharing none of the
+    * top-2 cells is missed (RecallSpec floors the family at 0.8). */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = Dedup.eager(
+      cellIndex(vecs(spark, dir), sdCentsDf(spark, dir)))
+    val cand = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .withColumn("sim_r",
+        simRound(dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm"))))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"), col("sim_r"))
+      .distinct()
+    graft.plans.TopKPerKey.topK(cand,
+      keys = Seq(col("src")),
+      order = Seq(col("sim_r").desc, col("dst")),
+      k = 3)
+  }
+
+  val knnGraphSql: String =
+    s"""WITH $vecsSql,
+       |$sdAsgCtes, a2 AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM asg
+       |  WHERE c_rank <= $semdedupProbes
+       |), p AS (
+       |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst,
+       |    ${simRoundSql(dotSql("x.v", "y.v") + " / (x.norm * y.norm)")} AS sim_r
+       |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |)
+       |SELECT src, dst, sim_r FROM (
+       |  SELECT src, dst, sim_r,
+       |    row_number() OVER (PARTITION BY src ORDER BY sim_r DESC, dst) AS rn
+       |  FROM p)
+       |WHERE rn <= 3""".stripMargin
+
   /** Per-label embedding-norm profile — the "is this embedding table
     * healthy" audit query (collapsed norms = dead encoder; wild norms =
     * unnormalized mixture). One pass: the codegen'd dot kernel computes
@@ -2195,6 +2243,7 @@ object Similarity {
     "ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "cluster_keywords" -> (clusterKeywords _),
     "semantic_dedup" -> (semanticDedup _),
+    "knn_graph" -> (knnGraph _),
     "embedding_dedup_incremental" -> (embeddingDedupIncremental _),
     "embedding_jl_distortion" -> (jlDistortion _),
   )
@@ -2219,6 +2268,7 @@ object Similarity {
     "ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "cluster_keywords" -> clusterKeywordsSql,
     "semantic_dedup" -> semanticDedupSql,
+    "knn_graph" -> knnGraphSql,
     "embedding_dedup_incremental" -> embeddingDedupIncrementalSql,
     "embedding_jl_distortion" -> jlDistortionSql,
   )

@@ -1242,7 +1242,136 @@ object Warehouse {
       |WHERE nsupp > 1 AND nlate = 1
       |GROUP BY 1, 2""".stripMargin
 
+  /** CDC changelog compaction (latest-wins + tombstones): collapse the
+    * event changelog to the CURRENT state per key — the last record per
+    * key under the changelog order wins; a key whose last record is a
+    * tombstone (`event_type = 'error'` in the fixture vocabulary) is
+    * dropped entirely. This is the Debezium/Delta `MERGE`-compaction
+    * shape: a 100 TB table of upserts collapses to one row per live key.
+    *
+    * Plan shape: the latest-record pick runs on the native bounded-heap
+    * operator ([[graft.plans.TopKPerKey]], k=1) — each map task reduces
+    * every key to ONE row before the exchange, so a hot key (a
+    * high-churn entity with millions of updates) crosses the shuffle as
+    * one row per map partition instead of its full history, and nothing
+    * sorts. The tombstone filter runs AFTER the pick (a tombstone must
+    * suppress older non-tombstone versions, so it cannot be pushed below
+    * the max). */
+  def changelogCompact(spark: SparkSession, dir: String): DataFrame = {
+    val log = Detectors.prepareEvents(Tables.events(spark, dir))
+      .select(col("key"), col("event_id"), col("event_type"), col("value"),
+        col("ts_sec"), col("ts_ns"))
+    graft.plans.TopKPerKey.topK(log,
+        keys = Seq(col("key")),
+        order = Seq(col("ts_ns").desc, col("event_id").desc),
+        k = 1)
+      .filter(col("event_type") =!= "error")
+      .drop("ts_ns")
+  }
+
+  val changelogCompactSql: String =
+    """SELECT "key", event_id, event_type, value, ts_sec FROM (
+      |  SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+      |    event_id, event_type, value,
+      |    epoch_ns(ts) // 1000000000 AS ts_sec,
+      |    row_number() OVER (
+      |      PARTITION BY coalesce(CAST(user_id AS VARCHAR), '__unknown__')
+      |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  /** Z-order layout audit: interleave the bits of two predicate
+    * dimensions (key bucket × value bucket) into one Morton code, bucket
+    * rows by the code's high byte (= the file a Z-ordered writer would
+    * put them in), and report each file's min/max envelope in BOTH
+    * dimensions. A linear layout is clustered on at most one dimension;
+    * the Z-curve bounds the envelope in both (each 256-code file spans a
+    * 16×16 tile of the 256×256 grid), which is what lets min/max
+    * zonemaps skip files for predicates on EITHER column — the
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` rationale, measured rather than
+    * asserted (`ZOrderSpec` pins the envelope bound; `tools/LayoutProbe`
+    * measures the row-group skipping it buys).
+    *
+    * Scale shape: the Morton code is a scan-side projection (16 shifted
+    * AND terms, whole-stage codegen'd — no UDF), and the audit is one
+    * map-combinable groupBy on the code's high byte. The full rewrite at
+    * 100 TB is `repartitionByRange(z)` + sorted write; the audit costs
+    * one shuffle of 6 small columns. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    // bit k of bx lands at Morton bit 2k+1, bit k of by at 2k; all moves
+    // are shifts/masks on longs — no division, nothing leaves integer space
+    val bx = coalesce(pmod(col("user_id"), lit(256L)), lit(255L))
+    val by = least(shiftright(Analytics.cents(coalesce(col("value"), lit(0.0))), 9), lit(255L))
+    val z = (0 until 8).map { k =>
+      (shiftright(col("bx"), k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1))) +
+        (shiftright(col("by"), k).bitwiseAND(lit(1L)) * lit(1L << (2 * k)))
+    }.reduce(_ + _)
+    Tables.events(spark, dir)
+      .select(bx.as("bx"), by.cast("long").as("by"))
+      .withColumn("file_id", shiftright(z, 8))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("bx").as("bx_min"), max("bx").as("bx_max"),
+        min("by").as("by_min"), max("by").as("by_max"))
+  }
+
+  val zorderLayoutSql: String = {
+    val inter = (0 until 8).map { k =>
+      s"((bx >> $k) & 1) * ${1L << (2 * k + 1)} + ((by >> $k) & 1) * ${1L << (2 * k)}"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT coalesce(user_id % 256, 255) AS bx,
+       |    least(CAST(floor(coalesce(value, 0.0) * 100.0 + 0.5) AS BIGINT) // 512,
+       |          255) AS by
+       |  FROM events)
+       |SELECT ($inter) // 256 AS file_id, count(*) AS n_rows,
+       |  min(bx) AS bx_min, max(bx) AS bx_max,
+       |  min(by) AS by_min, max(by) AS by_max
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
+  /** k-anonymity audit over the customer quasi-identifiers
+    * `(c_nationkey, c_mktsegment)`: for each level of the generalization
+    * lattice — full QI, segment suppressed, fully suppressed — report
+    * the equivalence-class profile (class count, smallest class, rows
+    * and classes below k=10). The release decision a privacy review
+    * makes before training data ships: which generalization level first
+    * satisfies k-anonymity, and how many records the finer levels
+    * expose.
+    *
+    * One pass: `ROLLUP(nation, segment)` computes all three lattice
+    * levels in a single map-combinable aggregate (partial aggregation
+    * handles the fan-out before the one exchange); the per-level re-agg
+    * touches only class-count rows. `lvl` is the engine grouping-id
+    * (0 = full QI, 1 = segment suppressed, 3 = all suppressed) — the
+    * same bit semantics in Spark (`grouping_id`) and DuckDB
+    * (`GROUPING(a, b)`). */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val k = lit(10L)
+    Tables.customer(spark, dir)
+      .rollup(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("lvl"))
+      .groupBy("lvl")
+      .agg(count(lit(1)).as("n_classes"),
+        min("cnt").as("min_class"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(lit(0L))).as("rows_below_k"),
+        sum(when(col("cnt") < k, lit(1L)).otherwise(lit(0L))).as("classes_below_k"))
+  }
+
+  val kAnonymityAuditSql: String =
+    """WITH classes AS (
+      |  SELECT GROUPING(c_nationkey, c_mktsegment) AS lvl, count(*) AS cnt
+      |  FROM customer
+      |  GROUP BY ROLLUP(c_nationkey, c_mktsegment))
+      |SELECT lvl, count(*) AS n_classes, min(cnt) AS min_class,
+      |  sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS rows_below_k,
+      |  sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS classes_below_k
+      |FROM classes GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "changelog_compact" -> (changelogCompact _),
+    "zorder_layout" -> (zorderLayout _),
+    "k_anonymity_audit" -> (kAnonymityAudit _),
     "q8_market_share" -> (q8MarketShare _),
     "q12_priority_lateness" -> (q12PriorityLateness _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
@@ -1273,6 +1402,9 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "changelog_compact" -> changelogCompactSql,
+    "zorder_layout" -> zorderLayoutSql,
+    "k_anonymity_audit" -> kAnonymityAuditSql,
     "q8_market_share" -> q8Sql,
     "q12_priority_lateness" -> q12Sql,
     "q21_waiting_supplier" -> q21Sql,
