@@ -1176,7 +1176,184 @@ object Analytics {
        |  WINDOW w AS (PARTITION BY "key" ORDER BY ts_ns, event_id))""".stripMargin
   }
 
+  // ------------------------------------------------- KMV (bottom-k) sketch
+
+  /** KMV sketch size. 64 keeps the estimate within ~1/sqrt(62) ≈ 13%
+    * and the whole audit readable; production tiers use k = 1024+. */
+  private val kmvK = 64
+
+  /** 48-bit salted hash of the event key, the KMV value space: md5-derived
+    * (portable — `conv(hex,16,10)` == `('0x'||hex)::BIGINT`), uniform on
+    * [0, 2^48). */
+  private def kmvHash(key: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), key)), 1, 12), 16, 10).cast("long")
+
+  /** The per-type KMV sketch: the [[kmvK]] smallest DISTINCT key hashes.
+    * Bottom-k runs on the native bounded-heap operator — each map task
+    * reduces its partition to k rows before the exchange, the mergeable-
+    * summary property that lets a 1000-executor job ship k rows per
+    * group per task instead of its users. */
+  private def kmvSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      Detectors.prepareEvents(Tables.events(spark, dir))
+        .select(col("event_type"), kmvHash(col("key")).as("h")).distinct(),
+      keys = Seq(col("event_type")),
+      order = Seq(col("h")),
+      k = kmvK)
+
+  private val kmvSketchSql: String =
+    s"""kh AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST(('0x' || substr(md5('kmv:' ||
+       |      coalesce(CAST(user_id AS VARCHAR), '__unknown__')), 1, 12))
+       |      AS BIGINT) AS h
+       |  FROM events
+       |), sk AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM kh)
+       |  WHERE rn <= $kmvK
+       |)""".stripMargin
+
+  // (k-1) * 2^48: both factors exactly double-representable (7 sig bits)
+  private val kmvNum: Long = (kmvK - 1).toLong << 48
+
+  /** KMV (k-minimum-values / bottom-k theta) distinct-count audit — the
+    * third mergeable cardinality tier next to [[hllDistinctAudit]] (HLL:
+    * smaller, union-only) and exact countDistinct: a KMV sketch also
+    * supports INTERSECTION estimates ([[kmvTypeOverlap]]), which HLL
+    * fundamentally cannot. Estimator: (k-1) / θ with θ = h_k / 2^48
+    * (Beyer et al. 2007, the unbiased form); a group with fewer than k
+    * distinct keys is exact by definition. `rel_err` is REPORTED next to
+    * the exact count, never assumed. All sketch math is integer; the one
+    * division runs on exactly-representable doubles, bit-identical in
+    * any engine. */
+  def kmvDistinctAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sk = kmvSketch(spark, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth"))
+    val exact = Detectors.prepareEvents(Tables.events(spark, dir))
+      .groupBy("event_type").agg(countDistinct(col("key")).as("n_exact"))
+    exact.join(broadcast(sk), "event_type")
+      .withColumn("est",
+        when(col("n_kept") < kmvK, col("n_exact").cast("double"))
+          .otherwise(lit(kmvNum.toDouble) / col("kth").cast("double")))
+      .withColumn("rel_err",
+        abs(col("est") - col("n_exact").cast("double")) / col("n_exact").cast("double"))
+  }
+
+  val kmvDistinctAuditSql: String =
+    s"""WITH $kmvSketchSql, s AS (
+       |  SELECT event_type, count(*) AS n_kept, max(h) AS kth
+       |  FROM sk GROUP BY 1
+       |), x AS (
+       |  SELECT event_type,
+       |    count(DISTINCT coalesce(CAST(user_id AS VARCHAR), '__unknown__'))
+       |      AS n_exact
+       |  FROM events GROUP BY 1
+       |), e AS (
+       |  SELECT x.event_type, x.n_exact, s.n_kept, s.kth,
+       |    CASE WHEN s.n_kept < $kmvK THEN CAST(x.n_exact AS DOUBLE)
+       |      ELSE CAST($kmvNum AS DOUBLE) / CAST(s.kth AS DOUBLE) END AS est
+       |  FROM x JOIN s ON x.event_type = s.event_type
+       |)
+       |SELECT event_type, n_exact, n_kept, kth, est,
+       |  abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM e""".stripMargin
+
+  /** Audience-overlap estimation from KMV sketches — "how many users did
+    * BOTH click and purchase", answered per type pair WITHOUT touching
+    * the raw data twice: the union sketch of two KMV sketches is the
+    * bottom-k of their merged hash sets, and |A∩B| ≈ ρ/θ_u where ρ
+    * counts union-sketch members present in both input sketches (the
+    * theta-sketch intersection, Dasgupta et al. 2016). This is the
+    * operation HLL cannot do (inclusion-exclusion on HLL explodes the
+    * error on small intersections) and the reason production systems
+    * keep theta/KMV sketches next to HLL counters.
+    *
+    * Everything after the per-type sketches touches <= k rows per pair:
+    * the pair fan-out joins the 5-type sketch table (tiny, broadcast)
+    * and the exact intersection audit — the expensive part, O(distinct
+    * pairs) — is the AUDIT, not the estimator; at 100 TB you ship only
+    * the k-row sketches. */
+  def kmvTypeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Dedup.eager(kmvSketch(spark, dir))
+    val pairs = sk.select(col("event_type").as("type_a")).distinct()
+      .crossJoin(sk.select(col("event_type").as("type_b")).distinct())
+      .filter(col("type_a") < col("type_b"))
+    // union multiset with membership flags, folded per distinct hash
+    val u = pairs.join(sk.as("s"), col("s.event_type") === col("type_a"))
+      .select(col("type_a"), col("type_b"), col("h"), lit(1L).as("fa"), lit(0L).as("fb"))
+      .unionByName(pairs.join(sk.as("s"), col("s.event_type") === col("type_b"))
+        .select(col("type_a"), col("type_b"), col("h"), lit(0L).as("fa"), lit(1L).as("fb")))
+      .groupBy("type_a", "type_b", "h")
+      .agg(max("fa").as("fa"), max("fb").as("fb"))
+    val bottom = graft.plans.TopKPerKey.topK(u,
+      keys = Seq(col("type_a"), col("type_b")),
+      order = Seq(col("h")),
+      k = kmvK)
+    val est = bottom.groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth"),
+        sum(col("fa") * col("fb")).as("rho"))
+      .withColumn("est_inter",
+        when(col("n_kept") < kmvK, col("rho").cast("double"))
+          .otherwise(shiftleft(col("rho"), 48).cast("double") / col("kth").cast("double")))
+    val ev = Detectors.prepareEvents(Tables.events(spark, dir))
+      .select(col("event_type"), col("key")).distinct()
+    val exact = ev.as("a").join(ev.as("b"),
+        col("a.key") === col("b.key") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    est.join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("n_exact_inter", coalesce(col("n_exact_inter"), lit(0L)))
+  }
+
+  val kmvTypeOverlapSql: String =
+    s"""WITH $kmvSketchSql, p AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM (SELECT DISTINCT event_type FROM sk) a,
+       |       (SELECT DISTINCT event_type FROM sk) b
+       |  WHERE a.event_type < b.event_type
+       |), u AS (
+       |  SELECT type_a, type_b, h, max(fa) AS fa, max(fb) AS fb FROM (
+       |    SELECT p.type_a, p.type_b, s.h, 1 AS fa, 0 AS fb
+       |    FROM p JOIN sk s ON s.event_type = p.type_a
+       |    UNION ALL
+       |    SELECT p.type_a, p.type_b, s.h, 0 AS fa, 1 AS fb
+       |    FROM p JOIN sk s ON s.event_type = p.type_b)
+       |  GROUP BY 1, 2, 3
+       |), bot AS (
+       |  SELECT type_a, type_b, h, fa, fb FROM (
+       |    SELECT type_a, type_b, h, fa, fb,
+       |      row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+       |    FROM u)
+       |  WHERE rn <= $kmvK
+       |), e AS (
+       |  SELECT type_a, type_b, count(*) AS n_kept, max(h) AS kth,
+       |    CAST(sum(fa * fb) AS BIGINT) AS rho
+       |  FROM bot GROUP BY 1, 2
+       |), ev AS (
+       |  SELECT DISTINCT event_type,
+       |    coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key"
+       |  FROM events
+       |), x AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    count(*) AS n_exact_inter
+       |  FROM ev a JOIN ev b
+       |    ON a."key" = b."key" AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.type_a, e.type_b, e.n_kept, e.kth, e.rho,
+       |  CASE WHEN e.n_kept < $kmvK THEN CAST(e.rho AS DOUBLE)
+       |    ELSE CAST(e.rho * 281474976710656 AS DOUBLE) / CAST(e.kth AS DOUBLE)
+       |  END AS est_inter,
+       |  coalesce(x.n_exact_inter, 0) AS n_exact_inter
+       |FROM e LEFT JOIN x
+       |  ON e.type_a = x.type_a AND e.type_b = x.type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmv_distinct_audit" -> (kmvDistinctAudit _),
+    "kmv_type_overlap" -> (kmvTypeOverlap _),
     "ewma_anomaly" -> (ewmaAnomaly _),
     "hll_distinct_audit" -> (hllDistinctAudit _),
     "user_rfm_features" -> (userRfmFeatures _),
@@ -1213,6 +1390,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "kmv_distinct_audit" -> kmvDistinctAuditSql,
+    "kmv_type_overlap" -> kmvTypeOverlapSql,
     "ewma_anomaly" -> ewmaAnomalySql,
     "hll_distinct_audit" -> hllDistinctAuditSql,
     "user_rfm_features" -> userRfmFeaturesSql,

@@ -74,4 +74,40 @@ class SketchSpec extends SparkSpec {
       }
     }
   }
+
+  test("KMV audit: exact below k, within 3 std errors above; overlap sane") {
+    // k = 64 -> std err ~ 1/sqrt(k-2) ~ 12.7%; 0.38 is the 3-sigma floor
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = graft.operators.Analytics.kmvDistinctAudit(spark, d)
+        .select("event_type", "n_exact", "n_kept", "rel_err").collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        if (r.getLong(2) < 64)
+          assert(r.getDouble(3) == 0.0,
+            s"$d ${r.getString(0)}: sub-k sketch must be exact")
+        else
+          assert(r.getDouble(3) <= 0.38,
+            s"$d ${r.getString(0)}: rel_err ${r.getDouble(3)} above 3-sigma floor")
+      }
+    }
+  }
+
+  test("KMV overlap: intersection estimate brackets the exact overlap") {
+    // theta-sketch intersections carry more variance than distinct
+    // counts (rho is small); pin a loose multiplicative bracket plus the
+    // structural invariants instead of a tight error bar
+    val rows = graft.operators.Analytics.kmvTypeOverlap(spark, "/root/testdata/sf0.1")
+      .select("type_a", "type_b", "rho", "n_kept", "est_inter", "n_exact_inter")
+      .collect()
+    assert(rows.length == 10) // C(5,2) unordered type pairs
+    rows.foreach { r =>
+      val (rho, kept) = (r.getLong(2), r.getLong(3))
+      val (est, exact) = (r.getDouble(4), r.getLong(5).toDouble)
+      assert(rho <= kept)
+      assert(est >= rho.toDouble, "scaling up cannot shrink the estimate")
+      if (exact > 0)
+        assert(est >= exact * 0.4 && est <= exact * 2.5,
+          s"${r.getString(0)}x${r.getString(1)}: est $est vs exact $exact")
+    }
+  }
 }
