@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Pipeline shape (the standard Fellegi-Sunter blocking architecture):
   *
-  *  1. BLOCK — each name explodes into its character q-grams (q=4) and
-  *     candidates form by an equi-join on the gram. Hash-partitionable,
-  *     never O(n²).
+  *  1. BLOCK — MULTI-KEY, the standard recall armor: a record enters the
+  *     candidate set if ANY pass surfaces it. Pass A explodes each name
+  *     into its character q-grams (q=4); pass B keys on the name's
+  *     6-char suffix (one row per record — the cheap high-precision
+  *     pass). Candidates form by equi-joins on the blocking keys,
+  *     unioned. Hash-partitionable, never O(n²). Two passes matter at
+  *     scale: on the sf1 replica corpus (10× denser keyspace) the gram
+  *     pass alone links 62.6% — density pushes ever more grams over the
+  *     DF cap — while grams ∪ suffix holds recall (SCALE_NOTES).
   *  2. DF-CAP — a gram shared by more than [[gramDfCap]] registry names
   *     is dropped from the index before the join (same hot-shingle
   *     guard as [[Dedup.ngramJaccard]]): a stop-gram ("0000", the
@@ -49,6 +55,8 @@ object Linkage {
 
   private val gramLen = 4
   private val gramDfCap = 25L
+  private val sfxLen = 6
+  private val sfxDfCap = 50L // tolerates registry-duplication floods; capped like grams
   private val maxEditDist = 2
 
   /** Character q-grams of `name`, exploded — positions 1..len-q+1. */
@@ -63,6 +71,13 @@ object Linkage {
        |    range(1, length($nameCol) - ${gramLen - 2}),
        |    i -> substr($nameCol, CAST(i AS INT), $gramLen))) AS gram
        |  FROM $src WHERE length($nameCol) >= $gramLen""".stripMargin
+
+  /** Pass-B blocking key: the name's last [[sfxLen]] chars. */
+  private def sfxOf(nameCol: String) =
+    expr(s"substring($nameCol, length($nameCol) - ${sfxLen - 1})")
+
+  private def sfxSql(nameCol: String): String =
+    s"substr($nameCol, length($nameCol) - ${sfxLen - 1})"
 
   /** The deterministic "dirty" side: every registry name with ONE
     * character deleted at an md5-derived position — a reproducible typo
@@ -102,9 +117,18 @@ object Linkage {
     val dirtyGrams = gramsOf(dirty, "dirty_name")
       .select("dirty_key", "gram").distinct()
 
+    val regSfx = registry.select(col("c_custkey"), sfxOf("c_name").as("bk"))
+    val rareSfx = regSfx.groupBy("bk").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= sfxDfCap).select("bk")
+    val dirtySfx = dirty.select(col("dirty_key"), sfxOf("dirty_name").as("bk"))
+
     val cand = dirtyGrams
       .join(regGrams.join(rareGrams, "gram"), "gram")
-      .select("dirty_key", "c_custkey").distinct()
+      .select("dirty_key", "c_custkey")
+      .unionByName(dirtySfx
+        .join(regSfx.join(rareSfx, "bk"), "bk")
+        .select("dirty_key", "c_custkey"))
+      .distinct()
 
     val verified = cand
       .join(dirty, "dirty_key")
@@ -130,9 +154,20 @@ object Linkage {
        |  WHERE df <= $gramDfCap
        |), dg AS (
        |  ${gramsSql("d", "dirty_key", "dirty_name")}
+       |), rs AS (
+       |  SELECT c_custkey, ${sfxSql("c_name")} AS bk FROM customer
+       |), rares AS (
+       |  SELECT bk FROM (SELECT bk, count(*) AS df FROM rs GROUP BY 1)
+       |  WHERE df <= $sfxDfCap
+       |), ds AS (
+       |  SELECT dirty_key, ${sfxSql("dirty_name")} AS bk FROM d
        |), cand AS (
-       |  SELECT DISTINCT dg.dirty_key, rg.c_custkey
-       |  FROM dg JOIN rare USING (gram) JOIN rg USING (gram)
+       |  SELECT DISTINCT dirty_key, c_custkey FROM (
+       |    SELECT dg.dirty_key, rg.c_custkey
+       |    FROM dg JOIN rare USING (gram) JOIN rg USING (gram)
+       |    UNION ALL
+       |    SELECT ds.dirty_key, rs.c_custkey
+       |    FROM ds JOIN rares USING (bk) JOIN rs USING (bk))
        |), v AS (
        |  SELECT cand.dirty_key, cand.c_custkey AS matched_key,
        |    levenshtein(d.dirty_name, r.c_name) AS lev_dist
