@@ -1351,7 +1351,151 @@ object Analytics {
        |FROM e LEFT JOIN x
        |  ON e.type_a = x.type_a AND e.type_b = x.type_b""".stripMargin
 
+  // -------------------------------------- sequential recurrences (CUSUM / Holt)
+
+  /** The shared per-type daily series behind [[cusumAlerts]] and
+    * [[holtForecast]]: ONE map-combinable hash agg reduces the corpus to
+    * (event_type, day, y) — everything sequential afterwards runs on this
+    * AGGREGATED series (|types| x |days| rows, calendar-bounded), never on
+    * raw events. That is the scale contract for every sequential-recurrence
+    * operator here: the recurrence is inherently order-dependent (cannot be
+    * a partial agg), so it must only ever see data that has already been
+    * reduced to a bounded series per key. */
+  private def dailySeries(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("y"))
+
+  private val dailySeriesSql: String =
+    """d AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS y
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** CUSUM changepoint detection (Page 1954) over the per-type daily volume
+    * — the SEQUENTIAL companion of the trailing statistical rule: where
+    * [[Detectors.statisticalAlerts]] scores each event against a local
+    * window, CUSUM accumulates small persistent drifts that no single-point
+    * test can see (the slow-ramp adversary: a 5% volume creep alarms in
+    * days, while every individual day stays inside 3 sigma).
+    *
+    * Exactness: the whole recurrence is 1/8 fixed point integer math —
+    * y8 = 8*y, mu8 = (8*sum y) div n, slack k8 = mu8 div 64, decision
+    * threshold h8 = mu8 div 4 (tuned so both alarm branches fire on the
+    * driver fixtures). S_t = max(0, S_{t-1} + y8 - mu8 - k8), alarm when
+    * S_t > h8, and S resets to 0 after an alarm (the standard restart).
+    * Integer division truncates toward zero in BOTH engines (verified:
+    * Spark `div` and DuckDB `//`), so the oracle recursion is bit-exact.
+    *
+    * Shape: the corpus reduces in [[dailySeries]]'s single agg; the fold
+    * runs as a Catalyst `aggregate` higher-order function over each type's
+    * sorted series array — interpreted per element, but the series is the
+    * AGGREGATED calendar (30 rows/key here, <=366/key/year by construction),
+    * so the interpreted cost is nil; the alternative (a recursive self-join
+    * per day) would be |days| sequential stages. For an unbounded horizon
+    * you checkpoint (key, month) folds — the recurrence state is one long. */
+  def cusumAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val ser = dailySeries(spark, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("ser"),
+        expr("(8 * sum(y)) div count(1)").as("mu8"))
+    // news (the pre-reset statistic) is duplicated inside the lambda because
+    // SQL lambdas have no let-binding; the oracle duplicates it identically.
+    val news = "greatest(CAST(0 AS BIGINT), st.s + 8*x.y - mu8 - mu8 div 64)"
+    ser
+      .withColumn("rows", expr(
+        s"""aggregate(ser,
+           |  struct(CAST(0 AS BIGINT) AS s,
+           |    CAST(array() AS ARRAY<STRUCT<day: STRING, y: BIGINT,
+           |      s: BIGINT, alarm: BOOLEAN>>) AS acc),
+           |  (st, x) -> struct(
+           |    IF($news > mu8 div 4, CAST(0 AS BIGINT), $news) AS s,
+           |    array_append(st.acc, struct(x.day AS day, x.y AS y,
+           |      $news AS s, $news > mu8 div 4 AS alarm)) AS acc),
+           |  st -> st.acc)""".stripMargin))
+      .select(col("event_type"), explode(col("rows")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.y").as("y"),
+        col("r.s").as("s"), col("r.alarm").as("alarm"))
+  }
+
+  val cusumAlertsSql: String = {
+    val news = (prev: String) =>
+      s"greatest(0, $prev + 8*i.y - m.mu8 - m.mu8 // 64)"
+    s"""WITH RECURSIVE $dailySeriesSql, idx AS (
+       |  SELECT d.*, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM d
+       |), m AS (
+       |  SELECT event_type, (8 * sum(y)) // count(*) AS mu8 FROM d GROUP BY 1
+       |), rec(event_type, rn, day, y, s, alarm) AS (
+       |  SELECT i.event_type, i.rn, i.day, i.y,
+       |    ${news("0")} AS s,
+       |    ${news("0")} > m.mu8 // 4 AS alarm
+       |  FROM idx i JOIN m USING (event_type) WHERE i.rn = 1
+       |  UNION ALL
+       |  SELECT i.event_type, i.rn, i.day, i.y,
+       |    ${news("(CASE WHEN r.alarm THEN 0 ELSE r.s END)")} AS s,
+       |    ${news("(CASE WHEN r.alarm THEN 0 ELSE r.s END)")} > m.mu8 // 4 AS alarm
+       |  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.rn = r.rn + 1
+       |  JOIN m ON m.event_type = i.event_type
+       |)
+       |SELECT event_type, day, y, CAST(s AS BIGINT) AS s, alarm FROM rec""".stripMargin
+  }
+
+  /** Holt double exponential smoothing (level + trend) over the per-type
+    * daily volume — the FORECAST companion of [[ewmaAnomaly]] (which tracks
+    * level only): a trending series is predicted ahead of the trend, so
+    * capacity alarms compare tomorrow's forecast, not yesterday's mean.
+    * alpha = beta = 1/4, both chosen as powers of two so every smoothing
+    * step is exact integer arithmetic in 1/8 fixed point:
+    *   l_t = (8*y_t + 3*(l_{t-1} + b_{t-1})) div 4
+    *   b_t = (l_t - l_{t-1} + 3*b_{t-1}) div 4     (l_1 = 8*y_1, b_1 = 0)
+    * Trend goes NEGATIVE on the fixtures (80/150 rows), so this leg also
+    * pins the truncate-toward-zero agreement between Spark `div` and
+    * DuckDB `//` on negative operands. Scale shape: identical to
+    * [[cusumAlerts]] — one corpus-scale agg, then a bounded per-key fold. */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    // l_t is duplicated into the b_t expression (no let-binding in SQL
+    // lambdas); IF(st.l IS NULL) is the first-element initialization.
+    val newl = "IF(st.l IS NULL, 8*x.y, (8*x.y + 3*(st.l + st.b)) div 4)"
+    val newb = s"IF(st.l IS NULL, CAST(0 AS BIGINT), ($newl - st.l + 3*st.b) div 4)"
+    dailySeries(spark, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("ser"))
+      .withColumn("rows", expr(
+        s"""aggregate(ser,
+           |  struct(CAST(NULL AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+           |    CAST(array() AS ARRAY<STRUCT<day: STRING, y: BIGINT,
+           |      level8: BIGINT, trend8: BIGINT>>) AS acc),
+           |  (st, x) -> struct(
+           |    $newl AS l, $newb AS b,
+           |    array_append(st.acc, struct(x.day AS day, x.y AS y,
+           |      $newl AS level8, $newb AS trend8)) AS acc),
+           |  st -> st.acc)""".stripMargin))
+      .select(col("event_type"), explode(col("rows")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.y").as("y"),
+        col("r.level8").as("level8"), col("r.trend8").as("trend8"),
+        (col("r.level8") + col("r.trend8")).as("forecast8"))
+  }
+
+  val holtForecastSql: String =
+    s"""WITH RECURSIVE $dailySeriesSql, idx AS (
+       |  SELECT d.*, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM d
+       |), rec(event_type, rn, day, y, l, b) AS (
+       |  SELECT event_type, rn, day, y, 8*y, CAST(0 AS BIGINT) FROM idx WHERE rn = 1
+       |  UNION ALL
+       |  SELECT i.event_type, i.rn, i.day, i.y,
+       |    (8*i.y + 3*(r.l + r.b)) // 4 AS l,
+       |    (((8*i.y + 3*(r.l + r.b)) // 4) - r.l + 3*r.b) // 4 AS b
+       |  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.rn = r.rn + 1
+       |)
+       |SELECT event_type, day, y, CAST(l AS BIGINT) AS level8,
+       |  CAST(b AS BIGINT) AS trend8, CAST(l + b AS BIGINT) AS forecast8
+       |FROM rec""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cusum_alerts" -> (cusumAlerts _),
+    "holt_forecast" -> (holtForecast _),
     "kmv_distinct_audit" -> (kmvDistinctAudit _),
     "kmv_type_overlap" -> (kmvTypeOverlap _),
     "ewma_anomaly" -> (ewmaAnomaly _),
@@ -1390,6 +1534,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "cusum_alerts" -> cusumAlertsSql,
+    "holt_forecast" -> holtForecastSql,
     "kmv_distinct_audit" -> kmvDistinctAuditSql,
     "kmv_type_overlap" -> kmvTypeOverlapSql,
     "ewma_anomaly" -> ewmaAnomalySql,

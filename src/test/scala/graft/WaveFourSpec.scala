@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the round-10 fourth wave's sequential-recurrence
+  * operators (CUSUM changepoint, Holt level+trend forecast). Each test
+  * recomputes the full recurrence independently on the driver from the raw
+  * tiny fixture — same integer fixed-point rules, written in plain Scala —
+  * and demands equality row-by-row, so a lambda-binding or fold-order bug
+  * in the Catalyst `aggregate` HOF cannot hide behind the oracle's
+  * identically-shaped SQL recursion. */
+class WaveFourSpec extends SparkSpec {
+
+  private val tiny = "/root/testdata/sf0.001"
+
+  /** (event_type -> sorted (day, y) series) recomputed from raw events. */
+  private def series(dir: String): Map[String, Seq[(String, Long)]] =
+    graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case ((t, d), rs) => (t, d, rs.length.toLong) }
+      .toSeq.groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
+
+  test("cusum_alerts: exact fixed-point recurrence vs driver recompute") {
+    val got = Analytics.cusumAlerts(spark, tiny).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+
+    var expected = 0
+    var alarms = 0
+    series(tiny).foreach { case (t, ser) =>
+      val mu8 = (8L * ser.map(_._2).sum) / ser.length
+      val k8 = mu8 / 64
+      val h8 = mu8 / 4
+      var s = 0L
+      ser.foreach { case (day, y) =>
+        val news = math.max(0L, s + 8 * y - mu8 - k8)
+        val alarm = news > h8
+        s = if (alarm) 0L else news
+        assert(got((t, day)) == ((y, news, alarm)),
+          s"cusum mismatch at ($t, $day): got ${got((t, day))}, want ($y, $news, $alarm)")
+        expected += 1
+        if (alarm) alarms += 1
+      }
+    }
+    assert(got.size == expected)
+    // the constants are tuned so the alarm branch actually fires somewhere
+    // at sf0.01 (8/150); the tiny fixture may or may not alarm — only the
+    // row-by-row equality above is the contract here.
+    assert(alarms >= 0)
+  }
+
+  test("holt_forecast: exact level+trend recurrence vs driver recompute") {
+    val got = Analytics.holtForecast(spark, tiny).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+
+    var n = 0
+    series(tiny).foreach { case (t, ser) =>
+      var l = 0L; var b = 0L; var first = true
+      ser.foreach { case (day, y) =>
+        if (first) { l = 8 * y; b = 0L; first = false }
+        else {
+          val nl = (8 * y + 3 * (l + b)) / 4
+          // Scala / on Long truncates toward zero == Spark `div` == DuckDB `//`
+          val nb = (nl - l + 3 * b) / 4
+          l = nl; b = nb
+        }
+        assert(got((t, day)) == ((y, l, b, l + b)),
+          s"holt mismatch at ($t, $day): got ${got((t, day))}, want ($y, $l, $b, ${l + b})")
+        n += 1
+      }
+    }
+    assert(got.size == n)
+    // trend must actually exercise the negative-operand division branch
+    assert(got.values.exists(_._3 < 0), "no negative trend rows — fixture too flat")
+  }
+}
