@@ -1368,7 +1368,96 @@ object Warehouse {
       |  sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS classes_below_k
       |FROM classes GROUP BY 1""".stripMargin
 
+  // ------------------------------------------ portable Bloom pre-join audit
+
+  private val bloomM = 8192 // bits; build side here sets ~900 => FP ~0.1%
+  private val bloomHashes = 3
+
+  /** One of the [[bloomHashes]] salted positions of `key` in the m-bit
+    * Bloom space — md5-derived like every portable hash here (kmvHash). */
+  private def bloomPos(i: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"bf$i:"), key.cast("string"))), 1, 12), 16, 10)
+      .cast("long") % bloomM
+
+  private def bloomPosSql(i: Int, key: String): String =
+    s"CAST(('0x' || substr(md5('bf$i:' || CAST($key AS VARCHAR)), 1, 12)) AS BIGINT) % $bloomM"
+
+  /** Explicit portable Bloom-filter pre-join pruning, with its false-
+    * positive rate OBSERVED against the exact semi-join — the auditable
+    * sibling of the engine's own adaptive runtime filter (which
+    * RuntimeFilterSpec pins landing as `might_contain` on this very join
+    * shape, but whose bits no one can inspect cross-engine).
+    *
+    * Join under audit: orders of BUILDING-segment customers. The build
+    * side (segment customers) reduces to its DISTINCT set bit positions —
+    * at most m = 8192 rows no matter how many build keys there are (the
+    * saturation property that makes a Bloom the right 100 TB runtime
+    * filter: the broadcast is O(m), never O(build)). Each fact row
+    * probes its k = 3 salted positions via three broadcast left-semi
+    * joins — set-semantics identical to testing bits in the bitmap, with
+    * zero bit-twiddling to diverge between engines — so the whole fact
+    * pruning happens scan-side BEFORE any shuffle of the fact table.
+    * No false negative is possible by construction; the report counts
+    * the candidates a real pre-filter would pass (true matches + Bloom
+    * collisions) next to the exact semi-join, making the claimed FP rate
+    * (~(1-e^(-kn/m))^k ≈ 0.1% here) a measured number, not a belief. */
+  def bloomPruneAudit(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bits = seg.select(explode(array(
+        (1 to bloomHashes).map(i => bloomPos(i, col("c_custkey"))): _*)).as("pos"))
+      .distinct()
+    val probe = (1 to bloomHashes).foldLeft(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))) {
+      case (df, i) =>
+        df.join(broadcast(bits.withColumnRenamed("pos", s"p$i")),
+          bloomPos(i, col("o_custkey")) === col(s"p$i"), "left_semi")
+    }
+    val trueSemi = Tables.orders(spark, dir)
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"), "left_semi")
+    val nFact = Tables.orders(spark, dir).count()
+    val nBuild = seg.count()
+    val nCand = probe.count()
+    val nTrue = trueSemi.count()
+    import spark.implicits._
+    Seq((nFact, nBuild, nCand, nTrue, nCand - nTrue))
+      .toDF("n_fact", "n_build", "n_candidates", "n_true", "n_false_pos")
+      .withColumn("fp_rate", // exact-operand double division, both engines IEEE
+        col("n_false_pos").cast("double") /
+          (col("n_fact") - col("n_true")).cast("double"))
+  }
+
+  val bloomPruneAuditSql: String = {
+    def probes(key: String): String =
+      (1 to bloomHashes)
+        .map(i => s"${bloomPosSql(i, key)} IN (SELECT pos FROM bp)")
+        .mkString(" AND ")
+    s"""WITH seg AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       |), bp AS (
+       |${(1 to bloomHashes)
+           .map(i => s"  SELECT DISTINCT ${bloomPosSql(i, "c_custkey")} AS pos FROM seg")
+           .mkString("\n  UNION\n")}
+       |), cand AS (
+       |  SELECT o_orderkey FROM orders WHERE ${probes("o_custkey")}
+       |), tr AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_custkey IN (SELECT c_custkey FROM seg)
+       |), c AS (
+       |  SELECT (SELECT count(*) FROM orders) AS n_fact,
+       |    (SELECT count(*) FROM seg) AS n_build,
+       |    (SELECT count(*) FROM cand) AS n_candidates,
+       |    (SELECT count(*) FROM tr) AS n_true
+       |)
+       |SELECT n_fact, n_build, n_candidates, n_true,
+       |  n_candidates - n_true AS n_false_pos,
+       |  CAST(n_candidates - n_true AS DOUBLE) / CAST(n_fact - n_true AS DOUBLE)
+       |    AS fp_rate
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_prune_audit" -> (bloomPruneAudit _),
     "changelog_compact" -> (changelogCompact _),
     "zorder_layout" -> (zorderLayout _),
     "k_anonymity_audit" -> (kAnonymityAudit _),
@@ -1402,6 +1491,7 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "bloom_prune_audit" -> bloomPruneAuditSql,
     "changelog_compact" -> changelogCompactSql,
     "zorder_layout" -> zorderLayoutSql,
     "k_anonymity_audit" -> kAnonymityAuditSql,

@@ -1,7 +1,8 @@
 package graft
 
-import graft.operators.Analytics
+import graft.operators.{Analytics, Warehouse}
 import org.apache.spark.sql.functions._
+import java.security.MessageDigest
 
 /** Behavioral pins for the round-10 fourth wave's sequential-recurrence
   * operators (CUSUM changepoint, Holt level+trend forecast). Each test
@@ -77,5 +78,33 @@ class WaveFourSpec extends SparkSpec {
     assert(got.size == n)
     // trend must actually exercise the negative-operand division branch
     assert(got.values.exists(_._3 < 0), "no negative trend rows — fixture too flat")
+  }
+
+  test("bloom_prune_audit: no false negatives, counts match a driver bloom") {
+    def pos(i: Int, key: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"bf$i:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 8192
+    }
+    val seg = spark.read.parquet(s"$tiny/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val bits = seg.flatMap(k => (1 to 3).map(i => pos(i, k)))
+    val orders = spark.read.parquet(s"$tiny/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    val cand = orders.filter { case (_, c) => (1 to 3).forall(i => bits(pos(i, c))) }
+    val tru = orders.filter { case (_, c) => seg(c) }
+    // a Bloom can only over-approximate: every true match must be a candidate
+    assert(tru.map(_._1).toSet.subsetOf(cand.map(_._1).toSet))
+
+    val r = Warehouse.bloomPruneAudit(spark, tiny).collect().head
+    assert(r.getAs[Long]("n_fact") == orders.length)
+    assert(r.getAs[Long]("n_build") == seg.size)
+    assert(r.getAs[Long]("n_candidates") == cand.length)
+    assert(r.getAs[Long]("n_true") == tru.length)
+    assert(r.getAs[Long]("n_false_pos") == cand.length - tru.length)
   }
 }
