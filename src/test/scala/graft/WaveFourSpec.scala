@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Warehouse}
+import graft.operators.{Analytics, Graph, Warehouse}
 import org.apache.spark.sql.functions._
 import java.security.MessageDigest
 
@@ -106,5 +106,29 @@ class WaveFourSpec extends SparkSpec {
     assert(r.getAs[Long]("n_candidates") == cand.length)
     assert(r.getAs[Long]("n_true") == tru.length)
     assert(r.getAs[Long]("n_false_pos") == cand.length - tru.length)
+  }
+
+  test("copurchase_triangles: degree-ordered count == brute-force recount") {
+    val items = spark.read.parquet(s"$tiny/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = items.groupBy(_._1).values.flatMap { o =>
+      val ps = o.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    // brute force: for each edge (u, v), common neighbors w with u < v < w
+    val tri = edges.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).count(_ > v).toLong
+    }.sum
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+
+    val r = Graph.copurchaseTriangles(spark, tiny).collect().head
+    assert(r.getAs[Long]("n_nodes") == adj.size)
+    assert(r.getAs[Long]("n_edges") == edges.size)
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("n_triangles") == tri)
+    assert(tri > 0, "fixture produced a triangle-free graph — test has no power")
   }
 }
