@@ -1456,7 +1456,89 @@ object Warehouse {
        |FROM c""".stripMargin
   }
 
+  // ---------------------------------------------------- dataset profiler
+
+  /** Per-column profiling card over the event stream — the first query
+    * every data platform runs against an unknown 100 TB table: row/null/
+    * distinct counts and the modal value per column, one row per column.
+    *
+    * Shape: ONE corpus-scale pass — a `stack` unpivot (scan-side
+    * projection, no shuffle) into (col_name, val) feeding a single
+    * map-combinable (col_name, val) hash agg. Every downstream metric
+    * (null count, distinct count, mode) re-aggregates those VALUE-LEVEL
+    * counts, never the corpus: n_distinct is a count over the value
+    * domain, and the mode is the native bounded-heap top-1 per column
+    * ([[graft.plans.TopKPerKey]]), so even a column whose value domain
+    * is itself huge (props: ~every row distinct) ships k rows per map
+    * task, not its domain. Doubles are profiled in the house integer
+    * cents quantization (v_cents) — cross-engine double-to-string
+    * formatting is undefined territory, BIGINT-to-string is exact. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.events(spark, dir)
+      .withColumn("v_cents",
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+      .select(expr(
+        // purchase_cents is a SPARSE column (null off the purchase path) —
+        // the driver fixtures ship no physical nulls, so the profiler's
+        // null branch is exercised by a derived optional field, the shape
+        // data cards actually meet (sparsely-populated optional columns)
+        """stack(5,
+          |  'event_type', event_type,
+          |  'user_id', CAST(user_id AS STRING),
+          |  'v_cents', CAST(v_cents AS STRING),
+          |  'purchase_cents',
+          |    CAST(IF(event_type = 'purchase', v_cents, NULL) AS STRING),
+          |  'props', props) AS (col_name, val)""".stripMargin))
+      .groupBy(col("col_name"), col("val"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // three consumers below; the corpus is gone already
+    val stats = cnts.groupBy("col_name").agg(
+      sum("n").as("n_rows"),
+      sum(when(col("val").isNull, col("n")).otherwise(lit(0L))).as("n_null"),
+      sum(when(col("val").isNull, lit(0L)).otherwise(lit(1L))).as("n_distinct"))
+    val mode = graft.plans.TopKPerKey.topK(
+      cnts.filter(col("val").isNotNull),
+      keys = Seq(col("col_name")),
+      order = Seq(col("n").desc, col("val").asc),
+      k = 1)
+      .select(col("col_name"), col("val").as("top_val"), col("n").as("top_n"))
+    stats.join(mode, "col_name")
+  }
+
+  val columnProfileSql: String =
+    """WITH u AS (
+      |  SELECT 'event_type' AS col_name, event_type AS val FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      |  UNION ALL
+      |  SELECT 'v_cents', CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'purchase_cents',
+      |    CAST(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS VARCHAR)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'props', props FROM events
+      |), cnts AS (
+      |  SELECT col_name, val, count(*) AS n FROM u GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN val IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_null,
+      |    CAST(sum(CASE WHEN val IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_distinct
+      |  FROM cnts GROUP BY 1
+      |), mode AS (
+      |  SELECT col_name, val AS top_val, n AS top_n FROM (
+      |    SELECT col_name, val, n, row_number() OVER (
+      |      PARTITION BY col_name ORDER BY n DESC, val ASC) AS rn
+      |    FROM cnts WHERE val IS NOT NULL)
+      |  WHERE rn = 1
+      |)
+      |SELECT s.col_name, s.n_rows, s.n_null, s.n_distinct, m.top_val, m.top_n
+      |FROM stats s JOIN mode m ON s.col_name = m.col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "column_profile" -> (columnProfile _),
     "bloom_prune_audit" -> (bloomPruneAudit _),
     "changelog_compact" -> (changelogCompact _),
     "zorder_layout" -> (zorderLayout _),
@@ -1491,6 +1573,7 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "column_profile" -> columnProfileSql,
     "bloom_prune_audit" -> bloomPruneAuditSql,
     "changelog_compact" -> changelogCompactSql,
     "zorder_layout" -> zorderLayoutSql,

@@ -131,4 +131,33 @@ class WaveFourSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") == tri)
     assert(tri > 0, "fixture produced a triangle-free graph — test has no power")
   }
+
+  test("column_profile: counts and mode vs driver recompute, null branch live") {
+    val raw = graft.sources.Tables.events(spark, tiny)
+      .select("event_type", "user_id", "value", "props").collect()
+    val cols: Map[String, Seq[Option[String]]] = Map(
+      "event_type" -> raw.toSeq.map(r => Some(r.getString(0))),
+      "user_id" -> raw.toSeq.map(r => Option(r.get(1)).map(_.toString)),
+      "v_cents" -> raw.toSeq.map(r => Option(r.get(2))
+        .map(v => math.floor(v.asInstanceOf[Double] * 100.0 + 0.5).toLong.toString)),
+      "purchase_cents" -> raw.toSeq.map(r =>
+        if (r.getString(0) == "purchase") Option(r.get(2))
+          .map(v => math.floor(v.asInstanceOf[Double] * 100.0 + 0.5).toLong.toString)
+        else None),
+      "props" -> raw.toSeq.map(r => Option(r.getString(3))))
+
+    val got = graft.operators.Warehouse.columnProfile(spark, tiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toMap
+    assert(got.keySet == cols.keySet)
+    cols.foreach { case (name, vals) =>
+      val nn = vals.flatten
+      val (topV, topN) = nn.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.minBy { case (v, n) => (-n, v) }
+      assert(got(name) == ((vals.size.toLong, (vals.size - nn.size).toLong,
+        nn.distinct.size.toLong, topV, topN)), s"profile mismatch for $name")
+    }
+    // the sparse derived column must actually exercise the null branch
+    assert(got("purchase_cents")._2 > 0)
+  }
 }
