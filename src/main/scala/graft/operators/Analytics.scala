@@ -1351,6 +1351,95 @@ object Analytics {
        |FROM e LEFT JOIN x
        |  ON e.type_a = x.type_a AND e.type_b = x.type_b""".stripMargin
 
+  // ------------------------------------------- hash-sample quantile audit
+
+  private val sqK = 256 // sample size per group; rank error ~ 1/sqrt(k)
+
+  /** Mergeable-sample quantile estimation next to the exact tier — the
+    * third sketch family after HLL (cardinality) and KMV (set sizes):
+    * the BOTTOM-[[sqK]] rows per group by a salted hash of the UNIQUE
+    * event_id are a uniform random sample of the group (hashing a unique
+    * key is sampling without replacement), and bottom-k-by-hash is
+    * MERGEABLE — the bottom-k of a union is the bottom-k of the merged
+    * bottom-k's, the distributed-reservoir property that lets every map
+    * task ship k rows per group ([[graft.plans.TopKPerKey]] partial
+    * heaps) while a true reservoir would need sequential state.
+    *
+    * Median and p90 are then read at integer rank floor((n-1)*q) from
+    * the sorted sample, and the SAME rank definition runs over the full
+    * data as the exact audit (a per-group sort — the expensive tier you
+    * run once to validate, not per query). All integer; `err_*` columns
+    * are REPORTED sample-minus-exact cents, not an assumed bound. */
+  def sampleQuantileAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("v_cents"))
+    val samp = graft.plans.TopKPerKey.topK(
+      ev.withColumn("h",
+        conv(substring(md5(concat(lit("sq:"), col("event_id"))), 1, 12), 16, 10)
+          .cast("long")),
+      keys = Seq(col("event_type")), order = Seq(col("h")), k = sqK)
+    val sq = samp.groupBy("event_type")
+      .agg(sort_array(collect_list(col("v_cents"))).as("sv"),
+        count(lit(1)).as("n_kept"))
+      .select(col("event_type"), col("n_kept"),
+        expr("element_at(sv, CAST((n_kept - 1) * 5 div 10 AS INT) + 1)").as("samp_p50"),
+        expr("element_at(sv, CAST((n_kept - 1) * 9 div 10 AS INT) + 1)").as("samp_p90"))
+    val w = Window.partitionBy("event_type").orderBy("v_cents")
+    val exact = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type").agg(
+        max("n").as("n"),
+        max(when(col("rn") === expr("(n - 1) * 5 div 10 + 1"), col("v_cents")))
+          .as("exact_p50"),
+        max(when(col("rn") === expr("(n - 1) * 9 div 10 + 1"), col("v_cents")))
+          .as("exact_p90"))
+    exact.join(broadcast(sq), "event_type")
+      .withColumn("err_p50", col("samp_p50") - col("exact_p50"))
+      .withColumn("err_p90", col("samp_p90") - col("exact_p90"))
+  }
+
+  val sampleQuantileAuditSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents,
+       |    CAST(('0x' || substr(md5('sq:' || CAST(event_id AS VARCHAR)), 1, 12))
+       |      AS BIGINT) AS h
+       |  FROM events WHERE value IS NOT NULL
+       |), samp AS (
+       |  SELECT event_type, v_cents, row_number() OVER (
+       |      PARTITION BY event_type ORDER BY v_cents) AS srn,
+       |    count(*) OVER (PARTITION BY event_type) AS n_kept
+       |  FROM (
+       |    SELECT event_type, v_cents, row_number() OVER (
+       |      PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM ev)
+       |  WHERE rn <= $sqK
+       |), sq AS (
+       |  SELECT event_type, max(n_kept) AS n_kept,
+       |    max(CASE WHEN srn = (n_kept - 1) * 5 // 10 + 1 THEN v_cents END)
+       |      AS samp_p50,
+       |    max(CASE WHEN srn = (n_kept - 1) * 9 // 10 + 1 THEN v_cents END)
+       |      AS samp_p90
+       |  FROM samp GROUP BY 1
+       |), ex AS (
+       |  SELECT event_type, max(n) AS n,
+       |    max(CASE WHEN rn = (n - 1) * 5 // 10 + 1 THEN v_cents END) AS exact_p50,
+       |    max(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN v_cents END) AS exact_p90
+       |  FROM (
+       |    SELECT event_type, v_cents,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY v_cents) AS rn,
+       |      count(*) OVER (PARTITION BY event_type) AS n
+       |    FROM ev)
+       |  GROUP BY 1
+       |)
+       |SELECT ex.event_type, ex.n, ex.exact_p50, ex.exact_p90,
+       |  sq.n_kept, sq.samp_p50, sq.samp_p90,
+       |  sq.samp_p50 - ex.exact_p50 AS err_p50,
+       |  sq.samp_p90 - ex.exact_p90 AS err_p90
+       |FROM ex JOIN sq ON ex.event_type = sq.event_type""".stripMargin
+
   // -------------------------------------- sequential recurrences (CUSUM / Holt)
 
   /** The shared per-type daily series behind [[cusumAlerts]] and
@@ -1494,6 +1583,7 @@ object Analytics {
        |FROM rec""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_quantile_audit" -> (sampleQuantileAudit _),
     "cusum_alerts" -> (cusumAlerts _),
     "holt_forecast" -> (holtForecast _),
     "kmv_distinct_audit" -> (kmvDistinctAudit _),
@@ -1534,6 +1624,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_quantile_audit" -> sampleQuantileAuditSql,
     "cusum_alerts" -> cusumAlertsSql,
     "holt_forecast" -> holtForecastSql,
     "kmv_distinct_audit" -> kmvDistinctAuditSql,

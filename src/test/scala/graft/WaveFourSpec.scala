@@ -160,4 +160,42 @@ class WaveFourSpec extends SparkSpec {
     // the sparse derived column must actually exercise the null branch
     assert(got("purchase_cents")._2 > 0)
   }
+
+  test("sample_quantile_audit: driver recompute + bottom-k merge property") {
+    def h(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"sq:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rows = graft.sources.Tables.events(spark, tiny)
+      .filter(col("value").isNotNull)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+
+    val got = Analytics.sampleQuantileAudit(spark, tiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val sorted = rs.map(_._3).sorted
+      val n = sorted.length
+      val ex50 = sorted((n - 1) * 5 / 10)
+      val ex90 = sorted((n - 1) * 9 / 10)
+      val sample = rs.sortBy(r => h(r._2)).take(256).map(_._3).sorted
+      val k = sample.length
+      val sp50 = sample((k - 1) * 5 / 10)
+      val sp90 = sample((k - 1) * 9 / 10)
+      assert(got(t) == ((n.toLong, ex50, ex90, k.toLong, sp50, sp90)),
+        s"quantile audit mismatch for $t")
+
+      // mergeability: bottom-k of the union == bottom-k of merged per-split
+      // bottom-k's — the property that makes the sample shippable as k rows
+      // per map task
+      val (l, r) = rs.partition(_._2 % 2 == 0)
+      val merged = (l.sortBy(x => h(x._2)).take(256) ++ r.sortBy(x => h(x._2)).take(256))
+        .sortBy(x => h(x._2)).take(256).map(_._3).sorted
+      assert(merged.toSeq == sample.toSeq, s"bottom-k not mergeable for $t")
+    }
+  }
 }
