@@ -361,6 +361,67 @@ object Corpus {
        |    ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** Group-aware train/test splitting next to [[corpusSplit]]'s doc-level
+    * hash split, with the LEAKAGE of each measured — the eval-integrity
+    * rule every training pipeline learns the hard way: documents from
+    * one source (mirrors, templated pages, crawl near-dups) must not
+    * straddle train and test, or the eval set is memorized, not held
+    * out. Group splitting assigns the bucket by hashing the GROUP key
+    * (`source`), so a group lands in exactly one split by construction.
+    *
+    * The audit counts leaky pairs — same-source doc pairs separated by
+    * the split — for BOTH modes, purely from per-(source, split) COUNTS:
+    * leak(source) = C(total, 2) - sum_split C(n_split, 2), so no pair is
+    * ever materialized (the count algebra holds at any group size; a
+    * 10^8-doc domain contributes one row per split). Doc-level shows the
+    * real nonzero leak; group-level must audit to exactly zero. The
+    * tradeoff the report also exposes: group splits quantize the ratio
+    * (whole groups move between splits), so split sizes drift from
+    * 80/10/10 when groups are few or skewed. */
+  def groupedSplitAudit(spark: SparkSession, dir: String): DataFrame = {
+    def leak(tagged: DataFrame, mode: String): DataFrame = {
+      val bySrcSplit = tagged.groupBy("source", "split").agg(count(lit(1)).as("n"))
+      bySrcSplit.groupBy("source")
+        .agg(sum("n").as("tot"),
+          sum(expr("n * (n - 1) div 2")).as("within"))
+        .agg(
+          sum("tot").as("n_docs"),
+          count(lit(1)).as("n_groups"),
+          sum(expr("tot * (tot - 1) div 2 - within")).as("n_leaky_pairs"))
+        .select(lit(mode).as("mode"), col("n_docs"), col("n_groups"),
+          col("n_leaky_pairs"))
+    }
+    def tag(bucket: org.apache.spark.sql.Column): DataFrame =
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+        .withColumn("split",
+          when(bucket < trainPct, "train")
+            .when(bucket < trainPct + valPct, "validation")
+            .otherwise("test"))
+    leak(tag(splitBucket(col("doc_id"))), "doc")
+      .unionByName(leak(tag(hashBucket("gsplit:", col("source"))), "group"))
+  }
+
+  val groupedSplitAuditSql: String = {
+    def one(mode: String, bucket: String): String =
+      s"""SELECT '$mode' AS mode, CAST(sum(tot) AS BIGINT) AS n_docs,
+         |  count(*) AS n_groups,
+         |  CAST(sum(tot * (tot - 1) // 2 - within) AS BIGINT) AS n_leaky_pairs
+         |FROM (
+         |  SELECT source, sum(n) AS tot, sum(n * (n - 1) // 2) AS within
+         |  FROM (
+         |    SELECT source, split, count(*) AS n FROM (
+         |      SELECT source, CASE
+         |        WHEN $bucket < $trainPct THEN 'train'
+         |        WHEN $bucket < ${trainPct + valPct} THEN 'validation'
+         |        ELSE 'test' END AS split
+         |      FROM documents)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    s"""${one("doc", splitBucketSql("doc_id"))}
+       |UNION ALL
+       |${one("group", hashBucketSql("gsplit:", "source"))}""".stripMargin
+  }
+
   // --------------------------------------------------- per-domain cap
 
   private val domainCapK = 10
@@ -970,6 +1031,7 @@ object Corpus {
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_profile" -> (dedupProfile _),
     "corpus_split" -> (corpusSplit _),
+    "grouped_split_audit" -> (groupedSplitAudit _),
     "corpus_sample" -> (corpusSample _),
     "corpus_importance_sample" -> (corpusImportanceSample _),
     "corpus_mixture" -> (corpusMixture _),
@@ -989,6 +1051,7 @@ object Corpus {
     "dedup_profile" -> dedupProfileSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "corpus_split" -> corpusSplitSql,
+    "grouped_split_audit" -> groupedSplitAuditSql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_importance_sample" -> corpusImportanceSampleSql,
     "corpus_mixture" -> corpusMixtureSql,

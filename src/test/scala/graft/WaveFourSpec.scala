@@ -198,4 +198,34 @@ class WaveFourSpec extends SparkSpec {
       assert(merged.toSeq == sample.toSeq, s"bottom-k not mergeable for $t")
     }
   }
+
+  test("grouped_split_audit: count algebra == brute-force pairs; group leak 0") {
+    def bucket(salt: String, key: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$salt$key".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def split(b: Long): String =
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    val docs = spark.read.parquet(s"$tiny/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    def brute(assign: ((Long, String)) => String): Long =
+      docs.groupBy(_._2).values.map { g =>
+        val ss = g.map(assign)
+        (for (i <- ss.indices; j <- i + 1 until ss.length
+          if ss(i) != ss(j)) yield 1L).sum
+      }.sum
+
+    val leakDoc = brute { case (id, _) => split(bucket("split:", id.toString)) }
+    val leakGrp = brute { case (_, src) => split(bucket("gsplit:", src)) }
+    assert(leakGrp == 0L) // by construction, but pin it against salts drifting
+
+    val got = graft.operators.Corpus.groupedSplitAudit(spark, tiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("doc") == ((docs.length.toLong, docs.map(_._2).distinct.length.toLong, leakDoc)))
+    assert(got("group") == ((docs.length.toLong, docs.map(_._2).distinct.length.toLong, 0L)))
+    assert(leakDoc > 0, "doc-level split leaked nothing — audit has no power")
+  }
 }
