@@ -1483,6 +1483,13 @@ object Analytics {
     * so the interpreted cost is nil; the alternative (a recursive self-join
     * per day) would be |days| sequential stages. For an unbounded horizon
     * you checkpoint (key, month) folds — the recurrence state is one long. */
+  /** The CUSUM in-control baseline, (event_type, mu8) — the batch-trained
+    * artifact [[graft.streaming.StreamingCusum]] scores against (the same
+    * train-offline / score-online split as the seasonal twin). */
+  def cusumBaseline(spark: SparkSession, dir: String): DataFrame =
+    dailySeries(spark, dir).groupBy("event_type")
+      .agg(expr("(8 * sum(y)) div count(1)").as("mu8"))
+
   def cusumAlerts(spark: SparkSession, dir: String): DataFrame = {
     val ser = dailySeries(spark, dir)
       .groupBy("event_type")
