@@ -211,13 +211,110 @@ object Retrieval {
        |SELECT query_id, term, tf_r, w_fp FROM pr WHERE prn <= $prfK""".stripMargin
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009)
+    * — the two-leg production search: the LEXICAL leg is [[bm25Topk]];
+    * the SEMANTIC leg embeds each query's best lexical hit (the
+    * "more-like-this" pivot — doc_id and vec_id share one id space in
+    * the fixtures, as in any corpus whose embeddings are derived from
+    * its documents) and ranks the corpus by cosine around it. RRF then
+    * fuses by rank alone — score scales of BM25 fixed-point and cosine
+    * never meet, which is the whole reason RRF is the default fusion —
+    * as Σ 1e9 div (60 + rank): INTEGER division of integer ranks, so
+    * the fusion is bit-exact cross-engine with zero float ops.
+    *
+    * Scale shape: the lexical leg is bm25's (posting-list agg + bounded
+    * heap); the seed set is |queries| rows broadcast; the semantic leg
+    * here is ONE broadcast-NLJ pass over the vectors through the heap
+    * (the audit-exact form — at index scale the same leg runs through
+    * the trained IVF index like [[Similarity.knnGraph]]); the fusion
+    * touches 2k rows per query. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lexRanked = bm25Topk(spark, dir)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score_fp").desc, col("doc_id"))))
+      .select("query_id", "doc_id", "rank")
+    val seeds = lexRanked.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id").as("seed_id"))
+    val vn = Similarity.vecs(spark, dir)
+    val sv = seeds.join(vn, seeds("seed_id") === vn("vec_id"))
+      .select(col("query_id"), col("seed_id"), col("v").as("qv"), col("norm").as("qn"))
+    val sem = vn.crossJoin(broadcast(sv))
+      .filter(col("vec_id") =!= col("seed_id"))
+      .withColumn("sim_r",
+        Similarity.simRound(Similarity.dot(col("qv"), col("v")) /
+          (col("qn") * col("norm"))))
+    val semRanked = TopKPerKey.topK(sem, Seq(col("query_id")),
+        Seq(col("sim_r").desc, col("vec_id").asc), k)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim_r").desc, col("vec_id"))))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val fused = lexRanked
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        lit(1L).as("il"), lit(0L).as("is"))
+      .unionByName(semRanked.select(col("query_id"), col("doc_id"), col("rank"),
+        lit(0L).as("il"), lit(1L).as("is")))
+      .withColumn("c", expr("CAST(1000000000 AS BIGINT) div (60 + rank)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c").as("rrf_fp"), max("il").as("in_lex"), max("is").as("in_sem"))
+    TopKPerKey.topK(fused, Seq(col("query_id")),
+        Seq(col("rrf_fp").desc, col("doc_id").asc), k)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf_fp").desc, col("doc_id"))))
+      .select("query_id", "rank", "doc_id", "rrf_fp", "in_lex", "in_sem")
+  }
+
+  val hybridRrfSql: String = {
+    val base = bm25TopkSql
+      .replaceFirst("(?s)SELECT query_id, doc_id, score_fp FROM r WHERE rn <= \\d+$", "")
+      .stripSuffix("\n")
+    s"""$base,
+       |lexr AS (SELECT query_id, doc_id, rn AS lrank FROM r WHERE rn <= $k),
+       |${Similarity.vecsSql},
+       |seed AS (SELECT query_id, doc_id AS seed_id FROM lexr WHERE lrank = 1),
+       |sv AS (
+       |  SELECT s.query_id, s.seed_id, vn.v AS qv, vn.norm AS qn
+       |  FROM seed s JOIN vn ON vn.vec_id = s.seed_id
+       |), ds AS (
+       |  SELECT sv.query_id, c.vec_id,
+       |    ${Similarity.simRoundSql(
+             "list_sum(list_transform(list_zip(sv.qv, c.v), x -> x[1] * x[2]))" +
+             " / (sv.qn * c.norm)")} AS sim_r
+       |  FROM vn c CROSS JOIN sv WHERE c.vec_id <> sv.seed_id
+       |), semr AS (
+       |  SELECT query_id, vec_id AS doc_id, srank FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_r DESC, vec_id) AS srank
+       |    FROM ds)
+       |  WHERE srank <= $k
+       |), u AS (
+       |  SELECT query_id, doc_id, lrank AS urank,
+       |    CAST(1 AS BIGINT) AS il, CAST(0 AS BIGINT) AS iss FROM lexr
+       |  UNION ALL
+       |  SELECT query_id, doc_id, srank AS urank,
+       |    CAST(0 AS BIGINT) AS il, CAST(1 AS BIGINT) AS iss FROM semr
+       |), f AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(1000000000 // (60 + urank)) AS BIGINT) AS rrf_fp,
+       |    max(il) AS in_lex, max(iss) AS in_sem
+       |  FROM u GROUP BY 1, 2
+       |), fr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_fp DESC, doc_id) AS "rank"
+       |  FROM f
+       |)
+       |SELECT query_id, "rank", doc_id, rrf_fp, in_lex, in_sem
+       |FROM fr WHERE "rank" <= $k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25Topk _),
     "bm25_prf" -> (bm25Prf _),
+    "hybrid_rrf" -> (hybridRrf _),
   )
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
     "bm25_prf" -> bm25PrfSql,
+    "hybrid_rrf" -> hybridRrfSql,
   )
 }

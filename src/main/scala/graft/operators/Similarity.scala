@@ -31,7 +31,7 @@ object Similarity {
     * ascending-index IEEE fold), but compiled into the whole-stage loop:
     * measured ~1.9x on a 10-query x 50k-vector brute-force scan at sf0.1
     * (tools/DotBench), where the dot product is the inner loop. */
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotd(a, b)
 
   private def dotSql(a: String, b: String): String =
@@ -39,10 +39,10 @@ object Similarity {
 
   /** Similarity rounded to 1e-6 fixed point: tolerates any residual ulp
     * divergence while keeping ordering deterministic. */
-  private def simRound(c: Column): Column =
+  private[operators] def simRound(c: Column): Column =
     floor(c * 1000000.0 + 0.5) / 1000000.0
 
-  private def simRoundSql(e: String): String =
+  private[operators] def simRoundSql(e: String): String =
     s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
 
   /** Similarity-ready vectors: zero-norm rows are DROPPED (identically in
@@ -52,13 +52,13 @@ object Similarity {
     * cell assignment and rankings cross-engine (ADVICE r6). A zero
     * embedding carries no direction to search by; [[embeddingNormStats]]
     * (which keeps all rows) is the audit that surfaces them. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .filter(col("norm") > 0.0)
 
-  private val vecsSql: String =
+  private[operators] val vecsSql: String =
     """v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings

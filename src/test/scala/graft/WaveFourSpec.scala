@@ -228,4 +228,48 @@ class WaveFourSpec extends SparkSpec {
     assert(got("group") == ((docs.length.toLong, docs.map(_._2).distinct.length.toLong, 0L)))
     assert(leakDoc > 0, "doc-level split leaked nothing — audit has no power")
   }
+
+  test("hybrid_rrf: driver recompute of the semantic leg and the fusion") {
+    // the lexical leg is bm25_topk, which has its own oracle — take its
+    // output as given and recompute everything downstream independently
+    val lex = graft.operators.Retrieval.bm25Topk(spark, tiny).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(x => (-x._3, x._2)).map(_._2).zipWithIndex
+          .map { case (d, i) => (d, i + 1) }).toMap
+
+    val vecs = spark.read.parquet(s"$tiny/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        r.getLong(0) -> v
+      }.toMap
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def simR(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.floor(d / (norm(a) * norm(b)) * 1000000.0 + 0.5) / 1000000.0
+    }
+    val expect = lex.flatMap { case (q, lexRanked) =>
+      val seed = lexRanked.head._1
+      val sv = vecs(seed)
+      val sem = vecs.toSeq.filter(v => v._1 != seed && norm(v._2) > 0.0)
+        .map { case (id, v) => (id, simR(sv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).zipWithIndex
+        .map { case (d, i) => (d, i + 1) }
+      val contrib = (lexRanked.map { case (d, r) => (d, r, 1L, 0L) } ++
+        sem.map { case (d, r) => (d, r, 0L, 1L) })
+      contrib.groupBy(_._1).map { case (d, cs) =>
+        (q, d) -> (cs.map(c => 1000000000L / (60 + c._2)).sum,
+          cs.map(_._3).max, cs.map(_._4).max)
+      }.toSeq.sortBy { case ((_, d), (s, _, _)) => (-s, d) }.take(10)
+        .zipWithIndex.map { case (((qq, d), (s, il, is)), i) =>
+          (qq, i + 1, d) -> (s, il, is) }
+    }.toMap
+
+    val got = graft.operators.Retrieval.hybridRrf(spark, tiny).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect)
+    // the fusion must actually mix legs somewhere
+    assert(got.values.exists(_._2 == 1L) && got.values.exists(_._3 == 1L))
+  }
 }
