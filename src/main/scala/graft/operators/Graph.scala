@@ -177,13 +177,20 @@ object Graph {
     *    be (b, c)), three hash joins on packed BIGINT keys.
     * The (degree, id) order is packed as deg * 2^32 + id: one sortable
     * long, exact in both engines (deg <= |parts| < 2^31, id < 2^32). */
-  def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
+  /** The distinct co-purchase edge set — exposed for the plan invariant
+    * (the per-order pair fan-out must plan as an equi-join on l_orderkey,
+    * never a nested loop). */
+  private[graft] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = items.as("a").join(items.as("b"), "l_orderkey")
+    items.as("a").join(items.as("b"), "l_orderkey")
       .filter(col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct().localCheckpoint()
+  }
+
+  def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
     val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val keyed = edges

@@ -1401,18 +1401,29 @@ object Warehouse {
     * the candidates a real pre-filter would pass (true matches + Bloom
     * collisions) next to the exact semi-join, making the claimed FP rate
     * (~(1-e^(-kn/m))^k ≈ 0.1% here) a measured number, not a belief. */
-  def bloomPruneAudit(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.customer(spark, dir)
+  /** The build side (segment customers) of [[bloomPruneAudit]]. */
+  private def bloomBuild(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
-    val bits = seg.select(explode(array(
+
+  /** The pruned-candidate stage of [[bloomPruneAudit]] — exposed so the
+    * plan invariant can pin its shape (broadcast semi-joins only, fact
+    * scan pruned to the two referenced columns). */
+  private[graft] def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val bits = bloomBuild(spark, dir).select(explode(array(
         (1 to bloomHashes).map(i => bloomPos(i, col("c_custkey"))): _*)).as("pos"))
       .distinct()
-    val probe = (1 to bloomHashes).foldLeft(
+    (1 to bloomHashes).foldLeft(
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))) {
       case (df, i) =>
         df.join(broadcast(bits.withColumnRenamed("pos", s"p$i")),
           bloomPos(i, col("o_custkey")) === col(s"p$i"), "left_semi")
     }
+  }
+
+  def bloomPruneAudit(spark: SparkSession, dir: String): DataFrame = {
+    val seg = bloomBuild(spark, dir)
+    val probe = bloomProbe(spark, dir)
     val trueSemi = Tables.orders(spark, dir)
       .join(broadcast(seg), col("o_custkey") === col("c_custkey"), "left_semi")
     val nFact = Tables.orders(spark, dir).count()

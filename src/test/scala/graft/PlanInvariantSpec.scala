@@ -164,6 +164,53 @@ class PlanInvariantSpec extends SparkSpec {
     assert("partial_max|PartialMerge|partial".r.findFirstIn(plan.toLowerCase).isDefined, plan)
   }
 
+  test("bloom_prune_audit: probe is broadcast semi-joins over a pruned fact scan") {
+    val probe = graft.operators.Warehouse.bloomProbe(spark, "/root/testdata/sf0.001")
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    def nodes(op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
+    // all three position probes broadcast; the fact side never shuffles
+    assert(nodes("BroadcastHashJoin") >= 3, plan)
+    assert(nodes("SortMergeJoin") == 0 && nodes("ShuffledHashJoin") == 0, plan)
+    val read = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("o_orderkey")).get
+    assert(read.contains("o_custkey") && !read.contains("o_totalprice"), read)
+  }
+
+  test("copurchase_triangles: pair fan-out is an equi-join, never a nested loop") {
+    // plan BEFORE the localCheckpoint materializes (checkpoint erases lineage)
+    val items = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey")).distinct()
+    val pairs = items.as("a").join(items.as("b"), "l_orderkey")
+      .filter(org.apache.spark.sql.functions.col("a.l_partkey") <
+        org.apache.spark.sql.functions.col("b.l_partkey"))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pair fan-out lost its equi-join key:\n$plan")
+  }
+
+  test("sample_quantile_audit / column_profile / hybrid_rrf run on the bounded heap") {
+    Seq("sample_quantile_audit", "column_profile", "hybrid_rrf").foreach { n =>
+      val plan = formatted(n)
+      assert(plan.contains("TopKPerKey"),
+        s"$n lost its bounded-heap ranking:\n$plan")
+    }
+  }
+
+  test("cusum/holt: one corpus exchange + one series exchange, nothing more") {
+    Seq("cusum_alerts", "holt_forecast").foreach { n =>
+      val plan = formatted(n)
+      def nodes(op: String): Int =
+        s"""\\(\\d+\\) $op\n""".r.findAllIn(plan).length
+      // daily agg + per-type series agg; the fold itself must add no
+      // exchange (it runs inside the projection over the series array)
+      assert(nodes("Exchange") <= 2, s"$n grew an extra exchange:\n$plan")
+    }
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
