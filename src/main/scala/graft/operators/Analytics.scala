@@ -1351,6 +1351,66 @@ object Analytics {
        |FROM e LEFT JOIN x
        |  ON e.type_a = x.type_a AND e.type_b = x.type_b""".stripMargin
 
+  // ------------------------------------------------- time-bounded funnel
+
+  private val funnelWindowNs = 6L * 3600 * 1000000000L // 6 h per step
+
+  /** Conversion funnel with a PER-STEP deadline — the windowed-funnel
+    * semantics (each step must land within 6 h of the previous step's
+    * first qualifying event), which is what product analytics actually
+    * asks ("did the click happen BECAUSE of the signup?"): the unbounded
+    * [[funnelOrdered]] converts every user given enough horizon (150/150
+    * /150 on the fixtures), the 6 h deadline separates real conversion
+    * (150/14/4). First-qualifying-event semantics (min over qualifying
+    * times) keeps each stage deterministic and one aggregate deep.
+    *
+    * Shape: identical to [[funnelOrdered]] — per-stage scan filters die
+    * scan-side, each stage is a map-combinable per-user min joined to
+    * the previous stage's one-row-per-user frame; eager materialization
+    * keeps the multi-consumer stages single-execution. */
+  def funnelTimeBound(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts_ns")
+    val s1 = Dedup.eager(ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_ns").as("t1")))
+    val s2 = Dedup.eager(ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts_ns") > col("t1") &&
+        col("ts_ns") <= col("t1") + funnelWindowNs)
+      .groupBy("user_id").agg(min("ts_ns").as("t2")))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts_ns") > col("t2") &&
+        col("ts_ns") <= col("t2") + funnelWindowNs)
+      .groupBy("user_id").agg(min("ts_ns").as("t3"))
+    def cnt(df: DataFrame, step: Int, stage: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(stage).as("stage"), col("n_users"))
+    cnt(s1, 1, "signup")
+      .unionAll(cnt(s2, 2, "click<=6h"))
+      .unionAll(cnt(s3, 3, "purchase<=6h"))
+  }
+
+  val funnelTimeBoundSql: String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1
+       |), s2 AS (
+       |  SELECT e.user_id, min(epoch_ns(ts)) AS t2
+       |  FROM events e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'click' AND epoch_ns(ts) > t1
+       |    AND epoch_ns(ts) <= t1 + $funnelWindowNs
+       |  GROUP BY 1
+       |), s3 AS (
+       |  SELECT e.user_id, min(epoch_ns(ts)) AS t3
+       |  FROM events e JOIN s2 USING (user_id)
+       |  WHERE event_type = 'purchase' AND epoch_ns(ts) > t2
+       |    AND epoch_ns(ts) <= t2 + $funnelWindowNs
+       |  GROUP BY 1
+       |)
+       |SELECT 1 AS step, 'signup' AS stage, count(*) AS n_users FROM s1
+       |UNION ALL
+       |SELECT 2, 'click<=6h', count(*) FROM s2
+       |UNION ALL
+       |SELECT 3, 'purchase<=6h', count(*) FROM s3""".stripMargin
+
   // ------------------------------------------- hash-sample quantile audit
 
   private val sqK = 256 // sample size per group; rank error ~ 1/sqrt(k)
@@ -1591,6 +1651,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_quantile_audit" -> (sampleQuantileAudit _),
+    "funnel_time_bound" -> (funnelTimeBound _),
     "cusum_alerts" -> (cusumAlerts _),
     "holt_forecast" -> (holtForecast _),
     "kmv_distinct_audit" -> (kmvDistinctAudit _),
@@ -1632,6 +1693,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "sample_quantile_audit" -> sampleQuantileAuditSql,
+    "funnel_time_bound" -> funnelTimeBoundSql,
     "cusum_alerts" -> cusumAlertsSql,
     "holt_forecast" -> holtForecastSql,
     "kmv_distinct_audit" -> kmvDistinctAuditSql,

@@ -258,15 +258,74 @@ object Graph {
       |    AS closure_rate
       |FROM c""".stripMargin
 
+  /** Association mining over the same basket graph as
+    * [[copurchaseTriangles]]: the 20 strongest part pairs by co-purchase
+    * support, each with its LIFT — support(u,v) / (support(u) *
+    * support(v)) — the measure that separates "bought together because
+    * both are popular" (lift ≈ 1) from genuine association (lift >> 1).
+    *
+    * Exactness: lift is the 1e-6 fixed point integer
+    * (n_orders * c_uv * 1e6) div (c_u * c_v) — one integer division,
+    * both engines truncate identically; headroom c_u * c_v < 2^31 * 2^31
+    * and the numerator stays under 2^63 for any corpus where a pair
+    * count fits in 32 bits (at larger scale you'd shift to 1e-4).
+    *
+    * Shape: pair counts come from the same bounded per-order fan-out
+    * (never quadratic in the catalog); item supports are one
+    * map-combinable agg; the pair-to-support join is two hash joins on
+    * part keys; final ranking is TakeOrdered(20), no global sort. */
+  def copurchaseLift(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairCnt = items.as("a").join(items.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("c_uv"))
+    val itemCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val n = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    pairCnt
+      .join(itemCnt.select(col("l_partkey").as("u"), col("c").as("c_u")), "u")
+      .join(itemCnt.select(col("l_partkey").as("v"), col("c").as("c_v")), "v")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_fp",
+        expr("(n_orders * c_uv * 1000000) div (c_u * c_v)"))
+      .select("u", "v", "c_uv", "c_u", "c_v", "lift_fp")
+      .orderBy(col("c_uv").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  val copurchaseLiftSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pc AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c_uv
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |), ic AS (
+      |  SELECT l_partkey, count(*) AS c FROM items GROUP BY 1
+      |), n AS (
+      |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+      |)
+      |SELECT pc.u, pc.v, pc.c_uv, iu.c AS c_u, iv.c AS c_v,
+      |  (n.n_orders * pc.c_uv * 1000000) // (iu.c * iv.c) AS lift_fp
+      |FROM pc JOIN ic iu ON iu.l_partkey = pc.u
+      |  JOIN ic iv ON iv.l_partkey = pc.v
+      |  CROSS JOIN n
+      |ORDER BY pc.c_uv DESC, pc.u, pc.v LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "type_markov_rank" -> (typeMarkovRank _),
     "frequent_paths" -> (frequentPaths _),
     "copurchase_triangles" -> (copurchaseTriangles _),
+    "copurchase_lift" -> (copurchaseLift _),
   )
 
   val oracles: Map[String, String] = Map(
     "type_markov_rank" -> typeMarkovRankSql,
     "frequent_paths" -> frequentPathsSql,
     "copurchase_triangles" -> copurchaseTrianglesSql,
+    "copurchase_lift" -> copurchaseLiftSql,
   )
 }

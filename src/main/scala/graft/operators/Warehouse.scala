@@ -1548,7 +1548,79 @@ object Warehouse {
       |SELECT s.col_name, s.n_rows, s.n_null, s.n_distinct, m.top_val, m.top_n
       |FROM stats s JOIN mode m ON s.col_name = m.col_name""".stripMargin
 
+  // -------------------------------------------------- skyline (Pareto front)
+
+  private val skyBucketCents = 10000L // $100 price buckets for the grid prune
+
+  /** Skyline (Pareto-front) query over parts: every part not dominated on
+    * (price, size) — no other part is cheaper-or-equal AND smaller-or-
+    * equal with at least one strict — the classic multi-criteria shortlist
+    * ("show me the frontier, not the catalog").
+    *
+    * Two-phase plan (Börzsönyi et al. 2001's block-nested-loop made
+    * distributive): the naive dominance test is all-pairs, and the naive
+    * sorted-scan needs a GLOBAL sort — both banned shapes. Instead:
+    *  1. GRID PRUNE, scan-side: bucket prices into $100 cells, take each
+    *     cell's min size (one tiny agg), and the running min over
+    *     strictly-lower cells via a cell×cell self-join (grid × grid,
+    *     bounded by the price range, never the catalog). A part survives
+    *     only if its size beats every strictly-cheaper cell's minimum —
+    *     for uniform data this leaves O(cells + skyline) candidates out
+    *     of the whole catalog, and the filter is a broadcast hash join
+    *     against the cell table.
+    *  2. EXACT dominance among the surviving candidates only: a broadcast
+    *     anti-join with the full strict-in-one predicate. Candidates are
+    *     frontier-sized, so the quadratic check is on a set that no
+    *     longer grows with the catalog.
+    * The oracle proves the same point set through a different algorithm
+    * entirely (min-size-per-price + a window running min), so a tie or
+    * strictness bug in either phase cannot hide. */
+  def priceSizeSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.part(spark, dir).select(col("p_partkey"),
+      expr("CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)").as("price_cents"),
+      col("p_size").cast("long").as("p_size"))
+    val cells = pp.groupBy(expr(s"price_cents div $skyBucketCents").as("cell"))
+      .agg(min("p_size").as("ms"))
+    // running min over STRICTLY lower cells: grid × grid, both tiny
+    val lower = cells.as("c").join(cells.as("l"), col("l.cell") < col("c.cell"), "left")
+      .groupBy(col("c.cell").as("cell")).agg(min(col("l.ms")).as("prior_ms"))
+    val cand = pp
+      .join(broadcast(lower), expr(s"price_cents div $skyBucketCents") === col("cell"))
+      .filter(col("prior_ms").isNull || col("p_size") < col("prior_ms"))
+      .select("p_partkey", "price_cents", "p_size")
+    val candB = Dedup.eager(cand)
+    candB.as("a").join(broadcast(candB.as("b")),
+        col("b.price_cents") <= col("a.price_cents") &&
+        col("b.p_size") <= col("a.p_size") &&
+        (col("b.price_cents") < col("a.price_cents") ||
+          col("b.p_size") < col("a.p_size")),
+        "left_anti")
+      .select(col("a.p_partkey").as("p_partkey"),
+        col("a.price_cents").as("price_cents"), col("a.p_size").as("p_size"))
+  }
+
+  val priceSizeSkylineSql: String =
+    """WITH pp AS (
+      |  SELECT p_partkey,
+      |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+      |    CAST(p_size AS BIGINT) AS p_size
+      |  FROM part
+      |), pm AS (
+      |  SELECT price_cents, min(p_size) AS ms FROM pp GROUP BY 1
+      |), cm AS (
+      |  SELECT price_cents, ms, min(ms) OVER (ORDER BY price_cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_min
+      |  FROM pm
+      |), sk AS (
+      |  SELECT price_cents, ms FROM cm
+      |  WHERE prior_min IS NULL OR ms < prior_min
+      |)
+      |SELECT pp.p_partkey, pp.price_cents, pp.p_size
+      |FROM pp JOIN sk
+      |  ON pp.price_cents = sk.price_cents AND pp.p_size = sk.ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "price_size_skyline" -> (priceSizeSkyline _),
     "column_profile" -> (columnProfile _),
     "bloom_prune_audit" -> (bloomPruneAudit _),
     "changelog_compact" -> (changelogCompact _),
@@ -1584,6 +1656,7 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "price_size_skyline" -> priceSizeSkylineSql,
     "column_profile" -> columnProfileSql,
     "bloom_prune_audit" -> bloomPruneAuditSql,
     "changelog_compact" -> changelogCompactSql,

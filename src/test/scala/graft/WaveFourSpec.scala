@@ -272,4 +272,68 @@ class WaveFourSpec extends SparkSpec {
     // the fusion must actually mix legs somewhere
     assert(got.values.exists(_._2 == 1L) && got.values.exists(_._3 == 1L))
   }
+
+  test("price_size_skyline: two-phase result == brute-force dominance") {
+    val pp = spark.read.parquet(s"$tiny/part.parquet")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong, r.getInt(2).toLong))
+    val expect = pp.filter { case (_, p, s) =>
+      !pp.exists { case (_, p2, s2) =>
+        p2 <= p && s2 <= s && (p2 < p || s2 < s)
+      }
+    }.map { case (k, p, s) => (k, p, s) }.toSet
+    val got = graft.operators.Warehouse.priceSizeSkyline(spark, tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < pp.length)
+  }
+
+  test("copurchase_lift: top-20 support/lift vs driver recompute") {
+    val items = spark.read.parquet(s"$tiny/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val itemCnt = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = items.groupBy(_._1).values.flatMap { o =>
+      val ps = o.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = pairCnt.toSeq
+      .sortBy { case ((u, v), c) => (-c, u, v) }.take(20)
+      .map { case ((u, v), c) =>
+        (u, v, c, itemCnt(u), itemCnt(v),
+          (nOrders * c * 1000000L) / (itemCnt(u) * itemCnt(v)))
+      }
+    val got = graft.operators.Graph.copurchaseLift(spark, tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+  }
+
+  test("funnel_time_bound: deadline semantics vs driver recompute") {
+    val evs = graft.sources.Tables.events(spark, tiny)
+      .select("user_id", "event_type", "ts_ns").collect()
+      .map(r => (Option(r.get(0)).map(_.toString).orNull,
+        r.getString(1), r.getLong(2)))
+      .filter(_._1 != null)
+    val W = 6L * 3600 * 1000000000L
+    val byUser = evs.groupBy(_._1)
+    val s1 = byUser.flatMap { case (u, rs) =>
+      rs.filter(_._2 == "signup").map(_._3).minOption.map(u -> _) }
+    val s2 = s1.flatMap { case (u, t1) =>
+      byUser(u).filter(r => r._2 == "click" && r._3 > t1 && r._3 <= t1 + W)
+        .map(_._3).minOption.map(u -> _) }
+    val s3 = s2.flatMap { case (u, t2) =>
+      byUser(u).filter(r => r._2 == "purchase" && r._3 > t2 && r._3 <= t2 + W)
+        .map(_._3).minOption.map(u -> _) }
+    val got = Analytics.funnelTimeBound(spark, tiny).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> s1.size.toLong, 2 -> s2.size.toLong, 3 -> s3.size.toLong))
+    // the deadline must bind somewhere or the query degenerates to
+    // funnel_ordered
+    val unbounded = s1.flatMap { case (u, t1) =>
+      byUser(u).filter(r => r._2 == "click" && r._3 > t1).map(_._3).minOption }
+    assert(s2.size < unbounded.size)
+  }
 }
