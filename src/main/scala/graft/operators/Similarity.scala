@@ -2223,7 +2223,54 @@ object Similarity {
        |SELECT label, c_label AS pred_label, count(*) AS n
        |FROM r WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------- recall audit (exact vs IVF)
+
+  /** Query-level recall@3 of the trained-IVF search against the exact
+    * scan — the ops-side health metric for the ANN tier as a standing
+    * QUERY (RecallSpec pins a floor in CI; this reports the per-query
+    * number next to the data so index drift is observable in production,
+    * the same observability contract as [[ivfCellProfile]]). Both legs
+    * are this module's own oracle-gated pipelines; the audit is one
+    * semi-join + count over k·|queries| rows, so its cost is the two
+    * searches themselves. */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Dedup.eager(annTopkCosine(spark, dir).filter(col("rank") <= 3)
+      .select(col("q_id"), col("cand_id")))
+    def tier(name: String, ap: DataFrame): DataFrame = {
+      val hit = ex.join(ap.select(col("q_id"), col("cand_id")),
+          Seq("q_id", "cand_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      ex.select("q_id").distinct()
+        .join(hit, Seq("q_id"), "left")
+        .select(lit(name).as("tier"), col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / lit(3.0))
+    }
+    tier("ivf_nprobe1", annIvfTopk(spark, dir))
+      .unionByName(tier("ivf_nprobe2", annIvfMultiprobe(spark, dir)))
+  }
+
+  val annRecallAuditSql: String = {
+    def tier(name: String, apSql: String): String =
+      s"""SELECT '$name' AS tier, qs.q_id, coalesce(h.n_hit, 0) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall
+         |FROM (SELECT DISTINCT q_id FROM ex) qs LEFT JOIN (
+         |  SELECT e.q_id, count(*) AS n_hit
+         |  FROM ex e JOIN (SELECT * FROM ($apSql)) a
+         |    ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+         |  GROUP BY 1) h USING (q_id)""".stripMargin
+    s"""WITH ex0 AS (
+       |  SELECT * FROM ($annTopkCosineSql)
+       |), ex AS (
+       |  SELECT q_id, cand_id FROM ex0 WHERE "rank" <= 3
+       |)
+       |${tier("ivf_nprobe1", annIvfTopkSql)}
+       |UNION ALL
+       |${tier("ivf_nprobe2", annIvfMultiprobeSql)}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_audit" -> (annRecallAudit _),
     "centroid_classify" -> (centroidClassify _),
     "label_outliers" -> (labelOutliers _),
     "ivf_cell_profile" -> (ivfCellProfile _),
@@ -2249,6 +2296,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann_recall_audit" -> annRecallAuditSql,
     "centroid_classify" -> centroidClassifySql,
     "label_outliers" -> labelOutliersSql,
     "ivf_cell_profile" -> ivfCellProfileSql,

@@ -1276,7 +1276,90 @@ object TextAnalysis {
        |  CAST(sum(n_pieces) AS DOUBLE) / sum(n_tokens) AS pieces_per_token
        |FROM e2 JOIN o USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------- PMI collocation mining
+
+  private val pmiMinSupport = 5
+  private val pmiTopN = 20
+
+  /** Collocation mining by pointwise mutual information — the top
+    * adjacent-token pairs by PMI = log2(N·c12 / (c1·c2)), the measure
+    * that separates genuine multi-word units ("new york") from pairs
+    * that co-occur only because both words are common ("of the", PMI≈0).
+    * The min-support floor ([[pmiMinSupport]]) is the standard guard
+    * against PMI's rare-pair bias (a hapax pair maxes the score).
+    *
+    * Exactness: PMI is reported in whole BITS — floor(log2 num/den)
+    * computed purely from bit lengths and one shift-compare (log2 is a
+    * transcendental with no cross-engine rounding contract; this engine
+    * never ships one — same discipline as [[lmPerplexity]]'s ceil-log2
+    * surprisal). With d = bitlen(num) − bitlen(den):
+    * floor = d iff (num >> d) >= den (shift-compare, overflow-free),
+    * else d − 1; negative d shifts num left instead, exercising both
+    * branches on the fixtures.
+    *
+    * Shape: same bigram extraction as [[lmPerplexity]] (scan-side zip +
+    * explode, one map-combinable pair agg); the unigram marginals are
+    * re-aggregations of the PAIR table (vocabulary-sized, not corpus-
+    * sized); the final ranking is TakeOrdered(20). */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val b = t.select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bc.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = bc.groupBy("w2").agg(sum("c12").as("c2"))
+    val n = b.agg(count(lit(1)).as("n_bg"))
+    bc.filter(col("c12") >= pmiMinSupport)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("num", col("n_bg") * col("c12"))
+      .withColumn("den", col("c1") * col("c2"))
+      .withColumn("d", (length(bin(col("num"))) - length(bin(col("den")))).cast("int"))
+      .withColumn("pmi_bits", // SQL shiftright/shiftleft take column shifts
+        expr("""CAST(d - 1 + CAST(IF(d >= 0,
+          shiftright(num, d) >= den,
+          shiftleft(num, -d) >= den) AS INT) AS BIGINT)"""))
+      .select("w1", "w2", "c12", "c1", "c2", "pmi_bits")
+      .orderBy(col("pmi_bits").desc, col("c12").desc, col("w1"), col("w2"))
+      .limit(pmiTopN)
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH t AS (
+       |  SELECT ${tokensSql("text")} AS toks FROM documents
+       |), b AS (
+       |  SELECT unnest(toks[1:len(toks)-1]) AS w1,
+       |    unnest(toks[2:len(toks)]) AS w2
+       |  FROM t WHERE len(toks) >= 2
+       |), bc AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1
+       |), c2 AS (
+       |  SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bc GROUP BY 1
+       |), n AS (
+       |  SELECT count(*) AS n_bg FROM b
+       |), s AS (
+       |  SELECT w1, w2, c12, c1, c2,
+       |    n_bg * c12 AS num, c1 * c2 AS den,
+       |    length(bin(n_bg * c12)) - length(bin(c1 * c2)) AS d
+       |  FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+       |  WHERE c12 >= $pmiMinSupport
+       |)
+       |SELECT w1, w2, c12, c1, c2,
+       |  CAST(d - 1 + CASE
+       |    WHEN d >= 0 THEN CASE WHEN (num >> d) >= den THEN 1 ELSE 0 END
+       |    ELSE CASE WHEN (num << (-d)) >= den THEN 1 ELSE 0 END
+       |  END AS BIGINT) AS pmi_bits
+       |FROM s
+       |ORDER BY pmi_bits DESC, c12 DESC, w1, w2 LIMIT $pmiTopN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pmi_collocations" -> (pmiCollocations _),
     "bpe_roundtrip" -> (bpeRoundtrip _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "gopher_rules" -> (gopherRules _),
@@ -1302,6 +1385,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "pmi_collocations" -> pmiCollocationsSql,
     "bpe_roundtrip" -> bpeRoundtripSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "gopher_rules" -> gopherRulesSql,

@@ -1619,7 +1619,74 @@ object Warehouse {
       |FROM pp JOIN sk
       |  ON pp.price_cents = sk.price_cents AND pp.p_size = sk.ms""".stripMargin
 
+  // ------------------------------------------------- snapshot reconciliation
+
+  /** Snapshot diff / reconciliation — the "what changed between these two
+    * states" operator behind every incremental-sync and data-quality
+    * check: entities are (user, event_type) streams, an entity's state is
+    * its latest value band (latest-wins by (ts, event_id), band =
+    * v_cents div 5000 — reconciliation compares normalized state, not raw
+    * readings), and the two snapshots are the first and last 10-day
+    * windows. The report classifies every entity: added (only in B),
+    * removed (only in A), changed / unchanged (both, by band equality).
+    *
+    * Shape: each snapshot's latest-per-entity runs on the bounded heap
+    * (k = 1 per entity per map task crosses the wire — the
+    * [[changelogCompact]] shape); the diff is ONE full-outer hash join
+    * of two one-row-per-entity frames and a 4-way conditional count.
+    * All four classes are live on the fixtures (10/11/367/361). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def snap(pred: Column): DataFrame =
+      graft.plans.TopKPerKey.topK(
+        Tables.events(spark, dir)
+          .filter(col("user_id").isNotNull && pred)
+          .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"),
+            expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT) div 5000").as("band")),
+        keys = Seq(col("user_id"), col("event_type")),
+        order = Seq(col("ts_ns").desc, col("event_id").desc),
+        k = 1)
+        .select(col("user_id"), col("event_type"), col("band"))
+    val a = snap(dayofmonth(col("ts")) <= 10)
+      .withColumnRenamed("band", "band_a")
+    val b = snap(dayofmonth(col("ts")) >= 21)
+      .withColumnRenamed("band", "band_b")
+    a.join(b, Seq("user_id", "event_type"), "full_outer")
+      .withColumn("diff_class",
+        when(col("band_a").isNull, "added")
+          .when(col("band_b").isNull, "removed")
+          .when(col("band_a") === col("band_b"), "unchanged")
+          .otherwise("changed"))
+      .groupBy("diff_class").agg(count(lit(1)).as("n"))
+  }
+
+  val snapshotDiffSql: String = {
+    def snap(pred: String): String =
+      s"""SELECT user_id, event_type, band FROM (
+         |  SELECT user_id, event_type,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 5000 AS band,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+         |  FROM events WHERE user_id IS NOT NULL
+         |    AND CAST(strftime(ts, '%d') AS INT) $pred)
+         |WHERE rn = 1""".stripMargin
+    s"""WITH a AS (
+       |${snap("<= 10")}
+       |), b AS (
+       |${snap(">= 21")}
+       |), j AS (
+       |  SELECT CASE
+       |    WHEN a.user_id IS NULL THEN 'added'
+       |    WHEN b.user_id IS NULL THEN 'removed'
+       |    WHEN a.band = b.band THEN 'unchanged'
+       |    ELSE 'changed' END AS diff_class
+       |  FROM a FULL JOIN b
+       |    ON a.user_id = b.user_id AND a.event_type = b.event_type
+       |)
+       |SELECT diff_class, count(*) AS n FROM j GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_diff" -> (snapshotDiff _),
     "price_size_skyline" -> (priceSizeSkyline _),
     "column_profile" -> (columnProfile _),
     "bloom_prune_audit" -> (bloomPruneAudit _),
@@ -1656,6 +1723,7 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "snapshot_diff" -> snapshotDiffSql,
     "price_size_skyline" -> priceSizeSkylineSql,
     "column_profile" -> columnProfileSql,
     "bloom_prune_audit" -> bloomPruneAuditSql,

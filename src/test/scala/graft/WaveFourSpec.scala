@@ -14,6 +14,7 @@ import java.security.MessageDigest
 class WaveFourSpec extends SparkSpec {
 
   private val tiny = "/root/testdata/sf0.001"
+  private val small = "/root/testdata/sf0.01"
 
   /** (event_type -> sorted (day, y) series) recomputed from raw events. */
   private def series(dir: String): Map[String, Seq[(String, Long)]] =
@@ -335,5 +336,81 @@ class WaveFourSpec extends SparkSpec {
     val unbounded = s1.flatMap { case (u, t1) =>
       byUser(u).filter(r => r._2 == "click" && r._3 > t1).map(_._3).minOption }
     assert(s2.size < unbounded.size)
+  }
+
+  test("pmi_collocations: bit-exact floor(log2) vs driver recompute") {
+    def toks(text: String): Array[String] = // Dedup.tokens, driver form
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val bigrams = spark.read.parquet(s"$tiny/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+      .flatMap { t => val w = toks(t); w.zip(w.drop(1)) }
+    val bc = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c2 = bc.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = bigrams.length.toLong
+    def floorLog2Ratio(num: Long, den: Long): Long = {
+      val d = (64 - java.lang.Long.numberOfLeadingZeros(num)) -
+        (64 - java.lang.Long.numberOfLeadingZeros(den))
+      val ge = if (d >= 0) (num >> d) >= den else (num << -d) >= den
+      d - 1 + (if (ge) 1 else 0)
+    }
+    val expect = bc.toSeq.filter(_._2 >= 5).map { case ((w1, w2), c12) =>
+      (w1, w2, c12, c1(w1), c2(w2),
+        floorLog2Ratio(n * c12, c1(w1) * c2(w2)))
+    }.sortBy { case (w1, w2, c12, _, _, p) => (-p, -c12, w1, w2) }.take(20)
+    val got = graft.operators.TextAnalysis.pmiCollocations(spark, tiny).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+  }
+
+  test("snapshot_diff: class counts vs driver recompute; all classes live at sf0.01") {
+    val evs = graft.sources.Tables.events(spark, tiny)
+      .filter(col("user_id").isNotNull)
+      .select("user_id", "event_type", "ts_ns", "event_id", "value", "ts")
+      .withColumn("dd", dayofmonth(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        math.floor(r.getDouble(4) * 100.0 + 0.5).toLong / 5000, r.getInt(6)))
+    def snap(p: Int => Boolean): Map[(Long, String), Long] =
+      evs.filter(e => p(e._6)).groupBy(e => (e._1, e._2))
+        .view.mapValues(_.maxBy(e => (e._3, e._4))._5).toMap
+    val a = snap(_ <= 10); val b = snap(_ >= 21)
+    val keys = a.keySet ++ b.keySet
+    val expect = keys.toSeq.map { k =>
+      (a.get(k), b.get(k)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(x), Some(y)) if x == y => "unchanged"
+        case _ => "changed"
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Warehouse.snapshotDiff(spark, tiny).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+
+    // the sf0.01 gate must keep all four classes populated, or the oracle
+    // stops exercising part of the case analysis
+    val got01 = graft.operators.Warehouse.snapshotDiff(spark, small).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got01.keySet ==
+      Set("added", "removed", "changed", "unchanged"), got01.toString)
+  }
+
+  test("ann_recall_audit: hit counts == leg intersection; multiprobe never loses") {
+    val ex = graft.operators.Similarity.annTopkCosine(spark, small)
+      .filter(col("rank") <= 3).select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val legs: Map[String, Set[(Long, Long)]] = Seq(
+      "ivf_nprobe1" -> graft.operators.Similarity.annIvfTopk(spark, small),
+      "ivf_nprobe2" -> graft.operators.Similarity.annIvfMultiprobe(spark, small))
+      .map { case (n, df) => n -> df.select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet }.toMap
+    val got = graft.operators.Similarity.annRecallAudit(spark, small).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case ((tier, q), nHit) =>
+      assert(nHit == (ex & legs(tier)).count(_._1 == q), s"$tier q=$q")
+    }
+    val byTier = got.groupBy(_._1._1).view.mapValues(_.values.sum)
+    assert(byTier("ivf_nprobe2") >= byTier("ivf_nprobe1"))
   }
 }
