@@ -295,25 +295,33 @@ object Graph {
       .limit(20)
   }
 
+  // the two support joins are forced SEQUENTIAL via materialized CTEs:
+  // left free, DuckDB's optimizer cross-products ic x ic (support table
+  // squared — 3.6e11 rows at sf1) and hash-joins the pair table on both
+  // keys at once; measured: 70+ min vs ~2 s for the chained form
   val copurchaseLiftSql: String =
-    """WITH items AS (
+    """WITH items AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       |), pc AS (
       |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c_uv
       |  FROM items a JOIN items b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2
-      |), ic AS (
+      |), ic AS MATERIALIZED (
       |  SELECT l_partkey, count(*) AS c FROM items GROUP BY 1
       |), n AS (
       |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+      |), j1 AS MATERIALIZED (
+      |  SELECT pc.u, pc.v, pc.c_uv, ic.c AS c_u
+      |  FROM pc JOIN ic ON ic.l_partkey = pc.u
+      |), j2 AS MATERIALIZED (
+      |  SELECT j1.u, j1.v, j1.c_uv, j1.c_u, ic.c AS c_v
+      |  FROM j1 JOIN ic ON ic.l_partkey = j1.v
       |)
-      |SELECT pc.u, pc.v, pc.c_uv, iu.c AS c_u, iv.c AS c_v,
-      |  (n.n_orders * pc.c_uv * 1000000) // (iu.c * iv.c) AS lift_fp
-      |FROM pc JOIN ic iu ON iu.l_partkey = pc.u
-      |  JOIN ic iv ON iv.l_partkey = pc.v
-      |  CROSS JOIN n
-      |ORDER BY pc.c_uv DESC, pc.u, pc.v LIMIT 20""".stripMargin
+      |SELECT j2.u, j2.v, j2.c_uv, j2.c_u, j2.c_v,
+      |  (n.n_orders * j2.c_uv * 1000000) // (j2.c_u * j2.c_v) AS lift_fp
+      |FROM j2 CROSS JOIN n
+      |ORDER BY j2.c_uv DESC, j2.u, j2.v LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "type_markov_rank" -> (typeMarkovRank _),
