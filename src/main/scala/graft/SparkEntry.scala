@@ -93,6 +93,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rules"),
           array_join(sort_array(collect_list(col("rule_name"))), ",").as("rules"))
     }),
+    // absence (dead-man switch) + sequence-pattern (CEP) detector families
+    "absence_alerts" -> ((s, dir) => Detectors.absenceAlerts(s, dir)),
+    "pattern_alerts" -> ((s, dir) => Detectors.patternAlerts(s, dir)),
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resize(s, dir)),
@@ -123,6 +126,8 @@ object SparkEntry {
          |FROM (SELECT event_id, rule_name FROM a
          |  UNION ALL SELECT event_id, 'seasonal_value' AS rule_name FROM se)
          |GROUP BY 1""".stripMargin,
+    "absence_alerts" -> Detectors.absenceAlertsSql,
+    "pattern_alerts" -> Detectors.patternAlertsSql,
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frames" -> Multimodal.framesSql,
     "multimodal_resize" -> Multimodal.resizeSql,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -297,4 +297,114 @@ object Detectors {
       .withColumn("n_suppressed", count(lit(1)).over(part) - 1)
       .filter(col("rn") === 1).drop("rn", "bucket")
   }
+
+  // ---------------------------------------------- absence (dead-man switch)
+
+  private[operators] val absenceGapNs = 24L * 3600 * 1000000000L
+
+  /** Absence detection — the dead-man switch, the rule family the
+    * threshold/rate/statistical trio structurally CANNOT express: those
+    * fire on events that exist; this fires on events that don't (a
+    * heartbeat going silent, a supplier feed stalling). Batch form: every
+    * per-key gap longer than 24 h, reported at resumption (silent_from →
+    * resumed_at), plus the still-silent tail — keys whose LAST event is
+    * more than 24 h before the corpus horizon (resumed_at NULL).
+    *
+    * Shape: one hash exchange on key feeding an in-partition `lag` — the
+    * same single-window discipline as the rate rule; the tail leg is a
+    * per-key max agg against a broadcast 1-row horizon. The streaming
+    * twin ([[graft.streaming.StreamingAbsence]]) detects the same
+    * condition LIVE with per-key event-time timers — state is one long
+    * per key, and the timer re-arms on every event. */
+  def absenceAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = prepareEvents(graft.sources.Tables.events(spark, dir))
+      .select(col("key"), col("ts_ns"), col("event_id"))
+    val w = Window.partitionBy("key").orderBy(col("ts_ns"), col("event_id"))
+    val resumed = ev
+      .withColumn("p", lag("ts_ns", 1).over(w))
+      .filter(col("p").isNotNull && col("ts_ns") - col("p") > absenceGapNs)
+      .select(col("key"),
+        expr("p div 1000000000").as("silent_from"),
+        expr("ts_ns div 1000000000").as("resumed_at"),
+        expr(s"(ts_ns - p) div 1000000000").as("gap_sec"))
+    val horizon = ev.agg(max("ts_ns").as("h"))
+    val trailing = ev.groupBy("key").agg(max("ts_ns").as("mt"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("h") - col("mt") > absenceGapNs)
+      .select(col("key"),
+        expr("mt div 1000000000").as("silent_from"),
+        lit(null).cast("long").as("resumed_at"),
+        expr("(h - mt) div 1000000000").as("gap_sec"))
+    resumed.unionByName(trailing)
+  }
+
+  val absenceAlertsSql: String =
+    s"""WITH e AS (
+       |  SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+       |    epoch_ns(ts) AS tsn, event_id
+       |  FROM events
+       |), g AS (
+       |  SELECT "key", tsn,
+       |    lag(tsn) OVER (PARTITION BY "key" ORDER BY tsn, event_id) AS p
+       |  FROM e
+       |), res AS (
+       |  SELECT "key", p // 1000000000 AS silent_from,
+       |    tsn // 1000000000 AS resumed_at,
+       |    (tsn - p) // 1000000000 AS gap_sec
+       |  FROM g WHERE p IS NOT NULL AND tsn - p > $absenceGapNs
+       |), h AS (SELECT max(tsn) AS h FROM e),
+       |tr AS (
+       |  SELECT "key", mt // 1000000000 AS silent_from,
+       |    CAST(NULL AS BIGINT) AS resumed_at,
+       |    (h.h - mt) // 1000000000 AS gap_sec
+       |  FROM (SELECT "key", max(tsn) AS mt FROM e GROUP BY 1) l, h
+       |  WHERE h.h - mt > $absenceGapNs
+       |)
+       |SELECT * FROM res UNION ALL SELECT * FROM tr""".stripMargin
+
+  // ------------------------------------------------ pattern (CEP sequence)
+
+  private[operators] val patternN = 3
+  private[operators] val patternWindowNs = 12L * 3600 * 1000000000L
+
+  /** Sequence-pattern detection (the CEP rule): [[patternN]] consecutive
+    * 'error' events for one key within 12 h — "repeated failures in a
+    * short window", the escalation trigger that a plain rate rule on ALL
+    * events can't see (the errors hide inside normal traffic volume).
+    * Consecutive means consecutive in the key's ERROR substream; the
+    * alert lands on the closing event and reports the run's span.
+    *
+    * Shape: the event-type filter dies scan-side (only the error
+    * substream is shuffled — for a 1% error rate that is 1% of the
+    * corpus), then one per-key window with a single `lag(n-1)`; no
+    * joins, no self-products, alert projection identical to the other
+    * detector families. */
+  def patternAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = prepareEvents(graft.sources.Tables.events(spark, dir))
+      .filter(col("event_type") === "error")
+      .select(col("key"), col("ts_ns"), col("ts_sec"), col("event_id"))
+    val w = Window.partitionBy("key").orderBy(col("ts_ns"), col("event_id"))
+    ev
+      .withColumn("t1", lag("ts_ns", patternN - 1).over(w))
+      .filter(col("t1").isNotNull &&
+        col("ts_ns") - col("t1") <= patternWindowNs)
+      .select(col("key"), col("event_id"), col("ts_sec"),
+        lit("error_burst").as("rule_name"),
+        expr("(ts_ns - t1) div 1000000000").as("span_sec"))
+  }
+
+  val patternAlertsSql: String =
+    s"""WITH e AS (
+       |  SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+       |    epoch_ns(ts) AS tsn, epoch_ns(ts) // 1000000000 AS ts_sec, event_id
+       |  FROM events WHERE event_type = 'error'
+       |), g AS (
+       |  SELECT "key", tsn, ts_sec, event_id,
+       |    lag(tsn, ${patternN - 1}) OVER (
+       |      PARTITION BY "key" ORDER BY tsn, event_id) AS t1
+       |  FROM e
+       |)
+       |SELECT "key", event_id, ts_sec, 'error_burst' AS rule_name,
+       |  (tsn - t1) // 1000000000 AS span_sec
+       |FROM g WHERE t1 IS NOT NULL AND tsn - t1 <= $patternWindowNs""".stripMargin
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.{AbsAlert, AbsEvent, StreamingAbsence}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The dead-man-switch pin: replay the tiny fixture through three
+  * micro-batches plus a watermark-flush sentinel; every batch silence
+  * report row (resumed AND trailing) must fire exactly one streaming
+  * alert at its deadline, keyed by (key, silent_from) — and nothing
+  * else may fire. */
+class StreamingAbsenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDBProvider(body: => Unit): Unit = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("streaming timer alerts match the batch silence report (day replay)") {
+    withRocksDBProvider {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val gapSec = 24L * 3600
+    val day = 24L * 3600
+
+    val batch = graft.operators.Detectors.absenceAlerts(spark, dir)
+      .select("key", "silent_from", "resumed_at").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(batch.nonEmpty)
+
+    val evs = graft.sources.Tables.events(spark, dir)
+      .select(
+        coalesce(col("user_id").cast("string"), lit("__unknown__")).as("key"),
+        col("ts_sec")).as[AbsEvent].collect().sortBy(_.ts_sec)
+    val horizon = evs.map(_.ts_sec).max
+    val disorder = java.time.Duration.ofSeconds(60)
+    // day-granularity replay: the watermark advances once per day, so a
+    // deadline is observed while its key is still silent — the live
+    // condition a 3-batch replay compresses away. The sentinel pushes the
+    // final watermark past every remaining deadline (own key excluded).
+    val sentinel = AbsEvent("__wmflush__", horizon + disorder.getSeconds + 10)
+    val chunks = (evs.groupBy(_.ts_sec / day).toSeq.sortBy(_._1).map(_._2)
+      :+ Array(sentinel))
+
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+    val ms = MemoryStream[AbsEvent]
+    val q = StreamingAbsence.alerts(ms.toDS(), gapSec, disorder).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[AbsAlert], _: Long) =>
+        b.collect().foreach { a =>
+          assert(a.deadline_sec == a.silent_from + gapSec)
+          got.add((a.key, a.silent_from)); ()
+        }
+        ()
+      }.start()
+    try {
+      chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val gotReal = got.asScala.toSet.filter(_._1 != "__wmflush__")
+    val batchSet = batch.map(b => (b._1, b._2)).toSet
+
+    // (a) soundness: every fired alert is a real >gap silence
+    assert(gotReal.subsetOf(batchSet),
+      s"false alerts: ${(gotReal -- batchSet).take(5)}")
+    // (b) every still-silent (trailing) row fires once the sentinel
+    //     advances the watermark
+    val trailing = batch.filter(_._3.isEmpty).map(b => (b._1, b._2)).toSet
+    assert(trailing.subsetOf(gotReal),
+      s"missed trailing: ${(trailing -- gotReal).take(5)}")
+    // (c) completeness with a one-day margin: any resumed gap whose
+    //     deadline fell a full replay-batch before the resumption must
+    //     have fired while the key was silent (the margin keeps the
+    //     assertion independent of Spark's exact <=/< watermark-expiry
+    //     boundary and the 60 s disorder bound)
+    val mustFire = batch.collect {
+      case (k, sf, Some(res)) if (sf + gapSec) / day + 1 < res / day => (k, sf)
+    }.toSet
+    assert(mustFire.subsetOf(gotReal),
+      s"missed observed silences: ${(mustFire -- gotReal).take(5)}")
+    assert(mustFire.nonEmpty && gotReal.size >= trailing.size + mustFire.size)
+    }
+  }
+}
