@@ -300,7 +300,7 @@ object Detectors {
 
   // ---------------------------------------------- absence (dead-man switch)
 
-  private[operators] val absenceGapNs = 24L * 3600 * 1000000000L
+  private[graft] val absenceGapNs = 24L * 3600 * 1000000000L
 
   /** Absence detection — the dead-man switch, the rule family the
     * threshold/rate/statistical trio structurally CANNOT express: those
@@ -364,8 +364,8 @@ object Detectors {
 
   // ------------------------------------------------ pattern (CEP sequence)
 
-  private[operators] val patternN = 3
-  private[operators] val patternWindowNs = 12L * 3600 * 1000000000L
+  private[graft] val patternN = 3
+  private[graft] val patternWindowNs = 12L * 3600 * 1000000000L
 
   /** Sequence-pattern detection (the CEP rule): [[patternN]] consecutive
     * 'error' events for one key within 12 h — "repeated failures in a
