@@ -96,6 +96,8 @@ object SparkEntry {
     // absence (dead-man switch) + sequence-pattern (CEP) detector families
     "absence_alerts" -> ((s, dir) => Detectors.absenceAlerts(s, dir)),
     "pattern_alerts" -> ((s, dir) => Detectors.patternAlerts(s, dir)),
+    // identical silences, slice-parallel gap scan (hot-key skew armor)
+    "absence_alerts_sliced" -> ((s, dir) => Detectors.absenceAlertsSliced(s, dir)),
     "multimodal_features" -> ((s, dir) => Multimodal.features(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frames(s, dir)),
     "multimodal_resize" -> ((s, dir) => Multimodal.resize(s, dir)),
@@ -128,6 +130,7 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     "absence_alerts" -> Detectors.absenceAlertsSql,
     "pattern_alerts" -> Detectors.patternAlertsSql,
+    "absence_alerts_sliced" -> Detectors.absenceAlertsSql,
     "multimodal_features" -> Multimodal.featuresSql,
     "multimodal_frames" -> Multimodal.framesSql,
     "multimodal_resize" -> Multimodal.resizeSql,

@@ -362,6 +362,59 @@ object Detectors {
        |)
        |SELECT * FROM res UNION ALL SELECT * FROM tr""".stripMargin
 
+  /** Skew-safe [[absenceAlerts]]: identical output (same oracle), with the
+    * per-key gap scan SLICE-PARALLELIZED so a hot key no longer serializes
+    * through one window task — the same timeline-slicing discipline as
+    * [[rateAlertsSliced]], adapted to adjacent-pair semantics:
+    *
+    *  - WITHIN a 6 h slice, consecutive pairs come from a window over
+    *    (key, slice) — a hot key's events spread across horizon/6h tasks;
+    *  - ACROSS slices, the only missing pairs are (last of one slice,
+    *    first of the next EXISTING slice): each slice reduces to one
+    *    (first, last) row (map-combinable struct min/max, deterministic by
+    *    (ts_ns, event_id)), and a lag over the per-key SLICE AGGREGATE —
+    *    thousands of rows per key per year, not events — yields them;
+    *    empty slices are skipped by construction, so the boundary pair
+    *    connects actual neighbors.
+    * Together the two legs enumerate exactly the consecutive pairs the
+    * monolithic window sees. Hot-key cost drops from O(hot events) in one
+    * task to O(hot events / slices) per task plus a slice-count window. */
+  def absenceAlertsSliced(spark: SparkSession, dir: String): DataFrame = {
+    val sliceNs = 6L * 3600 * 1000000000L
+    val ev = prepareEvents(graft.sources.Tables.events(spark, dir))
+      .select(col("key"), col("ts_ns"), col("event_id"))
+      .withColumn("slice", expr(s"ts_ns div $sliceNs"))
+    val within = ev
+      .withColumn("p", lag("ts_ns", 1)
+        .over(Window.partitionBy("key", "slice").orderBy(col("ts_ns"), col("event_id"))))
+      .filter(col("p").isNotNull)
+      .select(col("key"), col("p"), col("ts_ns").as("t"))
+    val sliceAgg = ev.groupBy("key", "slice")
+      .agg(min(struct(col("ts_ns"), col("event_id"))).as("first"),
+        max(struct(col("ts_ns"), col("event_id"))).as("last"))
+    val boundary = sliceAgg
+      .withColumn("prev_last", lag("last", 1)
+        .over(Window.partitionBy("key").orderBy("slice")))
+      .filter(col("prev_last").isNotNull)
+      .select(col("key"), col("prev_last.ts_ns").as("p"),
+        col("first.ts_ns").as("t"))
+    val resumed = within.unionByName(boundary)
+      .filter(col("t") - col("p") > absenceGapNs)
+      .select(col("key"),
+        expr("p div 1000000000").as("silent_from"),
+        expr("t div 1000000000").as("resumed_at"),
+        expr("(t - p) div 1000000000").as("gap_sec"))
+    val horizon = ev.agg(max("ts_ns").as("h"))
+    val trailing = ev.groupBy("key").agg(max("ts_ns").as("mt"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("h") - col("mt") > absenceGapNs)
+      .select(col("key"),
+        expr("mt div 1000000000").as("silent_from"),
+        lit(null).cast("long").as("resumed_at"),
+        expr("(h - mt) div 1000000000").as("gap_sec"))
+    resumed.unionByName(trailing)
+  }
+
   // ------------------------------------------------ pattern (CEP sequence)
 
   private[graft] val patternN = 3
