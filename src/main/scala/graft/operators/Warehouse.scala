@@ -1685,7 +1685,69 @@ object Warehouse {
        |SELECT diff_class, count(*) AS n FROM j GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------- join-key skew report
+
+  /** Join-key skew profile — the "should this join be salted?" report,
+    * one row per (table, key) pair a pipeline joins or groups on: row and
+    * key-domain counts, the hottest key and its share, and
+    * `skew_fp` = hottest/mean in 1e-6 fixed point (1e6 = perfectly
+    * uniform). This is the measurement behind every skew decision in this
+    * engine (user_activity_salted, rate_alerts_sliced,
+    * absence_alerts_sliced) promoted to a standing query: the decision
+    * input lives next to the data, not in a notebook.
+    *
+    * Shape per profiled key: one map-combinable count-per-key agg; the
+    * global stats re-aggregate the KEY DOMAIN (never the rows), and the
+    * hottest key is the bounded-heap top-1. All-integer; the only
+    * division is the fixed-point ratio. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    def profile(tag: String, df: DataFrame, key: Column): DataFrame = {
+      val cnts = df.select(key.cast("string").as("k")).groupBy("k")
+        .agg(count(lit(1)).as("n"))
+      val top = graft.plans.TopKPerKey.topK(
+        cnts.withColumn("g", lit(1)),
+        keys = Seq(col("g")), order = Seq(col("n").desc, col("k").asc), k = 1)
+        .select(col("n").as("max_cnt"), col("k").as("top_key"))
+      cnts.agg(sum("n").as("n_rows"), count(lit(1)).as("n_keys"))
+        .crossJoin(broadcast(top))
+        .select(lit(tag).as("profiled"), col("n_rows"), col("n_keys"),
+          col("top_key"), col("max_cnt"),
+          expr("(max_cnt * n_keys * 1000000) div n_rows").as("skew_fp"))
+    }
+    profile("events.user_id", Tables.events(spark, dir), col("user_id"))
+      .unionByName(profile("events.event_type",
+        Tables.events(spark, dir), col("event_type")))
+      .unionByName(profile("lineitem.l_partkey",
+        Tables.lineitem(spark, dir), col("l_partkey")))
+      .unionByName(profile("orders.o_custkey",
+        Tables.orders(spark, dir), col("o_custkey")))
+  }
+
+  val skewReportSql: String = {
+    def one(tag: String, table: String, key: String): String =
+      s"""SELECT '$tag' AS profiled, CAST(sum(n) AS BIGINT) AS n_rows,
+         |  count(*) AS n_keys,
+         |  (SELECT k FROM (
+         |    SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)
+         |   ORDER BY n DESC, k LIMIT 1) AS top_key,
+         |  (SELECT n FROM (
+         |    SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)
+         |   ORDER BY n DESC, k LIMIT 1) AS max_cnt,
+         |  ((SELECT n FROM (
+         |    SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)
+         |   ORDER BY n DESC, k LIMIT 1) * count(*) * 1000000) // CAST(sum(n) AS BIGINT)
+         |   AS skew_fp
+         |FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)""".stripMargin
+    Seq(
+      one("events.user_id", "events", "user_id"),
+      one("events.event_type", "events", "event_type"),
+      one("lineitem.l_partkey", "lineitem", "l_partkey"),
+      one("orders.o_custkey", "orders", "o_custkey"),
+    ).mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_report" -> (skewReport _),
     "snapshot_diff" -> (snapshotDiff _),
     "price_size_skyline" -> (priceSizeSkyline _),
     "column_profile" -> (columnProfile _),
@@ -1723,6 +1785,7 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "skew_report" -> skewReportSql,
     "snapshot_diff" -> snapshotDiffSql,
     "price_size_skyline" -> priceSizeSkylineSql,
     "column_profile" -> columnProfileSql,

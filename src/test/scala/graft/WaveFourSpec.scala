@@ -413,4 +413,26 @@ class WaveFourSpec extends SparkSpec {
     val byTier = got.groupBy(_._1._1).view.mapValues(_.values.sum)
     assert(byTier("ivf_nprobe2") >= byTier("ivf_nprobe1"))
   }
+
+  test("skew_report: per-key profile vs driver recompute") {
+    def prof(rows: Seq[String]): (Long, Long, String, Long, Long) = {
+      val cnts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (topK, maxC) = cnts.toSeq.minBy { case (k, n) => (-n, k) }
+      (rows.size.toLong, cnts.size.toLong, topK, maxC,
+        maxC * cnts.size * 1000000L / rows.size)
+    }
+    val ev = graft.sources.Tables.events(spark, tiny)
+      .select("user_id", "event_type").collect()
+    val li = spark.read.parquet(s"$tiny/lineitem.parquet")
+      .select("l_partkey").collect().map(_.getLong(0).toString).toSeq
+    val expect = Map(
+      "events.user_id" -> prof(ev.toSeq.map(r => String.valueOf(r.get(0)))),
+      "events.event_type" -> prof(ev.toSeq.map(_.getString(1))),
+      "lineitem.l_partkey" -> prof(li))
+    val got = graft.operators.Warehouse.skewReport(spark, tiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toMap
+    expect.foreach { case (k, v) => assert(got(k) == v, s"mismatch for $k") }
+    assert(got.contains("orders.o_custkey"))
+  }
 }
