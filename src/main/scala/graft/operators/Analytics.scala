@@ -1351,6 +1351,122 @@ object Analytics {
        |FROM e LEFT JOIN x
        |  ON e.type_a = x.type_a AND e.type_b = x.type_b""".stripMargin
 
+  // ------------------------------------------- sketch join-size estimation
+
+  /** Join-cardinality estimation from mergeable sketches, audited against
+    * the exact count — the planner-side use of the KMV family: before
+    * shuffling two 100 TB tables, estimate |A ⋈ B| from k-row sketches
+    * (per key domain: the bottom-[[kmvK]] key hashes, each carrying its
+    * row count). The estimator is the theta-sketch join form: the sampled
+    * keys are a uniform sample of the UNION domain (and a union-sampled
+    * key present in a side is necessarily in that side's own bottom-k —
+    * hash order is global — so its count is available), hence
+    * est = mean(cA·cB over sample) × est(|union|), with |union| from the
+    * KMV estimator. A join that explodes (hot key × hot key) shows up in
+    * the sampled products before a single fact row moves.
+    *
+    * Audit columns: the exact Σ cA·cB (one join of two count-per-key
+    * aggregates — the audit tier), the estimate, and the relative error,
+    * REPORTED not assumed. Join under audit: events.user key ⋈
+    * orders.o_custkey (genuinely many-to-many, overlapping string key
+    * domains). */
+  def joinSizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val a = Detectors.prepareEvents(Tables.events(spark, dir))
+      .groupBy(col("key").as("k")).agg(count(lit(1)).as("ca"))
+    val b = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").cast("string").as("k")).agg(count(lit(1)).as("cb"))
+    val exact = a.join(b, Seq("k"), "full_outer")
+      .agg(count(lit(1)).as("n_union"),
+        sum(expr("coalesce(ca, 0L) * coalesce(cb, 0L)")).as("exact_join_rows"))
+    def sketch(df: DataFrame, cName: String): DataFrame =
+      graft.plans.TopKPerKey.topK(
+        df.withColumn("h",
+            conv(substring(md5(concat(lit("js:"), col("k"))), 1, 12), 16, 10)
+              .cast("long"))
+          .withColumn("g", lit(1)),
+        keys = Seq(col("g")), order = Seq(col("h")), k = kmvK)
+        .select(col("k"), col("h"), col(cName))
+    val merged = sketch(a, "ca")
+      .withColumn("cb", lit(0L))
+      .unionByName(sketch(b, "cb").withColumn("ca", lit(0L)))
+      .groupBy("k", "h").agg(max("ca").as("ca"), max("cb").as("cb"))
+    val bottom = graft.plans.TopKPerKey.topK(
+      merged.withColumn("g", lit(1)),
+      keys = Seq(col("g")), order = Seq(col("h")), k = kmvK)
+    val sk = bottom.agg(count(lit(1)).as("n_kept"), max("h").as("kth"),
+      sum(expr("ca * cb")).as("sum_prod"))
+    exact.crossJoin(broadcast(sk))
+      .withColumn("est_union",
+        when(col("n_kept") < kmvK, col("n_kept").cast("double"))
+          .otherwise(lit(kmvNum.toDouble) / col("kth").cast("double")))
+      .withColumn("est_join",
+        when(col("n_kept") < kmvK, col("sum_prod").cast("double"))
+          .otherwise(col("sum_prod").cast("double") * col("est_union")
+            / col("n_kept").cast("double")))
+      .withColumn("rel_err",
+        abs(col("est_join") - col("exact_join_rows").cast("double"))
+          / col("exact_join_rows").cast("double"))
+  }
+
+  val joinSizeAuditSql: String =
+    s"""WITH a AS (
+       |  SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS k,
+       |    count(*) AS ca
+       |  FROM events GROUP BY 1
+       |), b AS (
+       |  SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS cb
+       |  FROM orders GROUP BY 1
+       |), ex AS (
+       |  SELECT count(*) AS n_union,
+       |    CAST(sum(coalesce(a.ca, 0) * coalesce(b.cb, 0)) AS BIGINT)
+       |      AS exact_join_rows
+       |  FROM a FULL JOIN b USING (k)
+       |), sa AS (
+       |  SELECT k, h, ca FROM (
+       |    SELECT k, ca, CAST(('0x' || substr(md5('js:' || k), 1, 12)) AS BIGINT)
+       |      AS h,
+       |      row_number() OVER (ORDER BY CAST(('0x' || substr(md5('js:' || k),
+       |        1, 12)) AS BIGINT)) AS rn
+       |    FROM a)
+       |  WHERE rn <= $kmvK
+       |), sb AS (
+       |  SELECT k, h, cb FROM (
+       |    SELECT k, cb, CAST(('0x' || substr(md5('js:' || k), 1, 12)) AS BIGINT)
+       |      AS h,
+       |      row_number() OVER (ORDER BY CAST(('0x' || substr(md5('js:' || k),
+       |        1, 12)) AS BIGINT)) AS rn
+       |    FROM b)
+       |  WHERE rn <= $kmvK
+       |), merged AS (
+       |  SELECT k, h, max(ca) AS ca, max(cb) AS cb FROM (
+       |    SELECT k, h, ca, 0 AS cb FROM sa
+       |    UNION ALL
+       |    SELECT k, h, 0 AS ca, cb FROM sb)
+       |  GROUP BY 1, 2
+       |), bot AS (
+       |  SELECT * FROM (
+       |    SELECT k, h, ca, cb, row_number() OVER (ORDER BY h) AS rn FROM merged)
+       |  WHERE rn <= $kmvK
+       |), sk AS (
+       |  SELECT count(*) AS n_kept, max(h) AS kth,
+       |    CAST(sum(ca * cb) AS BIGINT) AS sum_prod
+       |  FROM bot
+       |), e AS (
+       |  SELECT ex.n_union, ex.exact_join_rows, sk.n_kept, sk.kth, sk.sum_prod,
+       |    CASE WHEN sk.n_kept < $kmvK THEN CAST(sk.n_kept AS DOUBLE)
+       |      ELSE CAST($kmvNum AS DOUBLE) / CAST(sk.kth AS DOUBLE) END AS est_union
+       |  FROM ex CROSS JOIN sk
+       |)
+       |SELECT n_union, exact_join_rows, n_kept, kth, sum_prod, est_union,
+       |  CASE WHEN n_kept < $kmvK THEN CAST(sum_prod AS DOUBLE)
+       |    ELSE CAST(sum_prod AS DOUBLE) * est_union / CAST(n_kept AS DOUBLE)
+       |  END AS est_join,
+       |  abs(CASE WHEN n_kept < $kmvK THEN CAST(sum_prod AS DOUBLE)
+       |    ELSE CAST(sum_prod AS DOUBLE) * est_union / CAST(n_kept AS DOUBLE)
+       |  END - CAST(exact_join_rows AS DOUBLE))
+       |    / CAST(exact_join_rows AS DOUBLE) AS rel_err
+       |FROM e""".stripMargin
+
   // ------------------------------------------------- time-bounded funnel
 
   private val funnelWindowNs = 6L * 3600 * 1000000000L // 6 h per step
@@ -1651,6 +1767,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_quantile_audit" -> (sampleQuantileAudit _),
+    "join_size_audit" -> (joinSizeAudit _),
     "funnel_time_bound" -> (funnelTimeBound _),
     "cusum_alerts" -> (cusumAlerts _),
     "holt_forecast" -> (holtForecast _),
@@ -1693,6 +1810,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "sample_quantile_audit" -> sampleQuantileAuditSql,
+    "join_size_audit" -> joinSizeAuditSql,
     "funnel_time_bound" -> funnelTimeBoundSql,
     "cusum_alerts" -> cusumAlertsSql,
     "holt_forecast" -> holtForecastSql,

@@ -1685,6 +1685,56 @@ object Warehouse {
        |SELECT diff_class, count(*) AS n FROM j GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------ point-in-time features
+
+  /** Point-in-time (PIT) feature join — the feature-store correctness
+    * query: every order joins the customer attribute VERSION that was
+    * valid when the order happened, against the
+    * [[scd2CustomerHistory]] dimension. This is the join that prevents
+    * training-serving skew (a model trained with today's customer segment
+    * attached to last year's orders has leaked the future); `AS OF`
+    * semantics are the whole reason the SCD2 history exists.
+    *
+    * The history's validity axis is the restatement epoch (0 = before the
+    * update batch, 1 = after); orders map onto it by date (before/after
+    * 1998-01-01, the corpus midpoint), and the PIT predicate is the
+    * classic half-open interval: valid_from <= epoch < valid_to (null =
+    * open). Exactly one version matches per order by SCD2 construction —
+    * pinned by the oracle's row count (|orders|).
+    *
+    * Shape: the dimension is broadcast (<= 2 versions per key); the range
+    * predicate is a residual filter on the <= 2 candidate versions after
+    * the key equi-join — no band join, no window. The fact table never
+    * shuffles. */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2CustomerHistory(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderdate") < lit("1998-01-01").cast("date"), 0L)
+          .otherwise(1L).as("epoch"))
+    ord.join(broadcast(hist), col("o_custkey") === col("c_custkey") &&
+        col("valid_from") <= col("epoch") &&
+        (col("valid_to").isNull || col("epoch") < col("valid_to")))
+      .select(col("o_orderkey"), col("o_custkey"), col("epoch"),
+        col("version"), col("c_acctbal"), col("c_mktsegment"))
+  }
+
+  val pitFeaturesSql: String =
+    s"""WITH hist AS (
+       |  SELECT * FROM ($scd2CustomerHistorySql)
+       |), ord AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+       |      THEN 0 ELSE 1 END AS epoch
+       |  FROM orders
+       |)
+       |SELECT o.o_orderkey, o.o_custkey, CAST(o.epoch AS BIGINT) AS epoch,
+       |  h.version, h.c_acctbal, h.c_mktsegment
+       |FROM ord o JOIN hist h
+       |  ON h.c_custkey = o.o_custkey
+       |  AND h.valid_from <= o.epoch
+       |  AND (h.valid_to IS NULL OR o.epoch < h.valid_to)""".stripMargin
+
   // ---------------------------------------------------- join-key skew report
 
   /** Join-key skew profile — the "should this join be salted?" report,
@@ -1748,6 +1798,7 @@ object Warehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_report" -> (skewReport _),
+    "pit_features" -> (pitFeatures _),
     "snapshot_diff" -> (snapshotDiff _),
     "price_size_skyline" -> (priceSizeSkyline _),
     "column_profile" -> (columnProfile _),
@@ -1786,6 +1837,7 @@ object Warehouse {
 
   val oracles: Map[String, String] = Map(
     "skew_report" -> skewReportSql,
+    "pit_features" -> pitFeaturesSql,
     "snapshot_diff" -> snapshotDiffSql,
     "price_size_skyline" -> priceSizeSkylineSql,
     "column_profile" -> columnProfileSql,

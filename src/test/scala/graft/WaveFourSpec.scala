@@ -435,4 +435,54 @@ class WaveFourSpec extends SparkSpec {
     expect.foreach { case (k, v) => assert(got(k) == v, s"mismatch for $k") }
     assert(got.contains("orders.o_custkey"))
   }
+
+  test("pit_features: exactly one version per order; restated epochs split") {
+    val hist = graft.operators.Warehouse.scd2CustomerHistory(spark, tiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    val got = graft.operators.Warehouse.pitFeatures(spark, tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nOrders = spark.read.parquet(s"$tiny/orders.parquet").count()
+    assert(got.length == nOrders, "PIT join must keep exactly one version per order")
+    got.foreach { case (_, cust, epoch, version) =>
+      val (from, to) = hist((cust, version))
+      assert(from <= epoch && to.forall(epoch < _),
+        s"version $version not valid at epoch $epoch for customer $cust")
+    }
+    // both epochs and both versions must actually occur
+    assert(got.map(_._3).distinct.sorted.toSeq == Seq(0L, 1L))
+    assert(got.map(_._4).distinct.sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("join_size_audit: estimator algebra vs driver recompute") {
+    def h(k: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"js:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val a = graft.sources.Tables.events(spark, tiny)
+      .select(coalesce(col("user_id").cast("string"), lit("__unknown__")).as("k"))
+      .collect().map(_.getString(0)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val b = spark.read.parquet(s"$tiny/orders.parquet")
+      .select(col("o_custkey").cast("string")).collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val union = a.keySet ++ b.keySet
+    val exact = union.toSeq.map(k => a.getOrElse(k, 0L) * b.getOrElse(k, 0L)).sum
+    val sample = union.toSeq.sortBy(h).take(64)
+    val kept = sample.length
+    val sumProd = sample.map(k => a.getOrElse(k, 0L) * b.getOrElse(k, 0L)).sum
+    val kth = h(sample.last)
+    val estUnion =
+      if (kept < 64) kept.toDouble else (63L << 48).toDouble / kth.toDouble
+    val estJoin =
+      if (kept < 64) sumProd.toDouble else sumProd.toDouble * estUnion / kept
+
+    val r = Analytics.joinSizeAudit(spark, tiny).collect().head
+    assert(r.getAs[Long]("n_union") == union.size)
+    assert(r.getAs[Long]("exact_join_rows") == exact)
+    assert(r.getAs[Long]("n_kept") == kept)
+    assert(r.getAs[Long]("sum_prod") == sumProd)
+    assert(r.getAs[Double]("est_join") == estJoin)
+  }
 }
