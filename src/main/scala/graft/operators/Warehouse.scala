@@ -1685,6 +1685,76 @@ object Warehouse {
        |SELECT diff_class, count(*) AS n FROM j GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------ revenue concentration
+
+  /** Revenue-concentration (Pareto) report — what share of revenue the
+    * top 1% and top 10% of customers carry: the 80/20 measurement behind
+    * key-account risk, and the business-side face of [[skewReport]]'s
+    * join-key skew (a revenue-concentrated customer base IS a skewed
+    * o_custkey domain).
+    *
+    * Exactness: per-order cents quantization before any sum (the house
+    * money rule), so every total is an exact integer; the only doubles
+    * are the two reported shares. The percentile cutoffs are integer
+    * ceil((n·p)/100) of the CUSTOMER count — a bounded driver scalar
+    * (the adjudicated pattern: one count of the aggregated customer
+    * domain, never of rows).
+    *
+    * Shape: one map-combinable revenue-per-customer agg; both top-k
+    * selections run on the bounded heap (k rows per map task — no
+    * global sort of the customer domain), the 1% cut re-heaping the 10%
+    * result. Ties broken by (revenue desc, custkey asc), total order. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Dedup.eager(Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("rev")))
+    val n = cust.count()
+    val k1 = ((n + 99) / 100).toInt
+    val k10 = ((n + 9) / 10).toInt
+    def top(df: DataFrame, k: Int): DataFrame =
+      graft.plans.TopKPerKey.topK(df.withColumn("g", lit(1)),
+        keys = Seq(col("g")), order = Seq(col("rev").desc, col("o_custkey").asc),
+        k = k)
+    val top10 = Dedup.eager(top(cust, k10).select("o_custkey", "rev"))
+    val top1 = top(top10, k1)
+    val total = cust.agg(sum("rev").as("total_cents"), count(lit(1)).as("n_customers"))
+    val s10 = top10.agg(sum("rev").as("top10_cents"), count(lit(1)).as("top10_n"))
+    val s1 = top1.agg(sum("rev").as("top1_cents"), count(lit(1)).as("top1_n"))
+    total.crossJoin(broadcast(s1)).crossJoin(broadcast(s10))
+      .withColumn("share1",
+        col("top1_cents").cast("double") / col("total_cents").cast("double"))
+      .withColumn("share10",
+        col("top10_cents").cast("double") / col("total_cents").cast("double"))
+  }
+
+  val revenueConcentrationSql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1
+      |), r AS (
+      |  SELECT *, row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM cust
+      |), t AS (
+      |  SELECT max(n) AS n_customers, CAST(sum(rev) AS BIGINT) AS total_cents,
+      |    CAST(sum(CASE WHEN rn <= (n + 99) // 100 THEN rev ELSE 0 END) AS BIGINT)
+      |      AS top1_cents,
+      |    CAST(sum(CASE WHEN rn <= (n + 99) // 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS top1_n,
+      |    CAST(sum(CASE WHEN rn <= (n + 9) // 10 THEN rev ELSE 0 END) AS BIGINT)
+      |      AS top10_cents,
+      |    CAST(sum(CASE WHEN rn <= (n + 9) // 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS top10_n
+      |  FROM r
+      |)
+      |SELECT n_customers, total_cents, top1_n, top1_cents, top10_n, top10_cents,
+      |  CAST(top1_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS share1,
+      |  CAST(top10_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS share10
+      |FROM t""".stripMargin
+
   // ------------------------------------------------ point-in-time features
 
   /** Point-in-time (PIT) feature join — the feature-store correctness
@@ -1799,6 +1869,7 @@ object Warehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_report" -> (skewReport _),
     "pit_features" -> (pitFeatures _),
+    "revenue_concentration" -> (revenueConcentration _),
     "snapshot_diff" -> (snapshotDiff _),
     "price_size_skyline" -> (priceSizeSkyline _),
     "column_profile" -> (columnProfile _),
@@ -1838,6 +1909,7 @@ object Warehouse {
   val oracles: Map[String, String] = Map(
     "skew_report" -> skewReportSql,
     "pit_features" -> pitFeaturesSql,
+    "revenue_concentration" -> revenueConcentrationSql,
     "snapshot_diff" -> snapshotDiffSql,
     "price_size_skyline" -> priceSizeSkylineSql,
     "column_profile" -> columnProfileSql,

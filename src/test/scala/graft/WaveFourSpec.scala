@@ -485,4 +485,23 @@ class WaveFourSpec extends SparkSpec {
     assert(r.getAs[Long]("sum_prod") == sumProd)
     assert(r.getAs[Double]("est_join") == estJoin)
   }
+
+  test("revenue_concentration: heap-selected shares vs driver recompute") {
+    val rev = spark.read.parquet(s"$tiny/orders.parquet")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (k, v) => (-v, k) }
+    val n = rev.length
+    val k1 = (n + 99) / 100; val k10 = (n + 9) / 10
+    val total = rev.map(_._2).sum
+    val r = graft.operators.Warehouse.revenueConcentration(spark, tiny)
+      .collect().head
+    assert(r.getAs[Long]("n_customers") == n)
+    assert(r.getAs[Long]("total_cents") == total)
+    assert(r.getAs[Long]("top1_n") == k1)
+    assert(r.getAs[Long]("top1_cents") == rev.take(k1).map(_._2).sum)
+    assert(r.getAs[Long]("top10_n") == k10)
+    assert(r.getAs[Long]("top10_cents") == rev.take(k10).map(_._2).sum)
+  }
 }
