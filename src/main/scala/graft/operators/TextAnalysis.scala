@@ -1276,6 +1276,84 @@ object TextAnalysis {
        |  CAST(sum(n_pieces) AS DOUBLE) / sum(n_tokens) AS pieces_per_token
        |FROM e2 JOIN o USING (doc_id)""".stripMargin
 
+  // --------------------------------------------- vocab coverage curve
+
+  private val coverageSizes = Seq(16, 64, 256)
+
+  /** Merge-vocabulary coverage curve — what share of the corpus's
+    * adjacent-pair MASS the top-V merge vocabulary captures, at
+    * V = 16 / 64 / 256: the measurement behind the BPE merge-count
+    * decision (every covered pair is a merge that fires; the complement
+    * is the stream still paying two tokens). The unit is the adjacent
+    * token pair — the same stream [[bpeTopMerges]] ranks and
+    * [[pmiCollocations]] scores — because the word-level curve is
+    * degenerate on a templated corpus (31 distinct words cover 100% at
+    * any V; 916 distinct pairs give a real curve). Exact integer pair
+    * counts plus one double share per level.
+    *
+    * Shape: one map-combinable pair agg (pair-vocab-keyed, not
+    * corpus-keyed); the top-V cut is the bounded heap at the largest V,
+    * the smaller Vs are conditional sums over a rank window on those
+    * 256 rows — the corpus never sorts. */
+  def bpeCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      .select(concat(col("bg.w1"), lit(" "), col("bg.w2")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = terms.agg(sum("n").as("total_tokens"),
+      count(lit(1)).as("n_terms"))
+    val top = graft.plans.TopKPerKey.topK(
+        terms.withColumn("g", lit(1)),
+        keys = Seq(col("g")),
+        order = Seq(col("n").desc, col("term").asc), k = coverageSizes.max)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("n").desc, col("term"))))
+    val perV = coverageSizes.map { v =>
+      top.filter(col("rnk") <= v)
+        .agg(sum("n").as("covered_tokens"), count(lit(1)).as("vocab_n"))
+        .select(lit(v.toLong).as("v"), col("vocab_n"), col("covered_tokens"))
+    }.reduce(_ unionAll _)
+    perV.crossJoin(broadcast(total))
+      .withColumn("share",
+        col("covered_tokens").cast("double") / col("total_tokens").cast("double"))
+      .select("v", "vocab_n", "covered_tokens", "total_tokens", "n_terms", "share")
+  }
+
+  val bpeCoverageSql: String = {
+    val legs = coverageSizes.map { v =>
+      s"""SELECT $v AS v,
+         |  CAST(sum(CASE WHEN rnk <= $v THEN 1 ELSE 0 END) AS BIGINT) AS vocab_n,
+         |  CAST(sum(CASE WHEN rnk <= $v THEN n ELSE 0 END) AS BIGINT)
+         |    AS covered_tokens
+         |FROM ranked""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT ${tokensSql("text")} AS toks FROM documents
+       |), terms AS (
+       |  SELECT term, count(*) AS n FROM (
+       |    SELECT unnest(toks[1:len(toks)-1]) || ' ' || unnest(toks[2:len(toks)])
+       |      AS term
+       |    FROM t WHERE len(toks) >= 2)
+       |  GROUP BY 1
+       |), total AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS total_tokens, count(*) AS n_terms
+       |  FROM terms
+       |), ranked AS (
+       |  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM terms
+       |), curve AS (
+       |$legs
+       |)
+       |SELECT c.v, c.vocab_n, c.covered_tokens, t.total_tokens, t.n_terms,
+       |  CAST(c.covered_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+       |    AS share
+       |FROM curve c CROSS JOIN total t""".stripMargin
+  }
+
   // ---------------------------------------------- PMI collocation mining
 
   private val pmiMinSupport = 5
@@ -1360,6 +1438,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pmi_collocations" -> (pmiCollocations _),
+    "bpe_coverage" -> (bpeCoverage _),
     "bpe_roundtrip" -> (bpeRoundtrip _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "gopher_rules" -> (gopherRules _),
@@ -1386,6 +1465,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "pmi_collocations" -> pmiCollocationsSql,
+    "bpe_coverage" -> bpeCoverageSql,
     "bpe_roundtrip" -> bpeRoundtripSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "gopher_rules" -> gopherRulesSql,

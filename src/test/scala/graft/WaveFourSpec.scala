@@ -504,4 +504,25 @@ class WaveFourSpec extends SparkSpec {
     assert(r.getAs[Long]("top10_n") == k10)
     assert(r.getAs[Long]("top10_cents") == rev.take(k10).map(_._2).sum)
   }
+
+  test("bpe_coverage: pair-mass curve vs driver recompute; curve strictly grows") {
+    def toks(text: String): Array[String] =
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val pairs = spark.read.parquet(s"$tiny/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+      .flatMap { t => val w = toks(t); w.zip(w.drop(1)).map(p => s"${p._1} ${p._2}") }
+    val cnts = pairs.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (k, n) => (-n, k) }
+    val total = pairs.length.toLong
+    val got = graft.operators.TextAnalysis.bpeCoverage(spark, tiny).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    Seq(16, 64, 256).foreach { v =>
+      val top = cnts.take(v)
+      assert(got(v.toLong) == ((top.length.toLong, top.map(_._2).sum,
+        total, cnts.length.toLong)), s"coverage mismatch at V=$v")
+    }
+    // the curve must be non-degenerate: strictly more mass at each level
+    assert(got(16L)._2 < got(64L)._2 && got(64L)._2 < got(256L)._2)
+  }
 }
