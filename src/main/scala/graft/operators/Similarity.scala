@@ -2223,6 +2223,97 @@ object Similarity {
        |SELECT label, c_label AS pred_label, count(*) AS n
        |FROM r WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------ split drift (train vs test)
+
+  /** Embedding drift between the train and test splits, per label — the
+    * split-integrity audit on the REPRESENTATION side:
+    * [[Corpus.groupedSplitAudit]] proves no near-dup pair straddles the
+    * split; this proves the two sides still describe the SAME
+    * distribution (cosine of per-label centroids ≈ 1). A label whose
+    * train/test centroids diverge signals a split correlated with
+    * content — the silent eval-skew failure. Uses the SAME salted hash
+    * as [[Corpus.corpusSplit]] (vec_id == doc_id in the fixtures), so
+    * this audits the actual production split, not a private one.
+    * Interpretation is against the null: for labels with REAL cluster
+    * structure the two centroids align (cos → 1); the fixtures' labels
+    * are random tags over isotropic vectors, so both centroids are
+    * independent noise means and cos ≈ 0 IS the expected null here —
+    * the same "report the null, don't fake the signal" stance as
+    * [[embeddingPcaPower]]'s Marchenko–Pastur var_share. A label whose
+    * test side is empty (splits are hash-quantized) has no drift row.
+    *
+    * Exactness: components quantize to 1e-6 fixed point BEFORE any sum
+    * (inter-row addition is integer, order-free); centroids are
+    * integer-truncated means in micro-units; only the final cosine
+    * divides, on exactly-representable operands, rounded through
+    * [[simRound]]. Shape: one posexplode + a (label, split, dim) hash
+    * agg — dim-keyed, corpus-scale work is the single scan; the
+    * centroid join is |labels| x dims rows. */
+  def embeddingSplitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 100
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < 80 || col("bucket") >= 90)
+      .withColumn("split", when(col("bucket") < 80, "train").otherwise("test"))
+      .select(col("label"), col("split"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("xq", expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("label", "split", "pos")
+      .agg(sum("xq").as("sx"), count(lit(1)).as("n"))
+      .withColumn("c", expr("sx div n"))
+    val tr = cent.filter(col("split") === "train")
+      .select(col("label"), col("pos"), col("c").as("ct"), col("n").as("n_train"))
+    val te = cent.filter(col("split") === "test")
+      .select(col("label"), col("pos"), col("c").as("ce"), col("n").as("n_test"))
+    tr.join(te, Seq("label", "pos"))
+      .groupBy("label")
+      .agg(max("n_train").as("n_train"), max("n_test").as("n_test"),
+        sum(expr("ct * ce")).as("dot"),
+        sum(expr("ct * ct")).as("nt2"), sum(expr("ce * ce")).as("ne2"))
+      .filter(col("nt2") > 0 && col("ne2") > 0)
+      .select(col("label"), col("n_train"), col("n_test"),
+        simRound(col("dot").cast("double") /
+          (sqrt(col("nt2").cast("double")) * sqrt(col("ne2").cast("double"))))
+          .as("cos_r"))
+  }
+
+  val embeddingSplitDriftSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), b AS (
+      |  SELECT label, v,
+      |    CAST(('0x' || substr(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 100 AS bucket
+      |  FROM e
+      |), s AS (
+      |  SELECT label, CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split, v
+      |  FROM b WHERE bucket < 80 OR bucket >= 90
+      |), cent AS (
+      |  SELECT label, split, j.j AS pos,
+      |    CAST(sum(CAST(floor(v[j.j] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // count(*) AS c,
+      |    count(*) AS n
+      |  FROM s, (SELECT unnest(generate_series(1, 64)) AS j) j
+      |  GROUP BY 1, 2, 3
+      |), tr AS (
+      |  SELECT label, pos, c AS ct, n AS n_train FROM cent WHERE split = 'train'
+      |), te AS (
+      |  SELECT label, pos, c AS ce, n AS n_test FROM cent WHERE split = 'test'
+      |), g AS (
+      |  SELECT label, max(n_train) AS n_train, max(n_test) AS n_test,
+      |    CAST(sum(ct * ce) AS BIGINT) AS dot,
+      |    CAST(sum(ct * ct) AS BIGINT) AS nt2,
+      |    CAST(sum(ce * ce) AS BIGINT) AS ne2
+      |  FROM tr JOIN te USING (label, pos) GROUP BY 1
+      |)
+      |SELECT label, n_train, n_test,
+      |  floor((CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(nt2 AS DOUBLE)) * sqrt(CAST(ne2 AS DOUBLE))))
+      |    * 1000000.0 + 0.5) / 1000000.0 AS cos_r
+      |FROM g WHERE nt2 > 0 AND ne2 > 0""".stripMargin
+
   // ---------------------------------------------- recall audit (exact vs IVF)
 
   /** Query-level recall@3 of the trained-IVF search against the exact
@@ -2271,6 +2362,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_audit" -> (annRecallAudit _),
+    "embedding_split_drift" -> (embeddingSplitDrift _),
     "centroid_classify" -> (centroidClassify _),
     "label_outliers" -> (labelOutliers _),
     "ivf_cell_profile" -> (ivfCellProfile _),
@@ -2297,6 +2389,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_recall_audit" -> annRecallAuditSql,
+    "embedding_split_drift" -> embeddingSplitDriftSql,
     "centroid_classify" -> centroidClassifySql,
     "label_outliers" -> labelOutliersSql,
     "ivf_cell_profile" -> ivfCellProfileSql,

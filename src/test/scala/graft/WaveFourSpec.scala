@@ -525,4 +525,37 @@ class WaveFourSpec extends SparkSpec {
     // the curve must be non-degenerate: strictly more mass at each level
     assert(got(16L)._2 < got(64L)._2 && got(64L)._2 < got(256L)._2)
   }
+
+  test("embedding_split_drift: fixed-point centroids vs driver recompute") {
+    def bucket(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val vecs = spark.read.parquet(s"$tiny/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray))
+    def cent(vs: Seq[Array[Long]]): Array[Long] = {
+      val d = vs.head.length
+      (0 until d).map(j => vs.map(_(j)).sum / vs.size).toArray
+    }
+    val expect = vecs.groupBy(_._2).flatMap { case (label, vs) =>
+      val tr = vs.filter(v => bucket(v._1) < 80).map(_._3)
+      val te = vs.filter(v => bucket(v._1) >= 90).map(_._3)
+      if (tr.isEmpty || te.isEmpty) None else {
+        val (ct, ce) = (cent(tr.toSeq), cent(te.toSeq))
+        val dot = ct.zip(ce).map { case (a, b) => a * b }.sum.toDouble
+        val nt = math.sqrt(ct.map(x => x * x).sum.toDouble)
+        val ne = math.sqrt(ce.map(x => x * x).sum.toDouble)
+        if (nt == 0.0 || ne == 0.0) None
+        else Some(label.toLong -> (tr.size.toLong, te.size.toLong,
+          math.floor(dot / (nt * ne) * 1e6 + 0.5) / 1e6))
+      }
+    }
+    val got = graft.operators.Similarity.embeddingSplitDrift(spark, tiny)
+      .collect().map(r => r.getInt(0).toLong ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }
