@@ -89,7 +89,9 @@ object SparkEntry {
         .select(col("event_id"), col("rule_name"))
       val seas = Analytics.seasonalAlerts(s, dir)
         .select(col("event_id"), lit("seasonal_value").as("rule_name"))
-      base.unionByName(seas).groupBy("event_id")
+      val burst = Detectors.patternAlerts(s, dir)
+        .select(col("event_id"), col("rule_name"))
+      base.unionByName(seas).unionByName(burst).groupBy("event_id")
         .agg(count(lit(1)).as("n_rules"),
           array_join(sort_array(collect_list(col("rule_name"))), ",").as("rules"))
     }),
@@ -122,11 +124,14 @@ object SparkEntry {
          |${DetectorSql.all(FixtureRules.all)}
          |), se AS (
          |${Analytics.seasonalAlertsSql}
+         |), pb AS (
+         |  SELECT * FROM (${Detectors.patternAlertsSql})
          |)
          |SELECT event_id, count(*) AS n_rules,
          |  array_to_string(list(rule_name ORDER BY rule_name), ',') AS rules
          |FROM (SELECT event_id, rule_name FROM a
-         |  UNION ALL SELECT event_id, 'seasonal_value' AS rule_name FROM se)
+         |  UNION ALL SELECT event_id, 'seasonal_value' AS rule_name FROM se
+         |  UNION ALL SELECT event_id, rule_name FROM pb)
          |GROUP BY 1""".stripMargin,
     "absence_alerts" -> Detectors.absenceAlertsSql,
     "pattern_alerts" -> Detectors.patternAlertsSql,
