@@ -168,7 +168,7 @@ class DetectorsSpec extends SparkSpec {
       `type` = "bogus")).isLeft)
   }
 
-  test("ensemble_alerts: fuses all four families, rule lists sorted and duplicate-free") {
+  test("ensemble_alerts: fuses all five families, rule lists sorted and duplicate-free") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
@@ -180,7 +180,7 @@ class DetectorsSpec extends SparkSpec {
       assert(rs.length == n && rs.distinct == rs, s"event $id")
       assert(rs.sorted == rs, s"event $id rules unsorted")
       assert(rs.forall(Set("high_value", "high_rate", "unusual_value",
-        "seasonal_value")), s"event $id unknown rule")
+        "seasonal_value", "error_burst")), s"event $id unknown rule")
     }
     // the fusion covers exactly the union of the per-family flag sets
     val base = graft.operators.Detectors.allAlerts(
@@ -188,6 +188,8 @@ class DetectorsSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSet
     val seas = graft.operators.Analytics.seasonalAlerts(spark, dir)
       .select("event_id").as[Long].collect().toSet
-    assert(rows.map(_._1).toSet == (base ++ seas))
+    val burst = graft.operators.Detectors.patternAlerts(spark, dir)
+      .select("event_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == (base ++ seas ++ burst))
   }
 }
