@@ -216,6 +216,66 @@ object Dedup {
     s"""WITH $jaccardPairsCtes
        |SELECT d1, d2, common, jaccard FROM jp""".stripMargin
 
+  private val curveThresholds = Seq(2, 10, 50, 90)
+
+  /** Dedup threshold sensitivity curve — how many near-dup pairs (and
+    * docs touched) each Jaccard cutoff would declare, at 0.02/0.10/0.50/
+    * 0.90: the tuning input behind [[jaccardThreshold]]'s fixed 0.8 (too
+    * low over-merges distinct docs into one cluster, too high leaves
+    * boilerplate twins in the corpus; the curve's knee is the decision).
+    * The production run commits to ONE threshold; this query prices the
+    * alternatives from the same candidate set without re-running
+    * anything four times.
+    *
+    * Exactness: the cutoff test is the integer cross-multiplication
+    * `common * 100 >= t * (n1 + n2 - common)` — the curve has zero
+    * doubles. Shape: the memoized shingle index's candidate join runs
+    * ONCE (eagerly materialized), and each threshold is a conditional
+    * count plus a distinct-endpoint count over the candidate table —
+    * candidate-sized work, not corpus-sized. */
+  def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val idx = sharedShingleIndex(spark, dir)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = eager(idx.as("a").join(idx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2"))
+    curveThresholds.map { t =>
+      val q = cand.filter(expr(s"common * 100 >= $t * (n1 + n2 - common)"))
+      val nPairs = q.agg(count(lit(1)).as("n_pairs"))
+      val nDocs = q.select(explode(array(col("d1"), col("d2"))).as("d"))
+        .agg(countDistinct(col("d")).as("n_docs"))
+      nPairs.crossJoin(nDocs)
+        .select(lit(t.toLong).as("threshold_pct"), col("n_pairs"), col("n_docs"))
+    }.reduce(_ unionAll _)
+  }
+
+  val dedupThresholdCurveSql: String = {
+    val legs = curveThresholds.map { t =>
+      s"""SELECT $t AS threshold_pct, count(*) AS n_pairs,
+         |  (SELECT count(DISTINCT d) FROM (
+         |    SELECT d1 AS d FROM jn WHERE common * 100 >= $t * (n1 + n2 - common)
+         |    UNION ALL
+         |    SELECT d2 AS d FROM jn WHERE common * 100 >= $t * (n1 + n2 - common)))
+         |    AS n_docs
+         |FROM jn WHERE common * 100 >= $t * (n1 + n2 - common)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${shingleIndexSql(maxDf)},
+       |sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jn AS (
+       |  SELECT d1, d2, common, x.n AS n1, y.n AS n2
+       |  FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+       |)
+       |$legs""".stripMargin
+  }
+
   // ------------------------------------------------------- MinHash + LSH
 
   private val numHashes = 16 // 4 bands x 4 rows
@@ -975,6 +1035,7 @@ object Dedup {
        |SELECT doc_id, base_doc_id, kind, jaccard FROM nr""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "dedup_exact" -> (exact _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -987,6 +1048,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_threshold_curve" -> dedupThresholdCurveSql,
     "dedup_exact" -> exactSql,
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

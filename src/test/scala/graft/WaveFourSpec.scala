@@ -558,4 +558,24 @@ class WaveFourSpec extends SparkSpec {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  test("dedup_threshold_curve: monotone non-increasing, knee visible, exact counts") {
+    val got = graft.operators.Dedup.dedupThresholdCurve(spark, small).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(2L, 10L, 50L, 90L))
+    // raising the cutoff can only drop pairs and docs
+    val ordered = Seq(2L, 10L, 50L, 90L).map(got)
+    ordered.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._1 >= b._1 && a._2 >= b._2)
+    }
+    // the low-threshold leg must actually include shared-phrase noise that
+    // the production 0.8 cutoff excludes — otherwise the curve is flat and
+    // prices nothing
+    assert(got(2L)._1 > got(90L)._1)
+    // the >= 0.9 leg equals the verified near-dup pair count (same
+    // candidates, stricter test than the production 0.8)
+    val strict = graft.operators.Dedup.ngramJaccard(spark, small).collect()
+      .count(_.getDouble(3) >= 0.9).toLong
+    assert(got(90L)._1 == strict)
+  }
 }
