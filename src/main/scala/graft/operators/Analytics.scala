@@ -1351,6 +1351,71 @@ object Analytics {
        |FROM e LEFT JOIN x
        |  ON e.type_a = x.type_a AND e.type_b = x.type_b""".stripMargin
 
+  // ------------------------------------------------ inter-event gap profile
+
+  /** Per-type inter-event gap quantiles (p50/p90/p99, exact integer
+    * ranks) — the PLANNING input for every time-window constant in this
+    * engine: the session gap ([[sessionize]]), the absence deadline
+    * ([[Detectors.absenceAlerts]]), and the streaming watermark delay all
+    * encode an assumption about how long a key normally stays silent;
+    * this query measures that distribution instead of guessing it. Gaps
+    * are per-KEY consecutive deltas (the quantity those operators
+    * threshold), profiled per event type.
+    *
+    * Exactness/shape: the gap extraction is one key-hash window (same
+    * plan as the absence scan); quantiles use the integer-rank
+    * definition from [[sampleQuantileAudit]]'s exact tier — a per-type
+    * in-partition sort of the GAPS (one row per event, minus firsts),
+    * never a global sort. At 100 TB you'd run the sampled tier instead;
+    * this is the exact audit form. */
+  def gapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select(col("event_type"), Detectors.keyCol("user_id").as("key"),
+        col("ts_ns"), col("event_id"))
+    val wk = Window.partitionBy("event_type", "key")
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gaps = ev
+      .withColumn("p", lag("ts_ns", 1).over(wk))
+      .filter(col("p").isNotNull)
+      .select(col("event_type"), expr("(ts_ns - p) div 1000000000").as("gap_sec"))
+    val w = Window.partitionBy("event_type").orderBy("gap_sec")
+    gaps
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type").agg(
+        max("n").as("n_gaps"),
+        max(when(col("rn") === expr("(n - 1) * 5 div 10 + 1"), col("gap_sec")))
+          .as("p50_sec"),
+        max(when(col("rn") === expr("(n - 1) * 9 div 10 + 1"), col("gap_sec")))
+          .as("p90_sec"),
+        max(when(col("rn") === expr("(n - 1) * 99 div 100 + 1"), col("gap_sec")))
+          .as("p99_sec"))
+  }
+
+  val gapQuantilesSql: String =
+    """WITH e AS (
+      |  SELECT event_type, coalesce(CAST(user_id AS VARCHAR), '__unknown__')
+      |      AS "key",
+      |    epoch_ns(ts) AS tsn, event_id
+      |  FROM events WHERE user_id IS NOT NULL
+      |), g AS (
+      |  SELECT event_type, (tsn - p) // 1000000000 AS gap_sec FROM (
+      |    SELECT event_type, tsn, lag(tsn) OVER (
+      |      PARTITION BY event_type, "key" ORDER BY tsn, event_id) AS p
+      |    FROM e)
+      |  WHERE p IS NOT NULL
+      |), r AS (
+      |  SELECT event_type, gap_sec,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gap_sec) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM g
+      |)
+      |SELECT event_type, max(n) AS n_gaps,
+      |  max(CASE WHEN rn = (n - 1) * 5 // 10 + 1 THEN gap_sec END) AS p50_sec,
+      |  max(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN gap_sec END) AS p90_sec,
+      |  max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN gap_sec END) AS p99_sec
+      |FROM r GROUP BY 1""".stripMargin
+
   // ------------------------------------------- sketch join-size estimation
 
   /** Join-cardinality estimation from mergeable sketches, audited against
@@ -1768,6 +1833,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_quantile_audit" -> (sampleQuantileAudit _),
     "join_size_audit" -> (joinSizeAudit _),
+    "gap_quantiles" -> (gapQuantiles _),
     "funnel_time_bound" -> (funnelTimeBound _),
     "cusum_alerts" -> (cusumAlerts _),
     "holt_forecast" -> (holtForecast _),
@@ -1811,6 +1877,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "sample_quantile_audit" -> sampleQuantileAuditSql,
     "join_size_audit" -> joinSizeAuditSql,
+    "gap_quantiles" -> gapQuantilesSql,
     "funnel_time_bound" -> funnelTimeBoundSql,
     "cusum_alerts" -> cusumAlertsSql,
     "holt_forecast" -> holtForecastSql,

@@ -578,4 +578,24 @@ class WaveFourSpec extends SparkSpec {
       .count(_.getDouble(3) >= 0.9).toLong
     assert(got(90L)._1 == strict)
   }
+
+  test("gap_quantiles: exact rank quantiles vs driver recompute") {
+    val evs = graft.sources.Tables.events(spark, tiny)
+      .filter(col("user_id").isNotNull)
+      .select("event_type", "user_id", "ts_ns", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = evs.groupBy(e => (e._1, e._2)).toSeq
+      .flatMap { case ((t, _), rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._4)).map(_._3)
+        sorted.zip(sorted.drop(1)).map { case (a, b) => (t, (b - a) / 1000000000L) }
+      }.groupBy(_._1).map { case (t, gs) =>
+        val s = gs.map(_._2).sorted
+        val n = s.length
+        t -> (n.toLong, s((n - 1) * 5 / 10), s((n - 1) * 9 / 10), s((n - 1) * 99 / 100))
+      }
+    val got = Analytics.gapQuantiles(spark, tiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect)
+  }
 }
