@@ -105,6 +105,7 @@ object SparkEntry {
     "multimodal_resize" -> ((s, dir) => Multimodal.resize(s, dir)),
     "multimodal_phash_dedup" -> ((s, dir) => Multimodal.phashDedup(s, dir)),
     "multimodal_phash_clusters" -> ((s, dir) => Multimodal.phashClusters(s, dir)),
+    "multimodal_phash_radius_curve" -> ((s, dir) => Multimodal.phashRadiusCurve(s, dir)),
   ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++
     TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries ++
     Retrieval.queries ++ Graph.queries ++ Linkage.queries
@@ -141,6 +142,7 @@ object SparkEntry {
     "multimodal_resize" -> Multimodal.resizeSql,
     "multimodal_phash_dedup" -> Multimodal.phashDedupSql,
     "multimodal_phash_clusters" -> Multimodal.phashClustersSql,
+    "multimodal_phash_radius_curve" -> Multimodal.phashRadiusCurveSql,
     "props_threshold" ->
       """SELECT event_id,
         |  coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",

@@ -439,4 +439,39 @@ object Multimodal {
        |)
        |SELECT cluster_id, n_members, n_edges, max_hamming
        |FROM prof JOIN es USING (cluster_id)""".stripMargin
+
+  private val radiusCurve = Seq(0, 4, 8, 10)
+
+  /** Hamming-radius sensitivity curve for the perceptual-hash family —
+    * the image-side twin of [[Dedup.dedupThresholdCurve]]: pairs (and
+    * docs touched) that each dHash radius would declare near-dups, at
+    * r = 0 / 4 / 8 / 10. Radii stop at [[phashHammingMax]] because the
+    * banded candidate join is pigeonhole-complete only below the band
+    * count — a curve past the guarantee would silently undercount, the
+    * exact failure mode this engine never ships. One pass over the
+    * already-banded pair set; each radius is a conditional count. */
+  def phashRadiusCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.eager(phashDedup(spark, dir))
+    radiusCurve.map { r =>
+      val q = pairs.filter(col("hamming") <= r)
+      q.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(q.select(explode(array(col("d1"), col("d2"))).as("d"))
+          .agg(countDistinct(col("d")).as("n_docs")))
+        .select(lit(r.toLong).as("radius"), col("n_pairs"), col("n_docs"))
+    }.reduce(_ unionAll _)
+  }
+
+  def phashRadiusCurveSql: String = {
+    val legs = radiusCurve.map { r =>
+      s"""SELECT $r AS radius, count(*) AS n_pairs,
+         |  (SELECT count(DISTINCT d) FROM (
+         |    SELECT d1 AS d FROM pp WHERE hamming <= $r
+         |    UNION ALL SELECT d2 FROM pp WHERE hamming <= $r)) AS n_docs
+         |FROM pp WHERE hamming <= $r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pp AS MATERIALIZED (
+       |  SELECT * FROM ($phashDedupSql)
+       |)
+       |$legs""".stripMargin
+  }
 }

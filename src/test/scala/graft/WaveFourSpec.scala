@@ -598,4 +598,16 @@ class WaveFourSpec extends SparkSpec {
         r.getLong(4))).toMap
     assert(got == expect)
   }
+
+  test("phash_radius_curve: monotone, r=max equals the dedup pair set") {
+    val got = graft.operators.Multimodal.phashRadiusCurve(spark, small)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(0L, 4L, 8L, 10L))
+    Seq(0L, 4L, 8L, 10L).map(got).sliding(2).foreach { case Seq(a, b) =>
+      assert(a._1 <= b._1 && a._2 <= b._2)
+    }
+    val full = graft.operators.Multimodal.phashDedup(spark, small).count()
+    assert(got(10L)._1 == full)
+    assert(got(10L)._1 > got(0L)._1, "curve is flat — radii price nothing")
+  }
 }
