@@ -638,6 +638,46 @@ object Corpus {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // $packBudget AS pack_id
        |FROM documents""".stripMargin
 
+  /** Packing-efficiency audit of [[seqPacking]] — per shard: docs, packs,
+    * token mass, fill ratio (1e-6 fixed point of pack-budget capacity),
+    * and how many packs OVERFLOW the budget (a doc longer than the
+    * remaining space stays in the pack where it started — the spill rule
+    * — so fill can exceed 1.0; a rising overfull count means documents
+    * outgrew the budget and the loader will truncate). The training-side
+    * waste metric for the packing stage: fill well below 1.0 across
+    * shards = GPUs padding, overfull = sequences clipped.
+    * Shape: re-aggregations of the packing output — (shard, pack) then
+    * shard — nothing touches the corpus a second time. */
+  def packingEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val packs = seqPacking(spark, dir)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("used"))
+    packs.groupBy("shard").agg(
+      sum("n_docs").as("n_docs"),
+      count(lit(1)).as("n_packs"),
+      sum("used").as("total_tokens"),
+      sum(when(col("used") > packBudget, 1L).otherwise(0L)).as("n_overfull"))
+      .withColumn("fill_fp",
+        expr(s"(total_tokens * 1000000) div (n_packs * $packBudget)"))
+  }
+
+  val packingEfficiencySql: String =
+    s"""WITH sp AS (
+       |  SELECT * FROM ($seqPackingSql)
+       |), packs AS (
+       |  SELECT shard, pack_id, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS used
+       |  FROM sp GROUP BY 1, 2
+       |)
+       |SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  count(*) AS n_packs,
+       |  CAST(sum(used) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN used > $packBudget THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overfull,
+       |  (CAST(sum(used) AS BIGINT) * 1000000)
+       |    // (count(*) * $packBudget) AS fill_fp
+       |FROM packs GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- shard export
 
   /** Training-shard sink: the corpus written as a partitioned parquet
@@ -1032,6 +1072,7 @@ object Corpus {
     "dedup_profile" -> (dedupProfile _),
     "corpus_split" -> (corpusSplit _),
     "grouped_split_audit" -> (groupedSplitAudit _),
+    "packing_efficiency" -> (packingEfficiency _),
     "corpus_sample" -> (corpusSample _),
     "corpus_importance_sample" -> (corpusImportanceSample _),
     "corpus_mixture" -> (corpusMixture _),
@@ -1052,6 +1093,7 @@ object Corpus {
     "dedup_canonical" -> dedupCanonicalSql,
     "corpus_split" -> corpusSplitSql,
     "grouped_split_audit" -> groupedSplitAuditSql,
+    "packing_efficiency" -> packingEfficiencySql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_importance_sample" -> corpusImportanceSampleSql,
     "corpus_mixture" -> corpusMixtureSql,

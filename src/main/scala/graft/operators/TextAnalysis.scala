@@ -1354,6 +1354,35 @@ object TextAnalysis {
        |FROM curve c CROSS JOIN total t""".stripMargin
   }
 
+  /** Language-ID confusion matrix — the EVAL of [[langId]] against the
+    * corpus's own ground-truth `lang` column: (true, predicted, n) cells
+    * plus the per-cell share of the true language's docs in exact fixed
+    * point. A classifier audit belongs next to the classifier: lexicon
+    * drift or a tie-break bug shows up as off-diagonal mass here long
+    * before downstream per-language calibration quietly degrades.
+    * Shape: the langId scan + one (true, pred) hash agg + a tiny
+    * per-true-language re-agg for the denominators. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("lang").agg(sum("n").as("n_true"))
+    cells.join(tot, "lang")
+      .withColumn("share_fp", expr("(n * 1000000) div n_true"))
+      .select("lang", "pred_lang", "n", "n_true", "share_fp")
+  }
+
+  val langIdConfusionSql: String =
+    s"""WITH li AS (
+       |  SELECT * FROM ($langIdSql)
+       |), cells AS (
+       |  SELECT lang, pred_lang, count(*) AS n FROM li GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1
+       |)
+       |SELECT c.lang, c.pred_lang, c.n, t.n_true,
+       |  (c.n * 1000000) // t.n_true AS share_fp
+       |FROM cells c JOIN tot t ON c.lang = t.lang""".stripMargin
+
   // ---------------------------------------------- PMI collocation mining
 
   private val pmiMinSupport = 5
@@ -1439,6 +1468,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pmi_collocations" -> (pmiCollocations _),
     "bpe_coverage" -> (bpeCoverage _),
+    "lang_id_confusion" -> (langIdConfusion _),
     "bpe_roundtrip" -> (bpeRoundtrip _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "gopher_rules" -> (gopherRules _),
@@ -1466,6 +1496,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "pmi_collocations" -> pmiCollocationsSql,
     "bpe_coverage" -> bpeCoverageSql,
+    "lang_id_confusion" -> langIdConfusionSql,
     "bpe_roundtrip" -> bpeRoundtripSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "gopher_rules" -> gopherRulesSql,

@@ -610,4 +610,44 @@ class WaveFourSpec extends SparkSpec {
     assert(got(10L)._1 == full)
     assert(got(10L)._1 > got(0L)._1, "curve is flat — radii price nothing")
   }
+
+  test("lang_id_confusion: cells re-aggregate langId's own output exactly") {
+    val li = graft.operators.TextAnalysis.langId(spark, small)
+      .select("lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = li.groupBy(identity).map { case ((t, p), rs) =>
+      (t, p) -> rs.length.toLong }
+    val byTrue = li.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = graft.operators.TextAnalysis.langIdConfusion(spark, small)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case ((t, p), (n, nt, share)) =>
+      assert(n == expect((t, p)) && nt == byTrue(t))
+      assert(share == n * 1000000L / nt)
+    }
+    // the audit must expose real off-diagonal mass on these fixtures
+    assert(got.exists { case ((t, p), _) => t != p })
+  }
+
+  test("packing_efficiency: per-shard roll-up of the packing output") {
+    val sp = graft.operators.Corpus.seqPacking(spark, small)
+      .select("shard", "pack_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = sp.groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((sh, _), rs) => (sh, rs.length.toLong, rs.map(_._3).sum) }
+      .groupBy(_._1).map { case (sh, ps) =>
+        sh -> (ps.map(_._2).sum, ps.length.toLong, ps.map(_._3).sum,
+          ps.count(_._3 > 1024L).toLong)
+      }
+    val got = graft.operators.Corpus.packingEfficiency(spark, small).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    expect.foreach { case (sh, (nd, np, tt, of)) =>
+      val g = got(sh)
+      assert((g._1, g._2, g._3, g._4) == ((nd, np, tt, of)), s"shard $sh")
+      assert(g._5 == tt * 1000000L / (np * 1024L))
+    }
+    assert(got.size == 32)
+  }
 }
