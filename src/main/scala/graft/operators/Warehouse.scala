@@ -1685,6 +1685,62 @@ object Warehouse {
        |SELECT diff_class, count(*) AS n FROM j GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------- freshness report
+
+  /** Data-freshness report — the first page of every pipeline dashboard:
+    * per time-bearing table, the row count, the newest timestamp, the
+    * corpus-wide reference clock (the max across all tables — batch
+    * fixtures have no wall clock, so the freshest table defines "now",
+    * exactly how warehouse freshness SLAs are measured against the most
+    * recent load), each table's staleness behind it in seconds, and the
+    * rows that landed within the trailing 30 days of that table's own
+    * horizon. One scan-side min/max/conditional-count agg per table;
+    * the reference clock is a broadcast 1-row cross join. */
+  def freshnessReport(spark: SparkSession, dir: String): DataFrame = {
+    // two scan-side aggs per table: the trailing-window count needs the
+    // table's own horizon, which the first 1-row agg broadcasts back — a
+    // global window over the raw rows would funnel the scan through ONE
+    // partition, the banned shape
+    def one(tag: String, df: DataFrame, tsSec: Column): DataFrame = {
+      val t = df.select(tsSec.as("t"))
+      val mx = t.agg(count(lit(1)).as("n_rows"), max("t").as("max_sec"))
+      val recent = t.crossJoin(broadcast(mx.select("max_sec")))
+        .filter(col("t") >= col("max_sec") - 30L * 86400)
+        .agg(count(lit(1)).as("rows_30d"))
+      mx.crossJoin(broadcast(recent))
+        .select(lit(tag).as("table_name"), col("n_rows"), col("max_sec"),
+          col("rows_30d"))
+    }
+    val legs = one("events", Tables.events(spark, dir), col("ts_sec"))
+      .unionByName(one("orders", Tables.orders(spark, dir),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000")))
+      .unionByName(one("lineitem", Tables.lineitem(spark, dir),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 1000000")))
+    val ref = legs.agg(max("max_sec").as("ref_sec"))
+    legs.crossJoin(broadcast(ref))
+      .withColumn("staleness_sec", col("ref_sec") - col("max_sec"))
+  }
+
+  val freshnessReportSql: String = {
+    def one(tag: String, table: String, sec: String): String =
+      s"""SELECT '$tag' AS table_name, count(*) AS n_rows,
+         |  max($sec) AS max_sec,
+         |  CAST(sum(CASE WHEN $sec >=
+         |    (SELECT max($sec) FROM $table) - 30 * 86400
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_30d
+         |FROM $table""".stripMargin
+    s"""WITH legs AS (
+       |${one("events", "events", "epoch_ns(ts) // 1000000000")}
+       |UNION ALL
+       |${one("orders", "orders", "epoch_ns(o_orderdate) // 1000000000")}
+       |UNION ALL
+       |${one("lineitem", "lineitem", "epoch_ns(l_shipdate) // 1000000000")}
+       |), ref AS (SELECT max(max_sec) AS ref_sec FROM legs)
+       |SELECT l.table_name, l.n_rows, l.max_sec, l.rows_30d, r.ref_sec,
+       |  r.ref_sec - l.max_sec AS staleness_sec
+       |FROM legs l CROSS JOIN ref r""".stripMargin
+  }
+
   // ------------------------------------------------ revenue concentration
 
   /** Revenue-concentration (Pareto) report — what share of revenue the
@@ -1870,6 +1926,7 @@ object Warehouse {
     "skew_report" -> (skewReport _),
     "pit_features" -> (pitFeatures _),
     "revenue_concentration" -> (revenueConcentration _),
+    "freshness_report" -> (freshnessReport _),
     "snapshot_diff" -> (snapshotDiff _),
     "price_size_skyline" -> (priceSizeSkyline _),
     "column_profile" -> (columnProfile _),
@@ -1910,6 +1967,7 @@ object Warehouse {
     "skew_report" -> skewReportSql,
     "pit_features" -> pitFeaturesSql,
     "revenue_concentration" -> revenueConcentrationSql,
+    "freshness_report" -> freshnessReportSql,
     "snapshot_diff" -> snapshotDiffSql,
     "price_size_skyline" -> priceSizeSkylineSql,
     "column_profile" -> columnProfileSql,

@@ -650,4 +650,53 @@ class WaveFourSpec extends SparkSpec {
     }
     assert(got.size == 32)
   }
+
+  test("absence/pattern detectors: driver recompute of gaps and bursts") {
+    val evs = graft.sources.Tables.events(spark, tiny)
+      .select("user_id", "event_type", "ts_ns", "ts_sec", "event_id").collect()
+      .map(r => (Option(r.get(0)).map(_.toString).getOrElse("__unknown__"),
+        r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val gapNs = 24L * 3600 * 1000000000L
+    val horizon = evs.map(_._3).max
+    val byKey = evs.groupBy(_._1)
+    val expAbs = byKey.toSeq.flatMap { case (k, rs) =>
+      val s = rs.sortBy(r => (r._3, r._5)).map(_._3)
+      val resumed = s.zip(s.drop(1)).collect {
+        case (a, b) if b - a > gapNs =>
+          (k, a / 1000000000L, Some(b / 1000000000L), (b - a) / 1000000000L)
+      }
+      val trail = if (horizon - s.last > gapNs)
+        Seq((k, s.last / 1000000000L, None, (horizon - s.last) / 1000000000L))
+      else Seq.empty
+      resumed ++ trail
+    }.toSet
+    val gotAbs = graft.operators.Detectors.absenceAlerts(spark, tiny).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSet
+    assert(gotAbs == expAbs)
+
+    val winNs = 12L * 3600 * 1000000000L
+    val expPat = byKey.toSeq.flatMap { case (k, rs) =>
+      val errs = rs.filter(_._2 == "error").sortBy(r => (r._3, r._5))
+      errs.drop(2).zip(errs).collect {
+        case (cur, two) if cur._3 - two._3 <= winNs =>
+          (k, cur._5, cur._4, (cur._3 - two._3) / 1000000000L)
+      }
+    }.toSet
+    val gotPat = graft.operators.Detectors.patternAlerts(spark, tiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    assert(gotPat == expPat)
+    assert(expAbs.nonEmpty && expPat.nonEmpty)
+  }
+
+  test("freshness_report: staleness against the corpus reference clock") {
+    val r = graft.operators.Warehouse.freshnessReport(spark, tiny).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(5))).toMap
+    assert(r.keySet == Set("events", "orders", "lineitem"))
+    val ref = r.values.map(_._2).max
+    r.foreach { case (_, (_, mx, stale)) => assert(stale == ref - mx) }
+    // events carry the 2024 clock; the TPC-H-era tables are years behind
+    assert(r("events")._3 == 0L)
+    assert(r("orders")._3 > 0L && r("lineitem")._3 > 0L)
+  }
 }
