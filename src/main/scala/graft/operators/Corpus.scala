@@ -320,18 +320,18 @@ object Corpus {
 
   // ------------------------------------------------------ corpus split
 
-  private val trainPct = 80
-  private val valPct = 10 // remainder is test
+  private[graft] val trainPct = 80
+  private[graft] val valPct = 10 // remainder is test
 
   /** Hash bucket in [0,100): first 8 md5 hex chars of the salted
     * doc_id, mod 100. Distinct salts make split/sample/mixture decisions
     * independent of each other (a doc's split must not correlate with
     * whether sampling kept it). SQL twin in [[hashBucketSql]]. */
-  private def hashBucket(salt: String, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def hashBucket(salt: String, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(concat(lit(salt), id.cast("string"))),
       1, 8), 16, 10).cast("long") % 100
 
-  private def hashBucketSql(salt: String, id: String): String =
+  private[graft] def hashBucketSql(salt: String, id: String): String =
     s"CAST(('0x' || substr(md5('$salt' || CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
 
   private def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -606,8 +606,8 @@ object Corpus {
 
   // ---------------------------------------------------- sequence packing
 
-  private val packBudget = 1024L
-  private val numShards = 32
+  private[graft] val packBudget = 1024L
+  private[graft] val numShards = 32
 
   /** Token-budget sequence packing, shard-parallel: docs are hashed into
     * 32 shards, ordered by doc_id within shard, and assigned pack_id =

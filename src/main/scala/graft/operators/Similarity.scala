@@ -2250,14 +2250,18 @@ object Similarity {
     * agg — dim-keyed, corpus-scale work is the single scan; the
     * centroid join is |labels| x dims rows. */
   def embeddingSplitDrift(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(concat(lit("split:"),
-      col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 100
+    // the PRODUCTION split hash and percentages, not a private copy: if
+    // Corpus.corpusSplit ever changes salt or cuts, this audit follows
+    // (review finding — a drifted copy would keep auditing the old split)
+    val bucket = Corpus.hashBucket("split:", col("vec_id"))
     val cent = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", bucket)
-      .filter(col("bucket") < 80 || col("bucket") >= 90)
-      .withColumn("split", when(col("bucket") < 80, "train").otherwise("test"))
+      .filter(col("bucket") < Corpus.trainPct ||
+        col("bucket") >= Corpus.trainPct + Corpus.valPct)
+      .withColumn("split",
+        when(col("bucket") < Corpus.trainPct, "train").otherwise("test"))
       .select(col("label"), col("split"), posexplode(col("v")).as(Seq("pos", "x")))
       .withColumn("xq", expr("CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)"))
       .groupBy("label", "split", "pos")
@@ -2280,22 +2284,24 @@ object Similarity {
   }
 
   val embeddingSplitDriftSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |), b AS (
       |  SELECT label, v,
-      |    CAST(('0x' || substr(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 8))
-      |      AS BIGINT) % 100 AS bucket
+      |    ${Corpus.hashBucketSql("split:", "vec_id")} AS bucket
       |  FROM e
       |), s AS (
-      |  SELECT label, CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split, v
-      |  FROM b WHERE bucket < 80 OR bucket >= 90
+      |  SELECT label,
+      |    CASE WHEN bucket < ${Corpus.trainPct} THEN 'train' ELSE 'test' END
+      |      AS split, v
+      |  FROM b WHERE bucket < ${Corpus.trainPct}
+      |    OR bucket >= ${Corpus.trainPct + Corpus.valPct}
       |), cent AS (
       |  SELECT label, split, j.j AS pos,
       |    CAST(sum(CAST(floor(v[j.j] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
       |      // count(*) AS c,
       |    count(*) AS n
-      |  FROM s, (SELECT unnest(generate_series(1, 64)) AS j) j
+      |  FROM s, (SELECT unnest(generate_series(1, $dims)) AS j) j
       |  GROUP BY 1, 2, 3
       |), tr AS (
       |  SELECT label, pos, c AS ct, n AS n_train FROM cent WHERE split = 'train'

@@ -1646,15 +1646,20 @@ object Warehouse {
         order = Seq(col("ts_ns").desc, col("event_id").desc),
         k = 1)
         .select(col("user_id"), col("event_type"), col("band"))
+    // presence is tracked by an explicit marker, NOT by band nullness: a
+    // NULL value row would make band NULL and misclassify a both-sides
+    // entity as added/removed (review finding; latent only because the
+    // driver fixtures ship no NULL values — the oracle checks key
+    // nullness, which full_outer coalesces away on the Spark side)
     val a = snap(dayofmonth(col("ts")) <= 10)
-      .withColumnRenamed("band", "band_a")
+      .withColumnRenamed("band", "band_a").withColumn("in_a", lit(true))
     val b = snap(dayofmonth(col("ts")) >= 21)
-      .withColumnRenamed("band", "band_b")
+      .withColumnRenamed("band", "band_b").withColumn("in_b", lit(true))
     a.join(b, Seq("user_id", "event_type"), "full_outer")
       .withColumn("diff_class",
-        when(col("band_a").isNull, "added")
-          .when(col("band_b").isNull, "removed")
-          .when(col("band_a") === col("band_b"), "unchanged")
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(col("band_a") <=> col("band_b"), "unchanged")
           .otherwise("changed"))
       .groupBy("diff_class").agg(count(lit(1)).as("n"))
   }

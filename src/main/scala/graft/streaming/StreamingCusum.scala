@@ -55,7 +55,12 @@ object StreamingCusum {
 
     override def handleInputRows(key: String, rows: Iterator[CusumEvent],
         timerValues: TimerValues): Iterator[CusumDay] = {
-      val mu8 = baseline.getOrElse(key, 0L)
+      // a key the batch trainer never saw has no in-control mean: scoring
+      // it against mu8 = 0 would alarm on EVERY day with traffic (review
+      // finding), so untrained keys are dropped until the next retrain —
+      // the same explicit-drop contract as late days
+      if (!baseline.contains(key)) { rows.foreach(_ => ()); return Iterator.empty }
+      val mu8 = baseline(key)
       val k8 = mu8 / 64
       val h8 = mu8 / 4
       val byDay = rows.foldLeft(Map.empty[String, Long]) { (m, e) =>
