@@ -916,8 +916,15 @@ object Dedup {
   private[graft] def spanCleanAgainstBase(batchDocs: DataFrame,
       baseH: DataFrame, track: DataFrame => Unit = _ => ()): DataFrame = {
     val n = spanLen
+    // Explicit MEMORY_AND_DISK (what Dataset.cache() resolves to, spelled
+    // out because it is load-bearing): the tokenized batch is reused by
+    // four consumers below, and at 100 TB-scale micro-batches the token
+    // rows exceed executor memory — this level spills the overflow to
+    // local disk instead of evicting partitions (re-running the tokenize
+    // per consumer) or OOMing. The eager count() stays: it materializes
+    // the cache ONCE before the consumers fan out.
     val batch = tokenSpanRows(batchDocs)
-    batch.cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     batch.count()
     track(batch)
     val covered = batch.where(col("h").isNotNull)

@@ -266,11 +266,61 @@ object Detectors {
   /** The whole engine in batch: union of the per-rule alert streams (the
     * reference's single process function runs all detectors per event —
     * AnomalyProcessFunction.java:120-135 — which in set terms is exactly
-    * this union). Per-rule isolation comes free: one rule's failing query
-    * fails alone. */
+    * this union). Per-rule isolation only holds here if callers run rules
+    * as separate queries; for the reference's one-broken-rule-cannot-kill-
+    * the-others contract inside a SINGLE union job, use
+    * [[allAlertsContained]]. */
   def allAlerts(events: DataFrame, rules: Seq[DetectionRule],
       defaultKeyField: String = "user_id"): DataFrame =
     rules.map(r => compile(r, defaultKeyField)(events)).reduce(_ unionAll _)
+
+  /** A rule the engine refused to run, with why — the batch twin of the
+    * reference's per-detector catch-and-log
+    * (AnomalyProcessFunction.java:130-134). */
+  final case class RuleError(rule_name: String, error_class: String,
+      message: String)
+
+  /** [[compile]] with the per-rule try/catch the reference wraps around
+    * every detector call (AnomalyProcessFunction.java:120-134): a rule
+    * whose plan cannot even be CONSTRUCTED — a `field` that does not
+    * resolve against the event schema, a malformed expression — is
+    * reported instead of thrown. Dataset transformations analyze eagerly,
+    * so every resolution-time failure surfaces right here, not at action
+    * time. (Runtime row-level hazards are already contained by
+    * construction: field coercion is `try_cast` — the reference's
+    * Optional.empty skip — and the detail strings are total.) */
+  def compileContained(rule: DetectionRule, events: DataFrame,
+      defaultKeyField: String = "user_id"): Either[RuleError, DataFrame] =
+    try Right(compile(rule, defaultKeyField)(events))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(RuleError(rule.name, e.getClass.getName,
+          Option(e.getMessage).getOrElse("").linesIterator.take(3).mkString(" ")))
+    }
+
+  /** [[allAlerts]] with the reference's error containment: broken rules
+    * are excluded from the union and reported, healthy rules run — one
+    * bad rule no longer fails the whole job
+    * (AnomalyProcessFunction.java:120-134). Returns the surviving-rule
+    * union (an empty, correctly-typed alerts frame when every rule is
+    * broken) plus one [[RuleError]] per excluded rule. */
+  def allAlertsContained(events: DataFrame, rules: Seq[DetectionRule],
+      defaultKeyField: String = "user_id"): (DataFrame, Seq[RuleError]) = {
+    val (errs, ok) = rules.partitionMap(compileContained(_, events, defaultKeyField))
+    val alerts =
+      if (ok.nonEmpty) ok.reduce(_ unionAll _)
+      else {
+        import org.apache.spark.sql.types._
+        events.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("rule_name", StringType), StructField("key", StringType),
+            StructField("ts_sec", LongType), StructField("event_id", LongType),
+            StructField("value", DoubleType), StructField("details", StringType),
+            StructField("original_event", StringType))))
+      }
+    (alerts, errs)
+  }
 
   /** Alert throttling — the storm-suppression stage the reference lacks
     * (it emits one alert per firing event, so a hot key under sustained

@@ -272,7 +272,12 @@ object Graph {
     * (n_orders * c_uv * 1e6) div (c_u * c_v) — one integer division,
     * both engines truncate identically; headroom c_u * c_v < 2^31 * 2^31
     * and the numerator stays under 2^63 for any corpus where a pair
-    * count fits in 32 bits (at larger scale you'd shift to 1e-4).
+    * count fits in 32 bits (at larger scale you'd shift to 1e-4). The
+    * headroom bound is ENFORCED, not assumed: Spark's long `*` wraps
+    * silently, so a `raise_error` guard fails the job loudly once
+    * n_orders * c_uv would exceed 2^63/1e6 (~9.2e12 — e.g. 1.5e8 orders
+    * with a pair support above ~61k); DuckDB's checked BIGINT multiply
+    * already errors on its own.
     *
     * Shape: pair counts come from the same bounded per-order fan-out
     * (never quadratic in the catalog); item supports are one
@@ -293,7 +298,11 @@ object Graph {
       .join(itemCnt.select(col("l_partkey").as("v"), col("c").as("c_v")), "v")
       .crossJoin(broadcast(n))
       .withColumn("lift_fp",
-        expr("(n_orders * c_uv * 1000000) div (c_u * c_v)"))
+        expr("""CASE WHEN c_uv > (9223372036854775807 div 1000000) div n_orders
+                THEN raise_error(concat('copurchase_lift: lift_fp 1e-6 ',
+                  'fixed point would overflow int64 (n_orders * c_uv > ',
+                  '2^63/1e6); shift the scale to 1e-4'))
+                ELSE (n_orders * c_uv * 1000000) div (c_u * c_v) END"""))
       .select("u", "v", "c_uv", "c_u", "c_v", "lift_fp")
       .orderBy(col("c_uv").desc, col("u"), col("v"))
       .limit(20)

@@ -1169,10 +1169,10 @@ object Warehouse {
       |  CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'ON-TIME'
       |       WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'LATE'
       |       ELSE 'VERY-LATE' END AS lateness_tier,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |      THEN 1 ELSE 0 END) AS high_line_count,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |      THEN 0 ELSE 1 END) AS low_line_count
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -1364,8 +1364,8 @@ object Warehouse {
       |  FROM customer
       |  GROUP BY ROLLUP(c_nationkey, c_mktsegment))
       |SELECT lvl, count(*) AS n_classes, min(cnt) AS min_class,
-      |  sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS rows_below_k,
-      |  sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS classes_below_k
+      |  CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END) AS BIGINT) AS rows_below_k,
+      |  CAST(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k
       |FROM classes GROUP BY 1""".stripMargin
 
   // ------------------------------------------ portable Bloom pre-join audit
@@ -1682,7 +1682,11 @@ object Warehouse {
        |  SELECT CASE
        |    WHEN a.user_id IS NULL THEN 'added'
        |    WHEN b.user_id IS NULL THEN 'removed'
-       |    WHEN a.band = b.band THEN 'unchanged'
+       |    -- null-safe like the Spark side's <=>: a both-sides entity
+       |    -- whose value (hence band) is NULL in both snapshots must
+       |    -- classify 'unchanged', not 'changed', the day fixtures gain
+       |    -- NULL values
+       |    WHEN a.band IS NOT DISTINCT FROM b.band THEN 'unchanged'
        |    ELSE 'changed' END AS diff_class
        |  FROM a FULL JOIN b
        |    ON a.user_id = b.user_id AND a.event_type = b.event_type
@@ -1883,8 +1887,13 @@ object Warehouse {
     * division is the fixed-point ratio. */
   def skewReport(spark: SparkSession, dir: String): DataFrame = {
     def profile(tag: String, df: DataFrame, key: Column): DataFrame = {
-      val cnts = df.select(key.cast("string").as("k")).groupBy("k")
-        .agg(count(lit(1)).as("n"))
+      // NULL keys profile under the same '__unknown__' sentinel as
+      // prepareEvents: a bare NULL group would hit the cross-engine
+      // NULLS FIRST (Spark asc) vs NULLS LAST (DuckDB) divergence the
+      // moment it ties for hottest key
+      val cnts = df
+        .select(coalesce(key.cast("string"), lit("__unknown__")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
       val top = graft.plans.TopKPerKey.topK(
         cnts.withColumn("g", lit(1)),
         keys = Seq(col("g")), order = Seq(col("n").desc, col("k").asc), k = 1)
@@ -1905,20 +1914,22 @@ object Warehouse {
   }
 
   val skewReportSql: String = {
-    def one(tag: String, table: String, key: String): String =
+    def one(tag: String, table: String, key: String): String = {
+      val k = s"coalesce(CAST($key AS VARCHAR), '__unknown__')"
       s"""SELECT '$tag' AS profiled, CAST(sum(n) AS BIGINT) AS n_rows,
          |  count(*) AS n_keys,
          |  (SELECT k FROM (
-         |    SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)
+         |    SELECT $k AS k, count(*) AS n FROM $table GROUP BY 1)
          |   ORDER BY n DESC, k LIMIT 1) AS top_key,
          |  (SELECT n FROM (
-         |    SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)
+         |    SELECT $k AS k, count(*) AS n FROM $table GROUP BY 1)
          |   ORDER BY n DESC, k LIMIT 1) AS max_cnt,
          |  ((SELECT n FROM (
-         |    SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)
+         |    SELECT $k AS k, count(*) AS n FROM $table GROUP BY 1)
          |   ORDER BY n DESC, k LIMIT 1) * count(*) * 1000000) // CAST(sum(n) AS BIGINT)
          |   AS skew_fp
-         |FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS n FROM $table GROUP BY 1)""".stripMargin
+         |FROM (SELECT $k AS k, count(*) AS n FROM $table GROUP BY 1)""".stripMargin
+    }
     Seq(
       one("events.user_id", "events", "user_id"),
       one("events.event_type", "events", "event_type"),

@@ -46,7 +46,22 @@ object EventJson {
 
   /** Alert JSON serialization with ISO-8601 timestamps
     * (AlertSerializationSchema.java:22-39, WRITE_DATES_AS_TIMESTAMPS=false).
-    * Spark's to_json renders TimestampType ISO-8601 under UTC session tz. */
-  def serializeAlerts(alerts: DataFrame): DataFrame =
-    alerts.select(to_json(struct(alerts.columns.toIndexedSeq.map(col): _*)).as("value"))
+    * Spark's to_json renders TimestampType ISO-8601 under UTC session tz.
+    *
+    * Contained like the reference's serializer (AlertSerializationSchema
+    * .java:24-30: serialize never crashes the job — a failing record
+    * becomes empty bytes): `to_json` is total on the flat alert schema the
+    * detectors emit, but on exotic caller-supplied columns (deep structs,
+    * maps with odd keys) it can still throw at runtime, so the expression
+    * is wrapped in Catalyst's `TryEval` (throw -> NULL, inside codegen)
+    * and coalesced to the empty string — the exact empty-byte-array
+    * contract, one bad row never kills the stream. */
+  def serializeAlerts(alerts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.TryEval
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val json = to_json(struct(alerts.columns.toIndexedSeq.map(col): _*))
+    alerts.select(
+      coalesce(ColumnBridge.column(TryEval(ColumnBridge.expression(json))),
+        lit("")).as("value"))
+  }
 }

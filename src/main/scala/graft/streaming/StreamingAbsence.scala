@@ -8,30 +8,58 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
 final case class AbsEvent(key: String, ts_sec: Long)
 final case class AbsEventT(key: String, ts_sec: Long, ets: java.sql.Timestamp)
 final case class AbsAlert(key: String, silent_from: Long, deadline_sec: Long)
-final case class AbsSt(last: Long)
+
+/** Per-key absence state. `evs` is the ascending list of ALIVE
+  * silence-start candidates — events that (so far) have no successor
+  * within `gap`; the invariant "consecutive retained events are > gap
+  * apart" plus watermark pruning bounds it at ~`disorder/gap + 2`
+  * entries regardless of event rate, because any event whose next event
+  * lands within `gap` is falsified immediately and dropped (later
+  * insertions can only shrink a gap, never re-open it). `emittedUpTo`
+  * is the largest silent_from already reported (confirmations happen in
+  * ascending order, so one long dedups both the resumed-then-trailing
+  * and the timer-vs-input race). `armed` is the single registered
+  * event-time timer (ms), 0 = none. */
+final case class AbsSt(evs: List[Long], emittedUpTo: Long, armed: Long)
 
 /** Streaming twin of [[graft.operators.Detectors.absenceAlerts]] — the
   * LIVE dead-man switch, and the one detector that cannot be written as a
   * per-event transform at all: it must fire when NO event arrives, which
-  * only a timer can do. Per key: one `ValueState` holding the latest
-  * event time, and ONE armed event-time timer at `last + gap` —
-  * `deleteTimer` disarms the stale deadline whenever a newer event
-  * re-arms it, so state is one long + one timer per key, independent of
-  * volume and horizon.
+  * only a timer can do.
   *
-  * When the watermark passes an armed deadline, [[AbsAlert]] fires with
-  * the silence start (the last seen event) and the deadline it breached —
-  * the streaming analogue of the batch query's silence report: every
-  * batch row (resumed or trailing) whose `silent_from + gap` the final
-  * watermark has passed appears here, pinned by spec over an
-  * out-of-order replay.
+  * Semantics: a silence starting at event time `a` is CONFIRMED exactly
+  * when the watermark passes `a + gap` — at that point no event that
+  * could break the silence (any `c` with `a < c <= a+gap`) can still
+  * arrive, so confirmation is sound under bounded disorder, and it is
+  * complete because every candidate `a` stays buffered until either a
+  * falsifying successor arrives or its deadline is observed. A resumed
+  * silence (the next event arrives `> gap` later) therefore does NOT
+  * lose its alert when the resume shows up before the watermark reaches
+  * the old deadline — the candidate simply stays in the buffer until the
+  * watermark confirms it. Intra-batch gaps (both endpoints in one
+  * micro-batch) are detected the same way: every input row is an
+  * insertion, not just the batch max.
   *
-  * Late events (event time <= stored last) neither re-arm nor un-fire:
-  * inside the disorder bound the watermark has not passed the breached
-  * deadline yet, so the re-arm happens before the alert could fire —
-  * bounded-disorder replay is exact; beyond the bound, a fired alert
-  * stands (the standard watermark contract, same as
-  * [[StreamingDetectors.alertsEventTime]]). */
+  * Mechanics per key: insert each event into the alive-candidate list
+  * (falsifying its predecessor if within `gap`, dying on arrival if its
+  * successor is within `gap`), then sweep: emit every candidate whose
+  * deadline the current watermark has passed, and keep ONE event-time
+  * timer armed at the earliest pending deadline so confirmation happens
+  * even with no further input for the key. State is a few longs per key,
+  * independent of volume and horizon.
+  *
+  * Trailing silences — no resuming event ever arrives — still require
+  * watermark PROGRESS to fire, because `TimeMode.EventTime` has no
+  * processing-time timers: a live deployment that wants dead-man alerts
+  * during total silence needs a heartbeat source advancing the watermark
+  * (the spec's `__wmflush__` sentinel plays that role).
+  *
+  * Granularity caveat: this twin compares second-floored times while the
+  * batch query compares nanoseconds before flooring, so a gap in
+  * `(gap, gap + 1s)` can be reported by batch and not here; streaming
+  * positives are always batch positives (floor(b)-floor(a) > gap implies
+  * b-a > gap). The spec fixture has no such boundary pair, so the pin is
+  * exact set equality there. */
 object StreamingAbsence {
 
   def alerts(events: Dataset[AbsEvent], gapSec: Long,
@@ -52,32 +80,65 @@ object StreamingAbsence {
 
     @transient private var st: ValueState[AbsSt] = _
 
+    private val empty = AbsSt(Nil, Long.MinValue, 0L)
+
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[AbsSt]("last",
+      st = getHandle.getValueState[AbsSt]("buf",
         Encoders.product[AbsSt], TTLConfig.NONE)
+
+    /** Insert one event into the alive-candidate list, preserving the
+      * "consecutive entries > gap apart" invariant: a predecessor within
+      * `gap` is falsified (it has a successor now), and the new event dies
+      * on arrival if ITS successor is within `gap`. */
+    private def insert(evs: List[Long], ts: Long): List[Long] =
+      if (evs.contains(ts)) evs
+      else {
+        val (below, above) = evs.partition(_ < ts)
+        val keptBelow =
+          if (below.lastOption.exists(p => ts - p <= gapSec)) below.init
+          else below
+        if (above.headOption.exists(s => s - ts <= gapSec)) keptBelow ++ above
+        else (keptBelow :+ ts) ++ above
+      }
+
+    /** Emit every candidate whose deadline the watermark has passed
+      * (ascending, so `emittedUpTo` dedups), then re-arm the single timer
+      * at the earliest pending deadline. */
+    private def sweepAndArm(key: String, evs0: List[Long], prev: AbsSt,
+        wmMs: Long): Iterator[AbsAlert] = {
+      var evs = evs0
+      var emitted = prev.emittedUpTo
+      val out = List.newBuilder[AbsAlert]
+      while (evs.nonEmpty && wmMs >= (evs.head + gapSec) * 1000L) {
+        val a = evs.head
+        if (a > emitted) { out += AbsAlert(key, a, a + gapSec); emitted = a }
+        evs = evs.tail
+      }
+      val next = evs.headOption.map(a => (a + gapSec) * 1000L).getOrElse(0L)
+      if (prev.armed != next) {
+        if (prev.armed != 0L) getHandle.deleteTimer(prev.armed)
+        if (next != 0L) getHandle.registerTimer(next)
+      }
+      st.update(AbsSt(evs, emitted, next))
+      out.result().iterator
+    }
 
     override def handleInputRows(key: String, rows: Iterator[AbsEventT],
         timerValues: TimerValues): Iterator[AbsAlert] = {
-      val mx = rows.map(_.ts_sec).max
-      val prev = Option(st.get())
-      if (prev.forall(mx > _.last)) {
-        prev.foreach(p => getHandle.deleteTimer((p.last + gapSec) * 1000L))
-        st.update(AbsSt(mx))
-        getHandle.registerTimer((mx + gapSec) * 1000L)
-      }
-      Iterator.empty
+      val prev = Option(st.get()).getOrElse(empty)
+      val evs = rows.map(_.ts_sec).toArray.sorted
+        .foldLeft(prev.evs)(insert)
+      sweepAndArm(key, evs, prev, timerValues.getCurrentWatermarkInMs())
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[AbsAlert] = {
-      val cur = Option(st.get())
-      // only the CURRENT deadline may fire; a racing stale timer (deleted
-      // deadline that expired in the same batch) is ignored
-      cur match {
-        case Some(s) if expiredTimerInfo.getExpiryTimeInMs() == (s.last + gapSec) * 1000L =>
-          Iterator.single(AbsAlert(key, s.last, s.last + gapSec))
-        case _ => Iterator.empty
-      }
+      val prev = Option(st.get()).getOrElse(empty)
+      // only the CURRENTLY armed timer may sweep; a racing stale timer
+      // (re-armed deadline that expired in the same batch) is ignored
+      if (expiredTimerInfo.getExpiryTimeInMs() != prev.armed) Iterator.empty
+      else sweepAndArm(key, prev.evs, prev.copy(armed = 0L),
+        timerValues.getCurrentWatermarkInMs())
     }
   }
 }

@@ -65,14 +65,48 @@ final case class DetState(rate: Map[String, Seq[Long]],
   */
 object StreamingDetectors {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(StreamingDetectors.getClass)
+
+  /** Default per-rule error handler: log and move on — the reference's
+    * exact containment (AnomalyProcessFunction.java:130-134: "Detector
+    * [{}] threw an exception – continuing with next detector"). */
+  private def logRuleError(ruleName: String, t: Throwable): Unit =
+    log.error(s"Detector [$ruleName] threw an exception - " +
+      "continuing with next detector", t)
+
+  /** Per-rule containment: run `body` (one rule's evaluation against one
+    * event), swallowing NonFatal failures through `onError` so the other
+    * rules still run — fatal JVM errors and interrupts propagate. The
+    * typed [[SEvent]] makes the three built-in rule arms total (field
+    * coercion happened at ingest via try_cast), so this is defensive
+    * parity with the reference's catch, kept for the day a rule arm gains
+    * a genuinely partial operation. On failure the failing rule's state
+    * update is skipped too — its deque stays at the pre-event value,
+    * exactly like the reference, whose detector mutates state only on a
+    * successful evaluate(). */
+  private[graft] def guarded[A](ruleName: String,
+      onError: (String, Throwable) => Unit)(body: => A): Option[A] =
+    try Some(body)
+    catch { case scala.util.control.NonFatal(t) => onError(ruleName, t); None }
+
   /** Pure per-event state transition — shared by the streaming operator
-    * and directly unit-testable. Returns (alerts, newState). */
-  def processEvent(rules: Seq[DetectionRule], e: SEvent, st: DetState)
+    * and directly unit-testable. Returns (alerts, newState). Each rule
+    * evaluates under [[guarded]]. */
+  def processEvent(rules: Seq[DetectionRule], e: SEvent, st: DetState,
+      onRuleError: (String, Throwable) => Unit = logRuleError)
       : (Seq[SAlert], DetState) = {
     var rate = st.rate
     var stat = st.stat
-    val alerts = Seq.newBuilder[SAlert]
-    rules.foreach {
+    val out = Seq.newBuilder[SAlert]
+    rules.foreach { rule =>
+      // transactional per rule: a failing rule contributes no alerts AND
+      // no state mutation for this event (rolled back below); the other
+      // rules' updates stand
+      val rate0 = rate
+      val stat0 = stat
+      val alerts = Seq.newBuilder[SAlert]
+      guarded(rule.name, onRuleError) { rule match {
       case r: ThresholdRule =>
         e.fields.get(r.field).foreach { v =>
           if (v > r.threshold) alerts += SAlert(r.name, e.key, e.tsSec,
@@ -143,8 +177,12 @@ object StreamingDetectors {
             if (appended.size > r.windowSize) appended.drop(appended.size - r.windowSize)
             else appended)
         }
+      } } match {
+        case Some(_) => out ++= alerts.result()
+        case None => rate = rate0; stat = stat0
+      }
     }
-    (alerts.result(), DetState(rate, stat))
+    (out.result(), DetState(rate, stat))
   }
 
   /** The stateful streaming operator. `idleTtl` (processing-time) evicts

@@ -70,25 +70,19 @@ class StreamingAbsenceSpec extends SparkSpec {
     val gotReal = got.asScala.toSet.filter(_._1 != "__wmflush__")
     val batchSet = batch.map(b => (b._1, b._2)).toSet
 
-    // (a) soundness: every fired alert is a real >gap silence
-    assert(gotReal.subsetOf(batchSet),
-      s"false alerts: ${(gotReal -- batchSet).take(5)}")
-    // (b) every still-silent (trailing) row fires once the sentinel
-    //     advances the watermark
+    // EXACT equality: every batch silence report row (resumed AND
+    // trailing) fires exactly once, and nothing else fires. Resumed
+    // silences no longer depend on the watermark observing the old
+    // deadline before the resume arrives — candidates stay buffered until
+    // the watermark confirms them — so no completeness margin is needed.
+    // (The fixture has no sec-vs-ns boundary gap in (24h, 24h+1s), checked
+    // offline, so second-floored streaming matches the ns-compared batch.)
     val trailing = batch.filter(_._3.isEmpty).map(b => (b._1, b._2)).toSet
-    assert(trailing.subsetOf(gotReal),
-      s"missed trailing: ${(trailing -- gotReal).take(5)}")
-    // (c) completeness with a one-day margin: any resumed gap whose
-    //     deadline fell a full replay-batch before the resumption must
-    //     have fired while the key was silent (the margin keeps the
-    //     assertion independent of Spark's exact <=/< watermark-expiry
-    //     boundary and the 60 s disorder bound)
-    val mustFire = batch.collect {
-      case (k, sf, Some(res)) if (sf + gapSec) / day + 1 < res / day => (k, sf)
-    }.toSet
-    assert(mustFire.subsetOf(gotReal),
-      s"missed observed silences: ${(mustFire -- gotReal).take(5)}")
-    assert(mustFire.nonEmpty && gotReal.size >= trailing.size + mustFire.size)
+    assert(gotReal == batchSet,
+      s"false alerts: ${(gotReal -- batchSet).take(5)}; " +
+        s"missed: ${(batchSet -- gotReal).take(5)}")
+    assert(trailing.nonEmpty && trailing.size < batchSet.size,
+      "fixture must exercise both trailing and resumed silences")
     }
   }
 }

@@ -63,10 +63,23 @@ for name, sql in sorted(oracle.items()):
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
     g, w = canon(got), canon(want)
-    # dtype-tolerant compare: numeric columns via exact equality after
-    # float64 cast; everything else as strings
+    # dtype-KIND-strict first: the driver's hash gate normalizes integer
+    # WIDTHS (int32 vs int64 both hash green, observed across r10's 179
+    # passes) but NOT kinds — an int64 Spark column vs a DuckDB
+    # HUGEINT/DECIMAL that lands as float64/object hashes differently even
+    # when values agree. r10 shipped two oracles that passed a tolerant
+    # local compare and failed the driver on exactly this, so any KIND
+    # divergence (int vs float vs object/decimal) is a FAIL here too.
+    def kind(s):
+        k = s.dtype.kind
+        return "i" if k in "iu" else k
     mismatch = None
     for c in g.columns:
+        if kind(g[c]) != kind(w[c]):
+            mismatch = (f"col {c}: dtype spark={g[c].dtype} oracle={w[c].dtype}"
+                        " (driver hash gate is dtype-kind-strict; CAST the oracle)")
+            break
+    for c in (g.columns if not mismatch else []):
         gc, wc = g[c], w[c]
         try:
             import numpy as np
