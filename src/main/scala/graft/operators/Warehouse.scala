@@ -1938,7 +1938,247 @@ object Warehouse {
     ).mkString("\nUNION ALL\n")
   }
 
+  // ------------------------------- TPC-H gap queries, fixture-adapted
+  // (faithful Q2/Q9/Q11/Q16/Q20 need the partsupp table the fixtures do
+  // not ship — supplycost/availqty have no stand-in — so each is adapted
+  // to derive its supplier-part relation from lineitem while keeping the
+  // query's defining PLAN SHAPE: argmin join-back, multi-dim profit
+  // rollup, scalar-subquery HAVING, exclusion-list distinct count, and
+  // nested semi-joins.)
+
+  private def centsL(c: Column): Column = Analytics.cents(c)
+  private def discPct: Column =
+    floor(col("l_discount") * 100.0 + 0.5).cast("long")
+  /** Line revenue in 1e-4 dollars (cents x (100 - discount%)) — exact
+    * int64; headroom: a 2^63 sum is ~$9e14, beyond any fixture or real
+    * corpus year. */
+  private def revFp: Column = centsL(col("l_extendedprice")) * (lit(100L) - discPct)
+  private val revFpSql: String =
+    """CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+      |      (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))""".stripMargin
+
+  /** TPC-H Q2 (min-cost supplier), adapted: for each PROMO size-15 part,
+    * the EUROPE supplier with the lowest observed unit price — unit cost
+    * derives from lineitem (`extendedprice/quantity`, exact 1e-4-dollar
+    * fixed point via integer division; quantities are integral) since
+    * the fixtures ship no partsupp. The correlated `= min(...)`
+    * subquery becomes the argmin join-back: per-(part, supplier) min
+    * unit price, then top-1 per part on the bounded heap (ties to the
+    * lowest suppkey).
+    *
+    * 100 TB shape: the broadcast part filter dies scan-side BEFORE the
+    * only fact shuffle (the (part, supplier) agg); suppliers/nation/
+    * region are broadcast dims; the argmin is TopKPerKey k=1 — no
+    * global sort, no second fact pass. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pf = Tables.part(spark, dir)
+      .filter(col("p_size") === 15 && col("p_type") === "PROMO")
+      .select("p_partkey", "p_name")
+    val se = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") === "EUROPE")
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val uc = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(pf.select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(expr("(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)" +
+        " * 100) div CAST(l_quantity AS BIGINT)")).as("unit_fp"))
+    graft.plans.TopKPerKey.topK(
+      uc.join(broadcast(se), col("l_suppkey") === col("s_suppkey")),
+      keys = Seq(col("l_partkey")),
+      order = Seq(col("unit_fp").asc, col("s_suppkey").asc), k = 1)
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+        "s_acctbal", "unit_fp")
+  }
+
+  val q2Sql: String =
+    """WITH pf AS (
+      |  SELECT p_partkey, p_name FROM part
+      |  WHERE p_size = 15 AND p_type = 'PROMO'
+      |), se AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |), uc AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min((CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) * 100)
+      |        // CAST(l_quantity AS BIGINT)) AS unit_fp
+      |  FROM lineitem JOIN pf ON l_partkey = p_partkey
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT l_partkey, unit_fp, s_suppkey, s_name, s_acctbal, n_name,
+      |    row_number() OVER (PARTITION BY l_partkey
+      |      ORDER BY unit_fp, s_suppkey) AS rn
+      |  FROM uc JOIN se ON l_suppkey = s_suppkey
+      |)
+      |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal, unit_fp
+      |FROM r JOIN pf ON l_partkey = p_partkey WHERE rn = 1""".stripMargin
+
+  /** TPC-H Q9 (product-type profit), adapted: profit per supplier nation
+    * per order year over '%red%' parts, with the part's retail price
+    * standing in for the missing ps_supplycost (cost proxy = 60% of
+    * retail x quantity). All money in exact 1e-4-dollar int64 fixed
+    * point. Shape: broadcast part filter prunes the fact scan-side; ONE
+    * shuffle joins orders on the orderkey; supplier->nation is a
+    * broadcast dim; the rollup is map-combinable. */
+  def q9ProfitProxy(spark: SparkSession, dir: String): DataFrame = {
+    val pf = Tables.part(spark, dir).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), centsL(col("p_retailprice")).as("rc"))
+    val sn = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice",
+        "l_discount", "l_quantity")
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revFp - col("rc") * col("l_quantity").cast("long") * 60L)
+        .as("profit_fp"))
+  }
+
+  val q9Sql: String =
+    s"""SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+       |  CAST(sum($revFpSql
+       |    - CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+       |      * CAST(l_quantity AS BIGINT) * 60) AS BIGINT) AS profit_fp
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q11 (important stock), adapted: parts whose revenue through
+    * NATION_7 suppliers exceeds 3x the nation's MEAN per-part revenue —
+    * value derives from lineitem revenue instead of the missing
+    * supplycost x availqty. A relative-to-mean threshold where the
+    * original scales its fraction by 1/SF: a fixed share dilutes to an
+    * empty result as the part domain grows (measured: 0.1% kept 238
+    * parts at sf0.01 and ZERO at sf1), while 3x-mean keeps the heavy
+    * tail live at every scale (17 at sf0.01, 1,760 at sf1). The
+    * defining shape survives: group-by-part, then a HAVING against a
+    * broadcast 1-row scalar (the house pattern), decided exactly in
+    * integers — `value_fp > (3 * total_fp) div n_parts`, identical
+    * floor-division on both engines, products kept to ~3x the corpus
+    * total (int64 headroom ~$9e14 nation-total). */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val se = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(se), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey").agg(sum(revFp).as("value_fp"))
+    val tot = v.agg(sum(col("value_fp")).as("total_fp"),
+      count(lit(1)).as("n_parts"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value_fp") > expr("(total_fp * 3) div n_parts"))
+      .select("l_partkey", "value_fp")
+  }
+
+  val q11Sql: String =
+    s"""WITH se AS (
+       |  SELECT s_suppkey FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_7'
+       |), v AS (
+       |  SELECT l_partkey, CAST(sum($revFpSql) AS BIGINT) AS value_fp
+       |  FROM lineitem JOIN se ON l_suppkey = s_suppkey
+       |  GROUP BY 1
+       |)
+       |SELECT l_partkey, value_fp FROM v
+       |WHERE value_fp > (CAST((SELECT sum(value_fp) FROM v) AS BIGINT) * 3)
+       |  // (SELECT count(*) FROM v)""".stripMargin
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: distinct supplier
+    * count per (brand, type, size) over small sizes, excluding one brand
+    * and the "complaint" suppliers — the fixture supplier has no
+    * s_comment, so negative account balance stands in for the complaint
+    * predicate. The relation itself comes from lineitem DISTINCT pairs
+    * (no partsupp). Shape: the exclusion list is a broadcast anti-join
+    * BEFORE the distinct agg; part attributes broadcast; the only fact
+    * shuffle is the (part, supplier) DISTINCT. */
+  def q16SupplierRelation(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pf = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#11" &&
+        col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#11' AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q20 (excess inventory), adapted: suppliers who shipped more
+    * than 50 units of any 'small%' part during 1997 — shipped quantity
+    * from lineitem stands in for the missing availqty comparison. The
+    * nested-semi-join shape survives: part name filter (broadcast,
+    * scan-side) -> per-(part, supplier) quantity agg (the one fact
+    * shuffle) -> HAVING -> DISTINCT supplier set -> LEFT SEMI against
+    * the supplier dim -> broadcast nation names. */
+  def q20ExcessShipments(spark: SparkSession, dir: String): DataFrame = {
+    val pf = Tables.part(spark, dir)
+      .filter(col("p_name").like("small%")).select("p_partkey")
+    val hot = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .filter(col("qty") > 50L)
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+  }
+
+  val q20Sql: String =
+    """WITH pf AS (
+      |  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      |), a AS (
+      |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+      |  FROM lineitem JOIN pf ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM a WHERE qty > 50)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_profit_proxy" -> (q9ProfitProxy _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q16_supplier_relation" -> (q16SupplierRelation _),
+    "q20_excess_shipments" -> (q20ExcessShipments _),
     "skew_report" -> (skewReport _),
     "pit_features" -> (pitFeatures _),
     "revenue_concentration" -> (revenueConcentration _),
@@ -1980,6 +2220,11 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2Sql,
+    "q9_profit_proxy" -> q9Sql,
+    "q11_important_parts" -> q11Sql,
+    "q16_supplier_relation" -> q16Sql,
+    "q20_excess_shipments" -> q20Sql,
     "skew_report" -> skewReportSql,
     "pit_features" -> pitFeaturesSql,
     "revenue_concentration" -> revenueConcentrationSql,
