@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -73,6 +73,42 @@ object StreamingAbsence {
       .groupByKey(_.key)
       .transformWithState(new AbsenceProcessor(gapSec), TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  val heartbeatKey = "__heartbeat__"
+
+  /** Synthetic heartbeat stream for LIVE deployments: rate-source rows
+    * mapped to [[AbsEvent]]s under a reserved key, stamped with wall-clock
+    * event time. Unioned into the monitored stream it keeps the watermark
+    * advancing during TOTAL silence — the one condition under which
+    * event-time timers cannot fire on their own (TimeMode.EventTime has
+    * no processing-time timers), so trailing dead-man alerts keep
+    * working when every real key goes quiet, which is exactly when a
+    * dead-man switch matters most. One row per `intervalSec` — negligible
+    * against any real stream; the heartbeat key's own state is one buffer
+    * entry and one timer like any other key. */
+  def heartbeat(spark: SparkSession, intervalSec: Long = 1L,
+      key: String = heartbeatKey): Dataset[AbsEvent] = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", "1")
+      .load()
+      .filter(col("value") % lit(math.max(1L, intervalSec)) === 0L)
+      .select(lit(key).as("key"),
+        unix_timestamp(col("timestamp")).as("ts_sec"))
+      .as[AbsEvent]
+  }
+
+  /** [[alerts]] with the heartbeat unioned in and its own alerts filtered
+    * back out — the live-deployment form whose trailing alerts fire even
+    * when the whole world goes silent. The watermark is applied to the
+    * UNIONED stream, so heartbeat event time drives it. */
+  def alertsWithHeartbeat(events: Dataset[AbsEvent], gapSec: Long,
+      maxDisorder: java.time.Duration, intervalSec: Long = 1L)
+      : Dataset[AbsAlert] = {
+    val hb = heartbeat(events.sparkSession, intervalSec)
+    alerts(events.unionByName(hb), gapSec, maxDisorder)
+      .filter(_.key != heartbeatKey)
   }
 
   final class AbsenceProcessor(gapSec: Long)

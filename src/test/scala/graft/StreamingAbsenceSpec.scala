@@ -85,4 +85,34 @@ class StreamingAbsenceSpec extends SparkSpec {
       "fixture must exercise both trailing and resumed silences")
     }
   }
+
+  test("heartbeat keeps trailing dead-man alerts firing through total silence") {
+    withRocksDBProvider {
+      implicit val sqlCtx = spark.sqlContext
+      val now = System.currentTimeMillis() / 1000L
+      val gap = 5L
+      val ms = MemoryStream[AbsEvent]
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+      // wall-clock live mode: the ONLY real event is 30 s in the past and
+      // nothing else ever arrives — without the heartbeat the watermark
+      // would stall forever and the dead-man alert could never fire
+      val q = StreamingAbsence
+        .alertsWithHeartbeat(ms.toDS(), gap, java.time.Duration.ofSeconds(1))
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[AbsAlert], _: Long) =>
+          b.collect().foreach(a => got.add((a.key, a.silent_from))); ()
+        }.start()
+      try {
+        ms.addData(Seq(AbsEvent("k1", now - 30)))
+        val deadline = System.currentTimeMillis() + 90000
+        while (!got.contains(("k1", now - 30)) &&
+            System.currentTimeMillis() < deadline) Thread.sleep(500)
+        assert(got.contains(("k1", now - 30)),
+          s"trailing alert never fired; got=$got")
+        import scala.jdk.CollectionConverters._
+        assert(!got.asScala.exists(_._1 == StreamingAbsence.heartbeatKey),
+          "heartbeat alerts must be filtered out")
+      } finally q.stop()
+    }
+  }
 }
