@@ -52,6 +52,19 @@ object SparkEntry {
       Detectors.statisticalAlerts(Tables.events(s, dir), FixtureRules.statistical)),
     "all_alerts" -> ((s, dir) =>
       Detectors.allAlerts(Tables.events(s, dir), FixtureRules.all)),
+    // the reference's per-detector error containment, ORACLE-GATED: a
+    // deliberately broken rule (field that cannot resolve) is excluded and
+    // reported, and the surviving union must hash-match the plain
+    // all_alerts oracle — proof the containment path neither drops nor
+    // perturbs healthy rules (AnomalyProcessFunction.java:120-134)
+    "all_alerts_contained" -> ((s, dir) => {
+      val broken = ThresholdRule("broken_rule", "no_such_field", 1.0)
+      val (alerts, errs) = Detectors.allAlertsContained(
+        Tables.events(s, dir), FixtureRules.all :+ broken)
+      require(errs.map(_.rule_name) == Seq("broken_rule"),
+        s"containment must report exactly the broken rule, got $errs")
+      alerts
+    }),
     // alert-storm suppression: first alert per (rule, key, 10 min)
     "throttled_alerts" -> ((s, dir) =>
       Detectors.throttle(
@@ -119,6 +132,8 @@ object SparkEntry {
     "rate_alerts_sliced" -> DetectorSql.rate(FixtureRules.rate),
     "stat_alerts" -> DetectorSql.statistical(FixtureRules.statistical),
     "all_alerts" -> DetectorSql.all(FixtureRules.all),
+    // containment leaves the healthy union bit-identical to all_alerts
+    "all_alerts_contained" -> DetectorSql.all(FixtureRules.all),
     "throttled_alerts" -> DetectorSql.throttled(FixtureRules.threshold, 600L),
     "ensemble_alerts" ->
       s"""WITH a AS (
