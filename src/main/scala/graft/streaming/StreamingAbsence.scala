@@ -111,22 +111,18 @@ object StreamingAbsence {
       .filter(_.key != heartbeatKey)
   }
 
-  final class AbsenceProcessor(gapSec: Long)
-      extends StatefulProcessor[String, AbsEventT, AbsAlert] {
+  /** The pure candidate-buffer transition — kept side-effect-free so the
+    * property spec can drive it against a brute-force oracle without a
+    * streaming query. */
+  object Core {
 
-    @transient private var st: ValueState[AbsSt] = _
-
-    private val empty = AbsSt(Nil, Long.MinValue, 0L)
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[AbsSt]("buf",
-        Encoders.product[AbsSt], TTLConfig.NONE)
+    val empty = AbsSt(Nil, Long.MinValue, 0L)
 
     /** Insert one event into the alive-candidate list, preserving the
       * "consecutive entries > gap apart" invariant: a predecessor within
       * `gap` is falsified (it has a successor now), and the new event dies
       * on arrival if ITS successor is within `gap`. */
-    private def insert(evs: List[Long], ts: Long): List[Long] =
+    def insert(gapSec: Long)(evs: List[Long], ts: Long): List[Long] =
       if (evs.contains(ts)) evs
       else {
         val (below, above) = evs.partition(_ < ts)
@@ -137,39 +133,58 @@ object StreamingAbsence {
         else (keptBelow :+ ts) ++ above
       }
 
-    /** Emit every candidate whose deadline the watermark has passed
-      * (ascending, so `emittedUpTo` dedups), then re-arm the single timer
-      * at the earliest pending deadline. */
-    private def sweepAndArm(key: String, evs0: List[Long], prev: AbsSt,
-        wmMs: Long): Iterator[AbsAlert] = {
-      var evs = evs0
-      var emitted = prev.emittedUpTo
-      val out = List.newBuilder[AbsAlert]
+    /** Confirm every candidate whose deadline the watermark has passed
+      * (ascending, so `emittedUpTo` dedups). Returns (confirmed
+      * silence-starts, next state with the earliest pending deadline in
+      * `armed`, 0 = none). */
+    def sweep(gapSec: Long, st: AbsSt, wmMs: Long): (List[Long], AbsSt) = {
+      var evs = st.evs
+      var emitted = st.emittedUpTo
+      val out = List.newBuilder[Long]
       while (evs.nonEmpty && wmMs >= (evs.head + gapSec) * 1000L) {
         val a = evs.head
-        if (a > emitted) { out += AbsAlert(key, a, a + gapSec); emitted = a }
+        if (a > emitted) { out += a; emitted = a }
         evs = evs.tail
       }
       val next = evs.headOption.map(a => (a + gapSec) * 1000L).getOrElse(0L)
-      if (prev.armed != next) {
+      (out.result(), AbsSt(evs, emitted, next))
+    }
+  }
+
+  final class AbsenceProcessor(gapSec: Long)
+      extends StatefulProcessor[String, AbsEventT, AbsAlert] {
+
+    @transient private var st: ValueState[AbsSt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AbsSt]("buf",
+        Encoders.product[AbsSt], TTLConfig.NONE)
+
+    /** [[Core.sweep]] plus the side effects: emit alerts, persist state,
+      * and keep ONE timer armed at the earliest pending deadline. */
+    private def sweepAndArm(key: String, evs0: List[Long], prev: AbsSt,
+        wmMs: Long): Iterator[AbsAlert] = {
+      val (starts, next) = Core.sweep(gapSec,
+        AbsSt(evs0, prev.emittedUpTo, prev.armed), wmMs)
+      if (prev.armed != next.armed) {
         if (prev.armed != 0L) getHandle.deleteTimer(prev.armed)
-        if (next != 0L) getHandle.registerTimer(next)
+        if (next.armed != 0L) getHandle.registerTimer(next.armed)
       }
-      st.update(AbsSt(evs, emitted, next))
-      out.result().iterator
+      st.update(next)
+      starts.iterator.map(a => AbsAlert(key, a, a + gapSec))
     }
 
     override def handleInputRows(key: String, rows: Iterator[AbsEventT],
         timerValues: TimerValues): Iterator[AbsAlert] = {
-      val prev = Option(st.get()).getOrElse(empty)
+      val prev = Option(st.get()).getOrElse(Core.empty)
       val evs = rows.map(_.ts_sec).toArray.sorted
-        .foldLeft(prev.evs)(insert)
+        .foldLeft(prev.evs)(Core.insert(gapSec))
       sweepAndArm(key, evs, prev, timerValues.getCurrentWatermarkInMs())
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[AbsAlert] = {
-      val prev = Option(st.get()).getOrElse(empty)
+      val prev = Option(st.get()).getOrElse(Core.empty)
       // only the CURRENTLY armed timer may sweep; a racing stale timer
       // (re-armed deadline that expired in the same batch) is ignored
       if (expiredTimerInfo.getExpiryTimeInMs() != prev.armed) Iterator.empty
