@@ -225,14 +225,20 @@ object Graph {
           col("n_wedges").cast("double"))
   }
 
+  // MATERIALIZED on every multiply-referenced CTE: DuckDB inlines CTEs by
+  // default, so `oriented` (referenced 3x: both wedge legs + the EXISTS
+  // probe) was re-derived per reference and the optimizer lost the shared
+  // hash build — at sf1 the un-hinted form spilled >60 GB of temp and did
+  // not finish in 25 min; hinted it completes in ~137 s. Same failure
+  // mode (and same fix) as copurchaseLiftSql's support joins below.
   val copurchaseTrianglesSql: String =
-    """WITH items AS (
+    """WITH items AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      |), edges AS (
+      |), edges AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       |  FROM items a JOIN items b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |), deg AS (
+      |), deg AS MATERIALIZED (
       |  SELECT node, count(*) AS deg FROM (
       |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
       |  GROUP BY 1
@@ -242,7 +248,7 @@ object Graph {
       |  FROM edges e
       |  JOIN deg du ON du.node = e.u
       |  JOIN deg dv ON dv.node = e.v
-      |), oriented AS (
+      |), oriented AS MATERIALIZED (
       |  SELECT least(ku, kv) AS src, greatest(ku, kv) AS dst FROM keyed
       |), tri AS (
       |  SELECT count(*) AS n_triangles FROM (

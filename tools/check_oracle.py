@@ -1,20 +1,33 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--skip a,b] [--only a,b]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB against the parquet tables in
 <sfDir>, and compares: column name set, row count, and value-exact rows
 (sorted by all columns, column order normalized by name).
+
+--skip/--only exist for the big-SF sweeps: a few oracles (the DuckDB side,
+not the Spark side) are out-of-core monsters at sf1 — copurchase_triangles
+spills >60 GB of wedge intermediates — and once proven at a given SF they
+can be skipped on re-sweeps instead of risking a disk-full abort.
 """
 import sys, json, glob, os
 import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+skip, only = set(), None
+for i, a in enumerate(sys.argv):
+    if a == "--skip":
+        skip = set(sys.argv[i + 1].split(","))
+    if a == "--only":
+        only = set(sys.argv[i + 1].split(","))
 
 con = duckdb.connect()
+# spill to /tmp, never to the repo cwd (.tmp/ in the worktree)
+con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
     # driver fixtures are single files; Spark-written replicas (MakeSfN)
@@ -49,7 +62,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 fails = 0
+skipped = 0
 for name, sql in sorted(oracle.items()):
+    if name in skip or (only is not None and name not in only):
+        skipped += 1
+        continue
     spark_path = os.path.join(out_dir, name)
     if not os.path.isdir(spark_path):
         print(f"FAIL {name}: no spark output dir"); fails += 1; continue
@@ -98,4 +115,6 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: {mismatch}"); fails += 1
     else:
         print(f"OK   {name}: {len(got)} rows")
+if skipped:
+    print(f"SKIPPED {skipped} queries (--skip/--only)")
 sys.exit(1 if fails else 0)
