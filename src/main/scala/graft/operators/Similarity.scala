@@ -1161,6 +1161,72 @@ object Similarity {
        |SELECT q_id, "rank", vec_id AS cand_id, sim_r, cell, probe
        |FROM r WHERE "rank" <= 3""".stripMargin
 
+  /** FILTERED vector search — the production feature every ANN store
+    * grows next (Milvus/Qdrant/Vespa "filtered search"): top-3 by cosine
+    * restricted to candidates satisfying a metadata predicate, here
+    * `candidate.label == query.label` (intra-class retrieval — the
+    * "more like this, same domain" query). Built as PRE-filtering, not
+    * post-filtering: the predicate joins as an extra equi-key next to the
+    * cell id, so a probe only touches the (cell, label) group it needs
+    * and recall@k is never silently paid for the filter (post-filtering a
+    * top-k shortlist can return < k survivors). Multi-probe (nprobe=2)
+    * compensates the thinner per-cell candidate pool a filter leaves.
+    *
+    * 100 TB shape: identical to [[annIvfMultiprobe]] — the inverted file
+    * is scanned once, hash-partitioned by its join key (now
+    * (cell, label)), queries broadcast; the filter rides the join's hash
+    * lookup, it never becomes a residual scan over unfiltered candidates.
+    * A highly-selective filter shrinks the probe work proportionally —
+    * the case where IVF post-filtering degrades to empty results. */
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val all = vecs(spark, dir)
+    val cents = sdCentsDf(spark, dir)
+    val assigned = ivfAssigned(all, cents).join(lab, "vec_id")
+    val cw = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    val qcells = all.join(lab, "vec_id").filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", simRound(dot(col("v"), col("cv")) / (col("norm") * col("cn"))))
+      .withColumn("c_rank", row_number().over(cw))
+      .filter(col("c_rank") <= ivfNprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("label").as("q_label"),
+        col("cent_id").as("qcell"), col("c_rank").as("probe"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_r").desc, col("vec_id"))
+    assigned.join(broadcast(qcells), col("cell") === col("qcell") &&
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim_r",
+        simRound(dot(col("qv"), col("v")) / (col("qn") * col("norm"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("q_label"), col("rank"),
+        col("vec_id").as("cand_id"), col("sim_r"), col("cell"), col("probe"))
+  }
+
+  val annFilteredTopkSql: String =
+    s"""WITH $vecsSql,
+       |$sdAsgCtes, al AS (
+       |  SELECT a.vec_id, a.v, a.norm, a.cell, e.label
+       |  FROM a JOIN embeddings e ON a.vec_id = e.vec_id
+       |), q AS (
+       |  SELECT asg.vec_id AS q_id, asg.v AS qv, asg.norm AS qn,
+       |    e.label AS q_label, asg.cent_id AS qcell, asg.c_rank AS probe
+       |  FROM asg JOIN embeddings e ON asg.vec_id = e.vec_id
+       |  WHERE asg.vec_id < $numQueries AND asg.c_rank <= $ivfNprobe
+       |), s AS (
+       |  SELECT q.q_id, q.q_label, c.vec_id, c.cell, q.probe,
+       |    ${simRoundSql(dotSql("q.qv", "c.v") + " / (q.qn * c.norm)")} AS sim_r
+       |  FROM al c JOIN q ON c.cell = q.qcell AND c.label = q.q_label
+       |    AND c.vec_id <> q.q_id
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim_r DESC, vec_id) AS "rank"
+       |  FROM s
+       |)
+       |SELECT q_id, q_label, "rank", vec_id AS cand_id, sim_r, cell, probe
+       |FROM r WHERE "rank" <= 3""".stripMargin
+
   // ------------------------------------------------------------ IVF-PQ
 
   // Parameter note: these fixtures are near-RANDOM 64-d embeddings — the
@@ -2384,6 +2450,7 @@ object Similarity {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_multiprobe" -> (annIvfMultiprobe _),
+    "ann_filtered_topk" -> (annFilteredTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "cluster_keywords" -> (clusterKeywords _),
@@ -2411,6 +2478,7 @@ object Similarity {
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_ivf_multiprobe" -> annIvfMultiprobeSql,
+    "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "cluster_keywords" -> clusterKeywordsSql,

@@ -1368,6 +1368,45 @@ object Warehouse {
       |  CAST(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k
       |FROM classes GROUP BY 1""".stripMargin
 
+  /** l-diversity audit — [[kAnonymityAudit]]'s necessary companion: a
+    * class can satisfy k-anonymity and still leak its sensitive
+    * attribute when every member SHARES one value (the homogeneity
+    * attack k-anonymity does not see). Quasi-identifier `c_nationkey`,
+    * sensitive attribute `c_mktsegment`: per equivalence class report
+    * size, distinct sensitive values (the diversity l), the dominant
+    * value's share in exact fixed point, and the l>=3 release flag.
+    *
+    * One (nation, segment) count, then a per-nation re-agg over
+    * class-count rows only — the distinct-count never runs as a
+    * count(DISTINCT) over raw rows, so both shuffles carry aggregated
+    * rows and the plan is two map-combinable exchanges regardless of
+    * corpus size. Dominant share = max(cnt)*1e6 / sum(cnt) in integer
+    * floor division, exact cross-engine. */
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("c_nationkey")
+      .agg(sum("cnt").cast("long").as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        max("cnt").cast("long").as("top_sensitive_cnt"))
+      .select(col("c_nationkey"), col("class_size"), col("l_distinct"),
+        expr("top_sensitive_cnt * 1000000L div class_size")
+          .as("dominant_share_fp"),
+        (col("l_distinct") >= 3L).as("l3_ok"))
+  }
+
+  val lDiversityAuditSql: String =
+    """WITH sv AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT c_nationkey,
+      |  CAST(sum(cnt) AS BIGINT) AS class_size,
+      |  count(*) AS l_distinct,
+      |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS dominant_share_fp,
+      |  count(*) >= 3 AS l3_ok
+      |FROM sv GROUP BY 1""".stripMargin
+
   // ------------------------------------------ portable Bloom pre-join audit
 
   private val bloomM = 8192 // bits; build side here sets ~900 => FP ~0.1%
@@ -2190,6 +2229,7 @@ object Warehouse {
     "changelog_compact" -> (changelogCompact _),
     "zorder_layout" -> (zorderLayout _),
     "k_anonymity_audit" -> (kAnonymityAudit _),
+    "l_diversity_audit" -> (lDiversityAudit _),
     "q8_market_share" -> (q8MarketShare _),
     "q12_priority_lateness" -> (q12PriorityLateness _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
@@ -2236,6 +2276,7 @@ object Warehouse {
     "changelog_compact" -> changelogCompactSql,
     "zorder_layout" -> zorderLayoutSql,
     "k_anonymity_audit" -> kAnonymityAuditSql,
+    "l_diversity_audit" -> lDiversityAuditSql,
     "q8_market_share" -> q8Sql,
     "q12_priority_lateness" -> q12Sql,
     "q21_waiting_supplier" -> q21Sql,
