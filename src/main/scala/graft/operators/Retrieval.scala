@@ -306,15 +306,108 @@ object Retrieval {
        |FROM fr WHERE "rank" <= $k""".stripMargin
   }
 
+  // ---- positional phrase search ------------------------------------------
+
+  private val phraseK = 10
+
+  /** The phrase workload: exact-adjacency queries of mixed length; query
+    * 3 extends query 1 by one word — the longer phrase must be the
+    * (much) more selective one, which the spec pins. */
+  private val phraseQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("table", "hash"),
+    1 -> Seq("part", "filter"),
+    2 -> Seq("slow", "hash", "batch"),
+    3 -> Seq("part", "filter", "scan"))
+
+  /** EXACT-PHRASE search over a positional index — the retrieval feature
+    * term-bag BM25 cannot express ("part filter" ≠ a document containing
+    * `part` and `filter` far apart). Postings are (doc, term, pos); a
+    * phrase w0..wL-1 matches at base position a iff slot i's word sits
+    * at pos a+i for every i.
+    *
+    * The textbook plan is L-1 positional self-joins (`p0 JOIN p1 ON
+    * pos1 = pos0+1 ...`) — a join CHAIN whose depth grows with phrase
+    * length. This instead uses the anchor trick: each posting row that
+    * matches phrase slot `i` votes for anchor `pos - i`, and a full
+    * match is an anchor whose vote count equals the phrase length —
+    * (query, doc, anchor, slot) is unique by construction (pos is
+    * determined by anchor+slot), so a plain count(*) suffices, no
+    * distinct. ONE hash aggregate replaces the join chain regardless of
+    * phrase length.
+    *
+    * Scale shape: the phrase vocabulary filter runs inside the scan
+    * (posting rows for non-query terms never leave the stage); the
+    * anchor aggregate is map-combinable; per-doc occurrence counts are
+    * a second tiny aggregate over matched anchors only; ranking is the
+    * native bounded heap. A phrase matching half the corpus crosses the
+    * wire as k x tasks rows. */
+  def phraseTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    val vocab = phraseQueries.flatMap(_._2).distinct
+    val slots = phraseQueries
+      .flatMap { case (id, ws) => ws.zipWithIndex.map { case (w, i) => (id, i.toLong, w) } }
+      .toDF("query_id", "slot", "term")
+    val plens = phraseQueries.map { case (id, ws) => (id, ws.length.toLong) }
+      .toDF("query_id", "plen")
+    val posts = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .filter(col("term").isin(vocab: _*))
+    val anchors = posts.join(broadcast(slots), "term")
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("slot")).as("anchor"))
+      .agg(count(lit(1)).as("hits"))
+    val matches = anchors.join(broadcast(plens), "query_id")
+      .filter(col("hits") === col("plen"))
+    val byDoc = matches.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"), min("anchor").as("first_pos"))
+    TopKPerKey.topK(byDoc, Seq(col("query_id")),
+        Seq(col("n_occurrences").desc, col("doc_id").asc), phraseK)
+      .select("query_id", "doc_id", "n_occurrences", "first_pos")
+  }
+
+  val phraseTopkSql: String = {
+    val qVals = phraseQueries.flatMap { case (id, ws) =>
+      ws.zipWithIndex.map { case (w, i) => s"($id, $i, '$w')" } }.mkString(", ")
+    val plVals = phraseQueries.map { case (id, ws) => s"($id, ${ws.length})" }
+      .mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${Dedup.tokensSql("text")} AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS term,
+       |  unnest(generate_series(0, len(toks) - 1)) AS pos FROM t),
+       |q(query_id, slot, term) AS (VALUES $qVals),
+       |pl(query_id, plen) AS (VALUES $plVals),
+       |an AS (
+       |  SELECT q.query_id, p.doc_id, p.pos - q.slot AS anchor,
+       |    count(*) AS hits
+       |  FROM p JOIN q ON p.term = q.term
+       |  GROUP BY 1, 2, 3
+       |), m AS (
+       |  SELECT an.query_id, an.doc_id, an.anchor
+       |  FROM an JOIN pl USING (query_id) WHERE an.hits = pl.plen
+       |), d AS (
+       |  SELECT query_id, doc_id, count(*) AS n_occurrences,
+       |    CAST(min(anchor) AS BIGINT) AS first_pos
+       |  FROM m GROUP BY 1, 2
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_occurrences DESC, doc_id) AS rn FROM d
+       |)
+       |SELECT query_id, doc_id, n_occurrences, first_pos
+       |FROM r WHERE rn <= $phraseK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25Topk _),
     "bm25_prf" -> (bm25Prf _),
     "hybrid_rrf" -> (hybridRrf _),
+    "phrase_topk" -> (phraseTopk _),
   )
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
     "bm25_prf" -> bm25PrfSql,
     "hybrid_rrf" -> hybridRrfSql,
+    "phrase_topk" -> phraseTopkSql,
   )
 }

@@ -80,6 +80,38 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("phrase_topk: every hit is a true adjacent occurrence; longer phrase is stricter") {
+    val hits = Retrieval.phraseTopk(spark, dir)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(hits.nonEmpty)
+    val phrases = Map(
+      0 -> Seq("table", "hash"), 1 -> Seq("part", "filter"),
+      2 -> Seq("slow", "hash", "batch"), 3 -> Seq("part", "filter", "scan"))
+    val docToks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    hits.foreach { case (qid, doc, n, firstPos) =>
+      val toks = docToks(doc)
+      val ph = phrases(qid)
+      val occ = toks.indices.filter(i =>
+        i + ph.length <= toks.length && toks.slice(i, i + ph.length) == ph)
+      assert(occ.length.toLong == n, s"query $qid doc $doc: $n vs ${occ.length}")
+      assert(occ.headOption.map(_.toLong).contains(firstPos),
+        s"query $qid doc $doc first_pos $firstPos vs ${occ.headOption}")
+    }
+    // "part filter scan" must be a (strict) subset of "part filter" docs,
+    // with never-larger per-doc occurrence counts — the selectivity pin
+    val short = hits.filter(_._1 == 1).map(h => h._2 -> h._3).toMap
+    val long = hits.filter(_._1 == 3).map(h => h._2 -> h._3).toMap
+    assert(long.nonEmpty, "3-word phrase found nothing at fixture scale")
+    // the top-k cut can hide a doc from `short`, so only compare counts
+    // where both rankings kept the doc
+    long.foreach { case (d, n) =>
+      short.get(d).foreach(ns =>
+        assert(n <= ns, s"doc $d: extending the phrase raised its count"))
+    }
+  }
+
   test("plan: two corpus scans only, bounded-heap top-k, broadcasts, no global sort") {
     val df = Retrieval.bm25Topk(spark, dir)
     val plan = df.queryExecution.explainString(
