@@ -669,6 +669,59 @@ object TextAnalysis {
        |FROM (SELECT doc_id, toks, unnest(CASE WHEN len(toks) >= 1
        |  THEN generate_series(1, len(toks)) ELSE [] END) AS i FROM enc)""".stripMargin
 
+  /** Tokenizer FERTILITY audit per language — the standard tokenizer
+    * quality/fairness number (pieces per word; see e.g. the XLM-R and
+    * NLLB tokenizer analyses): a language whose fertility stays high
+    * after training pays proportionally more sequence length per word,
+    * so vocabulary sizing decisions read exactly this table. Reported in
+    * exact 1e-6 fixed point (integer div) alongside chars-per-piece
+    * (the compression view of the same trade).
+    *
+    * Shape: piece counts come from the trained sentinel stream's
+    * scan-local split ([[bpeEncode]]'s state, shared via the session
+    * memo — the trainer runs once per session, not per query); words
+    * and chars are one column-pruned scan of `documents`; the join keys
+    * on doc_id and the per-language aggregate is map-combinable. Output
+    * is |languages| rows. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (state, _) = trainedBpe(spark, dir)
+    val piecesCol = expr(
+      s"size(filter(split(substring(s, 2, length(s) - 2), '$bpeE$bpeS'), x -> x <> ''))")
+    val pieces = state.select(col("doc_id"), piecesCol.cast("long").as("n_pieces"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_words"),
+        length(array_join(col("toks"), "")).cast("long").as("n_chars"))
+    docs.join(pieces, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("words"),
+        sum("n_pieces").as("pieces"), sum("n_chars").as("chars"))
+      .select(col("lang"), col("n_docs"), col("words"), col("pieces"),
+        expr("pieces * 1000000L div words").as("pieces_per_word_fp"),
+        expr("chars * 1000000L div pieces").as("chars_per_piece_fp"))
+  }
+
+  val bpeFertilitySql: String =
+    s"WITH $bpeChainCtes,\n" +
+    s"""enc AS (
+       |  SELECT doc_id,
+       |    len(string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2))) AS n_pieces
+       |  FROM t$bpeRounds
+       |), dw AS (
+       |  SELECT doc_id, lang, len(toks) AS n_words,
+       |    length(array_to_string(toks, '')) AS n_chars
+       |  FROM (SELECT doc_id, lang, ${tokensSql("text")} AS toks FROM documents)
+       |  WHERE len(toks) >= 1
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS words,
+       |  CAST(sum(n_pieces) AS BIGINT) AS pieces,
+       |  CAST(sum(n_pieces) * 1000000 // sum(n_words) AS BIGINT) AS pieces_per_word_fp,
+       |  CAST(sum(n_chars) * 1000000 // sum(n_pieces) AS BIGINT) AS chars_per_piece_fp
+       |FROM dw JOIN enc USING (doc_id) GROUP BY 1""".stripMargin
+
   /** Per-document token-rarity profile — the CCNet-style "LM quality
     * filter" shape with an EXACT-arithmetic stand-in for the language
     * model: each token scores floor(log2(global count)) computed as
@@ -1489,6 +1542,7 @@ object TextAnalysis {
     "bpe_top_merges" -> (bpeTopMerges _),
     "bpe_merge_table" -> (bpeMergeTable _),
     "bpe_encode" -> (bpeEncode _),
+    "bpe_fertility" -> (bpeFertility _),
     "token_rarity" -> (tokenRarity _),
     "chunk_dedup" -> (chunkDedup _),
   )
@@ -1517,6 +1571,7 @@ object TextAnalysis {
     "bpe_top_merges" -> bpeTopMergesSql,
     "bpe_merge_table" -> bpeMergeTableSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_fertility" -> bpeFertilitySql,
     "token_rarity" -> tokenRaritySql,
     "chunk_dedup" -> chunkDedupSql,
   )
