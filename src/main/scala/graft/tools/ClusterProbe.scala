@@ -30,17 +30,27 @@ object ClusterProbe {
       : Map[String, (Double, (Long, Long))] = {
     spark.sparkContext.setLogLevel("ERROR")
     names.map { n =>
-      val runs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[probe] $n")
+      // contained per query so one serialization-path failure reports
+      // itself instead of killing the whole sweep
+      try {
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(n)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          dt
+        }
+        val fp = fingerprint(graft.SparkEntry.queries(n)(spark, dir))
         spark.catalog.clearCache()
-        dt
+        n -> (runs.min, fp)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[probe] $n FAILED: ${e.getMessage.take(300)}")
+          spark.catalog.clearCache()
+          n -> (-1.0, (-1L, -1L))
       }
-      val fp = fingerprint(graft.SparkEntry.queries(n)(spark, dir))
-      spark.catalog.clearCache()
-      n -> (runs.min, fp)
     }.toMap
   }
 
@@ -54,6 +64,14 @@ object ClusterProbe {
         "corpus_decontaminate", "token_count")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
 
+    // MUST run via `sbt runMain` (enumerated classpath): launching with
+    // plain `java -cp target/classes:/opt/spark/jars/*` leaves the
+    // literal wildcard in java.class.path, which propagates into
+    // spark.executor.extraClassPath and leaves executors resolving Scala
+    // collections through a mismatched path — ~1/3 of queries then die
+    // with `DefaultSerializationProxy cannot be assigned to field ...:
+    // immutable.Seq` on executor deserialize. Same queries are parity-OK
+    // under sbt's forked enumerated classpath.
     val cluster = graft.sources.Sessions.builder("local-cluster[4,8,8192]", 32)
       .config("spark.executor.memory", "7g")
       .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
