@@ -397,11 +397,137 @@ object Retrieval {
        |FROM r WHERE rn <= $phraseK""".stripMargin
   }
 
+  // ---- MMR diversified rerank --------------------------------------------
+
+  private val mmrK = 5        // reranked results per query
+  private val mmrLambdaNum = 7L // lambda = 0.7 as the exact 7/3 integer split
+  private val mmrCompNum = 3L
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) of
+    * each query's BM25 shortlist — the diversity stage every production
+    * retrieval pipeline runs between recall and the consumer: greedily
+    * pick the candidate maximizing lambda*relevance −
+    * (1−lambda)*max-similarity-to-already-picked, so near-duplicate hits
+    * stop crowding out coverage. All-integer scoring: BM25 relevance
+    * normalizes per query to 1e-6 fixed point (integer div by the
+    * query's max), candidate-pair cosines quantize to 1e-6 longs via the
+    * ANN family's rounding tree, and the MMR objective is
+    * `7*rel − 3*maxsim` (lambda = 0.7 exactly) with doc_id ascending as
+    * the tie-break — bit-identical cross-engine, no float comparison
+    * anywhere.
+    *
+    * Scale shape: recall (the BM25 leg) and the candidate-pair cosine
+    * grid both run distributed; what reaches the driver is the shortlist
+    * itself — k×|queries| rows and k²×|queries| sims, BOUNDED BY
+    * CONSTRUCTION (the same boundedness contract as the BPE trainer's
+    * 1-row-per-round collect). The greedy loop is O(k²) per query on
+    * that shortlist — the classic head-node rerank stage; corpus size
+    * never touches it. The DuckDB oracle replays the greedy EXACTLY as
+    * [[mmrK]] unrolled select-round CTEs. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy("query_id")
+    val cand = bm25Topk(spark, dir)
+      .withColumn("max_fp", max("score_fp").over(w))
+      .withColumn("rel_norm_u", expr("score_fp * 1000000L div max_fp"))
+    val vn = Similarity.vecs(spark, dir)
+    val cv = cand.join(vn, cand("doc_id") === vn("vec_id"))
+      .select(col("query_id"), col("doc_id"), col("rel_norm_u"),
+        col("v"), col("norm"))
+    val o = cv.select(col("query_id").as("q2"), col("doc_id").as("d2"),
+      col("v").as("v2"), col("norm").as("n2"))
+    val simU = floor(Similarity.dot(col("v"), col("v2")) /
+      (col("norm") * col("n2")) * lit(1000000.0) + lit(0.5)).cast("long")
+    val sims = cv.join(o, col("query_id") === col("q2") && col("doc_id") =!= col("d2"))
+      .select(col("query_id"), col("doc_id").as("d1"), col("d2"), simU.as("sim_u"))
+      .as[(Int, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(r => r._3 -> r._4).toMap).toMap
+    val pool = cv.select(col("query_id"), col("doc_id"), col("rel_norm_u"))
+      .as[(Int, Long, Long)].collect()
+    val out = pool.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      var remaining = cs.map(c => c._2 -> c._3).sortBy(_._1).toBuffer
+      val picked = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long, Long, Long)]()
+      for (r <- 1 to math.min(mmrK, remaining.size)) {
+        val scored = remaining.map { case (d, rel) =>
+          val ms =
+            if (picked.isEmpty) 0L
+            else picked.map(p => sims((qid, d))(p._3)).max
+          (d, rel, ms, mmrLambdaNum * rel - mmrCompNum * ms)
+        }
+        val best = scored.minBy(s => (-s._4, s._1))
+        picked += ((qid, r, best._1, best._4, best._2, best._3))
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      picked
+    }
+    out.toDF("query_id", "rank", "doc_id", "mmr_u", "rel_norm_u", "max_sim_u")
+  }
+
+  val mmrRerankSql: String = {
+    val base = bm25TopkSql
+      .replaceFirst("(?s)SELECT query_id, doc_id, score_fp FROM r WHERE rn <= \\d+$", "")
+      .stripSuffix("\n")
+    val sb = new StringBuilder
+    sb ++= s"""$base,
+       |lex AS (SELECT query_id, doc_id, score_fp FROM r WHERE rn <= $k),
+       |cn AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(score_fp * 1000000 // max(score_fp) OVER (PARTITION BY query_id)
+       |      AS BIGINT) AS rel_norm_u
+       |  FROM lex
+       |),
+       |${Similarity.vecsSql},
+       |cv AS (
+       |  SELECT cn.query_id, cn.doc_id, cn.rel_norm_u, vn.v, vn.norm
+       |  FROM cn JOIN vn ON vn.vec_id = cn.doc_id
+       |),
+       |sims AS (
+       |  SELECT x.query_id, x.doc_id AS d1, y.doc_id AS d2,
+       |    CAST(floor(
+       |      list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2]))
+       |      / (x.norm * y.norm) * 1000000.0 + 0.5) AS BIGINT) AS sim_u
+       |  FROM cv x JOIN cv y
+       |    ON x.query_id = y.query_id AND x.doc_id <> y.doc_id
+       |),
+       |s1 AS (
+       |  SELECT query_id, doc_id, $mmrLambdaNum * rel_norm_u AS mmr_u,
+       |    rel_norm_u, CAST(0 AS BIGINT) AS max_sim_u, 1 AS "rank"
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel_norm_u DESC, doc_id) AS srn FROM cv)
+       |  WHERE srn = 1
+       |), sel1 AS (SELECT * FROM s1)""".stripMargin
+    for (r <- 2 to mmrK) {
+      sb ++= s""",
+       |m$r AS (
+       |  SELECT c.query_id, c.doc_id, c.rel_norm_u, max(si.sim_u) AS ms
+       |  FROM (SELECT cv.* FROM cv
+       |        ANTI JOIN sel${r - 1} USING (query_id, doc_id)) c
+       |  JOIN sims si ON si.query_id = c.query_id AND si.d1 = c.doc_id
+       |  JOIN sel${r - 1} sl ON sl.query_id = si.query_id AND sl.doc_id = si.d2
+       |  GROUP BY 1, 2, 3
+       |), s$r AS (
+       |  SELECT query_id, doc_id, mmr_u, rel_norm_u, max_sim_u, $r AS "rank"
+       |  FROM (SELECT query_id, doc_id,
+       |      $mmrLambdaNum * rel_norm_u - $mmrCompNum * ms AS mmr_u,
+       |      rel_norm_u, ms AS max_sim_u,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY
+       |        $mmrLambdaNum * rel_norm_u - $mmrCompNum * ms DESC, doc_id) AS srn
+       |    FROM m$r)
+       |  WHERE srn = 1
+       |), sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT query_id, "rank", doc_id, mmr_u, rel_norm_u, max_sim_u
+       |FROM sel$mmrK""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25Topk _),
     "bm25_prf" -> (bm25Prf _),
     "hybrid_rrf" -> (hybridRrf _),
     "phrase_topk" -> (phraseTopk _),
+    "mmr_rerank" -> (mmrRerank _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -409,5 +535,6 @@ object Retrieval {
     "bm25_prf" -> bm25PrfSql,
     "hybrid_rrf" -> hybridRrfSql,
     "phrase_topk" -> phraseTopkSql,
+    "mmr_rerank" -> mmrRerankSql,
   )
 }
