@@ -138,6 +138,19 @@ object Retrieval {
        |SELECT query_id, doc_id, score_fp FROM r WHERE rn <= $k""".stripMargin
   }
 
+  /** [[bm25TopkSql]]'s CTE chain with its final SELECT stripped, reused
+    * as the shared prefix by the PRF / RRF / MMR oracles. Fails loudly
+    * (at object init, i.e. in every spec run) if the strip pattern no
+    * longer matches — a silent no-op here would emit syntactically
+    * invalid oracle SQL with no compile-time signal. */
+  private lazy val bm25CtePrefix: String = {
+    val stripped = bm25TopkSql.replaceFirst(
+      "(?s)SELECT query_id, doc_id, score_fp FROM r WHERE rn <= \\d+$", "")
+    require(stripped != bm25TopkSql,
+      "bm25TopkSql's final SELECT changed — update bm25CtePrefix's strip pattern")
+    stripped.stripSuffix("\n")
+  }
+
   // ---- pseudo-relevance feedback -----------------------------------------
 
   private val prfK = 5
@@ -183,9 +196,7 @@ object Retrieval {
   val bm25PrfSql: String = {
     val inList = distinctTerms.map(t => s"'$t'").mkString(", ")
     // the bm25TopkSql chain, re-used verbatim up to its ranked CTE `r`
-    val base = bm25TopkSql
-      .replaceFirst("(?s)SELECT query_id, doc_id, score_fp FROM r WHERE rn <= \\d+$", "")
-      .stripSuffix("\n")
+    val base = bm25CtePrefix
     s"""$base,
        |top AS (SELECT query_id, doc_id FROM r WHERE rn <= $k),
        |tk AS (SELECT doc_id, unnest(toks) AS term FROM t),
@@ -264,9 +275,7 @@ object Retrieval {
   }
 
   val hybridRrfSql: String = {
-    val base = bm25TopkSql
-      .replaceFirst("(?s)SELECT query_id, doc_id, score_fp FROM r WHERE rn <= \\d+$", "")
-      .stripSuffix("\n")
+    val base = bm25CtePrefix
     s"""$base,
        |lexr AS (SELECT query_id, doc_id, rn AS lrank FROM r WHERE rn <= $k),
        |${Similarity.vecsSql},
@@ -464,9 +473,7 @@ object Retrieval {
   }
 
   val mmrRerankSql: String = {
-    val base = bm25TopkSql
-      .replaceFirst("(?s)SELECT query_id, doc_id, score_fp FROM r WHERE rn <= \\d+$", "")
-      .stripSuffix("\n")
+    val base = bm25CtePrefix
     val sb = new StringBuilder
     sb ++= s"""$base,
        |lex AS (SELECT query_id, doc_id, score_fp FROM r WHERE rn <= $k),

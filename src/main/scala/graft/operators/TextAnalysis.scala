@@ -707,7 +707,8 @@ object TextAnalysis {
     s"WITH $bpeChainCtes,\n" +
     s"""enc AS (
        |  SELECT doc_id,
-       |    len(string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2))) AS n_pieces
+       |    len(list_filter(string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2)),
+       |                    x -> x <> '')) AS n_pieces
        |  FROM t$bpeRounds
        |), dw AS (
        |  SELECT doc_id, lang, len(toks) AS n_words,

@@ -141,12 +141,16 @@ object StreamingAbsence {
       var evs = st.evs
       var emitted = st.emittedUpTo
       val out = List.newBuilder[Long]
-      while (evs.nonEmpty && wmMs >= (evs.head + gapSec) * 1000L) {
+      // STRICTLY past the deadline: an on-time event at ts == a+gap (ts ==
+      // watermark is not late under Spark's ts < wm drop rule) could still
+      // arrive and falsify the silence — the batch twin's b-a > gap is
+      // strict too. Hence the timer is armed one ms past the deadline.
+      while (evs.nonEmpty && wmMs > (evs.head + gapSec) * 1000L) {
         val a = evs.head
         if (a > emitted) { out += a; emitted = a }
         evs = evs.tail
       }
-      val next = evs.headOption.map(a => (a + gapSec) * 1000L).getOrElse(0L)
+      val next = evs.headOption.map(a => (a + gapSec) * 1000L + 1L).getOrElse(0L)
       (out.result(), AbsSt(evs, emitted, next))
     }
   }

@@ -47,7 +47,7 @@ object ClusterProbe {
         n -> (runs.min, fp)
       } catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[probe] $n FAILED: ${e.getMessage.take(300)}")
+          System.err.println(s"[probe] $n FAILED: ${e.toString.take(300)}")
           spark.catalog.clearCache()
           n -> (-1.0, (-1L, -1L))
       }

@@ -20,10 +20,13 @@ import pandas as pd
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 skip, only = set(), None
 for i, a in enumerate(sys.argv):
-    if a == "--skip":
-        skip = set(sys.argv[i + 1].split(","))
-    if a == "--only":
-        only = set(sys.argv[i + 1].split(","))
+    if a in ("--skip", "--only"):
+        if i + 1 >= len(sys.argv):
+            sys.exit(f"usage: {a} requires a comma-separated value")
+        if a == "--skip":
+            skip = set(sys.argv[i + 1].split(","))
+        else:
+            only = set(sys.argv[i + 1].split(","))
 
 con = duckdb.connect()
 # spill to /tmp, never to the repo cwd (.tmp/ in the worktree)
