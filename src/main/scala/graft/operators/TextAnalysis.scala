@@ -446,6 +446,181 @@ object TextAnalysis {
        |    '$emailRe', '<EMAIL>', 'g')) AS clean_md5
        |FROM documents""".stripMargin
 
+  // ---- PII scrub v2: credit-card (Luhn), phone, IPv4 ---------------------
+
+  /** Builds the scrub-v2 query for either dialect from ONE recipe, so the
+    * Spark plan and the DuckDB oracle cannot drift: every construct that
+    * differs between engines (higher-order list functions, regexp flags,
+    * string casts) goes through the tiny per-dialect emitters below;
+    * everything else is shared text. Patterns avoid backslash escapes
+    * entirely (`[.]` instead of `\.`) so the same literal survives both
+    * SQL string parsers, and avoid `\s`/`\w` whose definitions differ
+    * between RE2 (DuckDB) and java.util.regex (Spark).
+    *
+    * The corpus fixture is digit-free (documents.parquet carries prose
+    * tokens only), so the numeric-PII passes would never fire on raw
+    * `text`; each doc is therefore augmented with DETERMINISTIC PII
+    * derived from doc_id by the same integer arithmetic in both engines —
+    * including a card number whose Luhn CHECK DIGIT is computed in-query
+    * (so validation sees real variety), a same-digits card with a wrong
+    * check digit that must survive scrubbing, and an IPv4 whose first
+    * octet ranges over 0..299 so ~15% of docs carry an invalid address
+    * that must also survive. That makes the oracle exercise the whole
+    * validator, not just the regex.
+    *
+    * Scrub order: URL → email → card → phone → IPv4. URLs first (an
+    * email-looking userinfo inside a URL is already gone — v1's rule);
+    * cards before phones (a separator-grouped card could otherwise be
+    * half-eaten by the phone pass). Card/IP candidates are regex matches
+    * VALIDATED in a list filter — Luhn mod-10 over the reversed digit
+    * string as pure integer math, octets <= 255 — and only validated
+    * literals are replaced, longest-first (length-keyed descending sort)
+    * so one candidate can never corrupt another's occurrence.
+    *
+    * 100 TB shape: identical to v1 — a pure per-row projection, no
+    * shuffle, no join; the per-candidate validator lists are bounded by
+    * the match count in one document. */
+  private def scrubV2Sql(duck: Boolean, table: String,
+      keepText: Boolean = false): String = {
+    def cs(e: String) = if (duck) s"CAST($e AS VARCHAR)" else s"CAST($e AS STRING)"
+    def xform(l: String, v: String, b: String) =
+      if (duck) s"list_transform($l, $v -> $b)" else s"transform($l, $v -> $b)"
+    def filt(l: String, v: String, b: String) =
+      if (duck) s"list_filter($l, $v -> $b)" else s"filter($l, $v -> $b)"
+    def sumL(l: String) =
+      if (duck) s"list_sum($l)" else s"aggregate($l, 0, (a, x) -> a + x)"
+    def sz(l: String) = if (duck) s"len($l)" else s"size($l)"
+    def exAll(s: String, p: String) =
+      if (duck) s"regexp_extract_all($s, '$p')"
+      else s"regexp_extract_all($s, '$p', 0)"
+    def repAll(s: String, p: String, r: String) =
+      if (duck) s"regexp_replace($s, '$p', '$r', 'g')"
+      else s"regexp_replace($s, '$p', '$r')"
+    def foldRep(init: String, l: String, tok: String) =
+      if (duck) s"list_reduce(list_prepend($init, $l), (a, x) -> replace(a, x, '$tok'))"
+      else s"aggregate($l, $init, (a, x) -> replace(a, x, '$tok'))"
+    def sortDesc(l: String) =
+      if (duck) s"list_sort($l, 'DESC')" else s"sort_array($l, false)"
+    def dedup(l: String) = if (duck) s"list_distinct($l)" else s"array_distinct($l)"
+    def splitDots(s: String) =
+      if (duck) s"string_split($s, '.')" else s"split($s, '[.]')"
+    def seqTo(n: String) =
+      if (duck) s"generate_series(1, $n)" else s"sequence(1, $n)"
+
+    val urlRe2 = "https?://[A-Za-z0-9./_%#?=&;:~+-]+"
+    val emailRe2 = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val ccRe = "[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{1,4}"
+    val phoneRe = "[0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
+    val ipRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+    /** Luhn weighted digit sum over string expr `b`, positions 1..n from
+      * the RIGHT; a digit is doubled (9-capped) when its reversed index j
+      * satisfies j % 2 == `dblWhen`. dblWhen=0 validates a full card
+      * (check digit at j=1 undoubled); dblWhen=1 computes the sum a
+      * 15-digit base needs its check digit for. */
+    def luhnSum(b: String, dblWhen: Int, n: String): String = {
+      val dig = s"(ascii(substring(reverse($b), j, 1)) - 48)"
+      val term = s"CASE WHEN j % 2 = $dblWhen THEN " +
+        s"CASE WHEN $dig * 2 > 9 THEN $dig * 2 - 9 ELSE $dig * 2 END " +
+        s"ELSE $dig END"
+      sumL(xform(seqTo(n), "j", term))
+    }
+    val ccDigits = "regexp_replace(c, '[^0-9]', ''" + (if (duck) ", 'g')" else ")")
+    val luhnOk = s"length($ccDigits) >= 13 AND length($ccDigits) <= 16 " +
+      s"AND (${luhnSum(ccDigits, 0, s"length($ccDigits)")}) % 10 = 0"
+    val octOk =
+      s"${sz(filt(splitDots("c"), "p", "CAST(p AS INT) <= 255"))} = 4"
+    // longest-first replace order via a length-keyed descending sort —
+    // lexicographic DESC alone would put '99…' before '100…'
+    def longestFirst(l: String): String =
+      xform(sortDesc(xform(dedup(l), "c",
+        s"lpad(${cs("length(c)")}, 2, '0') || ':' || c")), "c", "substring(c, 4)")
+
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    lpad(${cs("doc_id % 900 + 100")}, 3, '0') AS d3,
+       |    lpad(${cs("doc_id % 9000 + 1000")}, 4, '0') AS d4
+       |  FROM $table
+       |), p AS (
+       |  SELECT doc_id, text, d3, d4, '45391488034' || d4 AS b15,
+       |    CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN ' ' ELSE '-' END AS sep
+       |  FROM b
+       |), pc AS (
+       |  SELECT *,
+       |    '45391488034' || d4 ||
+       |      ${cs(s"(10 - (${luhnSum("b15", 1, "15")}) % 10) % 10")} AS cc16
+       |  FROM p
+       |), aug AS (
+       |  SELECT doc_id,
+       |    text || ' contact user.' || ${cs("doc_id")} ||
+       |    '@example.org via https://data.example.com/doc/' || ${cs("doc_id")} ||
+       |    ' tel ' || d3 || '-555-' || d4 ||
+       |    ' card ' || substring(cc16, 1, 4) || sep || substring(cc16, 5, 4) ||
+       |      sep || substring(cc16, 9, 4) || sep || substring(cc16, 13, 4) ||
+       |    ' alt ' || substring(cc16, 1, 15) ||
+       |      ${cs("(CAST(substring(cc16, 16, 1) AS INT) + 5) % 10")} ||
+       |    ' host ' || ${cs("doc_id % 300")} || '.17.' ||
+       |      ${cs("doc_id % 256")} || '.' || ${cs("doc_id % 100")} AS t0
+       |  FROM pc
+       |), s1 AS (
+       |  SELECT doc_id, ${sz(exAll("t0", urlRe2))} AS n_urls,
+       |    ${repAll("t0", urlRe2, "<URL>")} AS t1 FROM aug
+       |), s2 AS (
+       |  SELECT doc_id, n_urls, ${sz(exAll("t1", emailRe2))} AS n_emails,
+       |    ${repAll("t1", emailRe2, "<EMAIL>")} AS t2 FROM s1
+       |), c3 AS (
+       |  SELECT *, ${filt(exAll("t2", ccRe), "c", luhnOk)} AS cc_hits FROM s2
+       |), s3 AS (
+       |  SELECT doc_id, n_urls, n_emails, ${sz("cc_hits")} AS n_cards,
+       |    ${foldRep("t2", longestFirst("cc_hits"), "<CARD>")} AS t3 FROM c3
+       |), s4 AS (
+       |  SELECT doc_id, n_urls, n_emails, n_cards,
+       |    ${sz(exAll("t3", phoneRe))} AS n_phones,
+       |    ${repAll("t3", phoneRe, "<PHONE>")} AS t4 FROM s3
+       |), c5 AS (
+       |  SELECT *, ${filt(exAll("t4", ipRe), "c", octOk)} AS ip_hits FROM s4
+       |), s5 AS (
+       |  SELECT doc_id, n_urls, n_emails, n_cards, n_phones,
+       |    ${sz("ip_hits")} AS n_ips,
+       |    ${foldRep("t4", longestFirst("ip_hits"), "<IP>")} AS t5 FROM c5
+       |)
+       |SELECT doc_id,
+       |  CAST(n_urls AS BIGINT) AS n_urls, CAST(n_emails AS BIGINT) AS n_emails,
+       |  CAST(n_cards AS BIGINT) AS n_cards, CAST(n_phones AS BIGINT) AS n_phones,
+       |  CAST(n_ips AS BIGINT) AS n_ips,
+       |  CAST(length(t5) AS BIGINT) AS clean_len, md5(t5) AS clean_md5${
+         if (keepText) ",\n  t5 AS clean_text" else ""}
+       |FROM s5""".stripMargin
+  }
+
+  private val scrubV2Nonce = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Spec entry: the scrub-v2 pipeline over an arbitrary (doc_id, text)
+    * frame, with the cleaned text kept so boundary formats can be
+    * asserted on directly (the query surface ships only its md5). */
+  private[graft] def corpusScrubV2On(spark: SparkSession, docs: DataFrame)
+      : DataFrame = {
+    val v = s"graft_scrub2_docs_${scrubV2Nonce.incrementAndGet()}"
+    docs.createOrReplaceTempView(v)
+    try spark.sql(scrubV2Sql(duck = false, v, keepText = true))
+    finally spark.catalog.dropTempView(v)
+  }
+
+  /** PII scrub v2 — [[corpusScrub]] widened with the three numeric-PII
+    * passes a production corpus pipeline runs before training: Luhn-valid
+    * card numbers, NANP-shaped phone numbers, and octet-valid IPv4
+    * addresses (invalid candidates deliberately survive). See
+    * [[scrubV2Sql]] for the validator design and the deterministic
+    * PII augmentation that makes the digit-free fixture exercise it. */
+  def corpusScrubV2(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"graft_scrub2_docs_${scrubV2Nonce.incrementAndGet()}"
+    Tables.documents(spark, dir).createOrReplaceTempView(v)
+    try spark.sql(scrubV2Sql(duck = false, v))
+    finally spark.catalog.dropTempView(v)
+  }
+
+  val corpusScrubV2Sql: String = scrubV2Sql(duck = true, "documents")
+
   private val bpeK = 20
 
   /** BPE-style merge candidates: the K most frequent ADJACENT token
@@ -1540,6 +1715,7 @@ object TextAnalysis {
     "doc_keywords" -> (docKeywords _),
     "vocab_topk" -> (vocabTopk _),
     "corpus_scrub" -> (corpusScrub _),
+    "corpus_scrub_v2" -> (corpusScrubV2 _),
     "bpe_top_merges" -> (bpeTopMerges _),
     "bpe_merge_table" -> (bpeMergeTable _),
     "bpe_encode" -> (bpeEncode _),
@@ -1569,6 +1745,7 @@ object TextAnalysis {
     "doc_keywords" -> docKeywordsSql,
     "vocab_topk" -> vocabTopkSql,
     "corpus_scrub" -> corpusScrubSql,
+    "corpus_scrub_v2" -> corpusScrubV2Sql,
     "bpe_top_merges" -> bpeTopMergesSql,
     "bpe_merge_table" -> bpeMergeTableSql,
     "bpe_encode" -> bpeEncodeSql,
