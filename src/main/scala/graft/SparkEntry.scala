@@ -121,7 +121,7 @@ object SparkEntry {
     "multimodal_phash_radius_curve" -> ((s, dir) => Multimodal.phashRadiusCurve(s, dir)),
   ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++
     TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries ++
-    Retrieval.queries ++ Graph.queries ++ Linkage.queries
+    Retrieval.queries ++ Graph.queries ++ Linkage.queries ++ Forget.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -167,5 +167,5 @@ object SparkEntry {
         |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50.0""".stripMargin,
   ) ++ Analytics.oracles ++ Warehouse.oracles ++ Dedup.oracles ++
     TextAnalysis.oracles ++ Similarity.oracles ++ Corpus.oracles ++
-    Retrieval.oracles ++ Graph.oracles ++ Linkage.oracles
+    Retrieval.oracles ++ Graph.oracles ++ Linkage.oracles ++ Forget.oracleSql
 }

@@ -669,7 +669,7 @@ object Dedup {
 
   // --------------------------------------------- exact-substring spans
 
-  private val spanLen = 10
+  private[operators] val spanLen = 10
 
   /** Distinct (doc_id, md5-of-span) rows over `spanLen`-token rolling
     * windows (stride 1) — the candidate substrate of exact-substring

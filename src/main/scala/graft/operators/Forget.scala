@@ -1,0 +1,304 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted deletion / right-to-be-forgotten over the corpus AND every
+  * persisted dedup artifact derived from it — the lifecycle operation a
+  * production training-data pipeline must support: deleting a document
+  * from `documents` is not enough if its fingerprints live on in the
+  * incremental-dedup bases, where they would keep suppressing ("this is
+  * a dup of doc X") or mutilating (span removal) future content on
+  * behalf of a document that no longer exists.
+  *
+  * Two halves:
+  *
+  *  - [[corpusForget]]: the oracle-gated accounting query — for a
+  *    deterministic kill list (doc_id % 7 == 3), the row counts of every
+  *    artifact family before the delete, after the ARTIFACT-LEVEL delete
+  *    (what [[forgetIncrementalBase]]/[[forgetSpanBase]]/
+  *    [[forgetEmbeddingBase]] produce by rewriting the stored bases), and
+  *    after a full RE-DERIVE from the surviving corpus, plus the rows
+  *    re-keyed to a new keeper. Artifact-level delete and re-derive agree
+  *    everywhere except where the artifact stores strictly less than the
+  *    corpus (a digest whose keeper died but whose text survives in a
+  *    non-keeper copy can be re-keyed only with corpus access — the
+  *    `rows_rekeyed` column counts exactly those).
+  *
+  *  - the `forget*Base` rewriters: the executable artifact-level delete
+  *    for the three streaming base layouts
+  *    ([[graft.streaming.StreamingIncrementalDedup]] `digests/` +
+  *    `shingles/`, [[graft.streaming.StreamingSpanDedup]] `spans/`,
+  *    [[graft.streaming.StreamingEmbeddingDedup]] `cells/`), each
+  *    materializing the surviving rows BEFORE overwriting (the plan reads
+  *    the same path it rewrites).
+  *
+  * 100 TB shape: every leg is a keyed anti-join against the (small,
+  * broadcastable) kill list — O(artifact) scan, no self-join, no driver
+  * materialization. The one corpus-wide cost is span attestation
+  * ([[forgetSpanBase]]): `spans/` stores bare digests with no
+  * provenance, so deciding which of the KILLED docs' spans any survivor
+  * still attests needs one pass over the surviving corpus — but the
+  * killed-span set is O(kill list) and broadcast, so that pass is a
+  * map-side semi-join filter inside the scan: nothing but the (tiny)
+  * attested subset ever reaches an exchange. That is the standard
+  * batched-delete cost model (RTBF deletes run as periodic compactions,
+  * not per-request scans).
+  */
+object Forget {
+
+  private val forgetMod = 7L
+  private val forgetRem = 3L
+  private def killDoc = col("doc_id") % forgetMod === forgetRem
+  private def killVec = col("vec_id") % forgetMod === forgetRem
+  private val killSqlDoc = s"doc_id % $forgetMod = $forgetRem"
+  private val killSqlVec = s"vec_id % $forgetMod = $forgetRem"
+
+  // ---- artifact-level rewriters (streaming base layouts) -----------------
+
+  /** Overwrite a base parquet dir with `rows`, materializing first: the
+    * plan reads the very path it replaces, and a lazy overwrite would
+    * delete its own input mid-scan. */
+  private def rewrite(rows: DataFrame, path: String): Unit = {
+    val (mat, rdd) = graft.util.Ckpt.materialize(rows)
+    try mat.write.mode("overwrite").parquet(path)
+    finally rdd.unpersist(blocking = false)
+  }
+
+  /** Delete `killIds` (one `doc_id` column) from an incremental-dedup
+    * base (`digests/` + `shingles/`). With `rekeyFrom` = the surviving
+    * corpus, a digest whose KEEPER died but whose text survives in a
+    * non-keeper copy is re-keyed (fp → min surviving doc_id, shingle
+    * rows re-emitted under the new keeper) instead of dropped — without
+    * corpus access the artifact stores no second copy to promote, so the
+    * fp is forgotten and the text re-enters the base as novel on its
+    * next appearance (exactly the "cannot resurface via survivorship"
+    * contract). */
+  def forgetIncrementalBase(spark: SparkSession, baseDir: String,
+      killIds: DataFrame, rekeyFrom: Option[DataFrame] = None): Unit = {
+    val kill = broadcast(killIds.select(col("doc_id")).distinct())
+    val dig = spark.read.parquet(s"$baseDir/digests")
+    val sh = spark.read.parquet(s"$baseDir/shingles")
+    val keptDig = dig.join(kill,
+      dig("base_doc_id") === kill("doc_id"), "left_anti")
+    val keptSh = sh.join(kill, Seq("doc_id"), "left_anti")
+    val (newDig, newSh) = rekeyFrom match {
+      case None => (keptDig, keptSh)
+      case Some(surv) =>
+        val orphanFp = dig.join(kill,
+            dig("base_doc_id") === kill("doc_id"), "left_semi")
+          .select("fp")
+        val rekeyDocs = Dedup.canonicalDocs(surv)
+          .withColumn("fp", md5(col("text")))
+          .join(broadcast(orphanFp), Seq("fp"), "left_semi")
+        (keptDig.unionByName(
+            rekeyDocs.select(col("fp"), col("doc_id").as("base_doc_id"))),
+          keptSh.unionByName(Dedup.shingleRows(rekeyDocs)))
+    }
+    // materialize BOTH before the first overwrite: newSh's plan reads
+    // `digests/` (through orphanFp), which the first rewrite replaces
+    val (digMat, digRdd) = graft.util.Ckpt.materialize(newDig)
+    val (shMat, shRdd) = graft.util.Ckpt.materialize(newSh)
+    try {
+      digMat.write.mode("overwrite").parquet(s"$baseDir/digests")
+      shMat.write.mode("overwrite").parquet(s"$baseDir/shingles")
+    } finally {
+      digRdd.unpersist(blocking = false)
+      shRdd.unpersist(blocking = false)
+    }
+  }
+
+  /** Delete the killed docs' contribution from a span base (`spans/`):
+    * drop every digest the killed docs attest that NO survivor attests.
+    * Needs both document sets — the artifact stores bare digests with no
+    * provenance (see the class doc for why the survivor pass is a
+    * broadcast-filtered map-side scan, not a shuffle). */
+  def forgetSpanBase(spark: SparkSession, baseDir: String,
+      killedDocs: DataFrame, survivors: DataFrame): Unit = {
+    val killedH = Dedup.baseSpanDigests(killedDocs)
+    val stillAttested = Dedup.spanRows(survivors).select("h")
+      .join(broadcast(killedH), Seq("h"), "left_semi").distinct()
+    val drop = killedH.join(stillAttested, Seq("h"), "left_anti")
+    val spans = spark.read.parquet(s"$baseDir/spans")
+    rewrite(spans.join(broadcast(drop), Seq("h"), "left_anti"),
+      s"$baseDir/spans")
+  }
+
+  /** Delete `killIds` (one `vec_id` column) from an embedding-dedup cell
+    * index (`cells/`). Centroids are statistics of the training sample,
+    * not per-document content — they stay (the production cadence:
+    * retrain + reindex on schedule, delete keyed rows on demand). */
+  def forgetEmbeddingBase(spark: SparkSession, baseDir: String,
+      killIds: DataFrame): Unit = {
+    val kill = broadcast(killIds.select(col("vec_id")).distinct())
+    val cells = spark.read.parquet(s"$baseDir/cells")
+    rewrite(cells.join(kill, Seq("vec_id"), "left_anti"), s"$baseDir/cells")
+  }
+
+  // ---- the oracle-gated accounting query ---------------------------------
+
+  /** Per-artifact forget accounting over the deterministic kill list —
+    * see the class doc. Output: one row per artifact family
+    * (corpus, digests, shingles, spans, cells, cells_nonempty) with
+    * rows_before / rows_after_forget (artifact-level delete) /
+    * rows_rederived (recompute from survivors) / rows_rekeyed. */
+  def corpusForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    def leg(name: String, before: org.apache.spark.sql.Column,
+        after: org.apache.spark.sql.Column,
+        rederived: org.apache.spark.sql.Column,
+        rekeyed: org.apache.spark.sql.Column)(src: DataFrame): DataFrame =
+      src.agg(before.cast("long").as("rows_before"),
+          after.cast("long").as("rows_after_forget"),
+          rederived.cast("long").as("rows_rederived"),
+          rekeyed.cast("long").as("rows_rekeyed"))
+        .select(lit(name).as("artifact"), col("rows_before"),
+          col("rows_after_forget"), col("rows_rederived"), col("rows_rekeyed"))
+
+    val alive = count(when(!killDoc, 1))
+    val corpus = leg("corpus", count(lit(1)), alive, alive, lit(0))(docs)
+
+    // one groupBy(md5(text)) carries every digest statistic: the keeper
+    // over all docs (what the artifact stores), the keeper over the
+    // survivors (what a re-derive would store), and their disagreement
+    val fp = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keeper_all"),
+        min(when(col("doc_id") % forgetMod =!= forgetRem, col("doc_id")))
+          .as("keeper_surv"))
+    val keeperKilled = col("keeper_all") % forgetMod === forgetRem
+    val digests = leg("digests",
+      count(lit(1)),
+      count(when(!keeperKilled, 1)),
+      count(col("keeper_surv")),
+      count(when(keeperKilled && col("keeper_surv").isNotNull, 1)))(fp)
+
+    // shingle rows live under the keeper doc_id; the count per fp is a
+    // function of the TEXT alone, so re-keying preserves it — computed
+    // once per canonical doc by the fast primitive loop and joined back
+    val shCnt = Dedup.shingleRows(Dedup.canonicalDocs(docs))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val fpSh = fp.join(shCnt, fp("keeper_all") === shCnt("doc_id"), "left")
+      .withColumn("n_sh", coalesce(col("n_sh"), lit(0L)))
+    val shingles = leg("shingles",
+      sum("n_sh"),
+      sum(when(!keeperKilled, col("n_sh")).otherwise(0L)),
+      sum(when(col("keeper_surv").isNotNull, col("n_sh")).otherwise(0L)),
+      sum(when(keeperKilled && col("keeper_surv").isNotNull, col("n_sh"))
+        .otherwise(0L)))(fpSh)
+
+    // spans: artifact-level delete drops the killed-only digests;
+    // re-derive keeps the survivor-attested ones — computed as two
+    // independent expressions over one groupBy(h) that must agree
+    val sp = Dedup.spanRows(docs)
+      .groupBy("h")
+      .agg(max(when(col("doc_id") % forgetMod =!= forgetRem, 1).otherwise(0))
+        .as("has_surv"))
+    val spans = leg("spans",
+      count(lit(1)),
+      count(lit(1)) - count(when(col("has_surv") === 0, 1)),
+      sum("has_surv"),
+      lit(0))(sp)
+
+    // cells: the multi-probe index rows are keyed deletes (no re-key);
+    // cells_nonempty tracks the occupancy the index maintenance cares
+    // about — a forget that empties a cell changes the probe geometry
+    val idx = Similarity.cellIndex(
+      Similarity.vecs(spark, dir), Similarity.sdCentsDf(spark, dir))
+    val byCell = idx.groupBy("cell")
+      .agg(count(lit(1)).as("n_b"),
+        count(when(!killVec, 1)).as("n_a"))
+    val cells = leg("cells",
+      sum("n_b"), sum("n_a"), sum("n_a"), lit(0))(byCell)
+    val cellsNonempty = leg("cells_nonempty",
+      count(lit(1)),
+      count(when(col("n_a") > 0, 1)),
+      count(when(col("n_a") > 0, 1)),
+      lit(0))(byCell)
+
+    corpus.unionByName(digests).unionByName(shingles).unionByName(spans)
+      .unionByName(cells).unionByName(cellsNonempty)
+  }
+
+  val corpusForgetSql: String = {
+    val n = Dedup.spanLen
+    s"""WITH ${Similarity.vecsSql},
+       |${Similarity.sdAsgCtes},
+       |fp AS (
+       |  SELECT md5(text) AS fp, min(doc_id) AS keeper_all,
+       |    min(CASE WHEN NOT ($killSqlDoc) THEN doc_id END) AS keeper_surv,
+       |    min(text) AS text
+       |  FROM documents GROUP BY 1
+       |), fpsh AS (
+       |  SELECT keeper_all % $forgetMod = $forgetRem AS keeper_killed,
+       |    keeper_surv,
+       |    len(${Dedup.shinglesSql(Dedup.tokensSql("text"))}) AS n_sh
+       |  FROM fp
+       |), t AS (SELECT doc_id, ${Dedup.tokensSql("text")} AS toks FROM documents),
+       |sp AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(toks) >= $n
+       |    THEN list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |      i -> md5(array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')))
+       |    ELSE [] END)) AS h
+       |  FROM t
+       |), sph AS (
+       |  SELECT h, max(CASE WHEN NOT ($killSqlDoc) THEN 1 ELSE 0 END) AS has_surv
+       |  FROM sp GROUP BY 1
+       |), a2 AS (
+       |  SELECT vec_id, cent_id AS cell FROM asg
+       |  WHERE c_rank <= ${Similarity.semdedupProbes}
+       |), bycell AS (
+       |  SELECT cell, count(*) AS n_b,
+       |    sum(CASE WHEN NOT ($killSqlVec) THEN 1 ELSE 0 END) AS n_a
+       |  FROM a2 GROUP BY 1
+       |)
+       |SELECT 'corpus' AS artifact,
+       |  CAST(count(*) AS BIGINT) AS rows_before,
+       |  CAST(count(CASE WHEN NOT ($killSqlDoc) THEN 1 END) AS BIGINT)
+       |    AS rows_after_forget,
+       |  CAST(count(CASE WHEN NOT ($killSqlDoc) THEN 1 END) AS BIGINT)
+       |    AS rows_rederived,
+       |  CAST(0 AS BIGINT) AS rows_rekeyed
+       |FROM documents
+       |UNION ALL
+       |SELECT 'digests', CAST(count(*) AS BIGINT),
+       |  CAST(count(CASE WHEN NOT (keeper_all % $forgetMod = $forgetRem)
+       |    THEN 1 END) AS BIGINT),
+       |  CAST(count(keeper_surv) AS BIGINT),
+       |  CAST(count(CASE WHEN keeper_all % $forgetMod = $forgetRem
+       |    AND keeper_surv IS NOT NULL THEN 1 END) AS BIGINT)
+       |FROM fp
+       |UNION ALL
+       |SELECT 'shingles', CAST(sum(n_sh) AS BIGINT),
+       |  CAST(sum(CASE WHEN NOT keeper_killed THEN n_sh ELSE 0 END) AS BIGINT),
+       |  CAST(sum(CASE WHEN keeper_surv IS NOT NULL THEN n_sh ELSE 0 END)
+       |    AS BIGINT),
+       |  CAST(sum(CASE WHEN keeper_killed AND keeper_surv IS NOT NULL
+       |    THEN n_sh ELSE 0 END) AS BIGINT)
+       |FROM fpsh
+       |UNION ALL
+       |SELECT 'spans', CAST(count(*) AS BIGINT),
+       |  CAST(count(*) - count(CASE WHEN has_surv = 0 THEN 1 END) AS BIGINT),
+       |  CAST(sum(has_surv) AS BIGINT),
+       |  CAST(0 AS BIGINT)
+       |FROM sph
+       |UNION ALL
+       |SELECT 'cells', CAST(sum(n_b) AS BIGINT), CAST(sum(n_a) AS BIGINT),
+       |  CAST(sum(n_a) AS BIGINT), CAST(0 AS BIGINT)
+       |FROM bycell
+       |UNION ALL
+       |SELECT 'cells_nonempty', CAST(count(*) AS BIGINT),
+       |  CAST(count(CASE WHEN n_a > 0 THEN 1 END) AS BIGINT),
+       |  CAST(count(CASE WHEN n_a > 0 THEN 1 END) AS BIGINT),
+       |  CAST(0 AS BIGINT)
+       |FROM bycell""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_forget" -> (corpusForget _))
+
+  val oracleSql: Map[String, String] = Map(
+    "corpus_forget" -> corpusForgetSql)
+}

@@ -863,7 +863,7 @@ object Similarity {
     * ~1.5M rows of 64 doubles at 100 TB-scale 400B vectors would shard
     * training instead; at any SF this repo reaches, K stays
     * broadcast-size). */
-  private def sdCentsDf(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def sdCentsDf(spark: SparkSession, dir: String): DataFrame =
     loadArtifact(spark, "centroids").getOrElse {
       import spark.implicits._
       trainedCents(spark, dir, sdK(spark, dir)).toSeq.toDF("cent_id", "cv", "cn")
@@ -1087,7 +1087,7 @@ object Similarity {
 
   /** [[asgCtes]] with the corpus-scaled cell count — shared by the ANN
     * IVF oracles and the dedup oracles. */
-  private def sdAsgCtes: String = asgCtes(sdTrainCtes)
+  private[operators] def sdAsgCtes: String = asgCtes(sdTrainCtes)
 
   val annIvfTopkSql: String =
     s"""WITH $vecsSql,
@@ -1668,7 +1668,7 @@ object Similarity {
        |FROM prr WHERE "rank" <= 3""".stripMargin
 
   private val semdedupTau = 0.45 // same radius as the exact audit
-  private val semdedupProbes = 2 // index replication: top-2 cells per vector
+  private[operators] val semdedupProbes = 2 // index replication: top-2 cells per vector
   private val embIncrMod = 10L   // today's-crawl slice, as Dedup.incrementalDedup
   private val embIncrRem = 7L
 

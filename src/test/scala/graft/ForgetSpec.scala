@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.{Dedup, Forget, Similarity}
+import graft.streaming.{StreamingEmbeddingDedup, StreamingIncrementalDedup,
+  StreamingSpanDedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Right-to-be-forgotten through the persisted dedup bases
+  * ([[Forget]]): after an artifact-level delete, a RE-RUN incremental
+  * dedup must never reference a deleted doc — not as a hit partner, not
+  * as a span suppressor, not as an embedding pair — and (with corpus
+  * access) a digest whose keeper died but whose text survives is
+  * re-keyed, not forgotten. */
+class ForgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // ≥3 tokens (shingles) and ≥10 tokens (spans) where the case needs them
+  private val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val tB = "one two three four five six seven eight nine ten eleven"
+  private val tC = "red green blue cyan magenta yellow black white gray pink"
+
+  test("forgotten text stops hitting; re-run dedup references no deleted doc") {
+    val base = docsDf(1L -> tA, 2L -> tB, 3L -> tC)
+    val baseDir = tmp("graft-forget-incr")
+    StreamingIncrementalDedup.initBase(base, baseDir)
+
+    // forget doc 2 (sole owner of tB), no corpus access -> fp dropped
+    Forget.forgetIncrementalBase(spark, baseDir, Seq(2L).toDF("doc_id"))
+
+    val dig = spark.read.parquet(s"$baseDir/digests")
+    val sh = spark.read.parquet(s"$baseDir/shingles")
+    assert(dig.filter(col("base_doc_id") === 2L).count() == 0)
+    assert(sh.filter(col("doc_id") === 2L).count() == 0)
+    assert(dig.count() == 2) // tA, tC remain
+
+    // a new doc repeating the forgotten text must come back CLEAN
+    var hits = Set.empty[(Long, Long)]
+    val onBatch = StreamingIncrementalDedup.onBatch(baseDir, growBase = true,
+      (h, _) => hits ++= h.select("doc_id", "base_doc_id")
+        .as[(Long, Long)].collect())
+    onBatch(docsDf(100L -> tB), 0L)
+    assert(hits.isEmpty, s"forgotten text must not hit: $hits")
+    // ...and in grow mode it re-enters the base as novel under ITS id
+    val regrown = spark.read.parquet(s"$baseDir/digests")
+      .filter(col("fp") === md5(lit(tB)))
+      .select("base_doc_id").as[Long].collect().toSeq
+    assert(regrown == Seq(100L), s"tB must re-enter under doc 100: $regrown")
+
+    // while a still-known text keeps hitting its (surviving) keeper
+    hits = Set.empty
+    onBatch(docsDf(101L -> tA), 1L)
+    assert(hits == Set((101L, 1L)))
+  }
+
+  test("keeper with a surviving copy is re-keyed, never referenced again") {
+    // doc 1 and doc 5 share tA; 1 is the keeper. Forget 1 WITH corpus
+    // access -> fp re-keys to 5; shingle rows move to 5.
+    val corpus = docsDf(1L -> tA, 2L -> tB, 5L -> tA)
+    val baseDir = tmp("graft-forget-rekey")
+    StreamingIncrementalDedup.initBase(corpus, baseDir)
+
+    val survivors = corpus.filter(col("doc_id") =!= 1L)
+    Forget.forgetIncrementalBase(spark, baseDir, Seq(1L).toDF("doc_id"),
+      rekeyFrom = Some(survivors))
+
+    val dig = spark.read.parquet(s"$baseDir/digests")
+    val sh = spark.read.parquet(s"$baseDir/shingles")
+    assert(dig.filter(col("base_doc_id") === 1L).count() == 0)
+    assert(sh.filter(col("doc_id") === 1L).count() == 0)
+    val tAKeeper = dig.filter(col("fp") === md5(lit(tA)))
+      .select("base_doc_id").as[Long].collect().toSeq
+    assert(tAKeeper == Seq(5L), s"tA must re-key to 5: $tAKeeper")
+    // shingle rows re-emitted under the new keeper, same content
+    assert(sh.filter(col("doc_id") === 5L).count() ==
+      Dedup.shingleRows(docsDf(5L -> tA)).count())
+
+    // a fresh copy of tA now hits the RE-KEYED keeper, not the deleted doc
+    var hits = Set.empty[(Long, Long)]
+    StreamingIncrementalDedup.onBatch(baseDir, growBase = false,
+      (h, _) => hits ++= h.select("doc_id", "base_doc_id")
+        .as[(Long, Long)].collect())(docsDf(102L -> tA), 0L)
+    assert(hits == Set((102L, 5L)), s"must hit the new keeper: $hits")
+  }
+
+  test("span base: killed-only spans dropped, survivor-attested spans kept") {
+    // tA owned solely by doc 1; tB attested by docs 2 AND 3
+    val corpus = docsDf(1L -> tA, 2L -> tB, 3L -> tB)
+    val baseDir = tmp("graft-forget-span")
+    StreamingSpanDedup.initBase(corpus, baseDir)
+    val before = spark.read.parquet(s"$baseDir/spans").count()
+
+    Forget.forgetSpanBase(spark, baseDir,
+      killedDocs = corpus.filter(col("doc_id") === 1L),
+      survivors = corpus.filter(col("doc_id") =!= 1L))
+
+    val spans = spark.read.parquet(s"$baseDir/spans")
+    val tASpans = Dedup.spanRows(docsDf(1L -> tA)).select("h")
+    val tBSpans = Dedup.spanRows(docsDf(2L -> tB)).select("h")
+    assert(spans.join(tASpans, Seq("h"), "left_semi").count() == 0,
+      "doc 1's spans must be forgotten")
+    assert(spans.join(tBSpans, Seq("h"), "left_semi").count() ==
+      tBSpans.count(), "survivor-attested spans must remain")
+    assert(spans.count() < before)
+
+    // re-run: a new doc repeating the forgotten span text keeps ALL its
+    // tokens (first-occurrence semantics restart), while tB is still cut
+    val keptA = Dedup.spanCleanAgainstBase(docsDf(200L -> tA),
+        spark.read.parquet(s"$baseDir/spans"))
+      .select("n_tokens", "kept_tokens").as[(Long, Long)].collect().head
+    assert(keptA._2 == keptA._1,
+      s"forgotten span must no longer suppress new text: $keptA")
+    val keptB = Dedup.spanCleanAgainstBase(docsDf(201L -> tB),
+        spark.read.parquet(s"$baseDir/spans"))
+      .select("n_tokens", "kept_tokens").as[(Long, Long)].collect().head
+    assert(keptB._2 < keptB._1,
+      s"still-attested span must keep cleaning: $keptB")
+  }
+
+  test("embedding base: deleted vectors pair with nothing after forget") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val baseDir = tmp("graft-forget-emb")
+    StreamingEmbeddingDedup.initBase(spark, dir,
+      Similarity.normalized(emb), baseDir)
+
+    val killIds = Seq.range(0L, 50L).toDF("vec_id")
+    Forget.forgetEmbeddingBase(spark, baseDir, killIds)
+    val cells = spark.read.parquet(s"$baseDir/cells")
+    assert(cells.filter(col("vec_id") < 50L).count() == 0)
+    assert(cells.count() > 0)
+
+    // re-probing an exact copy of a deleted vector (sim 1.0 with it)
+    // finds no partner among the deleted ids
+    val probe = Similarity.cellIndex(
+      Similarity.normalized(emb.filter(col("vec_id") === 7L)
+        .withColumn("vec_id", col("vec_id") + 100000L)),
+      spark.read.parquet(s"$baseDir/centroids"))
+    val pairs = Similarity.pairsAgainstBase(probe,
+      spark.read.parquet(s"$baseDir/cells"))
+    val partners = pairs.select("v2").as[Long].collect().toSet
+    assert(!partners.exists(_ < 50L),
+      s"no pair may reference a deleted vector: $partners")
+  }
+}
