@@ -260,6 +260,76 @@ object Corpus {
        |  count(*) * cluster_size AS n_docs
        |FROM cs GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- cross-modal clusters
+
+  /** Cross-modal duplicate clusters — the real curation gate for a
+    * corpus whose documents carry media payloads: text dedup
+    * ([[dedupClusters]]) and perceptual-hash dedup
+    * ([[Multimodal.phashClusters]]) each close their OWN edge set, but a
+    * scraped page re-hosted with the same image and paraphrased text (or
+    * identical text and a re-encoded image) is one duplicate either way.
+    * This unions the two candidate edge sets — exact + verified-Jaccard
+    * text pairs, banded pHash pairs — and closes components ONCE, so a
+    * doc that text-matches A and image-matches B merges A's and B's
+    * clusters (precisely what running the two channels independently can
+    * never do). Keeper = component-min doc_id, the same survivorship
+    * rule both channels use alone.
+    *
+    * Scale shape: both edge generators are the already-bucketed
+    * candidate joins (never all-pairs); the union adds no shuffle beyond
+    * theirs, and ONE [[components]] propagation loop replaces the two
+    * per-channel loops — its cost is O(log diameter) rounds over edge
+    * endpoints only (singleton docs never enter). Output is one row per
+    * document with its fused cluster and the cluster size. */
+  def crossmodalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.eager(
+      dupEdges(spark, dir).select("d1", "d2")
+        .union(Multimodal.phashDedup(spark, dir).select("d1", "d2")))
+    val lab = Tables.documents(spark, dir).select("doc_id")
+      .join(components(edges), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val cs = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab.join(cs, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"),
+        col("cluster_size"))
+  }
+
+  /** Oracle: the text channels' CTEs plus the pHash pair subquery,
+    * unioned before ONE recursive transitive closure. */
+  val crossmodalClustersSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtes},
+       |ex AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS d1,
+       |      doc_id AS d2
+       |    FROM documents
+       |  ) WHERE d1 <> d2
+       |),
+       |pp AS MATERIALIZED (
+       |  SELECT d1, d2 FROM (${Multimodal.phashDedupSql})
+       |),
+       |e0 AS (SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM ex
+       |  UNION SELECT d1, d2 FROM pp),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM e0
+       |  UNION SELECT d2, d1 FROM e0
+       |),
+       |reach(doc_id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+       |),
+       |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |),
+       |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT lab.doc_id, lab.cluster_id,
+       |  lab.doc_id = lab.cluster_id AS is_keeper, cs.cluster_size
+       |FROM lab JOIN cs USING (cluster_id)""".stripMargin
+
   // -------------------------------------------------- canonical per cluster
 
   /** Canonical-document selection — the "keep ONE per duplicate cluster"
@@ -1070,6 +1140,7 @@ object Corpus {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_profile" -> (dedupProfile _),
+    "crossmodal_clusters" -> (crossmodalClusters _),
     "corpus_split" -> (corpusSplit _),
     "grouped_split_audit" -> (groupedSplitAudit _),
     "packing_efficiency" -> (packingEfficiency _),
@@ -1090,6 +1161,7 @@ object Corpus {
     "mixture_plan" -> mixturePlanSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_profile" -> dedupProfileSql,
+    "crossmodal_clusters" -> crossmodalClustersSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "corpus_split" -> corpusSplitSql,
     "grouped_split_audit" -> groupedSplitAuditSql,
