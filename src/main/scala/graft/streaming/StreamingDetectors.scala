@@ -438,9 +438,15 @@ object StreamingDetectors {
     * exact and the over-count space above is unreachable. Choose it when
     * strict reference-clock parity matters more than deterministic
     * replay. */
-  def jsonPipeline(raw: DataFrame, rules: Seq[DetectionRule],
+  /** The ingest half of [[jsonPipeline]]: raw JSON → typed [[SEvent]]s
+    * (parse, null filter, key coercion, measured-field projection) —
+    * exposed so callers can choose the detector formulation behind it
+    * (`alerts` / [[alertsTws]]) and what sink-side serialization to
+    * append (the throughput bench drives the full topology through the
+    * RocksDB-backed transformWithState operator). */
+  def parsedEvents(raw: DataFrame, rules: Seq[DetectionRule],
       keyField: String, rawCol: String = "value",
-      ingestionClock: Boolean = false): DataFrame = {
+      ingestionClock: Boolean = false): Dataset[SEvent] = {
     import raw.sparkSession.implicits._
     val parsed = graft.sources.EventJson.parsed(raw, rawCol)
     val fieldEntries = measuredFields(rules).flatMap { f =>
@@ -450,7 +456,7 @@ object StreamingDetectors {
       if (ingestionClock) unix_timestamp(col("ingest_ts"))
       else coalesce(col("fields").getItem("ts").try_cast("long"),
         unix_timestamp(col("ingest_ts")))
-    val sev = parsed.select(
+    parsed.select(
         coalesce(col("fields").getItem(keyField), lit("__unknown__")).as("key"),
         coalesce(col("fields").getItem("event_id").try_cast("long"), lit(0L))
           .as("eventId"),
@@ -460,6 +466,12 @@ object StreamingDetectors {
           .as("fields"),
         col(rawCol).cast("string").as("original"))
       .as[SEvent]
+  }
+
+  def jsonPipeline(raw: DataFrame, rules: Seq[DetectionRule],
+      keyField: String, rawCol: String = "value",
+      ingestionClock: Boolean = false): DataFrame = {
+    val sev = parsedEvents(raw, rules, keyField, rawCol, ingestionClock)
     graft.sources.EventJson.serializeAlerts(alerts(sev, rules).toDF())
   }
 }

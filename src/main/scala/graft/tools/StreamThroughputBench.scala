@@ -1,0 +1,156 @@
+package graft.tools
+
+import graft.model._
+import graft.streaming.{SEvent, StreamingDetectors, StreamingThrottle}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Sustained streaming THROUGHPUT — the measurement behind the
+  * reference's one unanswered BASELINE row ("scales to millions of
+  * events per second", PRODUCT_OVERVIEW.md:166). StateScaleBench proves
+  * state SCALE (2M keys, kill/restore); this measures steady-state
+  * events/sec with the full production configuration live:
+  *
+  *  - phase `core`: [[SEvent]] stream → `alertsTws` (all three rule
+  *    kinds, per-rule containment structurally engaged — every arm
+  *    evaluates under `guarded`) → throttle (second transformWithState
+  *    stage, its own store + exchange) → noop sink. RocksDB provider +
+  *    changelog checkpointing, the large-state posture.
+  *  - phase `topology`: the reference's whole Kafka-to-Kafka dataflow
+  *    minus the broker — raw JSON in → parse/null-filter/keyBy →
+  *    `alertsTws` → throttle → JSON-serialize out → noop. This is the
+  *    number comparable to the reference claim (its counts include
+  *    deserialization).
+  *
+  * Workload: `batches` x `perBatch` events (defaults 24 x 500k = 12M)
+  * over a fixed 100k-key population, values 0..99 so the threshold rule
+  * fires on ~4% of events, the stat rule keeps a full 10-deep window per
+  * key, and the rate deque stays loaded (3600 s window, per-key interval
+  * short enough that nothing evicts) — the worst steady state for the
+  * rate rule's memory, the honest one for its cost.
+  *
+  * Reported per phase: per-batch wall times, steady-state events/sec
+  * (batches after the first `warm`), and batch-time p50/p95, as one JSON
+  * line. Run:
+  *   sbt "runMain graft.tools.StreamThroughputBench [core|topology] [perBatch] [batches]"
+  * with SPARK_GRAFT_MASTER=local[32] (default) or
+  * local-cluster[4,8,8192] (export SPARK_SCALA_VERSION=2.13). */
+object StreamThroughputBench {
+
+  private val rules: Seq[DetectionRule] = Seq(
+    ThresholdRule("t1", "value", 95.0),
+    RateRule("r1", "key", 3600, 5.0),
+    StatisticalRule("s1", "value", windowSize = 10, deviationFactor = 3.0))
+
+  private val nKeys = 100000L
+  private val warm = 3
+
+  private def pct(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s((p * (s.size - 1)).round.toInt)
+  }
+
+  /** Where the batch went: per-stateful-operator update/commit time from
+    * the progress metrics — the measured basis for naming the bottleneck
+    * (detector loop vs RocksDB commit vs everything else). */
+  private def opBreakdown(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : String = {
+    val p = q.lastProgress
+    p.stateOperators.zipWithIndex.map { case (so, i) =>
+      f"op$i upd=${so.allUpdatesTimeMs / 1000.0}%.1fs " +
+        f"commit=${so.commitTimeMs / 1000.0}%.1fs rows=${so.numRowsTotal}"
+    }.mkString("  ")
+  }
+
+  private def summarize(tag: String, times: Seq[Double], perBatch: Int): String = {
+    val steady = times.drop(warm)
+    val eps = steady.size.toLong * perBatch / steady.sum
+    f"""{"phase":"$tag","batches":${times.size},"per_batch":$perBatch,""" +
+      f""""steady_events_per_sec":${eps.round},"batch_p50_s":${pct(steady, 0.5)}%.2f,""" +
+      f""""batch_p95_s":${pct(steady, 0.95)}%.2f,"total_s":${times.sum}%.1f}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val phase = args.headOption.getOrElse("all")
+    val perBatch = args.lift(1).map(_.toInt).getOrElse(500000)
+    val batches = args.lift(2).map(_.toInt).getOrElse(24)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val spark = graft.sources.Sessions.builder(master, 32)
+      .config("spark.executor.memory", "7g")
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    // purge committed MemoryStream batches promptly: at the default
+    // retention (100 batches) the driver pins every generated event for
+    // the whole run (~12M objects), and the resulting full GCs showed up
+    // as 50 s batch-time spikes that were harness artifact, not pipeline
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val summaries = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    if (phase == "all" || phase == "core") {
+      val ms = MemoryStream[SEvent]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stb-core").toString
+      val q = StreamingThrottle.throttled(
+          StreamingDetectors.alertsTws(ms.toDS(), rules), 600L)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      val times = Seq.newBuilder[Double]
+      try {
+        (0 until batches).foreach { b =>
+          val evs = (0 until perBatch).map { i =>
+            val id = b.toLong * perBatch + i
+            SEvent(s"k${id % nKeys}", id, id / 1000,
+              Map("value" -> (id % 100).toDouble), "{}")
+          }
+          ms.addData(evs)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
+          times += dt
+          println(f"core b$b%-3d ${dt}%6.2f s  ${perBatch / dt}%,.0f ev/s  " +
+            opBreakdown(q))
+        }
+      } finally q.stop()
+      summaries += summarize("core", times.result(), perBatch)
+    }
+
+    if (phase == "all" || phase == "topology") {
+      val ms = MemoryStream[String]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stb-topo").toString
+      val sev = StreamingDetectors.parsedEvents(
+        ms.toDS().toDF("value"), rules, keyField = "user_id")
+      val q = graft.sources.EventJson.serializeAlerts(
+          StreamingThrottle.throttled(
+            StreamingDetectors.alertsTws(sev, rules), 600L).toDF())
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      val times = Seq.newBuilder[Double]
+      try {
+        (0 until batches).foreach { b =>
+          val raw = (0 until perBatch).map { i =>
+            val id = b.toLong * perBatch + i
+            s"""{"user_id":"u${id % nKeys}","event_id":$id,"ts":${id / 1000},"value":${id % 100}}"""
+          }
+          ms.addData(raw)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
+          times += dt
+          println(f"topo b$b%-3d ${dt}%6.2f s  ${perBatch / dt}%,.0f ev/s  " +
+            opBreakdown(q))
+        }
+      } finally q.stop()
+      summaries += summarize("topology", times.result(), perBatch)
+    }
+
+    summaries.foreach(println)
+    spark.stop()
+  }
+}
