@@ -150,6 +150,44 @@ object StreamThroughputBench {
       summaries += summarize("topology", times.result(), perBatch)
     }
 
+    if (phase == "all" || phase == "batchref") {
+      // the same events through the BATCH detector plans + throttle —
+      // the price floor the micro-batch path is measured against: one
+      // windowed whole-stage-codegen pass, no per-event state store, no
+      // per-batch commit. The streaming-vs-batch ratio IS the measured
+      // cost of incremental delivery (exactly-once RocksDB state + the
+      // typed processor boundary), paid back in latency: the batch plan
+      // answers once, the stream answers every trigger.
+      import org.apache.spark.sql.functions.{concat, expr, lit, timestamp_micros}
+      val n = batches.toLong * perBatch
+      val ev = spark.range(n).select(
+          org.apache.spark.sql.functions.col("id").as("event_id"),
+          (expr("id div 1000") * lit(1000000000L)).as("ts_ns"),
+          concat(lit("k"), expr(s"id % $nKeys")).as("user_id"),
+          lit("evt").as("event_type"),
+          expr("CAST(id % 100 AS DOUBLE)").as("value"),
+          lit("{}").as("props"))
+        .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      // same rule set, batch column names (the stream keys on SEvent.key;
+      // the batch frame keys on user_id)
+      val batchRules: Seq[DetectionRule] = Seq(
+        ThresholdRule("t1", "value", 95.0),
+        RateRule("r1", "user_id", 3600, 5.0),
+        StatisticalRule("s1", "value", windowSize = 10, deviationFactor = 3.0))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Detectors.throttle(
+            graft.operators.Detectors.allAlerts(ev, batchRules), 600L)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"batchref ${dt}%6.2f s  ${n / dt}%,.0f ev/s ($n events)")
+        dt
+      }
+      summaries += f"""{"phase":"batchref","events":$n,""" +
+        f""""events_per_sec":${(n / times.min).round},"wall_s":${times.min}%.1f}"""
+    }
+
     summaries.foreach(println)
     spark.stop()
   }
