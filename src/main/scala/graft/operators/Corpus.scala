@@ -748,6 +748,91 @@ object Corpus {
        |    // (count(*) * $packBudget) AS fill_fp
        |FROM packs GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------- balanced shard plan
+
+  private[graft] val planShards = 8
+
+  /** Token-BALANCED shard assignment — the write-planning step before a
+    * training export: [[seqPacking]] fills packs in arrival order inside
+    * hash shards, which balances DOC COUNTS but lets token mass skew when
+    * long docs clump; this operator instead plans shards so every shard
+    * carries near-equal token mass, the property that equalizes epoch
+    * wall-clock across data-parallel readers.
+    *
+    * Algorithm: serpentine (snake / boustrophedon) assignment over the
+    * size-sorted corpus — rank docs by (n_tokens desc, doc_id), then deal
+    * rank r to shard `r mod S` on even blocks and `S-1 - r mod S` on odd
+    * blocks. The zigzag cancels the within-block monotonicity of the deal,
+    * so shard totals differ by at most one block's spread — the standard
+    * O(1)-state alternative to greedy LPT (which needs a sequential heap
+    * and is NOT expressible as a distributed plan).
+    *
+    * Scale shape — the one global ORDER is computed WITHOUT a single-task
+    * sort: `Window.orderBy` with no partition key would pull the corpus
+    * through one task, so the rank comes from a range-repartitioned
+    * within-partition sort plus `zipWithIndex` (partition-count prefix
+    * offsets + local position — one extra count job, no driver data).
+    * This is the (d)-tier RDD escape hatch, justified: Spark SQL has no
+    * distributed global row_number. Rank determinism does not depend on
+    * the sampled range boundaries — partitions are range-disjoint and
+    * internally sorted, so offset+position reproduces the unique total
+    * order (n_tokens desc, doc_id asc) whatever the boundary sample drew.
+    * Everything after the rank is per-row arithmetic + one S-row agg.
+    *
+    * Output per shard: doc count, token mass, largest single doc, and the
+    * shard's share of corpus tokens in 1e-6 fixed point (exact-int-to-
+    * double conversions + one IEEE divide + floor — deterministic
+    * cross-engine). ShardPlanSpec pins the balance property itself. */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = planShards
+    val sized = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+    val ranked = sized
+      .repartitionByRange(col("n_tokens").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id").asc)
+      .as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((docId, nTok), rn) => (docId, nTok, rn) }
+      .toDF("doc_id", "n_tokens", "rn")
+    val assigned = ranked
+      .withColumn("shard",
+        when(expr(s"(rn div $S) % 2") === 0L, expr(s"rn % $S"))
+          .otherwise(lit(S - 1L) - expr(s"rn % $S")))
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        max("n_tokens").as("max_doc_tokens"))
+      .crossJoin(broadcast(sized.agg(sum("n_tokens").as("corpus_tokens"))))
+      .withColumn("tok_share_fp",
+        floor(col("total_tokens").cast("double") * 1000000.0 /
+          col("corpus_tokens").cast("double")).cast("long"))
+      .select("shard", "n_docs", "total_tokens", "max_doc_tokens",
+        "tok_share_fp")
+  }
+
+  val shardPlanSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(${Dedup.tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+       |  FROM t
+       |), a AS (
+       |  SELECT n_tokens,
+       |    CAST(CASE WHEN (rn // $planShards) % 2 = 0 THEN rn % $planShards
+       |      ELSE ${planShards - 1} - (rn % $planShards) END AS BIGINT) AS shard
+       |  FROM r
+       |)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  max(n_tokens) AS max_doc_tokens,
+       |  CAST(floor(CAST(sum(n_tokens) AS DOUBLE) * 1000000.0 /
+       |    CAST((SELECT sum(n_tokens) FROM t) AS DOUBLE)) AS BIGINT)
+       |    AS tok_share_fp
+       |FROM a GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- shard export
 
   /** Training-shard sink: the corpus written as a partitioned parquet
@@ -1144,6 +1229,7 @@ object Corpus {
     "corpus_split" -> (corpusSplit _),
     "grouped_split_audit" -> (groupedSplitAudit _),
     "packing_efficiency" -> (packingEfficiency _),
+    "shard_plan" -> (shardPlan _),
     "corpus_sample" -> (corpusSample _),
     "corpus_importance_sample" -> (corpusImportanceSample _),
     "corpus_mixture" -> (corpusMixture _),
@@ -1166,6 +1252,7 @@ object Corpus {
     "corpus_split" -> corpusSplitSql,
     "grouped_split_audit" -> groupedSplitAuditSql,
     "packing_efficiency" -> packingEfficiencySql,
+    "shard_plan" -> shardPlanSql,
     "corpus_sample" -> corpusSampleSql,
     "corpus_importance_sample" -> corpusImportanceSampleSql,
     "corpus_mixture" -> corpusMixtureSql,

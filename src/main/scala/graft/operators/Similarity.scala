@@ -1850,6 +1850,67 @@ object Similarity {
        |  FROM p)
        |WHERE rn <= 3""".stripMargin
 
+  // ------------------------------------- semantic eval decontamination
+
+  private[graft] val semDecontMod = 10L
+  private[graft] val semDecontThreshold = 0.40
+
+  /** SEMANTIC benchmark decontamination — the embedding-space sibling of
+    * [[graft.operators.Corpus.decontaminate]]'s shingle gate: flag every
+    * training vector whose cosine to ANY held-out eval vector reaches the
+    * radius, and report its single closest eval match. N-gram overlap
+    * misses paraphrased/translated eval leakage; cosine-to-eval is the
+    * production answer (the GPT-3/PaLM appendix-style semantic dedup
+    * against test sets), and it belongs beside the lexical gate so a
+    * corpus run can apply both. Here the deterministic 10% slice
+    * `vec_id % 10 == 0` stands in for the benchmark suite, exactly as
+    * `doc_id % 47 == 3` stands in for it on the lexical side.
+    *
+    * Scale shape — and why this is NOT the O(n²) audit: an eval suite is
+    * small BY CONSTRUCTION (thousands to low millions of items), so the
+    * eval side broadcasts and the corpus makes ONE linear pass with the
+    * codegen'd dot kernel in the scan loop — no shuffle at all until the
+    * (tiny) surviving hit set ranks per vector. At an eval size where the
+    * broadcast stops fitting, the same query runs on the IVF cell index
+    * ([[semanticDedup]]'s shape) with recall traded per
+    * [[annRecallAudit]]; the exact broadcast form is the right default.
+    * Threshold semantics: `sim_r` is already on the 1e-6 grid
+    * ([[simRound]]), compared against the same literal in both engines. */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val ev = all.filter(col("vec_id") % semDecontMod === 0L)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("norm").as("en"))
+    val corpus = all.filter(col("vec_id") % semDecontMod =!= 0L)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim_r").desc, col("eval_id").asc)
+    corpus.crossJoin(broadcast(ev))
+      .withColumn("sim_r",
+        simRound(dot(col("v"), col("ev")) / (col("norm") * col("en"))))
+      .filter(col("sim_r") >= semDecontThreshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("eval_id"), col("sim_r"))
+  }
+
+  val decontaminateSemanticSql: String =
+    s"""WITH $vecsSql,
+       |e AS (
+       |  SELECT vec_id AS eval_id, v, norm FROM vn
+       |  WHERE vec_id % $semDecontMod = 0
+       |), c AS (
+       |  SELECT * FROM vn WHERE vec_id % $semDecontMod <> 0
+       |), p AS (
+       |  SELECT c.vec_id, e.eval_id,
+       |    ${simRoundSql(dotSql("c.v", "e.v") + " / (c.norm * e.norm)")} AS sim_r
+       |  FROM c CROSS JOIN e
+       |)
+       |SELECT vec_id, eval_id, sim_r FROM (
+       |  SELECT vec_id, eval_id, sim_r,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim_r DESC, eval_id) AS rn
+       |  FROM p WHERE sim_r >= $semDecontThreshold)
+       |WHERE rn = 1""".stripMargin
+
   /** Per-label embedding-norm profile — the "is this embedding table
     * healthy" audit query (collapsed norms = dead encoder; wild norms =
     * unnormalized mixture). One pass: the codegen'd dot kernel computes
@@ -2455,6 +2516,7 @@ object Similarity {
     "ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "cluster_keywords" -> (clusterKeywords _),
     "semantic_dedup" -> (semanticDedup _),
+    "decontaminate_semantic" -> (decontaminateSemantic _),
     "knn_graph" -> (knnGraph _),
     "embedding_dedup_incremental" -> (embeddingDedupIncremental _),
     "embedding_jl_distortion" -> (jlDistortion _),
@@ -2483,6 +2545,7 @@ object Similarity {
     "ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "cluster_keywords" -> clusterKeywordsSql,
     "semantic_dedup" -> semanticDedupSql,
+    "decontaminate_semantic" -> decontaminateSemanticSql,
     "knn_graph" -> knnGraphSql,
     "embedding_dedup_incremental" -> embeddingDedupIncrementalSql,
     "embedding_jl_distortion" -> jlDistortionSql,

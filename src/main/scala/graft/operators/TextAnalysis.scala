@@ -1612,6 +1612,185 @@ object TextAnalysis {
        |  (c.n * 1000000) // t.n_true AS share_fp
        |FROM cells c JOIN tot t ON c.lang = t.lang""".stripMargin
 
+  // ------------------------------------- trained Naive-Bayes classifier
+
+  private[graft] val nbTestMod = 4L
+
+  /** TRAINED language classifier — multinomial Naive Bayes with add-one
+    * smoothing, the fastText-lite shape production pipelines run when the
+    * [[langId]] lexicon heuristic isn't enough: train per-language unigram
+    * counts on 3/4 of the corpus (`doc_id % 4 != 0`), classify the
+    * held-out 1/4, and report the (true, predicted) confusion matrix —
+    * directly comparable to [[langIdConfusion]], the heuristic's matrix,
+    * on the same fixture.
+    *
+    * Cross-engine exactness — NB is `argmax_L log P(L) + Σ log P(w|L)`,
+    * and `ln` has no bit-agreement guarantee between libms, so the score
+    * substitutes a FRACTIONAL-bit surprisal with no transcendental call:
+    *   - whole bits: ceil(−log2 p) as the exact bit-length integer
+    *     ([[lmPerplexity]]'s trick — num > (den−1) >> sft, shift-side,
+    *     overflow-free);
+    *   - fraction: Mitchell's approximation log2(m) ≈ m−1 on the
+    *     mantissa m = p·2^bits ∈ [1,2), so the per-occurrence score is
+    *     the integer  bits·2^16 − floor((m−1)·2^16).  m comes from two
+    *     IEEE ops on exact integers (num/den, then ·2^bits — an exact
+    *     power of two), so every engine computes the same bits; floor
+    *     pins the fraction to 1/65536-bit granularity; per-doc totals
+    *     are exact order-free integer sums. Mitchell's error (< 0.086
+    *     bits, monotone in m) cancels further across the ~L-symmetric
+    *     occurrence sums; ties break on label asc.
+    * The decision is deterministic in both engines and faithful to the
+    * true log-likelihood argmax at sub-tenth-of-a-bit resolution.
+    *
+    * Scale shape: training is one (lang, term)-keyed map-combinable count
+    * agg (the model IS counts — NB's training pass is embarrassingly
+    * mergeable, why it fits a 100 TB corpus); label marginals are an
+    * L-row broadcast. Scoring joins the doc-distinct test terms against
+    * the model on (lang, term) — a term-keyed hash join carrying k, never
+    * text — then one (doc, label) agg and a size-L argmin window per doc.
+    * Nothing driver-side; L (=5) bounds the fan-out factor.
+    *
+    * Fixture note: the synthetic corpus draws every language's text from
+    * the SAME vocabulary (no per-language lexicon salt), so the trained
+    * posterior is dominated by the class prior and the matrix collapses
+    * toward the majority column — the CORRECT Bayes answer on
+    * label-independent text, pinned by NbLangClassifySpec; on a real
+    * multilingual corpus the same plan yields the fastText-style
+    * diagonal. */
+  def nbLangClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+    val train = tk.filter(col("doc_id") % nbTestMod =!= 0L)
+    val test = tk.filter(col("doc_id") % nbTestMod === 0L)
+
+    val cw = train.groupBy("lang", "term").agg(count(lit(1)).as("cw"))
+    val cl = cw.groupBy("lang").agg(sum("cw").as("cl"))
+    val vv = train.agg(countDistinct("term").as("v"))
+    val nd = train.groupBy("lang").agg(countDistinct("doc_id").as("nd"))
+    val nt = nd.agg(sum("nd").as("n_train"), count(lit(1)).as("n_labels"))
+
+    // fractional-bit surprisal of the exact rational num/den:
+    //   bits·2^16 − floor((num/den·2^bits − 1)·2^16)
+    def fracBits(num: Column, den: Column): Column = {
+      val sft = (length(bin(den)) - length(bin(num))).cast("int")
+      val bits = when(num > call_function("shiftright", den - 1, sft), sft)
+        .otherwise(sft + 1).cast("long")
+      val m = num.cast("double") / den.cast("double") *
+        pow(lit(2.0), bits.cast("double"))
+      bits * 65536L - floor((m - 1.0) * 65536.0).cast("long")
+    }
+
+    val lab = cl.join(nd, "lang").crossJoin(vv).crossJoin(nt)
+      .withColumn("prior_sfp",
+        fracBits(col("nd") + 1L, col("n_train") + col("n_labels")))
+      .select(col("lang").as("m_lang"), col("cl"), col("v"), col("prior_sfp"))
+
+    val dt = test.groupBy(col("doc_id"), col("lang").as("true_lang"), col("term"))
+      .agg(count(lit(1)).as("k"))
+    val sr = dt.crossJoin(broadcast(lab))
+      .join(cw.select(col("lang").as("m_lang"), col("term"), col("cw")),
+        Seq("m_lang", "term"), "left")
+      .withColumn("s_fp",
+        fracBits(coalesce(col("cw"), lit(0L)) + 1L, col("cl") + col("v")))
+    val ds = sr
+      .groupBy("doc_id", "true_lang", "m_lang", "prior_sfp")
+      .agg(sum(col("k") * col("s_fp")).as("lk_sfp"))
+      .withColumn("total_sfp", col("lk_sfp") + col("prior_sfp"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("total_sfp").asc, col("m_lang").asc)
+    val cells = ds.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_lang").as("lang"), col("m_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("lang").agg(sum("n").as("n_true"))
+    cells.join(tot, "lang")
+      .withColumn("share_fp", expr("(n * 1000000) div n_true"))
+      .select("lang", "pred_lang", "n", "n_true", "share_fp")
+  }
+
+  val nbLangClassifySql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, unnest(${tokensSql("text")}) AS term
+       |  FROM documents
+       |), tr AS (
+       |  SELECT * FROM tk WHERE doc_id % $nbTestMod <> 0
+       |), te AS (
+       |  SELECT * FROM tk WHERE doc_id % $nbTestMod = 0
+       |), cw AS (
+       |  SELECT lang, term, count(*) AS cw FROM tr GROUP BY 1, 2
+       |), cl AS (
+       |  SELECT lang, CAST(sum(cw) AS BIGINT) AS cl FROM cw GROUP BY 1
+       |), vv AS (
+       |  SELECT count(DISTINCT term) AS v FROM tr
+       |), nd AS (
+       |  SELECT lang, count(DISTINCT doc_id) AS nd FROM tr GROUP BY 1
+       |), nt AS (
+       |  SELECT CAST(sum(nd) AS BIGINT) AS n_train, count(*) AS n_labels
+       |  FROM nd
+       |), lab0 AS (
+       |  SELECT cl.lang AS m_lang, cl.cl, vv.v,
+       |    nd.nd + 1 AS num_p, nt.n_train + nt.n_labels AS den_p
+       |  FROM cl JOIN nd USING (lang) CROSS JOIN vv CROSS JOIN nt
+       |), lab1 AS (
+       |  SELECT m_lang, cl, v, num_p, den_p,
+       |    length(bin(den_p)) - length(bin(num_p)) AS sft_p
+       |  FROM lab0
+       |), lab2 AS (
+       |  SELECT m_lang, cl, v, num_p, den_p,
+       |    CAST(CASE WHEN num_p > ((den_p - 1) >> sft_p) THEN sft_p
+       |      ELSE sft_p + 1 END AS BIGINT) AS bits_p
+       |  FROM lab1
+       |), lab AS (
+       |  SELECT m_lang, cl, v,
+       |    bits_p * 65536 - CAST(floor(
+       |      (CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE)
+       |        * pow(2.0, CAST(bits_p AS DOUBLE)) - 1.0) * 65536.0)
+       |      AS BIGINT) AS prior_sfp
+       |  FROM lab2
+       |), dt AS (
+       |  SELECT doc_id, lang AS true_lang, term, count(*) AS k
+       |  FROM te GROUP BY 1, 2, 3
+       |), sr AS (
+       |  SELECT dt.doc_id, dt.true_lang, lab.m_lang, lab.prior_sfp, dt.k,
+       |    coalesce(cw.cw, 0) + 1 AS num, lab.cl + lab.v AS den
+       |  FROM dt CROSS JOIN lab
+       |  LEFT JOIN cw ON cw.lang = lab.m_lang AND cw.term = dt.term
+       |), sb AS (
+       |  SELECT doc_id, true_lang, m_lang, prior_sfp, k,
+       |    num, den, length(bin(den)) - length(bin(num)) AS sft
+       |  FROM sr
+       |), sb2 AS (
+       |  SELECT doc_id, true_lang, m_lang, prior_sfp, k, num, den,
+       |    CAST(CASE WHEN num > ((den - 1) >> sft) THEN sft
+       |      ELSE sft + 1 END AS BIGINT) AS bits
+       |  FROM sb
+       |), sc AS (
+       |  SELECT doc_id, true_lang, m_lang, prior_sfp,
+       |    k * (bits * 65536 - CAST(floor(
+       |      (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |        * pow(2.0, CAST(bits AS DOUBLE)) - 1.0) * 65536.0)
+       |      AS BIGINT)) AS ks
+       |  FROM sb2
+       |), ds AS (
+       |  SELECT doc_id, true_lang, m_lang,
+       |    CAST(sum(ks) AS BIGINT) + prior_sfp AS total_sfp
+       |  FROM sc GROUP BY doc_id, true_lang, m_lang, prior_sfp
+       |), pr AS (
+       |  SELECT doc_id, true_lang, m_lang AS pred_lang,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY total_sfp ASC, m_lang ASC) AS rn
+       |  FROM ds
+       |), cells AS (
+       |  SELECT true_lang AS lang, pred_lang, count(*) AS n
+       |  FROM pr WHERE rn = 1 GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1
+       |)
+       |SELECT c.lang, c.pred_lang, c.n, t.n_true,
+       |  (c.n * 1000000) // t.n_true AS share_fp
+       |FROM cells c JOIN tot t ON c.lang = t.lang""".stripMargin
+
   // ---------------------------------------------- PMI collocation mining
 
   private val pmiMinSupport = 5
@@ -1698,6 +1877,7 @@ object TextAnalysis {
     "pmi_collocations" -> (pmiCollocations _),
     "bpe_coverage" -> (bpeCoverage _),
     "lang_id_confusion" -> (langIdConfusion _),
+    "nb_lang_classify" -> (nbLangClassify _),
     "bpe_roundtrip" -> (bpeRoundtrip _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "gopher_rules" -> (gopherRules _),
@@ -1728,6 +1908,7 @@ object TextAnalysis {
     "pmi_collocations" -> pmiCollocationsSql,
     "bpe_coverage" -> bpeCoverageSql,
     "lang_id_confusion" -> langIdConfusionSql,
+    "nb_lang_classify" -> nbLangClassifySql,
     "bpe_roundtrip" -> bpeRoundtripSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "gopher_rules" -> gopherRulesSql,
