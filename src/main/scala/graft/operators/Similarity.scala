@@ -1911,6 +1911,119 @@ object Similarity {
        |  FROM p WHERE sim_r >= $semDecontThreshold)
        |WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------- margin-based bitext mining
+
+  private[graft] val bitextK = 4
+  private[graft] val bitextMarginFp = 1200000L
+
+  /** Margin-based BITEXT MINING — the ratio-margin criterion of Artetxe &
+    * Schwenk 2019 ("Margin-based Parallel Corpus Mining with Multilingual
+    * Sentence Embeddings", the CCMatrix/LASER recipe): a cross-language
+    * pair (x, y) is a translation candidate not when its cosine is high
+    * in absolute terms but when it is high RELATIVE to each side's
+    * nearest-neighbor neighborhood —
+    *   margin(x,y) = cos(x,y) / ((avg_{z∈NNk(x)} cos + avg_{w∈NNk(y)} cos)/2)
+    * — which cancels the hubness that makes raw-cosine mining swamp the
+    * output with generic sentences. Sides here are the deterministic
+    * label-parity split of the embedding fixture (even labels = source
+    * pool, odd = target pool); output is each source vector's single best
+    * candidate with ratio margin ≥ 1.2.
+    *
+    * Cross-engine exactness: per-pair cosine quantizes to a 1e-6
+    * fixed-point LONG immediately (one deterministic IEEE chain), so the
+    * top-k neighborhood sums are exact order-free integer sums and the
+    * margin is one positive integer division — `(cos_fp·2k·1e6) div
+    * (sa+sb)` — with ties broken on dst asc. No float crosses an
+    * aggregation anywhere.
+    *
+    * Scale shape: this is the EXACT audit form (the same contract as
+    * [[neardupPairs]], enforced by the same [[auditMaxRows]] cap): the
+    * pair table is one nested-loop join with the codegen'd dot kernel,
+    * materialized ONCE ([[Dedup.eager]]) and reused for both neighborhood
+    * sums and candidate scoring; the per-side top-k runs on the bounded
+    * heap ([[graft.plans.TopKPerKey]]), so nothing wider than
+    * (src, dst, cos_fp) shuffles. The production path at mining scale
+    * swaps the exact pair table for the IVF shortlist ([[knnGraph]]'s
+    * shape) and keeps the margin algebra unchanged. */
+  def bitextMining(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("norm") > 0.0)
+    val n = base.count()
+    require(n <= auditMaxRows,
+      s"bitextMining is the exact-pair audit: $n vectors exceed the " +
+        s"$auditMaxRows cap. Mine at scale from the IVF shortlist " +
+        "(knnGraph) with the same margin algebra.")
+    val a = base.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("src"), col("v").as("av"), col("norm").as("an"))
+    val b = base.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("dst"), col("v").as("bv"), col("norm").as("bn"))
+    val pairs = Dedup.eager(
+      a.crossJoin(b)
+        .withColumn("cos_fp",
+          floor(dot(col("av"), col("bv")) / (col("an") * col("bn"))
+            * 1000000.0 + 0.5).cast("long"))
+        .select("src", "dst", "cos_fp"))
+    val sa = graft.plans.TopKPerKey.topK(pairs, Seq(col("src")),
+        Seq(col("cos_fp").desc, col("dst").asc), bitextK)
+      .groupBy("src").agg(sum("cos_fp").as("sa"))
+    val sb = graft.plans.TopKPerKey.topK(pairs, Seq(col("dst")),
+        Seq(col("cos_fp").desc, col("src").asc), bitextK)
+      .groupBy("dst").agg(sum("cos_fp").as("sb"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("margin_fp").desc, col("dst").asc)
+    pairs.join(sa, "src").join(sb, "dst")
+      .filter(col("cos_fp") > 0L && (col("sa") + col("sb")) > 0L)
+      .withColumn("margin_fp",
+        expr(s"(cos_fp * ${2 * bitextK} * 1000000) div (sa + sb)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("margin_fp") >= bitextMarginFp)
+      .select(col("src"), col("dst"), col("cos_fp"), col("margin_fp"))
+  }
+
+  val bitextMiningSql: String =
+    s"""WITH v0 AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), b0 AS (
+       |  SELECT * FROM (SELECT vec_id, label, v,
+       |    sqrt(${dotSql("v", "v")}) AS norm FROM v0)
+       |  WHERE norm > 0.0
+       |), a AS (
+       |  SELECT vec_id AS src, v AS av, norm AS an FROM b0 WHERE label % 2 = 0
+       |), b AS (
+       |  SELECT vec_id AS dst, v AS bv, norm AS bn FROM b0 WHERE label % 2 = 1
+       |), p AS (
+       |  SELECT src, dst,
+       |    CAST(floor(${dotSql("av", "bv")} / (an * bn) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS cos_fp
+       |  FROM a CROSS JOIN b
+       |), sa AS (
+       |  SELECT src, CAST(sum(cos_fp) AS BIGINT) AS sa FROM (
+       |    SELECT src, cos_fp,
+       |      row_number() OVER (PARTITION BY src
+       |        ORDER BY cos_fp DESC, dst) AS rn
+       |    FROM p) WHERE rn <= $bitextK GROUP BY 1
+       |), sb AS (
+       |  SELECT dst, CAST(sum(cos_fp) AS BIGINT) AS sb FROM (
+       |    SELECT dst, cos_fp,
+       |      row_number() OVER (PARTITION BY dst
+       |        ORDER BY cos_fp DESC, src) AS rn
+       |    FROM p) WHERE rn <= $bitextK GROUP BY 1
+       |), m AS (
+       |  SELECT p.src, p.dst, p.cos_fp,
+       |    (p.cos_fp * ${2 * bitextK} * 1000000) // (sa.sa + sb.sb)
+       |      AS margin_fp
+       |  FROM p JOIN sa ON sa.src = p.src JOIN sb ON sb.dst = p.dst
+       |  WHERE p.cos_fp > 0 AND sa.sa + sb.sb > 0
+       |)
+       |SELECT src, dst, cos_fp, margin_fp FROM (
+       |  SELECT m.*, row_number() OVER (PARTITION BY src
+       |    ORDER BY margin_fp DESC, dst) AS rn FROM m)
+       |WHERE rn = 1 AND margin_fp >= $bitextMarginFp""".stripMargin
+
   /** Per-label embedding-norm profile — the "is this embedding table
     * healthy" audit query (collapsed norms = dead encoder; wild norms =
     * unnormalized mixture). One pass: the codegen'd dot kernel computes
@@ -2517,6 +2630,7 @@ object Similarity {
     "cluster_keywords" -> (clusterKeywords _),
     "semantic_dedup" -> (semanticDedup _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
+    "bitext_mining" -> (bitextMining _),
     "knn_graph" -> (knnGraph _),
     "embedding_dedup_incremental" -> (embeddingDedupIncremental _),
     "embedding_jl_distortion" -> (jlDistortion _),
@@ -2546,6 +2660,7 @@ object Similarity {
     "cluster_keywords" -> clusterKeywordsSql,
     "semantic_dedup" -> semanticDedupSql,
     "decontaminate_semantic" -> decontaminateSemanticSql,
+    "bitext_mining" -> bitextMiningSql,
     "knn_graph" -> knnGraphSql,
     "embedding_dedup_incremental" -> embeddingDedupIncrementalSql,
     "embedding_jl_distortion" -> jlDistortionSql,
