@@ -986,6 +986,100 @@ object Corpus {
        |  count(DISTINCT eval_id) AS n_eval_docs
        |FROM tr JOIN e USING (sh) GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- curation funnel
+
+  /** CURATION FUNNEL — per-document drop attribution across the corpus
+    * gates, in pipeline order: every document is assigned the FIRST stage
+    * that removes it (eval holdout → near-duplicate cluster loser →
+    * quality-score gate → n-gram eval contamination → kept), and the
+    * funnel reports each stage's document count and corpus share. This is
+    * the audit a pipeline team reads before touching thresholds: the
+    * existing queries say WHO each gate drops; this one says WHERE each
+    * document exits, so a threshold change's blast radius is one query
+    * away (and `kept`'s share is the corpus yield number a run reports).
+    *
+    * Stage semantics reuse the shipped gates verbatim — near-dup loser =
+    * NOT [[dedupClusters]]' `is_keeper` (component-min survivorship over
+    * the exact+Jaccard edge graph), quality = [[corpusClean]]'s
+    * `quality_score < 0.2` on the same [[TextAnalysis.textStatsOf]]
+    * score (docs the stats cannot score, i.e. zero-token, count as
+    * fail), contamination = [[decontaminate]]'s shared-shingle hit on
+    * the `doc_id % 47 == 3` eval slice — so the funnel can never
+    * disagree with the gates it summarizes.
+    *
+    * Scale shape: three flag frames, each itself the gate's own shape
+    * (the component propagation; the stats projection; the shingle
+    * semi-join), joined back on doc_id — hash joins on the primary key,
+    * no payload wider than a boolean/double after each gate's own scan.
+    * The final agg is ≤5 rows; the corpus total rides a 1-row broadcast,
+    * so shares are integer division, not a driver count. */
+  /** Per-document stage assignment behind [[curationFunnel]], exposed so
+    * CurationFunnelSpec can pin first-failing semantics per doc. */
+  private[graft] def curationStages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nd = dedupClusters(spark, dir).filter(!col("is_keeper"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val qs = TextAnalysis.textStatsOf(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val ct = decontaminate(spark, dir).select(col("doc_id"), lit(true).as("hit"))
+    docs.select("doc_id")
+      .join(nd, Seq("doc_id"), "left")
+      .join(qs, Seq("doc_id"), "left")
+      .join(ct, Seq("doc_id"), "left")
+      .withColumn("stage_id",
+        when(col("doc_id") % decontEvalMod === decontEvalRem, 0L)
+          .when(coalesce(col("is_dup"), lit(false)), 1L)
+          .when(coalesce(col("quality_score"), lit(0.0)) < qualityMin, 2L)
+          .when(coalesce(col("hit"), lit(false)), 3L)
+          .otherwise(4L))
+      .select("doc_id", "stage_id")
+  }
+
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    curationStages(spark, dir).groupBy("stage_id").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("total"))))
+      .withColumn("stage",
+        when(col("stage_id") === 0L, "eval_holdout")
+          .when(col("stage_id") === 1L, "near_dup")
+          .when(col("stage_id") === 2L, "quality")
+          .when(col("stage_id") === 3L, "contaminated")
+          .otherwise("kept"))
+      .withColumn("share_fp", expr("(n_docs * 1000000) div total"))
+      .select("stage_id", "stage", "n_docs", "share_fp")
+  }
+
+  val curationFunnelSql: String =
+    s"""WITH ${TextAnalysis.textStatsCtes("documents")},
+       |qs AS (
+       |  SELECT doc_id, quality_score FROM (${TextAnalysis.textStatsSelect})
+       |), nd AS (
+       |  SELECT doc_id, TRUE AS is_dup FROM ($dedupClustersSql)
+       |  WHERE NOT is_keeper
+       |), ct AS (
+       |  SELECT doc_id, TRUE AS hit FROM ($decontaminateSql)
+       |), st AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN d.doc_id % $decontEvalMod = $decontEvalRem THEN 0
+       |      WHEN coalesce(nd.is_dup, FALSE) THEN 1
+       |      WHEN coalesce(qs.quality_score, 0.0) < $qualityMin THEN 2
+       |      WHEN coalesce(ct.hit, FALSE) THEN 3
+       |      ELSE 4 END AS BIGINT) AS stage_id
+       |  FROM documents d
+       |  LEFT JOIN nd USING (doc_id)
+       |  LEFT JOIN qs USING (doc_id)
+       |  LEFT JOIN ct USING (doc_id)
+       |), tot AS (
+       |  SELECT count(*) AS total FROM documents
+       |)
+       |SELECT stage_id,
+       |  CASE stage_id WHEN 0 THEN 'eval_holdout' WHEN 1 THEN 'near_dup'
+       |    WHEN 2 THEN 'quality' WHEN 3 THEN 'contaminated'
+       |    ELSE 'kept' END AS stage,
+       |  count(*) AS n_docs,
+       |  (count(*) * 1000000) // max(tot.total) AS share_fp
+       |FROM st CROSS JOIN tot GROUP BY stage_id""".stripMargin
+
   /** Temperature-rebalanced mixture PLANNER (the UniMax / multilingual
     * temperature-sampling shape, tau = 2): where [[corpusMixture]]
     * applies FIXED per-language weights, this derives them from the
@@ -1239,6 +1333,7 @@ object Corpus {
     "decontaminate_spans" -> (decontaminateSpans _),
     "corpus_report" -> (corpusReport _),
     "corpus_domain_cap" -> (domainCap _),
+    "curation_funnel" -> (curationFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1262,5 +1357,6 @@ object Corpus {
     "decontaminate_spans" -> decontaminateSpansSql,
     "corpus_report" -> corpusReportSql,
     "corpus_domain_cap" -> domainCapSql,
+    "curation_funnel" -> curationFunnelSql,
   )
 }
