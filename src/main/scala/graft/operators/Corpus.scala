@@ -833,6 +833,75 @@ object Corpus {
        |    AS tok_share_fp
        |FROM a GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------- quality-budget selection
+
+  private[graft] val selectBudgetTokens = 15000L
+
+  /** Token-BUDGET quality selection — "take the best documents until the
+    * budget is spent", the FineWeb-Edu-style curation step that turns a
+    * scored corpus plus a target token count into a training set: rank
+    * docs by ([[TextAnalysis.textStatsOf]] quality_score desc, doc_id),
+    * accumulate token counts in rank order, and keep every doc whose
+    * running total STARTS under the budget (the doc that crosses the line
+    * is kept whole — same spill rule as [[seqPacking]]; truncating it is
+    * the loader's decision, not the selector's).
+    *
+    * Scale shape — the global rank AND the global prefix-sum both run
+    * distributed: range-repartition on the sort key, then (1) one tiny
+    * job collects per-partition TOKEN SUBTOTALS (one long per partition),
+    * (2) the prefix offsets broadcast back and each partition streams its
+    * rows adding its own running sum — the textbook two-pass distributed
+    * scan, same shape [[shardPlan]] uses for ranks. No single-task
+    * window, no driver data beyond one long per partition. Selection
+    * determinism does not depend on the sampled range boundaries (the
+    * sort key (quality_score desc, doc_id) is a strict total order, so
+    * offset+position reproduce the same running sums whatever boundaries
+    * the sampler drew). The projection is evaluated once per pass (two
+    * scans of a 3-column frame); at 100 TB the first pass's subtotal job
+    * reads the same pruned columns, not the corpus text. */
+  def qualityBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = selectBudgetTokens
+    val scored = TextAnalysis.textStatsOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+      .repartitionByRange(col("quality_score").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("quality_score").desc, col("doc_id").asc)
+      .as[(Long, Double, Long)]
+    val rdd = scored.rdd
+    val subtotals = rdd
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator.single((i, it.map(_._3).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = subtotals.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.flatMap { case (docId, q, nTok) =>
+        val before = acc
+        acc += nTok
+        if (before < budget) Iterator.single((docId, q, nTok, before + nTok))
+        else Iterator.empty
+      }
+    }.toDF("doc_id", "quality_score", "n_tokens", "cum_tokens")
+  }
+
+  val qualityBudgetSelectSql: String =
+    s"""WITH ${TextAnalysis.textStatsCtes("documents")},
+       |q AS (
+       |  SELECT doc_id, quality_score, n_tokens
+       |  FROM (${TextAnalysis.textStatsSelect})
+       |), r AS (
+       |  SELECT doc_id, quality_score, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM q
+       |)
+       |SELECT doc_id, quality_score, n_tokens,
+       |  cum_before + n_tokens AS cum_tokens
+       |FROM r WHERE cum_before < $selectBudgetTokens""".stripMargin
+
   // ------------------------------------------------------- shard export
 
   /** Training-shard sink: the corpus written as a partitioned parquet
@@ -1334,6 +1403,7 @@ object Corpus {
     "corpus_report" -> (corpusReport _),
     "corpus_domain_cap" -> (domainCap _),
     "curation_funnel" -> (curationFunnel _),
+    "quality_budget_select" -> (qualityBudgetSelect _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1358,5 +1428,6 @@ object Corpus {
     "corpus_report" -> corpusReportSql,
     "corpus_domain_cap" -> domainCapSql,
     "curation_funnel" -> curationFunnelSql,
+    "quality_budget_select" -> qualityBudgetSelectSql,
   )
 }

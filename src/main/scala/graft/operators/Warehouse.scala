@@ -1977,6 +1977,55 @@ object Warehouse {
     ).mkString("\nUNION ALL\n")
   }
 
+  // ------------------------------------------------- salting planner
+
+  private[graft] val saltTargetRows = 64L
+
+  /** SALT PLAN — the executable follow-up to [[skewReport]]: where the
+    * report says WHETHER a key column is skewed, this emits the per-key
+    * salt map a two-phase salted aggregation/join actually consumes.
+    * Every `events.user_id` key whose row count exceeds the per-task
+    * target gets `salt_factor = ceil(count / target)` (exact integer
+    * ceil-division, `(n + T - 1) div T`); keys under the target are
+    * omitted — the salt map must stay BROADCASTABLE, and "absent means
+    * factor 1" is what keeps it O(hot keys), not O(keys), at 100 TB.
+    * `max_task_rows` = ceil(count / factor) shows the post-salt bound a
+    * reviewer checks against executor memory.
+    *
+    * This is the precomputed form of what the engineered operators do
+    * inline (salted agg in `user_activity_salted`, sliced windows via
+    * RateWindowRewrite, AQE skew-join splits — SCALE_NOTES): pipelines
+    * that must salt a STABLE hot-key population (daily joins against the
+    * same power users) plan it once and broadcast the map instead of
+    * re-detecting per query. Shape: one map-combinable count agg, a
+    * filter, per-row arithmetic — nothing wider than (key, two longs)
+    * ever moves. */
+  def saltPlan(spark: SparkSession, dir: String): DataFrame = {
+    val t = saltTargetRows
+    Tables.events(spark, dir)
+      .select(coalesce(col("user_id").cast("string"), lit("__unknown__")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > t)
+      .withColumn("salt_factor", expr(s"(n_rows + $t - 1) div $t"))
+      .withColumn("max_task_rows",
+        expr("(n_rows + salt_factor - 1) div salt_factor"))
+      .select("key", "n_rows", "salt_factor", "max_task_rows")
+  }
+
+  val saltPlanSql: String =
+    s"""WITH c AS (
+       |  SELECT coalesce(CAST(user_id AS VARCHAR), '__unknown__') AS "key",
+       |    count(*) AS n_rows
+       |  FROM events GROUP BY 1
+       |), f AS (
+       |  SELECT "key", n_rows,
+       |    (n_rows + $saltTargetRows - 1) // $saltTargetRows AS salt_factor
+       |  FROM c WHERE n_rows > $saltTargetRows
+       |)
+       |SELECT "key", n_rows, salt_factor,
+       |  (n_rows + salt_factor - 1) // salt_factor AS max_task_rows
+       |FROM f""".stripMargin
+
   // ------------------------------- TPC-H gap queries, fixture-adapted
   // (faithful Q2/Q9/Q11/Q16/Q20 need the partsupp table the fixtures do
   // not ship — supplycost/availqty have no stand-in — so each is adapted
@@ -2219,6 +2268,7 @@ object Warehouse {
     "q16_supplier_relation" -> (q16SupplierRelation _),
     "q20_excess_shipments" -> (q20ExcessShipments _),
     "skew_report" -> (skewReport _),
+    "salt_plan" -> (saltPlan _),
     "pit_features" -> (pitFeatures _),
     "revenue_concentration" -> (revenueConcentration _),
     "freshness_report" -> (freshnessReport _),
@@ -2266,6 +2316,7 @@ object Warehouse {
     "q16_supplier_relation" -> q16Sql,
     "q20_excess_shipments" -> q20Sql,
     "skew_report" -> skewReportSql,
+    "salt_plan" -> saltPlanSql,
     "pit_features" -> pitFeaturesSql,
     "revenue_concentration" -> revenueConcentrationSql,
     "freshness_report" -> freshnessReportSql,
