@@ -1873,6 +1873,218 @@ object TextAnalysis {
        |FROM s
        |ORDER BY pmi_bits DESC, c12 DESC, w1, w2 LIMIT $pmiTopN""".stripMargin
 
+  // ----------------------------------------------- winnowing fingerprints
+
+  private[graft] val winnowK = 3 // tokens per k-gram
+  private[graft] val winnowW = 4 // window of consecutive k-gram hashes
+
+  /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003 —
+    * the MOSS algorithm): positional token 3-grams hashed to 40-bit
+    * integers (md5-prefix, engine-portable), then in every window of
+    * [[winnowW]] consecutive gram hashes select the MINIMUM (ties →
+    * rightmost, the MOSS rule) and keep the distinct selections. Unlike
+    * [[fingerprint]] (whole-document digests) these are LOCAL
+    * fingerprints with the winnowing guarantee: any shared token run of
+    * length >= w + k - 1 (= 6 tokens here) between two documents shares
+    * at least one selected fingerprint, at an expected density of only
+    * 2/(w+1) of grams — the copy-detection primitive at corpus scale
+    * (equi-join docs on `fp` to find copied regions without ever
+    * comparing texts). Documents with fewer than w grams winnow one
+    * degenerate window covering all their grams.
+    *
+    * The rightmost-tie rule stays in exact integer space via one key per
+    * gram: key = h40·2^20 + (2^20−1−pos); the window MIN of the key
+    * decodes to (min hash, rightmost position). Fixture docs sit far
+    * below 2^20 grams; a longer-doc deployment widens the position field.
+    *
+    * Shape: per-document loop in `mapPartitions` over the scan — ZERO
+    * shuffle and O(w) work per gram (the declarative form needs explode +
+    * a doc_id-partitioned window, a full gram-row shuffle; the oracle SQL
+    * takes that form — same reason [[Dedup.shingleRows]] is a primitive
+    * loop). Output is a per-doc distinct set, so emission order is
+    * irrelevant downstream. */
+  def winnowingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (k, w) = (winnowK, winnowW)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        // first 10 hex chars of md5 = first 5 bytes, as one 40-bit long
+        def h40(s: String): Long = {
+          val d = digest.digest(s.getBytes("UTF-8"))
+          ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+            ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+        }
+        it.flatMap { case (docId, text) =>
+          val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          val n = toks.length - k + 1
+          if (n < 1) Iterator.empty
+          else {
+            val keys = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val sb = new java.lang.StringBuilder
+              var j = 0
+              while (j < k) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              // pos is 1-indexed to match the oracle's list indexing
+              keys(i) = h40(sb.toString) * 1048576L + (1048575L - (i + 1))
+              i += 1
+            }
+            val sel = new scala.collection.mutable.LinkedHashSet[Long]
+            var p = 0
+            val starts = math.max(1, n - w + 1)
+            while (p < starts) {
+              var kmin = keys(p)
+              var q = p + 1
+              val end = math.min(p + w, n)
+              while (q < end) { if (keys(q) < kmin) kmin = keys(q); q += 1 }
+              sel.add(kmin)
+              p += 1
+            }
+            sel.iterator.map(km =>
+              (docId, km / 1048576L, 1048575L - (km % 1048576L)))
+          }
+        }
+      }.toDF("doc_id", "fp", "pos")
+  }
+
+  val winnowingFingerprintSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, len(toks) - ${winnowK - 1})) AS pos,
+       |    unnest(list_transform(generate_series(1, len(toks) - ${winnowK - 1}),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+       |  FROM t WHERE len(toks) >= $winnowK
+       |), kx AS (
+       |  SELECT doc_id, pos,
+       |    CAST(('0x' || substr(md5(gram), 1, 10)) AS BIGINT) * 1048576
+       |      + (1048575 - pos) AS key,
+       |    count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM g
+       |), wmin AS (
+       |  SELECT doc_id, pos, n,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS kmin
+       |  FROM kx
+       |)
+       |SELECT DISTINCT doc_id, kmin // 1048576 AS fp,
+       |  1048575 - (kmin % 1048576) AS pos
+       |FROM wmin WHERE pos <= greatest(1, n - $winnowW + 1)""".stripMargin
+
+  // ------------------------------------------ Kneser-Ney bigram scoring
+
+  /** Interpolated Kneser-Ney bigram scorer (Kneser-Ney 1995; the
+    * interpolated form of Chen-Goodman 1999), absolute discount D = 3/4:
+    *
+    *   P(w2|w1) = max(c12−D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/B
+    *
+    * where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * left-contexts of w2 (the continuation probability — "how many
+    * contexts has this word followed" — that distinguishes KN from
+    * [[lmPerplexity]]'s add-smoothing and is the standard LM-quality
+    * filter signal), and B = distinct bigram types standing in for
+    * Σ_w N1+(·w). Multiplying through by 4·c1·B keeps the probability an
+    * exact integer ratio:
+    *
+    *   num = max(4·c12 − 3, 0)·B + 3·N1(w1)·N2(w2),   den = 4·c1·B
+    *
+    * num ≥ 1 for every observed bigram and num ≤ den always (equality
+    * only in the degenerate single-continuation corpus), so the
+    * ceil-log2 bits and the 1e-9 fixed-point probability follow
+    * [[lmPerplexity]]'s exact cross-engine recipe unchanged. The closed
+    * fixture vocabulary keeps B small, so the BIGINT products sit far
+    * under 2^63; an open-vocab 100 TB deployment would move num/den to
+    * doubles (and lose the oracle, not the plan).
+    *
+    * Shape: three map-combinable count aggs (bigram + both margins), two
+    * vocab-sized joins (auto-broadcast at any realistic vocab), one 1-row
+    * broadcast (B) — same skeleton as [[lmPerplexity]]. */
+  def knPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val b = t.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bc.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1"))
+    val c2 = bc.groupBy("w2").agg(count(lit(1)).as("n2"))
+    val bb = bc.agg(count(lit(1)).as("bt"))
+    val db = b.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val scored = db.join(bc, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .join(c2, Seq("w2")).crossJoin(broadcast(bb))
+      .withColumn("num",
+        greatest(col("c12") * 4L - 3L, lit(0L)) * col("bt")
+          + col("n1") * col("n2") * 3L)
+      .withColumn("den", col("c1") * 4L * col("bt"))
+      .withColumn("sft",
+        (length(bin(col("den"))) - length(bin(col("num")))).cast("int"))
+      .withColumn("bits",
+        when(col("num") > expr("shiftright(den - 1, sft)"), col("sft"))
+          .otherwise(col("sft") + 1).cast("long"))
+      .withColumn("p_fp",
+        floor(col("num").cast("double") / col("den").cast("double")
+          * 1000000000.0 + 0.5).cast("long"))
+    scored.groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        sum(col("k") * col("bits")).as("total_bits"),
+        sum(col("k") * col("p_fp")).as("s_pfp"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        (col("total_bits").cast("double") / col("n_bigrams")).as("bits_per_bigram"),
+        (col("s_pfp").cast("double") / col("n_bigrams") / 1000000000.0).as("mean_p"))
+  }
+
+  val knPerplexitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |    unnest(toks[1:len(toks)-1]) AS w1,
+       |    unnest(toks[2:len(toks)]) AS w2
+       |  FROM t WHERE len(toks) >= 2
+       |), bc AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1
+       |  FROM bc GROUP BY 1
+       |), c2 AS (
+       |  SELECT w2, count(*) AS n2 FROM bc GROUP BY 1
+       |), bb AS (
+       |  SELECT count(*) AS bt FROM bc
+       |), db AS (
+       |  SELECT doc_id, w1, w2, count(*) AS k FROM b GROUP BY 1, 2, 3
+       |), s AS (
+       |  SELECT doc_id, k,
+       |    greatest(c12 * 4 - 3, 0) * bt + n1 * n2 * 3 AS num,
+       |    c1 * 4 * bt AS den
+       |  FROM db JOIN bc USING (w1, w2) JOIN c1 USING (w1)
+       |    JOIN c2 USING (w2) CROSS JOIN bb
+       |), s2 AS (
+       |  SELECT doc_id, k, num, den,
+       |    length(bin(den)) - length(bin(num)) AS sft
+       |  FROM s
+       |), sc AS (
+       |  SELECT doc_id, k,
+       |    CAST(CASE WHEN num > ((den - 1) >> sft) THEN sft
+       |      ELSE sft + 1 END AS BIGINT) AS bits,
+       |    CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |      * 1000000000.0 + 0.5) AS BIGINT) AS p_fp
+       |  FROM s2
+       |)
+       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(k * bits) AS BIGINT) AS total_bits,
+       |  CAST(sum(k * bits) AS DOUBLE) / sum(k) AS bits_per_bigram,
+       |  CAST(sum(k * p_fp) AS DOUBLE) / sum(k) / 1000000000.0 AS mean_p
+       |FROM sc GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pmi_collocations" -> (pmiCollocations _),
     "bpe_coverage" -> (bpeCoverage _),
@@ -1902,6 +2114,8 @@ object TextAnalysis {
     "bpe_fertility" -> (bpeFertility _),
     "token_rarity" -> (tokenRarity _),
     "chunk_dedup" -> (chunkDedup _),
+    "winnowing_fingerprint" -> (winnowingFingerprint _),
+    "kn_perplexity" -> (knPerplexity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1933,5 +2147,7 @@ object TextAnalysis {
     "bpe_fertility" -> bpeFertilitySql,
     "token_rarity" -> tokenRaritySql,
     "chunk_dedup" -> chunkDedupSql,
+    "winnowing_fingerprint" -> winnowingFingerprintSql,
+    "kn_perplexity" -> knPerplexitySql,
   )
 }
