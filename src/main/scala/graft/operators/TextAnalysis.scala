@@ -1952,8 +1952,11 @@ object TextAnalysis {
       }.toDF("doc_id", "fp", "pos")
   }
 
-  val winnowingFingerprintSql: String =
-    s"""WITH t AS (
+  /** CTE chain ending in `wfp(doc_id, fp, pos)` — the winnowed
+    * fingerprints. Shared prefix for [[winnowingFingerprintSql]] and
+    * [[winnowCopyPairsSql]] (a constant, not a regex splice). */
+  private[operators] val winnowCtes: String =
+    s"""t AS (
        |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
        |), g AS (
        |  SELECT doc_id,
@@ -1972,10 +1975,62 @@ object TextAnalysis {
        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS kmin
        |  FROM kx
+       |), wfp AS (
+       |  SELECT DISTINCT doc_id, kmin // 1048576 AS fp,
+       |    1048575 - (kmin % 1048576) AS pos
+       |  FROM wmin WHERE pos <= greatest(1, n - $winnowW + 1)
+       |)""".stripMargin
+
+  val winnowingFingerprintSql: String =
+    s"""WITH $winnowCtes
+       |SELECT doc_id, fp, pos FROM wfp""".stripMargin
+
+  private[graft] val winnowMaxDf = 50 // hot-fingerprint document-frequency cap
+  private[graft] val winnowMinShared = 2L // pair floor: shared fingerprints
+
+  /** MOSS copy-detection pairs over the winnowed fingerprints: documents
+    * sharing >= [[winnowMinShared]] selected fingerprints, scored by
+    * `cover` = common / min(|fps|) (the fraction of the smaller doc's
+    * fingerprint set that matches — the MOSS report ranking). Fingerprints
+    * present in more than [[winnowMaxDf]] documents are dropped before
+    * pairing, the same DF skew guard as the shingle index: a
+    * boilerplate gram in d docs generates O(d²) candidate pairs and
+    * carries no copy signal. Candidate generation is the standard
+    * inverted-index equi-self-join — only docs sharing a surviving
+    * fingerprint are ever paired, never all-pairs. */
+  def winnowCopyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val f = winnowingFingerprint(spark, dir).select("doc_id", "fp").distinct()
+    val hot = f.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > winnowMaxDf).select("fp")
+    val fc = f.join(broadcast(hot), Seq("fp"), "left_anti")
+    val sizes = fc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = fc.as("a").join(fc.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= winnowMinShared)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("cover",
+        col("common").cast("double") / least(col("n1"), col("n2")))
+      .select("d1", "d2", "common", "cover")
+  }
+
+  val winnowCopyPairsSql: String =
+    s"""WITH $winnowCtes,
+       |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
+       |hot AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > $winnowMaxDf),
+       |fc AS (SELECT * FROM f ANTI JOIN hot USING (fp)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM fc GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared
        |)
-       |SELECT DISTINCT doc_id, kmin // 1048576 AS fp,
-       |  1048575 - (kmin % 1048576) AS pos
-       |FROM wmin WHERE pos <= greatest(1, n - $winnowW + 1)""".stripMargin
+       |SELECT d1, d2, common,
+       |  CAST(common AS DOUBLE) / least(x.n, y.n) AS cover
+       |FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id""".stripMargin
 
   // ------------------------------------------ Kneser-Ney bigram scoring
 
@@ -2115,6 +2170,7 @@ object TextAnalysis {
     "token_rarity" -> (tokenRarity _),
     "chunk_dedup" -> (chunkDedup _),
     "winnowing_fingerprint" -> (winnowingFingerprint _),
+    "winnow_copy_pairs" -> (winnowCopyPairs _),
     "kn_perplexity" -> (knPerplexity _),
   )
 
@@ -2148,6 +2204,7 @@ object TextAnalysis {
     "token_rarity" -> tokenRaritySql,
     "chunk_dedup" -> chunkDedupSql,
     "winnowing_fingerprint" -> winnowingFingerprintSql,
+    "winnow_copy_pairs" -> winnowCopyPairsSql,
     "kn_perplexity" -> knPerplexitySql,
   )
 }

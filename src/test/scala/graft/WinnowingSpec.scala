@@ -71,6 +71,28 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("copy pairs match a reference inverted-index pairing") {
+    val maxDf = TextAnalysis.winnowMaxDf
+    val fps = docs.map { case (id, t) => id -> reference(t).map(_._1) }
+      .filter(_._2.nonEmpty)
+    val df = fps.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.size }
+    val kept = fps.map { case (id, s) => id -> s.filter(df(_) <= maxDf) }
+    val expected = (for {
+      (d1, s1) <- kept; (d2, s2) <- kept if d1 < d2
+      common = (s1 & s2).size if common >= TextAnalysis.winnowMinShared
+    } yield (d1, d2) -> ((common.toLong,
+      common.toDouble / math.min(s1.size, s2.size)))).toMap
+    val gotPairs = TextAnalysis.winnowCopyPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(gotPairs == expected)
+    assert(gotPairs.nonEmpty, "fixture must produce copy pairs")
+    gotPairs.values.foreach { case (_, cover) =>
+      assert(cover > 0.0 && cover <= 1.0)
+    }
+  }
+
   test("density: selections are a strict subset on long docs") {
     val long = docs.filter(_._2.split("[^a-zA-Z0-9]+").count(_.nonEmpty) > 50)
     assert(long.nonEmpty)
