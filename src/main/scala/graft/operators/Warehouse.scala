@@ -1407,6 +1407,72 @@ object Warehouse {
       |  count(*) >= 3 AS l3_ok
       |FROM sv GROUP BY 1""".stripMargin
 
+  /** t-closeness audit (Li-Li-Venkatasubramanian 2007) — the triad's
+    * third gate: a class can be k-anonymous AND l-diverse while its
+    * sensitive-value DISTRIBUTION still diverges from the table's (the
+    * skewness attack: 90% of one class is the rare segment even though
+    * all five appear). For the categorical sensitive attribute the
+    * distance is total variation,
+    * t = ½ Σ_s |P_class(s) − P_global(s)|, kept in exact integer space
+    * by clearing denominators: Σ_s |cnt_cs·N − cnt_s·n_c| over
+    * 2·n_c·N, reported as 1e-6 fixed point with the t ≤ 0.2 release
+    * flag (the paper's running example threshold).
+    *
+    * The sum must run over every GLOBAL sensitive value — a value absent
+    * from the class contributes its full global mass — so the frame is
+    * the (class × sensitive-domain) grid: a broadcast cross of the class
+    * totals against the sensitive-value margin (the sensitive domain is
+    * enumerable by definition of the audit — 5 segments here), left-join
+    * the observed class-value counts, zero-fill. Every input to the grid
+    * is an already-aggregated count table, so nothing row-scale ever
+    * joins or shuffles twice. */
+  def tClosenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt_cs"))
+    val g = cs.groupBy("c_mktsegment").agg(sum("cnt_cs").cast("long").as("cnt_s"))
+    val n = cs.groupBy("c_nationkey").agg(sum("cnt_cs").cast("long").as("n_c"))
+    val tot = g.agg(sum("cnt_s").cast("long").as("n_total"))
+    n.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
+      .join(cs, Seq("c_nationkey", "c_mktsegment"), "left")
+      .na.fill(0L, Seq("cnt_cs"))
+      .withColumn("term",
+        abs(col("cnt_cs") * col("n_total") - col("cnt_s") * col("n_c")))
+      .groupBy("c_nationkey")
+      .agg(max("n_c").as("class_size"),
+        sum("term").as("tvd_num"),
+        expr("sum(term) * 1000000L div (2L * max(n_c) * max(n_total))")
+          .as("tvd_fp"))
+      .withColumn("t02_ok", col("tvd_fp") <= 200000L)
+  }
+
+  val tClosenessAuditSql: String =
+    """WITH cs AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS cnt_cs
+      |  FROM customer GROUP BY 1, 2
+      |), g AS (
+      |  SELECT c_mktsegment, CAST(sum(cnt_cs) AS BIGINT) AS cnt_s
+      |  FROM cs GROUP BY 1
+      |), n AS (
+      |  SELECT c_nationkey, CAST(sum(cnt_cs) AS BIGINT) AS n_c
+      |  FROM cs GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(cnt_s) AS BIGINT) AS n_total FROM g
+      |), grid AS (
+      |  SELECT n.c_nationkey, n.n_c, g.c_mktsegment, g.cnt_s, tot.n_total,
+      |    coalesce(cs.cnt_cs, 0) AS cnt_cs
+      |  FROM n CROSS JOIN g CROSS JOIN tot
+      |  LEFT JOIN cs USING (c_nationkey, c_mktsegment)
+      |)
+      |SELECT c_nationkey,
+      |  CAST(max(n_c) AS BIGINT) AS class_size,
+      |  CAST(sum(abs(cnt_cs * n_total - cnt_s * n_c)) AS BIGINT) AS tvd_num,
+      |  CAST(sum(abs(cnt_cs * n_total - cnt_s * n_c)) * 1000000
+      |    // (2 * max(n_c) * max(n_total)) AS BIGINT) AS tvd_fp,
+      |  CAST(sum(abs(cnt_cs * n_total - cnt_s * n_c)) * 1000000
+      |    // (2 * max(n_c) * max(n_total)) AS BIGINT) <= 200000 AS t02_ok
+      |FROM grid GROUP BY 1""".stripMargin
+
   // ------------------------------------------ portable Bloom pre-join audit
 
   private val bloomM = 8192 // bits; build side here sets ~900 => FP ~0.1%
@@ -2279,6 +2345,7 @@ object Warehouse {
     "changelog_compact" -> (changelogCompact _),
     "zorder_layout" -> (zorderLayout _),
     "k_anonymity_audit" -> (kAnonymityAudit _),
+    "t_closeness_audit" -> (tClosenessAudit _),
     "l_diversity_audit" -> (lDiversityAudit _),
     "q8_market_share" -> (q8MarketShare _),
     "q12_priority_lateness" -> (q12PriorityLateness _),
@@ -2327,6 +2394,7 @@ object Warehouse {
     "changelog_compact" -> changelogCompactSql,
     "zorder_layout" -> zorderLayoutSql,
     "k_anonymity_audit" -> kAnonymityAuditSql,
+    "t_closeness_audit" -> tClosenessAuditSql,
     "l_diversity_audit" -> lDiversityAuditSql,
     "q8_market_share" -> q8Sql,
     "q12_priority_lateness" -> q12Sql,
