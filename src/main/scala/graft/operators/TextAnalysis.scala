@@ -2017,6 +2017,54 @@ object TextAnalysis {
       .select("d1", "d2", "common", "cover")
   }
 
+  /** INCREMENTAL copy detection — [[winnowCopyPairs]] in the production
+    * daily shape (same `doc_id % 10 == 7` batch slice convention as
+    * [[Dedup.incrementalDedup]]): today's crawl is winnowed and joined
+    * against the PERSISTED base fingerprint table; the base is never
+    * re-paired against itself, so per-increment work is O(batch x
+    * matches), not O(corpus²). `cover` here is the fraction of the BATCH
+    * doc's fingerprints found in that base doc — the "how much of this
+    * new document is copied, and from where" attribution a crawl
+    * pipeline quarantines on. The hot-fingerprint cap is computed on the
+    * BASE side only (it IS the persisted artifact; the batch must not
+    * perturb it) and applied to both sides for one consistent universe. */
+  def winnowIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val f = winnowingFingerprint(spark, dir).select("doc_id", "fp").distinct()
+    val batch = f.filter(col("doc_id") % 10L === 7L)
+    val base = f.filter(col("doc_id") % 10L =!= 7L)
+    val hot = base.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > winnowMaxDf).select("fp")
+    val baseC = base.join(broadcast(hot), Seq("fp"), "left_anti")
+    val batchC = batch.join(broadcast(hot), Seq("fp"), "left_anti")
+    val bsz = batchC.groupBy("doc_id").agg(count(lit(1)).as("n_batch"))
+    batchC.as("a").join(baseC.as("b"), col("a.fp") === col("b.fp"))
+      .groupBy(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("base_doc"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= winnowMinShared)
+      .join(bsz.withColumnRenamed("doc_id", "batch_doc"), "batch_doc")
+      .withColumn("cover", col("common").cast("double") / col("n_batch"))
+      .select("batch_doc", "base_doc", "common", "cover")
+  }
+
+  val winnowIncrementalSql: String =
+    s"""WITH $winnowCtes,
+       |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
+       |batch AS (SELECT * FROM f WHERE doc_id % 10 = 7),
+       |base AS (SELECT * FROM f WHERE doc_id % 10 <> 7),
+       |hot AS (SELECT fp FROM base GROUP BY fp HAVING count(*) > $winnowMaxDf),
+       |basec AS (SELECT * FROM base ANTI JOIN hot USING (fp)),
+       |batchc AS (SELECT * FROM batch ANTI JOIN hot USING (fp)),
+       |bsz AS (SELECT doc_id, count(*) AS n_batch FROM batchc GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS batch_doc, b.doc_id AS base_doc,
+       |    count(*) AS common
+       |  FROM batchc a JOIN basec b ON a.fp = b.fp
+       |  GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared
+       |)
+       |SELECT batch_doc, base_doc, common,
+       |  CAST(common AS DOUBLE) / n_batch AS cover
+       |FROM p JOIN bsz ON batch_doc = bsz.doc_id""".stripMargin
+
   val winnowCopyPairsSql: String =
     s"""WITH $winnowCtes,
        |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
@@ -2171,6 +2219,7 @@ object TextAnalysis {
     "chunk_dedup" -> (chunkDedup _),
     "winnowing_fingerprint" -> (winnowingFingerprint _),
     "winnow_copy_pairs" -> (winnowCopyPairs _),
+    "winnow_incremental" -> (winnowIncremental _),
     "kn_perplexity" -> (knPerplexity _),
   )
 
@@ -2205,6 +2254,7 @@ object TextAnalysis {
     "chunk_dedup" -> chunkDedupSql,
     "winnowing_fingerprint" -> winnowingFingerprintSql,
     "winnow_copy_pairs" -> winnowCopyPairsSql,
+    "winnow_incremental" -> winnowIncrementalSql,
     "kn_perplexity" -> knPerplexitySql,
   )
 }

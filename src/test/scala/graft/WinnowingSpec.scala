@@ -93,6 +93,30 @@ class WinnowingSpec extends SparkSpec {
     }
   }
 
+  test("incremental: batch-vs-base pairs match reference, no base self-pairs") {
+    val maxDf = TextAnalysis.winnowMaxDf
+    val fps = docs.map { case (id, t) => id -> reference(t).map(_._1) }
+      .filter(_._2.nonEmpty)
+    val (batch, base) = fps.partition(_._1 % 10 == 7)
+    val df = base.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.size }
+    def kept(m: Map[Long, Set[Long]]) =
+      m.map { case (id, s) => id -> s.filter(df.getOrElse(_, 0) <= maxDf) }
+    val (kb, kB) = (kept(batch), kept(base))
+    val expected = (for {
+      (d1, s1) <- kb; (d2, s2) <- kB
+      common = (s1 & s2).size if common >= TextAnalysis.winnowMinShared
+    } yield (d1, d2) -> ((common.toLong, common.toDouble / s1.size))).toMap
+    val got = TextAnalysis.winnowIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must produce incremental matches")
+    got.keys.foreach { case (b, s) =>
+      assert(b % 10 == 7 && s % 10 != 7, "sides swapped or base self-paired")
+    }
+  }
+
   test("density: selections are a strict subset on long docs") {
     val long = docs.filter(_._2.split("[^a-zA-Z0-9]+").count(_.nonEmpty) > 50)
     assert(long.nonEmpty)
