@@ -1988,6 +1988,21 @@ object TextAnalysis {
   private[graft] val winnowMaxDf = 50 // hot-fingerprint document-frequency cap
   private[graft] val winnowMinShared = 2L // pair floor: shared fingerprints
 
+  /** The distinct (doc_id, fp) winnow table, memoized per (session, dir)
+    * over locally-checkpointed blocks — the precomputed artifact a
+    * production pipeline materializes ONCE: [[winnowCopyPairs]] reads it
+    * from three join legs and [[winnowIncremental]] from four; without
+    * the memo each leg re-runs the whole mapPartitions winnow (same
+    * rationale and same [[graft.util.SessionCache]] recipe as Dedup's
+    * shared shingle index). */
+  private val wfpCache = new graft.util.SessionCache[
+      (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
+    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._2))
+
+  private def sharedWinnowFps(spark: SparkSession, dir: String): DataFrame =
+    wfpCache.get(spark, dir)(graft.util.Ckpt.materialize(
+      winnowingFingerprint(spark, dir).select("doc_id", "fp").distinct()))._1
+
   /** MOSS copy-detection pairs over the winnowed fingerprints: documents
     * sharing >= [[winnowMinShared]] selected fingerprints, scored by
     * `cover` = common / min(|fps|) (the fraction of the smaller doc's
@@ -1999,7 +2014,7 @@ object TextAnalysis {
     * inverted-index equi-self-join — only docs sharing a surviving
     * fingerprint are ever paired, never all-pairs. */
   def winnowCopyPairs(spark: SparkSession, dir: String): DataFrame = {
-    val f = winnowingFingerprint(spark, dir).select("doc_id", "fp").distinct()
+    val f = sharedWinnowFps(spark, dir)
     val hot = f.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > winnowMaxDf).select("fp")
     val fc = f.join(broadcast(hot), Seq("fp"), "left_anti")
@@ -2029,7 +2044,7 @@ object TextAnalysis {
     * BASE side only (it IS the persisted artifact; the batch must not
     * perturb it) and applied to both sides for one consistent universe. */
   def winnowIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val f = winnowingFingerprint(spark, dir).select("doc_id", "fp").distinct()
+    val f = sharedWinnowFps(spark, dir)
     val batch = f.filter(col("doc_id") % 10L === 7L)
     val base = f.filter(col("doc_id") % 10L =!= 7L)
     val hot = base.groupBy("fp").agg(count(lit(1)).as("df"))
