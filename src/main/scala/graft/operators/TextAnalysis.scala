@@ -1903,11 +1903,18 @@ object TextAnalysis {
     * takes that form — same reason [[Dedup.shingleRows]] is a primitive
     * loop). Output is a per-doc distinct set, so emission order is
     * irrelevant downstream. */
-  def winnowingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  def winnowingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFps(Tables.documents(spark, dir))
+
+  /** The winnow core over any (doc_id, text) frame — shared by the dir
+    * query form above and the streaming twin
+    * [[graft.streaming.StreamingWinnow]] (one implementation, so batch
+    * and stream agree by construction). */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val (k, w) = (winnowK, winnowW)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
         // first 10 hex chars of md5 = first 5 bytes, as one 40-bit long

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming twin of [[graft.operators.TextAnalysis.winnowIncremental]] —
+  * copy detection as a stream: micro-batches of new documents are
+  * winnowed ([[TextAnalysis.winnowFps]], the SAME core the batch operator
+  * uses) and attributed against a PERSISTENT fingerprint base; in grow
+  * mode every batch's fingerprints join the base, so later increments
+  * match against earlier ones.
+  *
+  * Base layout under `baseDir`:
+  *  - `fps/` parquet (doc_id, fp): the distinct winnowed fingerprints of
+  *    the corpus so far — exactly the artifact the batch operator's
+  *    session memo materializes, persisted across increments. The
+  *    hot-fingerprint DF cap is re-derived from the CURRENT base each
+  *    batch (a gram gone boilerplate as the corpus grows stops pairing
+  *    from that batch on), matching the batch operator's base-side-cap
+  *    contract.
+  *
+  * Per micro-batch, wrapped in [[BatchLedger]] so match delivery AND base
+  * growth happen at most once per batch id across restarts (growth is a
+  * side effect exactly like delivery — replayed appends would duplicate
+  * fingerprint rows and let a batch match its own fingerprints):
+  *
+  *  1. matches = batch fps x base fps equi-join on fp (cap applied both
+  *     sides), >= minShared shared prints, cover = matched share of the
+  *     batch doc's prints; `deliver(matches, batchId)`.
+  *  2. grow mode: the batch's full fingerprint table appends to `fps/`
+  *     (copy detection is attribution, not dedup — matched docs are part
+  *     of the corpus too, so ALL batch docs grow the base). The appended
+  *     rows derive only from the batch, never from a read of `fps/`, so
+  *     the append cannot invalidate its own input plan (the hazard the
+  *     dedup twin must localCheckpoint around does not arise here).
+  *
+  * Contract, matching the batch operator: matches pair a batch doc
+  * against the BASE only — two copies inside one micro-batch are not
+  * paired with each other; with grow on, the second copy in any LATER
+  * batch hits the grown base. Against a static base each doc's verdict
+  * depends only on (doc, base), so any micro-batch split of the same
+  * documents emits exactly the batch operator's rows — the parity theorem
+  * StreamingWinnowSpec checks.
+  *
+  * Scale shape: identical to the batch operator — the winnow is a
+  * zero-shuffle per-doc loop, the attribution an equi-join on fp with the
+  * increment as the small side, the base never re-paired against itself;
+  * growth is a blind parquet append, O(batch), never O(base).
+  */
+object StreamingWinnow {
+
+  /** Materialize the fingerprint base from an initial corpus (the
+    * one-time bootstrap before streaming increments). */
+  def initBase(baseDocs: DataFrame, baseDir: String): Unit =
+    TextAnalysis.winnowFps(baseDocs).select("doc_id", "fp").distinct()
+      .write.mode("overwrite").parquet(s"$baseDir/fps")
+
+  /** Copy matches for one micro-batch of (doc_id, text) documents against
+    * the persistent base. Materialized before return (the caller delivers
+    * it and grow mode then appends to the base path its plan reads);
+    * caches are reported to `track` for end-of-batch unpersist. */
+  def batchMatches(batch: DataFrame, baseDir: String,
+      track: DataFrame => Unit): DataFrame = {
+    val spark = batch.sparkSession
+    val base = spark.read.parquet(s"$baseDir/fps")
+    val hot = base.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > TextAnalysis.winnowMaxDf).select("fp")
+    val baseC = base.join(broadcast(hot), Seq("fp"), "left_anti")
+    val batchC = TextAnalysis.winnowFps(batch)
+      .select("doc_id", "fp").distinct()
+      .join(broadcast(hot), Seq("fp"), "left_anti")
+    batchC.cache(); track(batchC) // read twice: sizes + the pair join
+    val bsz = batchC.groupBy("doc_id").agg(count(lit(1)).as("n_batch"))
+    val m = batchC.as("a").join(baseC.as("b"), col("a.fp") === col("b.fp"))
+      .groupBy(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("base_doc"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= TextAnalysis.winnowMinShared)
+      .join(bsz.withColumnRenamed("doc_id", "batch_doc"), "batch_doc")
+      .withColumn("cover", col("common").cast("double") / col("n_batch"))
+      .select("batch_doc", "base_doc", "common", "cover")
+    m.cache(); m.count(); track(m)
+    m
+  }
+
+  /** The `foreachBatch` body, exposed for direct (deterministic) testing:
+    * ledger-guarded match delivery + optional base growth. */
+  def onBatch(baseDir: String, growBase: Boolean,
+      deliver: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      BatchLedger.once(s"$baseDir/_graft_winnow_ledger", batch, batchId) {
+        val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        val m = batchMatches(batch, baseDir, cached += _)
+        try {
+          deliver(m, batchId)
+          if (growBase)
+            TextAnalysis.winnowFps(batch).select("doc_id", "fp").distinct()
+              .write.mode("append").parquet(s"$baseDir/fps")
+        } finally cached.foreach(_.unpersist())
+      }
+  }
+
+  /** Start the streaming query: a stream of (doc_id, text) documents,
+    * copy-attributed per micro-batch against (and, in grow mode, into)
+    * the persistent fingerprint base at `baseDir`. */
+  def start(docs: DataFrame, baseDir: String, checkpointDir: String,
+      triggerMs: Long, growBase: Boolean,
+      deliver: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch(onBatch(baseDir, growBase, deliver))
+      .start()
+}
