@@ -902,6 +902,36 @@ object Corpus {
        |  cum_before + n_tokens AS cum_tokens
        |FROM r WHERE cum_before < $selectBudgetTokens""".stripMargin
 
+  // -------------------------------------------------- integrity manifest
+
+  /** Per-(lang, source) integrity MANIFEST — the reproducibility record a
+    * dataset card publishes so a consumer can verify a delivered
+    * partition byte-for-byte without re-reading the producer's copy: row
+    * count, character mass, doc_id range, and an order-free content
+    * checksum (bit_xor of each doc's 60-bit md5 prefix — XOR is
+    * commutative/associative with no overflow, so the aggregate is exact
+    * on any partitioning at any scale; the standard XOR-checksum caveat
+    * — identical duplicate PAIRS cancel — is acceptable because any
+    * single-document change, loss, or substitution flips the value).
+    * One map-combinable aggregate; the md5 runs scan-side. */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp60",
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        expr("bit_xor(fp60)").as("content_xor"))
+
+  val corpusManifestSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+      |    AS content_xor
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- shard export
 
   /** Training-shard sink: the corpus written as a partitioned parquet
@@ -1404,6 +1434,7 @@ object Corpus {
     "corpus_domain_cap" -> (domainCap _),
     "curation_funnel" -> (curationFunnel _),
     "quality_budget_select" -> (qualityBudgetSelect _),
+    "corpus_manifest" -> (corpusManifest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1429,5 +1460,6 @@ object Corpus {
     "corpus_domain_cap" -> domainCapSql,
     "curation_funnel" -> curationFunnelSql,
     "quality_budget_select" -> qualityBudgetSelectSql,
+    "corpus_manifest" -> corpusManifestSql,
   )
 }

@@ -2102,6 +2102,73 @@ object TextAnalysis {
        |  CAST(common AS DOUBLE) / least(x.n, y.n) AS cover
        |FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id""".stripMargin
 
+  // ------------------------------------------------ blocklist policy gate
+
+  /** Fixture blocklist: three phrases that occur in the corpus, two that
+    * cannot — both branches of the gate exercised. A deployment swaps in
+    * its policy dictionary (thousands of phrases stay broadcast-sized). */
+  private[graft] val blocklist = Seq("table hash", "slow key", "big order",
+    "forbidden phrase", "data exfiltration")
+
+  /** Banned-phrase policy gate — the compliance/toxicity filter every
+    * production corpus pipeline runs before training: per document, how
+    * many blocklisted bigram phrases occur (occurrence count, not doc
+    * count), WHICH distinct phrases (sorted, so the list is order-free),
+    * and the `blocked` verdict. Every document is reported — the zero-hit
+    * rows are the pass-through population a reviewer needs for rates.
+    *
+    * Shape: the dictionary broadcasts (a policy list is small by
+    * construction); documents make one scan-side pass exploding token
+    * bigrams which die immediately against the broadcast hash join —
+    * nothing document-scale shuffles except the per-doc hit aggregate.
+    * Longer phrases generalize by widening the gram (the join key stays
+    * one string); regex-class rules belong in [[corpusScrubV2]]'s lane. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val b = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("bg.w1"), col("bg.w2")).as("ph"))
+    val bl = blocklist.toDF("ph")
+    val hits = b.join(broadcast(bl), Seq("ph"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        array_join(sort_array(array_distinct(collect_list(col("ph")))), ",")
+          .as("phrases"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hits")).na.fill("", Seq("phrases"))
+      .withColumn("blocked", col("n_hits") > 0L)
+  }
+
+  val blocklistFilterSql: String = {
+    val inList = blocklist.map(p => s"'$p'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), b AS (
+       |  SELECT doc_id,
+       |    unnest(toks[1:len(toks)-1]) AS w1,
+       |    unnest(toks[2:len(toks)]) AS w2
+       |  FROM t WHERE len(toks) >= 2
+       |), bp AS (
+       |  SELECT doc_id, w1 || ' ' || w2 AS ph FROM b
+       |), h AS (
+       |  SELECT doc_id, count(*) AS n_hits,
+       |    list_aggregate(list_sort(list_distinct(list(ph))),
+       |      'string_agg', ',') AS phrases
+       |  FROM bp WHERE ph IN ($inList) GROUP BY 1
+       |)
+       |SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |  coalesce(phrases, '') AS phrases,
+       |  coalesce(n_hits, 0) > 0 AS blocked
+       |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------ Kneser-Ney bigram scoring
 
   /** Interpolated Kneser-Ney bigram scorer (Kneser-Ney 1995; the
@@ -2242,6 +2309,7 @@ object TextAnalysis {
     "winnowing_fingerprint" -> (winnowingFingerprint _),
     "winnow_copy_pairs" -> (winnowCopyPairs _),
     "winnow_incremental" -> (winnowIncremental _),
+    "blocklist_filter" -> (blocklistFilter _),
     "kn_perplexity" -> (knPerplexity _),
   )
 
@@ -2277,6 +2345,7 @@ object TextAnalysis {
     "winnowing_fingerprint" -> winnowingFingerprintSql,
     "winnow_copy_pairs" -> winnowCopyPairsSql,
     "winnow_incremental" -> winnowIncrementalSql,
+    "blocklist_filter" -> blocklistFilterSql,
     "kn_perplexity" -> knPerplexitySql,
   )
 }
