@@ -902,6 +902,110 @@ object Corpus {
        |  cum_before + n_tokens AS cum_tokens
        |FROM r WHERE cum_before < $selectBudgetTokens""".stripMargin
 
+  // -------------------------------------- length-distribution matching
+
+  private[graft] val lmsBucketChars = 100L
+
+  /** Distribution-MATCHING rejection sampler: thin the training corpus so
+    * its length profile matches a reference distribution (here the eval
+    * holdout slice, `doc_id % 47 == 3` — the same slice every
+    * decontamination query uses; production points this at whatever
+    * profile the eval/deployment traffic has). Classic rejection
+    * sampling: per length bucket, acceptance ∝ target density / source
+    * density, normalized by the max ratio so the densest-needed bucket
+    * keeps everything and every other bucket thins proportionally —
+    * after the gate, kept shares converge to target shares (up to
+    * binomial noise, which the report exposes side by side).
+    *
+    * All decisions are exact integers: the density ratio quantizes to
+    * 1e-6 fixed point (`a_fp = t_b·s_tot·1e6 div (s_b·t_tot)`), the
+    * per-doc draw is the salted-md5 integer gate every sampler here
+    * uses, and the keep test is one cross-multiplication — no float
+    * crosses engines. Source buckets absent from the target get a_fp = 0
+    * (dropped: the target has no mass there); target-only buckets cannot
+    * be sampled into existence and are correctly absent from the report.
+    *
+    * Shape: two map-combinable bucket counts + 1-row totals, the
+    * bucket-rate table broadcasts (it is O(buckets), not O(rows)), and
+    * the keep decision is a stateless scan-side filter — one pass over
+    * the corpus at any scale. Output is the per-bucket audit report
+    * (source/target/kept counts, acceptance, target vs kept share). */
+  def lengthMatchSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("bucket", expr(s"n_chars div $lmsBucketChars"))
+      .withColumn("is_eval",
+        col("doc_id") % decontEvalMod === decontEvalRem)
+    val tb = d.filter(col("is_eval"))
+      .groupBy("bucket").agg(count(lit(1)).as("t_b"))
+    val sb = d.filter(!col("is_eval"))
+      .groupBy("bucket").agg(count(lit(1)).as("s_b"))
+    val tot = d.agg(
+      sum(when(col("is_eval"), 1L).otherwise(0L)).as("t_tot"),
+      sum(when(!col("is_eval"), 1L).otherwise(0L)).as("s_tot"))
+    val rates = sb.join(tb, Seq("bucket"), "left").na.fill(0L, Seq("t_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("a_fp", expr("t_b * s_tot * 1000000L div (s_b * t_tot)"))
+    val mfp = rates.agg(max("a_fp").as("m_fp"))
+    val draw = conv(substring(
+        md5(concat(lit("lmatch:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000000L
+    val keptB = d.filter(!col("is_eval"))
+      .join(broadcast(rates.select("bucket", "a_fp")), Seq("bucket"))
+      .crossJoin(broadcast(mfp))
+      .filter(draw * col("m_fp") < col("a_fp") * 1000000L)
+      .groupBy("bucket").agg(count(lit(1)).as("n_kept"))
+    val kt = keptB.agg(sum("n_kept").cast("long").as("k_tot"))
+    rates.join(keptB, Seq("bucket"), "left").na.fill(0L, Seq("n_kept"))
+      .crossJoin(broadcast(kt))
+      .withColumn("target_share_fp", expr("t_b * 1000000L div t_tot"))
+      .withColumn("kept_share_fp",
+        expr("CASE WHEN k_tot > 0 THEN n_kept * 1000000L div k_tot ELSE 0L END"))
+      .select("bucket", "s_b", "t_b", "n_kept", "a_fp",
+        "target_share_fp", "kept_share_fp")
+  }
+
+  // lazy: decontEvalMod/Rem are defined later in this object and would
+  // interpolate as 0 during eager top-to-bottom val initialization
+  lazy val lengthMatchSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars // $lmsBucketChars AS bucket,
+       |    (doc_id % $decontEvalMod = $decontEvalRem) AS is_eval
+       |  FROM documents
+       |), tb AS (
+       |  SELECT bucket, count(*) AS t_b FROM d WHERE is_eval GROUP BY 1
+       |), sb AS (
+       |  SELECT bucket, count(*) AS s_b FROM d WHERE NOT is_eval GROUP BY 1
+       |), tot AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS t_tot,
+       |    CAST(sum(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS BIGINT) AS s_tot
+       |  FROM d
+       |), r AS (
+       |  SELECT sb.bucket, s_b, coalesce(t_b, 0) AS t_b,
+       |    coalesce(t_b, 0) * s_tot * 1000000 // (s_b * t_tot) AS a_fp,
+       |    t_tot
+       |  FROM sb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+       |), m AS (
+       |  SELECT max(a_fp) AS m_fp FROM r
+       |), k AS (
+       |  SELECT d.bucket, count(*) AS n_kept
+       |  FROM d JOIN r ON d.bucket = r.bucket CROSS JOIN m
+       |  WHERE NOT is_eval
+       |    AND (CAST(('0x' || substr(md5('lmatch:' || CAST(doc_id AS VARCHAR)),
+       |      1, 8)) AS BIGINT) % 1000000) * m_fp < a_fp * 1000000
+       |  GROUP BY 1
+       |), kt AS (
+       |  SELECT CAST(coalesce(sum(n_kept), 0) AS BIGINT) AS k_tot FROM k
+       |)
+       |SELECT r.bucket, CAST(s_b AS BIGINT) AS s_b, CAST(t_b AS BIGINT) AS t_b,
+       |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(a_fp AS BIGINT) AS a_fp,
+       |  CAST(t_b * 1000000 // t_tot AS BIGINT) AS target_share_fp,
+       |  CAST(CASE WHEN k_tot > 0
+       |    THEN coalesce(n_kept, 0) * 1000000 // k_tot ELSE 0 END AS BIGINT)
+       |    AS kept_share_fp
+       |FROM r LEFT JOIN k USING (bucket) CROSS JOIN kt""".stripMargin
+
   // -------------------------------------------------- integrity manifest
 
   /** Per-(lang, source) integrity MANIFEST — the reproducibility record a
@@ -1435,6 +1539,7 @@ object Corpus {
     "curation_funnel" -> (curationFunnel _),
     "quality_budget_select" -> (qualityBudgetSelect _),
     "corpus_manifest" -> (corpusManifest _),
+    "length_match_sample" -> (lengthMatchSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1461,5 +1566,6 @@ object Corpus {
     "curation_funnel" -> curationFunnelSql,
     "quality_budget_select" -> qualityBudgetSelectSql,
     "corpus_manifest" -> corpusManifestSql,
+    "length_match_sample" -> lengthMatchSampleSql,
   )
 }
