@@ -2043,6 +2043,107 @@ object Warehouse {
     ).mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------- data-quality assertions
+
+  /** Data-quality assertion SUITE (the dbt-test / Great-Expectations
+    * staple) as ONE oracle-gated query: each invariant is a row —
+    * population checked, violation count, pass verdict — so the pipeline
+    * gate is `WHERE NOT pass` and the dashboard is the table itself.
+    * Six checks over four tables: two null/uniqueness invariants, a
+    * foreign-key check (orders→customer), a COMPLETENESS check
+    * (orders must have lineitems — the one that FIRES on the fixtures:
+    * 257 childless orders at sf0.01, so both verdict branches are
+    * exercised), a domain-range check, and a derived-column consistency
+    * check (documents.n_chars == length(text)).
+    *
+    * Shape: each check is one map-combinable aggregate (conditional sums
+    * — never a row-level materialization of violations); the two
+    * relationship checks are LEFT joins against the DISTINCT key set of
+    * the child/parent (broadcast-sized after the distinct), summed in
+    * the same pass. Six 1-row frames union — at 100 TB this is six
+    * linear scans, or fewer if a caller fuses checks per table. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val c1 = ev.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("events_user_id_not_null").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val c2 = ev.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("n_violations"))
+      .select(lit("events_event_id_unique").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val c3 = ord.join(cust.select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("orders_custkey_fk").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val c4 = ord.join(li.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("orders_have_lineitems").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val c5 = li.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem_qty_range").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val c6 = docs.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("documents_nchars_consistent").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    Seq(c1, c2, c3, c4, c5, c6).reduce(_ unionByName _)
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  val dqChecksSql: String =
+    """SELECT 'events_user_id_not_null' AS check_name,
+      |  count(*) AS n_checked,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violations,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+      |    AS pass
+      |FROM events
+      |UNION ALL
+      |SELECT 'events_event_id_unique', count(*),
+      |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+      |  count(*) - count(DISTINCT event_id) = 0
+      |FROM events
+      |UNION ALL
+      |SELECT 'orders_custkey_fk', count(*),
+      |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+      |FROM orders o
+      |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |  ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'orders_have_lineitems', count(*),
+      |  CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+      |FROM orders o
+      |LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+      |  ON o.o_orderkey = l.l_orderkey
+      |UNION ALL
+      |SELECT 'lineitem_qty_range', count(*),
+      |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+      |    AS BIGINT) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'documents_nchars_consistent', count(*),
+      |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |    AS BIGINT) = 0
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------- salting planner
 
   private[graft] val saltTargetRows = 64L
@@ -2335,6 +2436,7 @@ object Warehouse {
     "q20_excess_shipments" -> (q20ExcessShipments _),
     "skew_report" -> (skewReport _),
     "salt_plan" -> (saltPlan _),
+    "dq_checks" -> (dqChecks _),
     "pit_features" -> (pitFeatures _),
     "revenue_concentration" -> (revenueConcentration _),
     "freshness_report" -> (freshnessReport _),
@@ -2384,6 +2486,7 @@ object Warehouse {
     "q20_excess_shipments" -> q20Sql,
     "skew_report" -> skewReportSql,
     "salt_plan" -> saltPlanSql,
+    "dq_checks" -> dqChecksSql,
     "pit_features" -> pitFeaturesSql,
     "revenue_concentration" -> revenueConcentrationSql,
     "freshness_report" -> freshnessReportSql,
