@@ -852,13 +852,17 @@ object Corpus {
     * (2) the prefix offsets broadcast back and each partition streams its
     * rows adding its own running sum — the textbook two-pass distributed
     * scan, same shape [[shardPlan]] uses for ranks. No single-task
-    * window, no driver data beyond one long per partition. Selection
-    * determinism does not depend on the sampled range boundaries (the
-    * sort key (quality_score desc, doc_id) is a strict total order, so
-    * offset+position reproduce the same running sums whatever boundaries
-    * the sampler drew). The projection is evaluated once per pass (two
-    * scans of a 3-column frame); at 100 TB the first pass's subtotal job
-    * reads the same pruned columns, not the corpus text. */
+    * window, no driver data beyond one long per partition. The two
+    * passes MUST run over the same materialized `rdd` (they do: one
+    * `val rdd`, one shuffle) — the offsets are per-PARTITION, so a
+    * refactor that rebuilt the frame per pass could draw different range
+    * boundaries and apply pass-1 offsets to differently-split
+    * partitions. Past the budget, partitions are SKIPPED outright (their
+    * start offset already exceeds it) and the crossing partition stops
+    * consuming its iterator at the crossing row — pass-2 cost is
+    * O(selected), not O(corpus). The projection is evaluated once per
+    * pass (two scans of a 3-column frame); at 100 TB the first pass's
+    * subtotal job reads the same pruned columns, not the corpus text. */
   def qualityBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val budget = selectBudgetTokens
@@ -876,11 +880,16 @@ object Corpus {
     val bc = spark.sparkContext.broadcast(offsets)
     rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = bc.value(i)
-      it.flatMap { case (docId, q, nTok) =>
-        val before = acc
-        acc += nTok
-        if (before < budget) Iterator.single((docId, q, nTok, before + nTok))
-        else Iterator.empty
+      if (acc >= budget) Iterator.empty // whole partition past the budget
+      else new Iterator[(Long, Double, Long, Long)] {
+        // rows are rank-ordered, so the first row STARTING at or past
+        // the budget ends the selection — stop pulling the iterator
+        def hasNext: Boolean = acc < budget && it.hasNext
+        def next(): (Long, Double, Long, Long) = {
+          val (docId, q, nTok) = it.next()
+          acc += nTok
+          (docId, q, nTok, acc)
+        }
       }
     }.toDF("doc_id", "quality_score", "n_tokens", "cum_tokens")
   }
@@ -925,23 +934,28 @@ object Corpus {
     * (dropped: the target has no mass there); target-only buckets cannot
     * be sampled into existence and are correctly absent from the report.
     *
-    * Shape: two map-combinable bucket counts + 1-row totals, the
-    * bucket-rate table broadcasts (it is O(buckets), not O(rows)), and
-    * the keep decision is a stateless scan-side filter — one pass over
-    * the corpus at any scale. Output is the per-bucket audit report
-    * (source/target/kept counts, acceptance, target vs kept share). */
+    * Shape: ONE map-combinable (bucket, is_eval) count over the corpus —
+    * target/source margins and totals all derive from that bucket-sized
+    * frame, never from re-scans — the rate table broadcasts (it is
+    * O(buckets), not O(rows)), and the keep decision is a stateless
+    * scan-side filter, so the whole operator is two corpus reads (count
+    * + gate). BIGINT headroom: `t_b·s_tot·1e6` needs t_b·s_tot under
+    * ~9e12 — fine to ~3M-doc targets against 3M-doc sources per bucket;
+    * a web-scale run re-quantizes the ratio at 1e-3 or moves it to
+    * doubles (losing the oracle, not the plan), the same documented
+    * trade as `kn_perplexity`. */
   def lengthMatchSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("bucket", expr(s"n_chars div $lmsBucketChars"))
       .withColumn("is_eval",
         col("doc_id") % decontEvalMod === decontEvalRem)
-    val tb = d.filter(col("is_eval"))
-      .groupBy("bucket").agg(count(lit(1)).as("t_b"))
-    val sb = d.filter(!col("is_eval"))
-      .groupBy("bucket").agg(count(lit(1)).as("s_b"))
-    val tot = d.agg(
-      sum(when(col("is_eval"), 1L).otherwise(0L)).as("t_tot"),
-      sum(when(!col("is_eval"), 1L).otherwise(0L)).as("s_tot"))
+    // the ONE corpus-scale aggregate; everything below is bucket-sized
+    val c = d.groupBy("bucket", "is_eval").agg(count(lit(1)).as("n"))
+    val tb = c.filter(col("is_eval")).select(col("bucket"), col("n").as("t_b"))
+    val sb = c.filter(!col("is_eval")).select(col("bucket"), col("n").as("s_b"))
+    val tot = c.agg(
+      sum(when(col("is_eval"), col("n")).otherwise(0L)).as("t_tot"),
+      sum(when(!col("is_eval"), col("n")).otherwise(0L)).as("s_tot"))
     val rates = sb.join(tb, Seq("bucket"), "left").na.fill(0L, Seq("t_b"))
       .crossJoin(broadcast(tot))
       .withColumn("a_fp", expr("t_b * s_tot * 1000000L div (s_b * t_tot)"))
@@ -971,15 +985,17 @@ object Corpus {
        |  SELECT doc_id, n_chars // $lmsBucketChars AS bucket,
        |    (doc_id % $decontEvalMod = $decontEvalRem) AS is_eval
        |  FROM documents
+       |), c AS (
+       |  SELECT bucket, is_eval, count(*) AS n FROM d GROUP BY 1, 2
        |), tb AS (
-       |  SELECT bucket, count(*) AS t_b FROM d WHERE is_eval GROUP BY 1
+       |  SELECT bucket, n AS t_b FROM c WHERE is_eval
        |), sb AS (
-       |  SELECT bucket, count(*) AS s_b FROM d WHERE NOT is_eval GROUP BY 1
+       |  SELECT bucket, n AS s_b FROM c WHERE NOT is_eval
        |), tot AS (
        |  SELECT
-       |    CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS t_tot,
-       |    CAST(sum(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS BIGINT) AS s_tot
-       |  FROM d
+       |    CAST(sum(CASE WHEN is_eval THEN n ELSE 0 END) AS BIGINT) AS t_tot,
+       |    CAST(sum(CASE WHEN NOT is_eval THEN n ELSE 0 END) AS BIGINT) AS s_tot
+       |  FROM c
        |), r AS (
        |  SELECT sb.bucket, s_b, coalesce(t_b, 0) AS t_b,
        |    coalesce(t_b, 0) * s_tot * 1000000 // (s_b * t_tot) AS a_fp,

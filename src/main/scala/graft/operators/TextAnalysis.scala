@@ -1969,7 +1969,7 @@ object TextAnalysis {
        |  SELECT doc_id,
        |    unnest(generate_series(1, len(toks) - ${winnowK - 1})) AS pos,
        |    unnest(list_transform(generate_series(1, len(toks) - ${winnowK - 1}),
-       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+       |      i -> ${(0 until winnowK).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")})) AS gram
        |  FROM t WHERE len(toks) >= $winnowK
        |), kx AS (
        |  SELECT doc_id, pos,
@@ -2052,12 +2052,23 @@ object TextAnalysis {
     * perturb it) and applied to both sides for one consistent universe. */
   def winnowIncremental(spark: SparkSession, dir: String): DataFrame = {
     val f = sharedWinnowFps(spark, dir)
-    val batch = f.filter(col("doc_id") % 10L === 7L)
-    val base = f.filter(col("doc_id") % 10L =!= 7L)
-    val hot = base.groupBy("fp").agg(count(lit(1)).as("df"))
+    winnowMatchAgainstBase(
+      f.filter(col("doc_id") % 10L === 7L),
+      f.filter(col("doc_id") % 10L =!= 7L))
+  }
+
+  /** The SHARED batch-vs-base attribution core — one implementation for
+    * the incremental query above and [[graft.streaming.StreamingWinnow]]
+    * (stream and batch agree by construction, not by parallel edits):
+    * hot-fp cap derived from the BASE (the persisted artifact), applied
+    * to both sides; equi-join on fp; `cover` = the BATCH doc's matched
+    * share. Inputs are distinct (doc_id, fp) tables. */
+  private[graft] def winnowMatchAgainstBase(batchFps: DataFrame,
+      baseFps: DataFrame): DataFrame = {
+    val hot = baseFps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > winnowMaxDf).select("fp")
-    val baseC = base.join(broadcast(hot), Seq("fp"), "left_anti")
-    val batchC = batch.join(broadcast(hot), Seq("fp"), "left_anti")
+    val baseC = baseFps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val batchC = batchFps.join(broadcast(hot), Seq("fp"), "left_anti")
     val bsz = batchC.groupBy("doc_id").agg(count(lit(1)).as("n_batch"))
     batchC.as("a").join(baseC.as("b"), col("a.fp") === col("b.fp"))
       .groupBy(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("base_doc"))
@@ -2106,9 +2117,22 @@ object TextAnalysis {
 
   /** Fixture blocklist: three phrases that occur in the corpus, two that
     * cannot — both branches of the gate exercised. A deployment swaps in
-    * its policy dictionary (thousands of phrases stay broadcast-sized). */
-  private[graft] val blocklist = Seq("table hash", "slow key", "big order",
-    "forbidden phrase", "data exfiltration")
+    * its policy dictionary (thousands of phrases stay broadcast-sized).
+    * Entries are VALIDATED against the join-key shape at load: the scan
+    * side only ever emits lowercase token BIGRAMS, so a 3-token, cased,
+    * or punctuated entry could never match anything — it would fail OPEN
+    * silently, the one failure mode a compliance gate must not have. */
+  private[graft] val blocklist: Seq[String] = {
+    val raw = Seq("table hash", "slow key", "big order",
+      "forbidden phrase", "data exfiltration")
+    raw.foreach { p =>
+      val norm = p.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      require(norm.length == 2 && norm.mkString(" ") == p,
+        s"blocklist entry '$p' is not two normalized tokens — it could " +
+          "never match a scan-side bigram and would fail open")
+    }
+    raw
+  }
 
   /** Banned-phrase policy gate — the compliance/toxicity filter every
     * production corpus pipeline runs before training: per document, how

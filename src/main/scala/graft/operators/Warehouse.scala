@@ -2072,8 +2072,11 @@ object Warehouse {
         sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_violations"))
       .select(lit("events_user_id_not_null").as("check_name"),
         col("n_checked"), col("n_violations"))
+    // count(col) ignores NULLs in both engines, so nullity can never be
+    // misreported as duplication (a NULL id is the OTHER check's job)
     val c2 = ev.agg(count(lit(1)).as("n_checked"),
-        (count(lit(1)) - countDistinct(col("event_id"))).as("n_violations"))
+        (count(col("event_id")) - countDistinct(col("event_id")))
+          .as("n_violations"))
       .select(lit("events_event_id_unique").as("check_name"),
         col("n_checked"), col("n_violations"))
     val c3 = ord.join(cust.select(col("c_custkey")).distinct(),
@@ -2112,8 +2115,8 @@ object Warehouse {
       |FROM events
       |UNION ALL
       |SELECT 'events_event_id_unique', count(*),
-      |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
-      |  count(*) - count(DISTINCT event_id) = 0
+      |  CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+      |  count(event_id) - count(DISTINCT event_id) = 0
       |FROM events
       |UNION ALL
       |SELECT 'orders_custkey_fk', count(*),

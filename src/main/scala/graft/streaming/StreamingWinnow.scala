@@ -57,29 +57,20 @@ object StreamingWinnow {
     TextAnalysis.winnowFps(baseDocs).select("doc_id", "fp").distinct()
       .write.mode("overwrite").parquet(s"$baseDir/fps")
 
-  /** Copy matches for one micro-batch of (doc_id, text) documents against
-    * the persistent base. Materialized before return (the caller delivers
-    * it and grow mode then appends to the base path its plan reads);
-    * caches are reported to `track` for end-of-batch unpersist. */
-  def batchMatches(batch: DataFrame, baseDir: String,
+  /** Copy matches for one micro-batch, given its ALREADY-winnowed
+    * distinct (doc_id, fp) table (winnowed once per batch — matching and
+    * grow-mode growth share it, so the per-gram MD5 loop never runs
+    * twice). The attribution itself is
+    * [[TextAnalysis.winnowMatchAgainstBase]] — the SAME code path as the
+    * batch operator, so stream and batch agree by construction.
+    * Materialized before return (the caller delivers it and grow mode
+    * then appends to the base path its plan reads); caches are reported
+    * to `track` for end-of-batch unpersist. */
+  def batchMatches(batchFps: DataFrame, baseDir: String,
       track: DataFrame => Unit): DataFrame = {
-    val spark = batch.sparkSession
+    val spark = batchFps.sparkSession
     val base = spark.read.parquet(s"$baseDir/fps")
-    val hot = base.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") > TextAnalysis.winnowMaxDf).select("fp")
-    val baseC = base.join(broadcast(hot), Seq("fp"), "left_anti")
-    val batchC = TextAnalysis.winnowFps(batch)
-      .select("doc_id", "fp").distinct()
-      .join(broadcast(hot), Seq("fp"), "left_anti")
-    batchC.cache(); track(batchC) // read twice: sizes + the pair join
-    val bsz = batchC.groupBy("doc_id").agg(count(lit(1)).as("n_batch"))
-    val m = batchC.as("a").join(baseC.as("b"), col("a.fp") === col("b.fp"))
-      .groupBy(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("base_doc"))
-      .agg(count(lit(1)).as("common"))
-      .filter(col("common") >= TextAnalysis.winnowMinShared)
-      .join(bsz.withColumnRenamed("doc_id", "batch_doc"), "batch_doc")
-      .withColumn("cover", col("common").cast("double") / col("n_batch"))
-      .select("batch_doc", "base_doc", "common", "cover")
+    val m = TextAnalysis.winnowMatchAgainstBase(batchFps, base)
     m.cache(); m.count(); track(m)
     m
   }
@@ -91,12 +82,16 @@ object StreamingWinnow {
     (batch, batchId) =>
       BatchLedger.once(s"$baseDir/_graft_winnow_ledger", batch, batchId) {
         val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        val m = batchMatches(batch, baseDir, cached += _)
+        // winnow ONCE: matching reads it (twice: cap sizes + pair join)
+        // and grow mode appends it — cache spans both consumers
+        val batchFps = TextAnalysis.winnowFps(batch)
+          .select("doc_id", "fp").distinct()
+        batchFps.cache(); cached += batchFps
+        val m = batchMatches(batchFps, baseDir, cached += _)
         try {
           deliver(m, batchId)
           if (growBase)
-            TextAnalysis.winnowFps(batch).select("doc_id", "fp").distinct()
-              .write.mode("append").parquet(s"$baseDir/fps")
+            batchFps.write.mode("append").parquet(s"$baseDir/fps")
         } finally cached.foreach(_.unpersist())
       }
   }

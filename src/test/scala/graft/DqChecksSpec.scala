@@ -34,7 +34,8 @@ class DqChecksSpec extends SparkSpec {
       "events_user_id_not_null" ->
         ((nEv, ev.filter("user_id IS NULL").count())),
       "events_event_id_unique" ->
-        ((nEv, nEv - ev.select("event_id").distinct().count())),
+        ((nEv, ev.filter("event_id IS NOT NULL").count()
+          - ev.select("event_id").na.drop().distinct().count())),
       "orders_custkey_fk" ->
         ((nOrd, ordKeys.count(o => !custKeys.contains(o._2)).toLong)),
       "orders_have_lineitems" ->
