@@ -2113,6 +2113,118 @@ object TextAnalysis {
        |  CAST(common AS DOUBLE) / least(x.n, y.n) AS cover
        |FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id""".stripMargin
 
+  // --------------------------------------- content-defined chunking (CDC)
+
+  private[graft] val cdcMod = 16L // expected chunk length in tokens
+
+  /** Content-defined chunking (the Rabin/Gear-CDC family, here in its
+    * simplest content-hash-gated form): a chunk boundary falls AFTER any
+    * token whose 40-bit md5 hash ≡ 0 (mod [[cdcMod]]), plus a forced
+    * final boundary — so boundaries depend ONLY on local content, never
+    * on position. That is the property fixed windows ([[docChunks]],
+    * [[chunkDedup]]) lack: insert one token at the front of a document
+    * and every fixed window shifts and re-hashes, while CDC chunks
+    * after the first boundary are byte-identical — the dedup signal
+    * survives edits (CdcSpec pins exactly this). Production CDC adds
+    * min/max chunk clamps; the unclamped form keeps the oracle simple
+    * and the boundary semantics identical cross-engine.
+    *
+    * Shape: per-document loop in `mapPartitions` over the scan — zero
+    * shuffle, like [[winnowFps]] (the oracle takes the declarative
+    * running-sum-over-boundary-flags form). */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def hex(s: String): String = {
+          val d = digest.digest(s.getBytes("UTF-8"))
+          d.map(b => f"${b & 0xff}%02x").mkString
+        }
+        def h40(s: String): Long = java.lang.Long.parseLong(hex(s).take(10), 16)
+        it.flatMap { case (docId, text) =>
+          val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, String)]
+            val sb = new java.lang.StringBuilder
+            var nInChunk = 0L
+            var chunkIdx = 1L
+            var i = 0
+            while (i < toks.length) {
+              if (nInChunk > 0) sb.append(' ')
+              sb.append(toks(i)); nInChunk += 1
+              if (h40(toks(i)) % cdcMod == 0L || i == toks.length - 1) {
+                out += ((docId, chunkIdx, nInChunk, hex(sb.toString)))
+                sb.setLength(0); nInChunk = 0L; chunkIdx += 1L
+              }
+              i += 1
+            }
+            out.iterator
+          }
+        }
+      }.toDF("doc_id", "chunk_idx", "n_toks", "chunk_md5")
+  }
+
+  /** CTE chain ending in `cdc(doc_id, chunk_idx, n_toks, chunk_md5)` —
+    * shared by [[cdcChunksSql]] and [[cdcDedupSql]]. */
+  private[operators] val cdcCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id,
+       |    unnest(toks) AS w,
+       |    unnest(generate_series(1, len(toks))) AS pos,
+       |    len(toks) AS n
+       |  FROM t WHERE len(toks) >= 1
+       |), bf AS (
+       |  SELECT doc_id, w, pos,
+       |    CASE WHEN CAST(('0x' || substr(md5(w), 1, 10)) AS BIGINT)
+       |        % $cdcMod = 0 OR pos = n
+       |      THEN 1 ELSE 0 END AS is_b
+       |  FROM tok
+       |), cix AS (
+       |  SELECT doc_id, w, pos,
+       |    coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+       |      AS chunk_idx
+       |  FROM bf
+       |), cdc AS (
+       |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |    count(*) AS n_toks,
+       |    md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+       |  FROM cix GROUP BY doc_id, chunk_idx
+       |)""".stripMargin
+
+  val cdcChunksSql: String =
+    s"""WITH $cdcCtes
+       |SELECT doc_id, chunk_idx, CAST(n_toks AS BIGINT) AS n_toks, chunk_md5
+       |FROM cdc""".stripMargin
+
+  /** Cross-document duplicate CDC chunks — the shift-robust boilerplate
+    * table: chunks whose content recurs (>1 occurrence corpus-wide),
+    * with document reach and occurrence counts. Because boundaries are
+    * content-defined, a copied passage embedded at ANY offset inside a
+    * new document still lands on the same chunk digests — fixed windows
+    * only match when the copy lands window-aligned. One hash agg over
+    * the chunk table; nothing wider than (md5, counts) shuffles. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(spark, dir)
+      .groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min("n_toks").as("n_toks"))
+      .filter(col("n_occurrences") > 1L)
+
+  val cdcDedupSql: String =
+    s"""WITH $cdcCtes
+       |SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occurrences,
+       |  CAST(min(n_toks) AS BIGINT) AS n_toks
+       |FROM cdc GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
   // ------------------------------------------------ blocklist policy gate
 
   /** Fixture blocklist: three phrases that occur in the corpus, two that
@@ -2334,6 +2446,8 @@ object TextAnalysis {
     "winnow_copy_pairs" -> (winnowCopyPairs _),
     "winnow_incremental" -> (winnowIncremental _),
     "blocklist_filter" -> (blocklistFilter _),
+    "cdc_chunks" -> (cdcChunks _),
+    "cdc_dedup" -> (cdcDedup _),
     "kn_perplexity" -> (knPerplexity _),
   )
 
@@ -2370,6 +2484,8 @@ object TextAnalysis {
     "winnow_copy_pairs" -> winnowCopyPairsSql,
     "winnow_incremental" -> winnowIncrementalSql,
     "blocklist_filter" -> blocklistFilterSql,
+    "cdc_chunks" -> cdcChunksSql,
+    "cdc_dedup" -> cdcDedupSql,
     "kn_perplexity" -> knPerplexitySql,
   )
 }
