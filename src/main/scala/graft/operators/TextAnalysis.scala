@@ -2138,11 +2138,25 @@ object TextAnalysis {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
-        def hex(s: String): String = {
-          val d = digest.digest(s.getBytes("UTF-8"))
-          d.map(b => f"${b & 0xff}%02x").mkString
+        val hexChars = "0123456789abcdef".toCharArray
+        // char-table hex + byte-level 40-bit prefix: this loop hashes
+        // every token, and java.util.Formatter-based hex (f"%02x") was
+        // the measured hot spot at ~2 orders over the digest itself
+        def hex(d: Array[Byte]): String = {
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+            out(2 * i + 1) = hexChars(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
         }
-        def h40(s: String): Long = java.lang.Long.parseLong(hex(s).take(10), 16)
+        def h40(s: String): Long = {
+          val d = digest.digest(s.getBytes("UTF-8"))
+          ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+            ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+        }
         it.flatMap { case (docId, text) =>
           val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
           if (toks.isEmpty) Iterator.empty
@@ -2157,7 +2171,8 @@ object TextAnalysis {
               if (nInChunk > 0) sb.append(' ')
               sb.append(toks(i)); nInChunk += 1
               if (h40(toks(i)) % cdcMod == 0L || i == toks.length - 1) {
-                out += ((docId, chunkIdx, nInChunk, hex(sb.toString)))
+                out += ((docId, chunkIdx, nInChunk,
+                  hex(digest.digest(sb.toString.getBytes("UTF-8")))))
                 sb.setLength(0); nInChunk = 0L; chunkIdx += 1L
               }
               i += 1
