@@ -215,6 +215,130 @@ object Corpus {
        |  d.doc_id = coalesce(cl.cluster_id, d.doc_id) AS is_keeper
        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin
 
+  /** B-Cubed clustering audit (Amigó et al. 2009 — the standard
+    * extrinsic clustering metric) of the LSH-derived dedup clustering
+    * against the exhaustive-Jaccard reference clustering: both use the
+    * SAME exact-text edges and the same verification threshold, so the
+    * score isolates exactly what the sketch changes — candidate pairs the
+    * banding never surfaces. Per-item precision = |C(i)∩L(i)|/|C(i)|,
+    * recall = |C(i)∩L(i)|/|L(i)|, averaged over items; because LSH
+    * candidates are exact-verified before pairing, C refines L and
+    * B-Cubed PRECISION must read 1.0 — the audit's built-in invariant —
+    * while RECALL prices the banding's missed pairs at cluster level
+    * (pair-level misses are [[Dedup.minhashAccuracy]]'s job; an item in
+    * a split cluster hurts every co-member, which only the cluster-level
+    * view shows).
+    *
+    * Exactness: per-cell contributions n_cl²·1e9/n_c are exact integer
+    * floor-divisions summed as BIGINTs, then one floor per aggregate —
+    * identical both engines. Shape: two component closures over
+    * pair-edge sets (the reference labels are the memoized
+    * [[dedupClusters]] substrate; the LSH closure reuses
+    * [[components]]), then three bucket-sized hash aggregates — the
+    * corpus-scale work is the pair generation both clusterings already
+    * share. */
+  def dedupBcubed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(md5(col("text")))
+    val exactEdges = docs
+      .withColumn("keeper", min("doc_id").over(w))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("d1"), col("doc_id").as("d2"))
+    val refLab = clusterLabels(spark, dir)
+      .withColumnRenamed("cluster_id", "l_id")
+    val lshLab = components(
+        exactEdges.union(Dedup.minhashLsh(spark, dir).select("d1", "d2")))
+      .withColumnRenamed("cluster_id", "c_id")
+    val a = docs.select("doc_id")
+      .join(refLab, Seq("doc_id"), "left")
+      .join(lshLab, Seq("doc_id"), "left")
+      .withColumn("l_id", coalesce(col("l_id"), col("doc_id")))
+      .withColumn("c_id", coalesce(col("c_id"), col("doc_id")))
+    val cells = a.groupBy("c_id", "l_id").agg(count(lit(1)).as("n_cl"))
+    val nc = cells.groupBy("c_id").agg(sum("n_cl").cast("long").as("n_c"))
+    val nl = cells.groupBy("l_id").agg(sum("n_cl").cast("long").as("n_l"))
+    cells.join(nc, "c_id").join(nl, "l_id")
+      .withColumn("p_part", expr("n_cl * n_cl * 1000000000L div n_c"))
+      .withColumn("r_part", expr("n_cl * n_cl * 1000000000L div n_l"))
+      .agg(sum("n_cl").cast("long").as("n_docs"),
+        countDistinct("c_id").as("n_clusters_lsh"),
+        countDistinct("l_id").as("n_clusters_exact"),
+        sum("p_part").cast("long").as("sp"),
+        sum("r_part").cast("long").as("sr"))
+      .withColumn("bcubed_precision_fp", expr("sp div n_docs"))
+      .withColumn("bcubed_recall_fp", expr("sr div n_docs"))
+      .withColumn("bcubed_f1_fp", expr(
+        """CASE WHEN sp div n_docs + sr div n_docs > 0
+          |  THEN 2L * (sp div n_docs) * (sr div n_docs)
+          |    div (sp div n_docs + sr div n_docs)
+          |  ELSE 0L END""".stripMargin))
+      .select("n_docs", "n_clusters_lsh", "n_clusters_exact",
+        "bcubed_precision_fp", "bcubed_recall_fp", "bcubed_f1_fp")
+  }
+
+  lazy val dedupBcubedSql: String =
+    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtes},
+       |${Dedup.lshPairsCtes},
+       |ex AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS d1,
+       |      doc_id AS d2
+       |    FROM documents
+       |  ) WHERE d1 <> d2
+       |),
+       |eL AS (SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM ex),
+       |edL AS MATERIALIZED (
+       |  SELECT d1 AS src, d2 AS dst FROM eL UNION SELECT d2, d1 FROM eL
+       |),
+       |reachL(doc_id, r) AS (
+       |  SELECT src, src FROM edL
+       |  UNION
+       |  SELECT e.src, reachL.r FROM edL e JOIN reachL ON e.dst = reachL.doc_id
+       |),
+       |labL AS (SELECT doc_id, min(r) AS l_id FROM reachL GROUP BY 1),
+       |eC AS (SELECT d1, d2 FROM lshp UNION SELECT d1, d2 FROM ex),
+       |edC AS MATERIALIZED (
+       |  SELECT d1 AS src, d2 AS dst FROM eC UNION SELECT d2, d1 FROM eC
+       |),
+       |reachC(doc_id, r) AS (
+       |  SELECT src, src FROM edC
+       |  UNION
+       |  SELECT e.src, reachC.r FROM edC e JOIN reachC ON e.dst = reachC.doc_id
+       |),
+       |labC AS (SELECT doc_id, min(r) AS c_id FROM reachC GROUP BY 1),
+       |a AS (
+       |  SELECT d.doc_id,
+       |    coalesce(labC.c_id, d.doc_id) AS c_id,
+       |    coalesce(labL.l_id, d.doc_id) AS l_id
+       |  FROM documents d
+       |  LEFT JOIN labC ON d.doc_id = labC.doc_id
+       |  LEFT JOIN labL ON d.doc_id = labL.doc_id
+       |),
+       |cells AS MATERIALIZED (SELECT c_id, l_id, count(*) AS n_cl FROM a GROUP BY 1, 2),
+       |nc AS (SELECT c_id, CAST(sum(n_cl) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+       |nl AS (SELECT l_id, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+       |parts AS (
+       |  SELECT n_cl, c_id, l_id,
+       |    n_cl * n_cl * 1000000000 // n_c AS p_part,
+       |    n_cl * n_cl * 1000000000 // n_l AS r_part
+       |  FROM cells JOIN nc USING (c_id) JOIN nl USING (l_id)
+       |), s AS (
+       |  SELECT CAST(sum(n_cl) AS BIGINT) AS n_docs,
+       |    count(DISTINCT c_id) AS n_clusters_lsh,
+       |    count(DISTINCT l_id) AS n_clusters_exact,
+       |    CAST(sum(p_part) AS BIGINT) AS sp,
+       |    CAST(sum(r_part) AS BIGINT) AS sr
+       |  FROM parts
+       |)
+       |SELECT n_docs, n_clusters_lsh, n_clusters_exact,
+       |  CAST(sp // n_docs AS BIGINT) AS bcubed_precision_fp,
+       |  CAST(sr // n_docs AS BIGINT) AS bcubed_recall_fp,
+       |  CAST(CASE WHEN sp // n_docs + sr // n_docs > 0
+       |    THEN 2 * (sp // n_docs) * (sr // n_docs)
+       |      // (sp // n_docs + sr // n_docs)
+       |    ELSE 0 END AS BIGINT) AS bcubed_f1_fp
+       |FROM s""".stripMargin
+
   /** Duplication-factor profile — the corpus-report statistic a dedup
     * pass is judged by: for each duplicate-cluster SIZE, how many
     * clusters have it and how many documents they hold (so "what
@@ -1556,6 +1680,7 @@ object Corpus {
     "quality_budget_select" -> (qualityBudgetSelect _),
     "corpus_manifest" -> (corpusManifest _),
     "length_match_sample" -> (lengthMatchSample _),
+    "dedup_bcubed" -> (dedupBcubed _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1583,5 +1708,6 @@ object Corpus {
     "quality_budget_select" -> qualityBudgetSelectSql,
     "corpus_manifest" -> corpusManifestSql,
     "length_match_sample" -> lengthMatchSampleSql,
+    "dedup_bcubed" -> dedupBcubedSql,
   )
 }

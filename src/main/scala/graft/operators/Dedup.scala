@@ -312,7 +312,7 @@ object Dedup {
     base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  private def minhashSigSql: String = {
+  private[operators] def minhashSigSql: String = {
     val cols = hashAB.zipWithIndex.map { case ((a, b), j) =>
       s"min(($a * h + $b) % $hashPrime) AS mh$j"
     }.mkString(",\n    ")
@@ -466,6 +466,38 @@ object Dedup {
        |JOIN cm ON c.d1 = cm.d1 AND c.d2 = cm.d2
        |JOIN sz x ON c.d1 = x.doc_id JOIN sz y ON c.d2 = y.doc_id
        |WHERE CAST(cm.common AS DOUBLE) / (x.n + y.n - cm.common) >= $jaccardThreshold""".stripMargin
+  }
+
+  /** CTE chain ending in `lshp(d1, d2)` — the LSH-FOUND pairs at the
+    * shared threshold. Assumes [[jaccardPairsCtes]] precedes it in the
+    * same WITH (it reuses that chain's `idx`/`sz`/`p` universe instead
+    * of re-declaring `cm`); used by the B-Cubed clustering audit in
+    * [[graft.operators.Corpus]]. lazy: interpolates constants declared
+    * above AND below in source order. */
+  private[operators] lazy val lshPairsCtes: String = {
+    val bandSelects = (0 until numHashes / numBands).map { band =>
+      s"SELECT doc_id, CAST($band AS BIGINT) AS band, mh${band * numBands} AS m0, " +
+        s"mh${band * numBands + 1} AS m1, mh${band * numBands + 2} AS m2, " +
+        s"mh${band * numBands + 3} AS m3 FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$minhashSigSql,
+       |sig AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM sig x JOIN sig y ON x.band = y.band
+       |    AND x.m0 = y.m0 AND x.m1 = y.m1 AND x.m2 = y.m2 AND x.m3 = y.m3
+       |    AND x.doc_id < y.doc_id
+       |),
+       |lshp AS (
+       |  SELECT c.d1, c.d2
+       |  FROM cand c
+       |  JOIN p ON c.d1 = p.d1 AND c.d2 = p.d2
+       |  JOIN sz x ON c.d1 = x.doc_id JOIN sz y ON c.d2 = y.doc_id
+       |  WHERE CAST(p.common AS DOUBLE) / (x.n + y.n - p.common)
+       |    >= $jaccardThreshold
+       |)""".stripMargin
   }
 
   // ------------------------------------------------------------- SimHash
