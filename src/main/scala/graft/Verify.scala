@@ -7,9 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // optional: --only a,b for fast local iteration on a few queries
+    // optional: --only a,b for fast local iteration on a few queries.
+    // Misuse fails LOUDLY (ADVICE r12): a bare --only used to silently run
+    // everything, and a typo'd name silently wrote nothing.
     val only: Option[Set[String]] =
       args.sliding(2).collectFirst { case Array("--only", v) => v.split(",").toSet }
+    if (args.contains("--only")) {
+      require(args.last != "--only" && only.isDefined,
+        "--only requires a comma-separated query list, e.g. --only q1_agg,dedup_exact")
+      val unknown = only.get -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"--only names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.sources.Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()

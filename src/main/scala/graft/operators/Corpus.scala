@@ -231,7 +231,16 @@ object Corpus {
     *
     * Exactness: per-cell contributions n_cl²·1e9/n_c are exact integer
     * floor-divisions summed as BIGINTs, then one floor per aggregate —
-    * identical both engines. Shape: two component closures over
+    * identical both engines. BIGINT headroom: the per-cell term
+    * n_cl²·1e9 overflows signed 64-bit once a single (c_id, l_id) cell
+    * exceeds ~3.03M documents (sqrt(2^63/1e9)); Spark 4 ANSI and DuckDB
+    * both fail LOUDLY there (hard stop, never silent corruption). A
+    * dedup cell that large means >3M byte-identical or near-identical
+    * docs share one cluster — past that, re-quantize the score at 1e-3
+    * (headroom ~3.0B docs/cell) or switch the two fp columns to doubles
+    * and accept last-ulp divergence, the same trade documented on
+    * [[graft.operators.TextAnalysis.knPerplexity]] and
+    * [[lengthMatchSample]]. Shape: two component closures over
     * pair-edge sets (the reference labels are the memoized
     * [[dedupClusters]] substrate; the LSH closure reuses
     * [[components]]), then three bucket-sized hash aggregates — the

@@ -1916,6 +1916,10 @@ object Similarity {
   private[graft] val bitextK = 4
   private[graft] val bitextMarginFp = 1200000L
 
+  /** Embeddings-table row count per (session, dir) — serves the audit-cap
+    * guards without re-scanning per construction. */
+  private val embCountCache = new graft.util.SessionCache[java.lang.Long]()
+
   /** Margin-based BITEXT MINING — the ratio-margin criterion of Artetxe &
     * Schwenk 2019 ("Margin-based Parallel Corpus Mining with Multilingual
     * Sentence Embeddings", the CCMatrix/LASER recipe): a cross-language
@@ -1951,9 +1955,15 @@ object Similarity {
         col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .filter(col("norm") > 0.0)
-    val n = base.count()
+    // Cap check on the RAW table row count (>= the norm-filtered vector
+    // count, so the guard is conservative), memoized per (session, dir) —
+    // the audit guard must not pay a full embeddings scan on every
+    // construction (ADVICE/VERDICT r12: the eager base.count() ran a job
+    // before the query even planned). Parquet count() reads footers only.
+    val n = embCountCache.get(spark, dir)(
+      Tables.embeddings(spark, dir).count(): java.lang.Long).longValue()
     require(n <= auditMaxRows,
-      s"bitextMining is the exact-pair audit: $n vectors exceed the " +
+      s"bitextMining is the exact-pair audit: $n embedding rows exceed the " +
         s"$auditMaxRows cap. Mine at scale from the IVF shortlist " +
         "(knnGraph) with the same margin algebra.")
     val a = base.filter(col("label") % 2 === 0)

@@ -62,7 +62,10 @@ object StreamThroughputBench {
   }
 
   private def summarize(tag: String, times: Seq[Double], perBatch: Int): String = {
-    val steady = times.drop(warm)
+    // steady-state = batches after the warm-up; with <= warm batches there
+    // IS no steady state, so fall back to the full list rather than index
+    // into an empty Seq / divide by zero (ADVICE r12)
+    val steady = if (times.size > warm) times.drop(warm) else times
     val eps = steady.size.toLong * perBatch / steady.sum
     f"""{"phase":"$tag","batches":${times.size},"per_batch":$perBatch,""" +
       f""""steady_events_per_sec":${eps.round},"batch_p50_s":${pct(steady, 0.5)}%.2f,""" +
@@ -73,6 +76,9 @@ object StreamThroughputBench {
     val phase = args.headOption.getOrElse("all")
     val perBatch = args.lift(1).map(_.toInt).getOrElse(500000)
     val batches = args.lift(2).map(_.toInt).getOrElse(24)
+    require(batches > warm, s"need > $warm batches (the warm-up) for a " +
+      s"steady-state measurement; got $batches")
+    require(perBatch > 0, s"perBatch must be positive; got $perBatch")
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
     val spark = graft.sources.Sessions.builder(master, 32)
       .config("spark.executor.memory", "7g")
