@@ -1657,17 +1657,19 @@ object TextAnalysis {
     * label-independent text, pinned by NbLangClassifySpec; on a real
     * multilingual corpus the same plan yields the fastText-style
     * diagonal. */
-  def nbLangClassify(spark: SparkSession, dir: String): DataFrame = {
+  /** The NB core behind [[nbLangClassify]] and [[nbQualityClassify]]:
+    * train on `doc_id % 4 != 0`, predict the held-out quarter. Input is
+    * a labeled token stream (doc_id, label, term); output one row per
+    * held-out doc (doc_id, true_label, pred_label). */
+  private def nbPredictions(tk: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tk = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
     val train = tk.filter(col("doc_id") % nbTestMod =!= 0L)
     val test = tk.filter(col("doc_id") % nbTestMod === 0L)
 
-    val cw = train.groupBy("lang", "term").agg(count(lit(1)).as("cw"))
-    val cl = cw.groupBy("lang").agg(sum("cw").as("cl"))
+    val cw = train.groupBy("label", "term").agg(count(lit(1)).as("cw"))
+    val cl = cw.groupBy("label").agg(sum("cw").as("cl"))
     val vv = train.agg(countDistinct("term").as("v"))
-    val nd = train.groupBy("lang").agg(countDistinct("doc_id").as("nd"))
+    val nd = train.groupBy("label").agg(countDistinct("doc_id").as("nd"))
     val nt = nd.agg(sum("nd").as("n_train"), count(lit(1)).as("n_labels"))
 
     // fractional-bit surprisal of the exact rational num/den:
@@ -1681,32 +1683,47 @@ object TextAnalysis {
       bits * 65536L - floor((m - 1.0) * 65536.0).cast("long")
     }
 
-    val lab = cl.join(nd, "lang").crossJoin(vv).crossJoin(nt)
+    val lab = cl.join(nd, "label").crossJoin(vv).crossJoin(nt)
       .withColumn("prior_sfp",
         fracBits(col("nd") + 1L, col("n_train") + col("n_labels")))
-      .select(col("lang").as("m_lang"), col("cl"), col("v"), col("prior_sfp"))
+      .select(col("label").as("m_label"), col("cl"), col("v"), col("prior_sfp"))
 
-    val dt = test.groupBy(col("doc_id"), col("lang").as("true_lang"), col("term"))
+    val dt = test.groupBy(col("doc_id"), col("label").as("true_label"), col("term"))
       .agg(count(lit(1)).as("k"))
     val sr = dt.crossJoin(broadcast(lab))
-      .join(cw.select(col("lang").as("m_lang"), col("term"), col("cw")),
-        Seq("m_lang", "term"), "left")
+      .join(cw.select(col("label").as("m_label"), col("term"), col("cw")),
+        Seq("m_label", "term"), "left")
       .withColumn("s_fp",
         fracBits(coalesce(col("cw"), lit(0L)) + 1L, col("cl") + col("v")))
     val ds = sr
-      .groupBy("doc_id", "true_lang", "m_lang", "prior_sfp")
+      .groupBy("doc_id", "true_label", "m_label", "prior_sfp")
       .agg(sum(col("k") * col("s_fp")).as("lk_sfp"))
       .withColumn("total_sfp", col("lk_sfp") + col("prior_sfp"))
     val w = Window.partitionBy("doc_id")
-      .orderBy(col("total_sfp").asc, col("m_lang").asc)
-    val cells = ds.withColumn("rn", row_number().over(w))
+      .orderBy(col("total_sfp").asc, col("m_label").asc)
+    ds.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .groupBy(col("true_lang").as("lang"), col("m_lang").as("pred_lang"))
+      .select(col("doc_id"), col("true_label"), col("m_label").as("pred_label"))
+  }
+
+  /** (true, predicted) confusion cells with a per-true-label share, the
+    * shared reporting shape of the NB classifiers. */
+  private def nbConfusion(preds: DataFrame, labelName: String,
+      predName: String): DataFrame = {
+    val cells = preds
+      .groupBy(col("true_label").as(labelName), col("pred_label").as(predName))
       .agg(count(lit(1)).as("n"))
-    val tot = cells.groupBy("lang").agg(sum("n").as("n_true"))
-    cells.join(tot, "lang")
+    val tot = cells.groupBy(labelName).agg(sum("n").as("n_true"))
+    cells.join(tot, labelName)
       .withColumn("share_fp", expr("(n * 1000000) div n_true"))
-      .select("lang", "pred_lang", "n", "n_true", "share_fp")
+      .select(labelName, predName, "n", "n_true", "share_fp")
+  }
+
+  def nbLangClassify(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("label"),
+        explode(tokens(col("text"))).as("term"))
+    nbConfusion(nbPredictions(tk), "lang", "pred_lang")
   }
 
   val nbLangClassifySql: String =
@@ -1790,6 +1807,191 @@ object TextAnalysis {
        |SELECT c.lang, c.pred_lang, c.n, t.n_true,
        |  (c.n * 1000000) // t.n_true AS share_fp
        |FROM cells c JOIN tot t ON c.lang = t.lang""".stripMargin
+
+  // ------------------------------------ trained QUALITY classifier (NB)
+
+  /** Teacher threshold for [[nbQualityClassify]] in 1e-6 fixed point:
+    * docs at-or-above 0.30 heuristic quality are the `hi` class — the
+    * fixture's [[qualityCalibration]] median, giving a balanced split. */
+  private[graft] val nbQualityThr = 300000L
+
+  /** Teacher labels: `hi`/`lo` from the HEURISTIC quality score (the one
+    * [[Corpus.qualityBudgetSelect]] ranks by), quantized exactly like
+    * [[qualityCalibration]]. `qs_u` rides along for the calibration
+    * bands. Tokenless docs have no stats row and drop out — same
+    * population as every stats-derived query. */
+  private def nbQualityTeacher(docs: DataFrame): DataFrame =
+    textStatsOf(docs)
+      .withColumn("qs_u",
+        floor(col("quality_score") * 1000000.0 + 0.5).cast("long"))
+      .select(col("doc_id"), col("qs_u"),
+        when(col("qs_u") >= nbQualityThr, lit("hi")).otherwise(lit("lo"))
+          .as("label"))
+
+  /** TRAINED quality classifier — the FineWeb-Edu shape: a teacher (here
+    * the heuristic quality score; in production an LLM judge) labels the
+    * corpus, a cheap multinomial NB learns the labels from unigrams, and
+    * the held-out confusion matrix prices how much of the teacher's
+    * signal the student captured from text alone. Same training split,
+    * smoothing, and fractional-bit surprisal arithmetic as
+    * [[nbLangClassify]] (one [[nbPredictions]] core drives both — the
+    * cross-engine-exactness argument is made once, there).
+    *
+    * Scale shape: the teacher pass is [[textStats]]' scan; training is
+    * the same (label, term) map-combinable count agg; scoring the same
+    * broadcast-L join. A production run materializes the token table
+    * once for teacher + trainer instead of re-tokenizing (here both
+    * sides recompute so the oracle stays operation-identical).
+    *
+    * Fixture note: the teacher's signal IS learnable from unigrams (the
+    * score is driven by stopword density and type-token ratio), so the
+    * student beats the majority-class baseline — NbQualitySpec pins the
+    * direction; [[nbQualityCalibration]] reports the full curve. */
+  def nbQualityClassify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tk = docs.join(nbQualityTeacher(docs).select("doc_id", "label"), "doc_id")
+      .select(col("doc_id"), col("label"), explode(tokens(col("text"))).as("term"))
+    nbConfusion(nbPredictions(tk), "label", "pred_label")
+  }
+
+  /** Calibration of the trained classifier against the heuristic scorer
+    * it distilled: held-out docs bucketed by heuristic-score band
+    * (fixed 0.1-wide bands, top band open), reporting the share the
+    * student predicts `hi` per band. A well-calibrated student's share
+    * rises with the band — this is the loop-closer between
+    * [[nbQualityClassify]] and the selector ranking
+    * ([[Corpus.qualityBudgetSelect]]): where the curve is flat, NB
+    * score and heuristic score disagree and a budget cut at that band
+    * would select different documents. */
+  def nbQualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val teach = nbQualityTeacher(docs)
+    val tk = docs.join(teach.select("doc_id", "label"), "doc_id")
+      .select(col("doc_id"), col("label"), explode(tokens(col("text"))).as("term"))
+    nbPredictions(tk)
+      .join(teach.select("doc_id", "qs_u"), "doc_id")
+      .withColumn("band", least(expr("qs_u div 100000"), lit(9L)))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_label") === "hi", 1L).otherwise(0L)).as("n_pred_hi"))
+      .withColumn("share_hi_fp", expr("(n_pred_hi * 1000000) div n_docs"))
+      .select("band", "n_docs", "n_pred_hi", "share_hi_fp")
+  }
+
+  /** Shared CTE chain of the quality-NB oracles: teacher labels from the
+    * stats CTEs, then the same train/score chain as [[nbLangClassifySql]]
+    * with `label` for `lang`, ending at per-doc predictions `pr`
+    * (doc_id, true_label, pred_label, rn=1 rows). */
+  private def nbQualityCtes: String =
+    s"""WITH ${textStatsCtes("documents")},
+       |q AS (
+       |$textStatsSelect
+       |), lb0 AS (
+       |  SELECT doc_id,
+       |    CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT) AS qs_u
+       |  FROM q
+       |), lb AS (
+       |  SELECT doc_id, qs_u,
+       |    CASE WHEN qs_u >= $nbQualityThr THEN 'hi' ELSE 'lo' END AS label
+       |  FROM lb0
+       |), tk AS (
+       |  SELECT d.doc_id, lb.label, unnest(${tokensSql("d.text")}) AS term
+       |  FROM documents d JOIN lb ON d.doc_id = lb.doc_id
+       |), tr AS (
+       |  SELECT * FROM tk WHERE doc_id % $nbTestMod <> 0
+       |), te AS (
+       |  SELECT * FROM tk WHERE doc_id % $nbTestMod = 0
+       |), cw AS (
+       |  SELECT label, term, count(*) AS cw FROM tr GROUP BY 1, 2
+       |), cl AS (
+       |  SELECT label, CAST(sum(cw) AS BIGINT) AS cl FROM cw GROUP BY 1
+       |), vv AS (
+       |  SELECT count(DISTINCT term) AS v FROM tr
+       |), nd AS (
+       |  SELECT label, count(DISTINCT doc_id) AS nd FROM tr GROUP BY 1
+       |), nt AS (
+       |  SELECT CAST(sum(nd) AS BIGINT) AS n_train, count(*) AS n_labels
+       |  FROM nd
+       |), lab0 AS (
+       |  SELECT cl.label AS m_label, cl.cl, vv.v,
+       |    nd.nd + 1 AS num_p, nt.n_train + nt.n_labels AS den_p
+       |  FROM cl JOIN nd USING (label) CROSS JOIN vv CROSS JOIN nt
+       |), lab1 AS (
+       |  SELECT m_label, cl, v, num_p, den_p,
+       |    length(bin(den_p)) - length(bin(num_p)) AS sft_p
+       |  FROM lab0
+       |), lab2 AS (
+       |  SELECT m_label, cl, v, num_p, den_p,
+       |    CAST(CASE WHEN num_p > ((den_p - 1) >> sft_p) THEN sft_p
+       |      ELSE sft_p + 1 END AS BIGINT) AS bits_p
+       |  FROM lab1
+       |), lab AS (
+       |  SELECT m_label, cl, v,
+       |    bits_p * 65536 - CAST(floor(
+       |      (CAST(num_p AS DOUBLE) / CAST(den_p AS DOUBLE)
+       |        * pow(2.0, CAST(bits_p AS DOUBLE)) - 1.0) * 65536.0)
+       |      AS BIGINT) AS prior_sfp
+       |  FROM lab2
+       |), dt AS (
+       |  SELECT doc_id, label AS true_label, term, count(*) AS k
+       |  FROM te GROUP BY 1, 2, 3
+       |), sr AS (
+       |  SELECT dt.doc_id, dt.true_label, lab.m_label, lab.prior_sfp, dt.k,
+       |    coalesce(cw.cw, 0) + 1 AS num, lab.cl + lab.v AS den
+       |  FROM dt CROSS JOIN lab
+       |  LEFT JOIN cw ON cw.label = lab.m_label AND cw.term = dt.term
+       |), sb AS (
+       |  SELECT doc_id, true_label, m_label, prior_sfp, k,
+       |    num, den, length(bin(den)) - length(bin(num)) AS sft
+       |  FROM sr
+       |), sb2 AS (
+       |  SELECT doc_id, true_label, m_label, prior_sfp, k, num, den,
+       |    CAST(CASE WHEN num > ((den - 1) >> sft) THEN sft
+       |      ELSE sft + 1 END AS BIGINT) AS bits
+       |  FROM sb
+       |), sc AS (
+       |  SELECT doc_id, true_label, m_label, prior_sfp,
+       |    k * (bits * 65536 - CAST(floor(
+       |      (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |        * pow(2.0, CAST(bits AS DOUBLE)) - 1.0) * 65536.0)
+       |      AS BIGINT)) AS ks
+       |  FROM sb2
+       |), ds AS (
+       |  SELECT doc_id, true_label, m_label,
+       |    CAST(sum(ks) AS BIGINT) + prior_sfp AS total_sfp
+       |  FROM sc GROUP BY doc_id, true_label, m_label, prior_sfp
+       |), pr AS (
+       |  SELECT doc_id, true_label, m_label AS pred_label,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY total_sfp ASC, m_label ASC) AS rn
+       |  FROM ds
+       |)""".stripMargin
+
+  val nbQualityClassifySql: String =
+    s"""$nbQualityCtes,
+       |cells AS (
+       |  SELECT true_label AS label, pred_label, count(*) AS n
+       |  FROM pr WHERE rn = 1 GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT label, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1
+       |)
+       |SELECT c.label, c.pred_label, c.n, t.n_true,
+       |  (c.n * 1000000) // t.n_true AS share_fp
+       |FROM cells c JOIN tot t ON c.label = t.label""".stripMargin
+
+  val nbQualityCalibrationSql: String =
+    s"""$nbQualityCtes,
+       |bands AS (
+       |  SELECT least(lb.qs_u // 100000, 9) AS band, pr.pred_label
+       |  FROM pr JOIN lb ON pr.doc_id = lb.doc_id
+       |  WHERE pr.rn = 1
+       |)
+       |SELECT band, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN pred_label = 'hi' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pred_hi,
+       |  (CAST(sum(CASE WHEN pred_label = 'hi' THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000) // count(*) AS share_hi_fp
+       |FROM bands GROUP BY 1""".stripMargin
 
   // ---------------------------------------------- PMI collocation mining
 
@@ -2132,9 +2334,16 @@ object TextAnalysis {
     * Shape: per-document loop in `mapPartitions` over the scan — zero
     * shuffle, like [[winnowFps]] (the oracle takes the declarative
     * running-sum-over-boundary-flags form). */
-  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir))
+
+  /** [[cdcChunks]] over an arbitrary (doc_id, text, ...) frame — the form
+    * the incremental query and [[graft.streaming.StreamingCdc]] run on
+    * micro-batches. */
+  def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
@@ -2239,6 +2448,62 @@ object TextAnalysis {
        |  count(*) AS n_occurrences,
        |  CAST(min(n_toks) AS BIGINT) AS n_toks
        |FROM cdc GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  /** The distinct chunk table, memoized per (session, dir) over
+    * locally-checkpointed blocks — [[cdcIncremental]] reads it from two
+    * legs (batch + base); same recipe as the winnow fp memo. */
+  private val cdcChunkCache = new graft.util.SessionCache[
+      (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
+    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._2))
+
+  private def sharedCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkCache.get(spark, dir)(graft.util.Ckpt.materialize(
+      cdcChunks(spark, dir)))._1
+
+  /** The persistent CDC base artifact: one row per distinct chunk digest,
+    * keeper = smallest doc_id carrying it (n_toks is content-determined
+    * by the digest, so min is just a deterministic pick). */
+  private[graft] def cdcBaseDigestsOf(chunks: DataFrame): DataFrame =
+    chunks.groupBy("chunk_md5")
+      .agg(min("doc_id").as("base_doc"), min("n_toks").as("n_toks"))
+
+  /** The SHARED batch-vs-base CDC attribution core — one implementation
+    * for [[cdcIncremental]] and [[graft.streaming.StreamingCdc]] (stream
+    * and batch agree by construction): the batch's chunks equi-joined to
+    * the base digest table on chunk_md5. One row per MATCHED batch
+    * chunk — the chunk-level decontamination/boilerplate attribution a
+    * crawl pipeline cuts or quarantines on. Only digests + positions
+    * shuffle; the base is never re-paired against itself. */
+  private[graft] def cdcMatchAgainstBase(batchChunks: DataFrame,
+      base: DataFrame): DataFrame =
+    batchChunks.join(base.select("chunk_md5", "base_doc"), "chunk_md5")
+      .select("doc_id", "chunk_idx", "n_toks", "chunk_md5", "base_doc")
+
+  /** INCREMENTAL CDC dedup — the daily-crawl shape (same `doc_id % 10 ==
+    * 7` batch slice convention as [[winnowIncremental]] and
+    * [[Dedup.incrementalDedup]]): today's crawl is chunked and its chunk
+    * digests attributed against the PERSISTED base digest table. Because
+    * boundaries are content-defined, a copied-then-edited passage still
+    * matches every chunk after the first post-edit boundary — the
+    * incremental form inherits CdcSpec's edit-survival property, which
+    * the fixed-window incremental dedup lacks. */
+  def cdcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = sharedCdcChunks(spark, dir)
+    cdcMatchAgainstBase(
+      chunks.filter(col("doc_id") % 10L === 7L),
+      cdcBaseDigestsOf(chunks.filter(col("doc_id") % 10L =!= 7L)))
+  }
+
+  val cdcIncrementalSql: String =
+    s"""WITH $cdcCtes,
+       |batch AS (SELECT * FROM cdc WHERE doc_id % 10 = 7),
+       |base AS (
+       |  SELECT chunk_md5, min(doc_id) AS base_doc
+       |  FROM cdc WHERE doc_id % 10 <> 7 GROUP BY 1
+       |)
+       |SELECT b.doc_id, b.chunk_idx, CAST(b.n_toks AS BIGINT) AS n_toks,
+       |  b.chunk_md5, base.base_doc
+       |FROM batch b JOIN base USING (chunk_md5)""".stripMargin
 
   // ------------------------------------------------ blocklist policy gate
 
@@ -2433,6 +2698,8 @@ object TextAnalysis {
     "bpe_coverage" -> (bpeCoverage _),
     "lang_id_confusion" -> (langIdConfusion _),
     "nb_lang_classify" -> (nbLangClassify _),
+    "nb_quality_classify" -> (nbQualityClassify _),
+    "nb_quality_calibration" -> (nbQualityCalibration _),
     "bpe_roundtrip" -> (bpeRoundtrip _),
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "gopher_rules" -> (gopherRules _),
@@ -2463,6 +2730,7 @@ object TextAnalysis {
     "blocklist_filter" -> (blocklistFilter _),
     "cdc_chunks" -> (cdcChunks _),
     "cdc_dedup" -> (cdcDedup _),
+    "cdc_incremental" -> (cdcIncremental _),
     "kn_perplexity" -> (knPerplexity _),
   )
 
@@ -2471,6 +2739,8 @@ object TextAnalysis {
     "bpe_coverage" -> bpeCoverageSql,
     "lang_id_confusion" -> langIdConfusionSql,
     "nb_lang_classify" -> nbLangClassifySql,
+    "nb_quality_classify" -> nbQualityClassifySql,
+    "nb_quality_calibration" -> nbQualityCalibrationSql,
     "bpe_roundtrip" -> bpeRoundtripSql,
     "cms_heavy_hitters" -> cmsHeavyHittersSql,
     "gopher_rules" -> gopherRulesSql,
@@ -2501,6 +2771,7 @@ object TextAnalysis {
     "blocklist_filter" -> blocklistFilterSql,
     "cdc_chunks" -> cdcChunksSql,
     "cdc_dedup" -> cdcDedupSql,
+    "cdc_incremental" -> cdcIncrementalSql,
     "kn_perplexity" -> knPerplexitySql,
   )
 }

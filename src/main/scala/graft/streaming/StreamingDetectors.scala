@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.model._
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
@@ -39,14 +39,49 @@ final case class SAlert(rule_name: String, key: String, ts_sec: Long,
 /** Per-key detector state: one timestamp deque per rate rule and one value
   * deque per statistical rule (the Spark analog of the reference's
   * `ValueState<List<AnomalyDetector>>`, AnomalyProcessFunction.java:87-90,
-  * holding just the data, not the detector objects). */
+  * holding just the data, not the detector objects). Name-keyed Map form —
+  * the state shape of the `flatMapGroupsWithState` and event-time paths;
+  * the production `alertsTws` path keeps the same deques slot-indexed
+  * ([[DetStateN]]) so the per-batch state encode never builds a Map. */
 final case class DetState(rate: Map[String, Seq[Long]],
     stat: Map[String, Seq[Double]])
 
+/** Slot-indexed twin of [[DetState]] for the [[StreamingDetectors.alertsTws]]
+  * state store: `rate(i)` is the timestamp deque of the i-th DISTINCT
+  * rate-rule name (rule-config order), `stat(i)` the value deque of the
+  * i-th distinct statistical-rule name — the layout
+  * [[StreamingDetectors.CompiledRules]] fixes at query build. Primitive
+  * nested arrays encode/decode without per-entry boxing or Map
+  * reconstruction — measured as a material share of the per-event state
+  * cost in the round-12 throughput decomposition.
+  *
+  * COMPATIBILITY: slots are POSITIONAL. Restarting a checkpointed query
+  * with a different rule set (and the pre-r13 Map-shaped "detectors"
+  * state) is refused loudly — start from a fresh checkpointLocation; the
+  * deques rebuild within one trailing window. */
+final case class DetStateN(rate: Array[Array[Long]], stat: Array[Array[Double]])
+
+/** [[DetStateN]] plus the per-rule throttle watermark (`thr(i)` = last
+  * emitted period bucket of the i-th distinct rule NAME, `Long.MinValue`
+  * = none yet) — the single-store state of the fused
+  * [[StreamingDetectors.alertsTwsThrottled]] path. Same positional-slot
+  * compatibility posture as [[DetStateN]]. */
+final case class DetThrState(rate: Array[Array[Long]],
+    stat: Array[Array[Double]], thr: Array[Long])
+
+/** Minimal wire shape of the production detector path: the rule set's
+  * measured fields extracted from the event map to primitive arrays IN
+  * CATALYST (whole-stage codegen) before the key exchange, so the shuffle
+  * never carries the `Map[String, Double]` and the processor-side decode
+  * never rebuilds one. `present(i)` carries exact field presence (a
+  * genuinely-NaN measure stays present — NaN is not a sentinel). */
+final case class NEvent(key: String, eventId: Long, tsSec: Long,
+    vals: Array[Double], present: Array[Boolean], original: String)
+
 /** Structured Streaming formulation of the engine: exact per-event
-  * trailing-window semantics via `flatMapGroupsWithState`, reproducing the
-  * reference's `KeyedProcessFunction` behavior
-  * (AnomalyProcessFunction.java:106-143):
+  * trailing-window semantics via `transformWithState` /
+  * `flatMapGroupsWithState`, reproducing the reference's
+  * `KeyedProcessFunction` behavior (AnomalyProcessFunction.java:106-143):
   *  - every event is evaluated by every rule, in rule-config order;
   *  - rate: evict timestamps < t - windowSeconds from the deque HEAD
   *    (the reference's pop-while loop — head-only, amortized O(1)),
@@ -57,11 +92,28 @@ final case class DetState(rate: Map[String, Seq[Long]],
   *    fires on any deviation (StatisticalOutlierDetector.java:92-127);
   *  - threshold: stateless strict > (ThresholdDetector.java:59).
   *
+  * ONE transition core: every path (batch-replay tests, fMGWS, event-time,
+  * the production `alertsTws`) drives [[processEventN]] over the
+  * rule-indexed state; the Map-shaped [[processEvent]] API is a thin
+  * adapter over it, so the formulations cannot drift.
+  *
   * Scale posture: state per key is bounded (windowSeconds of timestamps +
-  * windowSize doubles per rule); keys are hash-partitioned by the
-  * groupByKey exchange; an optional processing-time TTL evicts idle keys —
-  * an improvement over the reference, whose keyed state grows without
-  * bound (no TTL anywhere in it).
+  * windowSize doubles per rule); keys are hash-partitioned by the key
+  * exchange; an optional processing-time TTL evicts idle keys — an
+  * improvement over the reference, whose keyed state grows without bound
+  * (no TTL anywhere in it). The production path minimizes per-event
+  * exchange cost three ways (round-12 throughput decomposition named the
+  * typed-object boundary as ~70% of the core price):
+  *  1. [[narrowEvents]] projects to the minimal wire shape in codegen
+  *     BEFORE the shuffle — the event map and unreferenced columns never
+  *     cross the wire;
+  *  2. grouping is `groupBy(col).as[...]` on the EXISTING key column —
+  *     no AppendColumns stage, so no deserialize→lambda→serialize round
+  *     trip on the map side of the exchange;
+  *  3. state is [[DetStateN]] primitive arrays — no Map encode per key
+  *     per batch — and alert detail strings concatenate precompiled
+  *     per-rule fragments ([[CompiledRules]]) instead of re-parsing a
+  *     Formatter pattern per alert.
   */
 object StreamingDetectors {
 
@@ -78,116 +130,292 @@ object StreamingDetectors {
   /** Per-rule containment: run `body` (one rule's evaluation against one
     * event), swallowing NonFatal failures through `onError` so the other
     * rules still run — fatal JVM errors and interrupts propagate. The
-    * typed [[SEvent]] makes the three built-in rule arms total (field
-    * coercion happened at ingest via try_cast), so this is defensive
-    * parity with the reference's catch, kept for the day a rule arm gains
-    * a genuinely partial operation. On failure the failing rule's state
-    * update is skipped too — its deque stays at the pre-event value,
-    * exactly like the reference, whose detector mutates state only on a
-    * successful evaluate(). */
+    * typed event makes the three built-in rule arms total (field coercion
+    * happened at ingest via try_cast), so this is defensive parity with
+    * the reference's catch, kept for the day a rule arm gains a genuinely
+    * partial operation. On failure the failing rule's state update is
+    * skipped too — its deque stays at the pre-event value, exactly like
+    * the reference, whose detector mutates state only on a successful
+    * evaluate(). */
   private[graft] def guarded[A](ruleName: String,
       onError: (String, Throwable) => Unit)(body: => A): Option[A] =
     try Some(body)
     catch { case scala.util.control.NonFatal(t) => onError(ruleName, t); None }
 
-  /** Pure per-event state transition — shared by the streaming operator
-    * and directly unit-testable. Returns (alerts, newState). Each rule
-    * evaluates under [[guarded]]. */
-  def processEvent(rules: Seq[DetectionRule], e: SEvent, st: DetState,
-      onRuleError: (String, Throwable) => Unit = logRuleError)
-      : (Seq[SAlert], DetState) = {
-    var rate = st.rate
-    var stat = st.stat
-    val out = Seq.newBuilder[SAlert]
-    rules.foreach { rule =>
-      // transactional per rule: a failing rule contributes no alerts AND
-      // no state mutation for this event (rolled back below); the other
-      // rules' updates stand
-      val rate0 = rate
-      val stat0 = stat
-      val alerts = Seq.newBuilder[SAlert]
-      guarded(rule.name, onRuleError) { rule match {
-      case r: ThresholdRule =>
-        e.fields.get(r.field).foreach { v =>
-          if (v > r.threshold) alerts += SAlert(r.name, e.key, e.tsSec,
-            e.eventId, v,
-            f"Threshold exceeded: ${r.field}%s=$v%.2f (threshold: ${r.threshold}%.2f)",
-            e.original)
-        }
-      case r: RateRule =>
-        val windowStart = e.tsSec - r.windowSeconds
-        // Head-only eviction — EXACTLY the reference's deque loop
-        // (RateSpikeDetector.java:85-87: pop while head < windowStart)
-        // and amortized O(1) per event. NOTE: head-only is equivalent to
-        // full eviction only when per-key ts is nondecreasing (the
-        // reference's ingestion clock guarantees it; jsonPipeline's
-        // event-time clock does not) — an out-of-order ts leaves expired
-        // entries mid-deque and inflates later counts, identically in the
-        // reference and here; pinned by DequeDifferentialSpec's
-        // out-of-order differential. The previous filter(...) scanned
-        // the whole deque per event, quadratic on a hot key whose window
-        // never evicts: StateScaleBench's hot phase measured 273 s for
-        // one 125k-event key vs ~2 s uniform. Vector keeps append and
-        // size O(1); state deserialized as another Seq converts once per
-        // batch, not per event.
-        val prior = rate.getOrElse(r.name, Vector.empty[Long])
-        val pv = prior match {
-          case v: Vector[Long] => v
-          case s => s.toVector
-        }
-        // count expired head entries, then ONE structural drop: Vector's
-        // drop is O(log n) where the generic dropWhile (and the old
-        // filter) rebuilds the whole vector per event — the difference
-        // between O(1) amortized and quadratic on a non-evicting hot key
-        var k = 0
-        while (k < pv.length && pv(k) < windowStart) k += 1
-        val kept = (if (k == 0) pv else pv.drop(k)) :+ e.tsSec
-        rate = rate.updated(r.name, kept)
-        if (kept.size > r.threshold) alerts += SAlert(r.name, e.key, e.tsSec,
-          e.eventId, kept.size.toDouble,
-          f"Rate spike: ${kept.size}%d events in ${r.windowSeconds}%d seconds (threshold: ${r.threshold}%.0f)",
-          e.original)
-      case r: StatisticalRule =>
-        e.fields.get(r.field).foreach { v =>
-          val window = stat.getOrElse(r.name, Nil)
-          if (window.size >= 2) { // MIN_HISTORY_SIZE (:45)
-            // Exact integer-space moments over the quantized history —
-            // operation-for-operation the same sequence as the batch
-            // window formulation (Detectors.statisticalAlerts) so the two
-            // paths agree bit-for-bit on ANY input, not just 2-decimal
-            // domains (quantScale contract, Rules.scala).
-            val sf = math.pow(10, r.quantScale)
-            val cs = window.map(x => math.floor(x * sf + 0.5).toLong)
-            val n = cs.size
-            val s1 = cs.sum
-            val s2 = cs.map(c => c * c).sum
-            val mean = s1.toDouble / n / sf
-            val dd = (n * s2 - s1 * s1).toDouble
-            val sigma = math.sqrt(dd) / n / sf // population sigma (:149-156)
-            val dev = math.abs(v - mean)
-            val fires = if (dd == 0.0) dev > 0.0
-              else dev > r.deviationFactor * sigma
-            if (fires) alerts += SAlert(r.name, e.key, e.tsSec, e.eventId, v,
-              f"Statistical outlier: ${r.field}%s=$v%.2f (mean=$mean%.2f, stddev=$sigma%.2f, factor=${r.deviationFactor}%.1f)",
-              e.original)
-          }
-          // insert AFTER the check (StatisticalOutlierDetector.java:124-127)
-          val appended = window :+ v
-          stat = stat.updated(r.name,
-            if (appended.size > r.windowSize) appended.drop(appended.size - r.windowSize)
-            else appended)
-        }
-      } } match {
-        case Some(_) => out ++= alerts.result()
-        case None => rate = rate0; stat = stat0
-      }
-    }
-    (out.result(), DetState(rate, stat))
+  /** `%.2f` of the one VARIABLE double in an alert detail — same Formatter
+    * semantics (HALF_UP, default locale) the f-interpolator used, paid
+    * once per variable instead of re-parsing the whole pattern per alert. */
+  @inline private def fmt2(v: Double): String =
+    String.format("%.2f", Double.box(v))
+
+  // ------------------------------------------------------- compiled rules
+
+  /** One rule compiled to index-addressed form: measured-field positions in
+    * the [[NEvent]] arrays, state slot, and the CONSTANT fragments of its
+    * detail string pre-rendered (field name, thresholds, window — only the
+    * per-event measures are formatted at alert time). */
+  private[graft] sealed trait Arm extends Serializable { def name: String }
+  private[graft] final case class ThresholdArm(name: String, field: Int,
+      threshold: Double, prefix: String, suffix: String) extends Arm
+  private[graft] final case class RateArm(name: String, slot: Int,
+      windowSeconds: Long, threshold: Double, suffix: String) extends Arm
+  private[graft] final case class StatArm(name: String, field: Int, slot: Int,
+      windowSize: Int, deviationFactor: Double, sf: Double,
+      prefix: String, suffix: String) extends Arm
+
+  /** A rule set compiled ONCE at query build: the distinct measured fields
+    * fix the [[NEvent]] array layout, distinct rate/stat rule NAMES fix
+    * the [[DetStateN]] slot layout (same-name rules share a slot, exactly
+    * like the name-keyed Map state they compile from), and each rule's
+    * detail-string constants are pre-rendered. Serializable — shipped
+    * inside the stateful processors. */
+  private[graft] final class CompiledRules(val rules: IndexedSeq[DetectionRule])
+      extends Serializable {
+    val fields: IndexedSeq[String] = measuredFields(rules).toIndexedSeq
+    private val fIdx: Map[String, Int] = fields.zipWithIndex.toMap
+    val rateNames: IndexedSeq[String] =
+      rules.collect { case r: RateRule => r.name }.distinct
+    val statNames: IndexedSeq[String] =
+      rules.collect { case s: StatisticalRule => s.name }.distinct
+    private val rIdx: Map[String, Int] = rateNames.zipWithIndex.toMap
+    private val sIdx: Map[String, Int] = statNames.zipWithIndex.toMap
+    def nRate: Int = rateNames.length
+    def nStat: Int = statNames.length
+
+    /** Distinct rule names across ALL kinds, in rule-config order — the
+      * throttle-slot layout of the fused [[alertsTwsThrottled]] path
+      * (the standalone throttle keys its store by rule_name, so same-name
+      * rules sharing a slot is the same semantics). */
+    val ruleNames: IndexedSeq[String] = rules.map(_.name).distinct
+    private val tIdx: Map[String, Int] = ruleNames.zipWithIndex.toMap
+    def nRules: Int = ruleNames.length
+    def thrSlot(name: String): Int = tIdx(name)
+
+    val arms: Array[Arm] = rules.map[Arm] {
+      case t: ThresholdRule => ThresholdArm(t.name, fIdx(t.field), t.threshold,
+        s"Threshold exceeded: ${t.field}=",
+        f" (threshold: ${t.threshold}%.2f)")
+      case r: RateRule => RateArm(r.name, rIdx(r.name), r.windowSeconds.toLong,
+        r.threshold,
+        f" events in ${r.windowSeconds}%d seconds (threshold: ${r.threshold}%.0f)")
+      case s: StatisticalRule => StatArm(s.name, fIdx(s.field), sIdx(s.name),
+        s.windowSize, s.deviationFactor, math.pow(10, s.quantScale),
+        s"Statistical outlier: ${s.field}=",
+        f", factor=${s.deviationFactor}%.1f)")
+    }.toArray
   }
 
-  /** The stateful streaming operator. `idleTtl` (processing-time) evicts
-    * state for keys silent longer than the TTL; None = unbounded state
-    * like the reference.
+  // ------------------------------------------------------ transition core
+
+  /** THE per-event state transition — every detector formulation funnels
+    * here. Mutates the slot-indexed working state in place (marking
+    * touched slots dirty), appends at most one [[SAlert]] per rule to
+    * `out`. Each arm runs under [[guarded]]; a failing arm's slot is
+    * rolled back to its pre-event value and its alert dropped, the other
+    * arms' updates stand (per-rule transactionality, matching the
+    * reference's mutate-only-on-successful-evaluate). Arithmetic is
+    * operation-for-operation the batch formulation's
+    * (Detectors.statisticalAlerts): integer-space moments over the
+    * quantized history, so the two paths agree bit-for-bit on ANY input
+    * (quantScale contract, Rules.scala). */
+  private[graft] def processEventN(c: CompiledRules, key: String,
+      eventId: Long, tsSec: Long, vals: Array[Double],
+      present: Array[Boolean], original: String,
+      rate: Array[Vector[Long]], stat: Array[Vector[Double]],
+      dirtyRate: Array[Boolean], dirtyStat: Array[Boolean],
+      out: scala.collection.mutable.Builder[SAlert, _],
+      onRuleError: (String, Throwable) => Unit): Unit = {
+    val arms = c.arms
+    var i = 0
+    while (i < arms.length) {
+      arms(i) match {
+        case a: ThresholdArm =>
+          // stateless: nothing to roll back on failure
+          guarded(a.name, onRuleError) {
+            if (present(a.field) && vals(a.field) > a.threshold) {
+              val v = vals(a.field)
+              Some(SAlert(a.name, key, tsSec, eventId, v,
+                a.prefix + fmt2(v) + a.suffix, original))
+            } else None
+          }.foreach(_.foreach(out += _))
+
+        case a: RateArm =>
+          val prior = rate(a.slot)
+          val priorDirty = dirtyRate(a.slot)
+          guarded(a.name, onRuleError) {
+            val windowStart = tsSec - a.windowSeconds
+            // Head-only eviction — EXACTLY the reference's deque loop
+            // (RateSpikeDetector.java:85-87: pop while head < windowStart)
+            // and amortized O(1) per event. NOTE: head-only is equivalent
+            // to full eviction only when per-key ts is nondecreasing (the
+            // reference's ingestion clock guarantees it; jsonPipeline's
+            // event-time clock does not) — an out-of-order ts leaves
+            // expired entries mid-deque and inflates later counts,
+            // identically in the reference and here; pinned by
+            // DequeDifferentialSpec's out-of-order differential. Vector
+            // keeps append O(1) and the single structural `drop` O(log n)
+            // — the difference between amortized O(1) and quadratic on a
+            // non-evicting hot key (StateScaleBench hot phase: 273 s ->
+            // ~2 s when the old per-event filter died).
+            var k = 0
+            while (k < prior.length && prior(k) < windowStart) k += 1
+            val kept = (if (k == 0) prior else prior.drop(k)) :+ tsSec
+            rate(a.slot) = kept
+            dirtyRate(a.slot) = true
+            if (kept.size > a.threshold)
+              Some(SAlert(a.name, key, tsSec, eventId, kept.size.toDouble,
+                "Rate spike: " + kept.size + a.suffix, original))
+            else None
+          } match {
+            case Some(opt) => opt.foreach(out += _)
+            case None => rate(a.slot) = prior; dirtyRate(a.slot) = priorDirty
+          }
+
+        case a: StatArm =>
+          val prior = stat(a.slot)
+          val priorDirty = dirtyStat(a.slot)
+          guarded(a.name, onRuleError) {
+            if (!present(a.field)) None
+            else {
+              val v = vals(a.field)
+              var alert: Option[SAlert] = None
+              val n = prior.size
+              if (n >= 2) { // MIN_HISTORY_SIZE (:45)
+                // Exact integer-space moments over the quantized history —
+                // same op sequence as the batch window formulation.
+                val sf = a.sf
+                var s1 = 0L
+                var s2 = 0L
+                var j = 0
+                while (j < n) {
+                  val cj = math.floor(prior(j) * sf + 0.5).toLong
+                  s1 += cj
+                  s2 += cj * cj
+                  j += 1
+                }
+                val mean = s1.toDouble / n / sf
+                val dd = (n * s2 - s1 * s1).toDouble
+                val sigma = math.sqrt(dd) / n / sf // population sigma (:149-156)
+                val dev = math.abs(v - mean)
+                val fires = if (dd == 0.0) dev > 0.0
+                  else dev > a.deviationFactor * sigma
+                if (fires) alert = Some(SAlert(a.name, key, tsSec, eventId, v,
+                  a.prefix + fmt2(v) + " (mean=" + fmt2(mean) +
+                    ", stddev=" + fmt2(sigma) + a.suffix,
+                  original))
+              }
+              // insert AFTER the check (StatisticalOutlierDetector.java:124-127)
+              val appended = prior :+ v
+              stat(a.slot) =
+                if (appended.size > a.windowSize)
+                  appended.drop(appended.size - a.windowSize)
+                else appended
+              dirtyStat(a.slot) = true
+              alert
+            }
+          } match {
+            case Some(opt) => opt.foreach(out += _)
+            case None => stat(a.slot) = prior; dirtyStat(a.slot) = priorDirty
+          }
+      }
+      i += 1
+    }
+  }
+
+  private def toVecL(s: Seq[Long]): Vector[Long] = s match {
+    case v: Vector[Long] => v
+    case s => s.toVector
+  }
+  private def toVecD(s: Seq[Double]): Vector[Double] = s match {
+    case v: Vector[Double] => v
+    case s => s.toVector
+  }
+
+  /** Batch of (already intra-batch-ordered) [[SEvent]]s through the
+    * transition core against Map-shaped [[DetState]] — the per-key driver
+    * of the fMGWS and event-time paths, and the semantic adapter for
+    * [[processEvent]]. Converts state maps to slot arrays ONCE per batch
+    * (not per event) and writes back only the slots the batch touched, so
+    * an absent entry stays absent exactly as the per-event `updated` did. */
+  private[graft] def processSEvents(c: CompiledRules, events: Iterable[SEvent],
+      st: DetState, onRuleError: (String, Throwable) => Unit = logRuleError)
+      : (Seq[SAlert], DetState) = {
+    val nf = c.fields.length
+    val rate = Array.tabulate(c.nRate)(i =>
+      toVecL(st.rate.getOrElse(c.rateNames(i), Vector.empty[Long])))
+    val stat = Array.tabulate(c.nStat)(i =>
+      toVecD(st.stat.getOrElse(c.statNames(i), Vector.empty[Double])))
+    val dirtyRate = new Array[Boolean](c.nRate)
+    val dirtyStat = new Array[Boolean](c.nStat)
+    val vals = new Array[Double](nf)
+    val present = new Array[Boolean](nf)
+    val out = Seq.newBuilder[SAlert]
+    events.foreach { e =>
+      var i = 0
+      while (i < nf) {
+        e.fields.get(c.fields(i)) match {
+          case Some(v) => vals(i) = v; present(i) = true
+          case None => vals(i) = Double.NaN; present(i) = false
+        }
+        i += 1
+      }
+      processEventN(c, e.key, e.eventId, e.tsSec, vals, present, e.original,
+        rate, stat, dirtyRate, dirtyStat, out, onRuleError)
+    }
+    var rmap = st.rate
+    var smap = st.stat
+    var i = 0
+    while (i < c.nRate) {
+      if (dirtyRate(i)) rmap = rmap.updated(c.rateNames(i), rate(i))
+      i += 1
+    }
+    i = 0
+    while (i < c.nStat) {
+      if (dirtyStat(i)) smap = smap.updated(c.statNames(i), stat(i))
+      i += 1
+    }
+    (out.result(), DetState(rmap, smap))
+  }
+
+  /** Pure per-event state transition — the direct-unit-test API (and the
+    * stable public face of the core). Returns (alerts, newState). Each
+    * rule evaluates under [[guarded]]. Compiles the rule set per call —
+    * the streaming operators compile once at query build instead. */
+  def processEvent(rules: Seq[DetectionRule], e: SEvent, st: DetState,
+      onRuleError: (String, Throwable) => Unit = logRuleError)
+      : (Seq[SAlert], DetState) =
+    processSEvents(new CompiledRules(rules.toIndexedSeq), e :: Nil, st,
+      onRuleError)
+
+  /** Deterministic intra-batch arrival order (eventId, tsSec, original)
+    * without the per-comparison Tuple3 allocation `sortBy` pays. */
+  private[graft] val arrivalOrder: Ordering[SEvent] = new Ordering[SEvent] {
+    def compare(a: SEvent, b: SEvent): Int = {
+      val c1 = java.lang.Long.compare(a.eventId, b.eventId)
+      if (c1 != 0) return c1
+      val c2 = java.lang.Long.compare(a.tsSec, b.tsSec)
+      if (c2 != 0) return c2
+      a.original.compareTo(b.original)
+    }
+  }
+
+  private[graft] val arrivalOrderN: Ordering[NEvent] = new Ordering[NEvent] {
+    def compare(a: NEvent, b: NEvent): Int = {
+      val c1 = java.lang.Long.compare(a.eventId, b.eventId)
+      if (c1 != 0) return c1
+      val c2 = java.lang.Long.compare(a.tsSec, b.tsSec)
+      if (c2 != 0) return c2
+      a.original.compareTo(b.original)
+    }
+  }
+
+  // ------------------------------------------------- streaming operators
+
+  /** The stateful streaming operator, `flatMapGroupsWithState` formulation
+    * (kept for HDFS-backed-store deployments; [[alertsTws]] is the
+    * production path). `idleTtl` (processing-time) evicts state for keys
+    * silent longer than the TTL; None = unbounded state like the
+    * reference.
     *
     * NOTE: with a TTL the query MUST run with a non-zero processing-time
     * trigger (e.g. `.trigger(Trigger.ProcessingTime("10 seconds"))`).
@@ -197,6 +425,7 @@ object StreamingDetectors {
   def alerts(events: Dataset[SEvent], rules: Seq[DetectionRule],
       idleTtl: Option[java.time.Duration] = None): Dataset[SAlert] = {
     import events.sparkSession.implicits._
+    val c = new CompiledRules(rules.toIndexedSeq)
     val timeout =
       if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
@@ -207,26 +436,57 @@ object StreamingDetectors {
             state.remove()
             Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(DetState(Map.empty, Map.empty))
+            val st = state.getOption.getOrElse(DetState(Map.empty, Map.empty))
             // deterministic arrival order inside the micro-batch
-            val out = it.toSeq.sortBy(e => (e.eventId, e.tsSec, e.original)).flatMap { e =>
-              val (alerts, next) = processEvent(rules, e, st)
-              st = next
-              alerts
-            }
-            state.update(st)
+            val evs = it.toArray
+            evs.sortInPlace()(arrivalOrder)
+            val (out, next) = processSEvents(c, evs, st)
+            state.update(next)
             idleTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             out.iterator
           }
       }
   }
 
-  /** Spark 4 `transformWithState` formulation of the same operator — the
-    * successor API to `flatMapGroupsWithState` (typed per-state TTL,
-    * timers, RocksDB-backed state). Semantics are IDENTICAL by
-    * construction: both paths drive [[processEvent]], the same pure
-    * per-event transition the reference's processElement performs
-    * (AnomalyProcessFunction.java:106-143).
+  /** Minimal-wire projection for [[alertsTws]]: extract the rule set's
+    * measured fields from the event map into primitive arrays, in
+    * whole-stage codegen BEFORE the key exchange. The shuffle then carries
+    * (key, eventId, tsSec, vals[], present[], original) — never the map,
+    * never unreferenced fields. `coalesce(·, NaN)` keeps `vals`
+    * non-nullable (primitive array encoding); `present` carries exact
+    * presence, so a genuinely-NaN measure is still seen by the rules. */
+  private[graft] def narrowEvents(df: DataFrame, c: CompiledRules): DataFrame = {
+    val valsCol: Column =
+      if (c.fields.isEmpty) lit(Array.empty[Double])
+      else array(c.fields.map(f =>
+        coalesce(col("fields").getItem(f), lit(Double.NaN))): _*)
+    val presentCol: Column =
+      if (c.fields.isEmpty) lit(Array.empty[Boolean])
+      else array(c.fields.map(f => col("fields").getItem(f).isNotNull): _*)
+    df.select(col("key"), col("eventId"), col("tsSec"),
+      valsCol.as("vals"), presentCol.as("present"), col("original"))
+  }
+
+  /** Spark 4 `transformWithState` formulation of the operator — the
+    * PRODUCTION path (typed per-state TTL, timers, RocksDB-backed state).
+    * Semantics are IDENTICAL to [[alerts]] by construction: both drive
+    * [[processEventN]], the same pure per-event transition the reference's
+    * processElement performs (AnomalyProcessFunction.java:106-143).
+    *
+    * Exchange economy (the round-12 throughput decomposition's target):
+    * the input is narrowed in codegen before the shuffle
+    * ([[narrowEvents]]), grouped on the EXISTING key column via
+    * `groupBy(col).as` — no AppendColumns object round-trip — and state
+    * is the slot-indexed [[DetStateN]] (primitive-array encode, no Map).
+    *
+    * COMPATIBILITY: both the wire grouping schema and the "detectors"
+    * state schema changed in r13 (narrow arrays replacing the Map forms);
+    * a query restarted from a pre-r13 checkpoint fails loudly — restart
+    * from a fresh checkpointLocation (detector state rebuilds within one
+    * trailing window; the throttle note in [[StreamingThrottle]] has the
+    * same posture). Rule-set CHANGES across restart likewise need a fresh
+    * checkpoint: state slots are positional per compiled rule set
+    * (enforced by a slot-count check at state load).
     *
     * `ttl` evicts idle-key state in the state store itself (no per-key
     * timers), but a TTL query still schedules a micro-batch EVERY
@@ -243,42 +503,185 @@ object StreamingDetectors {
   def alertsTws(events: Dataset[SEvent], rules: Seq[DetectionRule],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[SAlert] = {
     import events.sparkSession.implicits._
+    val c = new CompiledRules(rules.toIndexedSeq)
     val timeMode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
-    events.groupByKey(_.key)
-      .transformWithState(new DetectorProcessor(rules, ttl), timeMode,
+    narrowEvents(events.toDF(), c)
+      .groupBy(col("key")).as[String, NEvent]
+      .transformWithState(new DetectorProcessorN(c, ttl), timeMode,
         OutputMode.Append())
   }
 
-  /** Adapter: the fixture `events` DataFrame (from
-    * [[graft.sources.Tables.events]] or a streaming source with the same
-    * columns) -> typed [[SEvent]] stream keyed like the batch operators. */
   /** The per-key processor behind [[alertsTws]]: one ValueState slot
-    * holding the same [[DetState]] the flatMapGroupsWithState path keeps
-    * (the Spark-4 analog of the reference's
-    * `ValueState<List<AnomalyDetector>>`, AnomalyProcessFunction.java:
-    * 87-90 — data only, no detector objects). */
-  final class DetectorProcessor(rules: Seq[DetectionRule], ttl: TTLConfig)
-      extends StatefulProcessor[String, SEvent, SAlert] {
+    * holding the slot-indexed [[DetStateN]] (the Spark-4 analog of the
+    * reference's `ValueState<List<AnomalyDetector>>`,
+    * AnomalyProcessFunction.java:87-90 — data only, no detector
+    * objects). */
+  final class DetectorProcessorN private[streaming] (c: CompiledRules,
+      ttl: TTLConfig) extends StatefulProcessor[String, NEvent, SAlert] {
 
-    @transient private var state: ValueState[DetState] = _
+    @transient private var state: ValueState[DetStateN] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[DetState]("detectors",
-        Encoders.product[DetState], ttl)
+      state = getHandle.getValueState[DetStateN]("detectors",
+        Encoders.product[DetStateN], ttl)
 
-    override def handleInputRows(key: String, rows: Iterator[SEvent],
+    override def handleInputRows(key: String, rows: Iterator[NEvent],
         timerValues: TimerValues): Iterator[SAlert] = {
-      var st = Option(state.get()).getOrElse(DetState(Map.empty, Map.empty))
       // deterministic arrival order inside the micro-batch (same contract
       // as the flatMapGroupsWithState path)
-      val out = rows.toSeq.sortBy(e => (e.eventId, e.tsSec, e.original)).flatMap { e =>
-        val (alerts, next) = processEvent(rules, e, st)
-        st = next
-        alerts
+      val evs = rows.toArray
+      evs.sortInPlace()(arrivalOrderN)
+      val prior = Option(state.get())
+      prior.foreach { s =>
+        require(s.rate.length == c.nRate && s.stat.length == c.nStat,
+          s"checkpointed detector state has ${s.rate.length} rate / " +
+            s"${s.stat.length} stat slots but the rule set compiles to " +
+            s"${c.nRate}/${c.nStat} — state slots are positional; restarting " +
+            "with a changed rule set requires a fresh checkpointLocation")
       }
-      state.update(st)
-      out.iterator
+      val rate: Array[Vector[Long]] = prior match {
+        case Some(s) => s.rate.map(_.toVector)
+        case None => Array.fill(c.nRate)(Vector.empty[Long])
+      }
+      val stat: Array[Vector[Double]] = prior match {
+        case Some(s) => s.stat.map(_.toVector)
+        case None => Array.fill(c.nStat)(Vector.empty[Double])
+      }
+      val dirtyRate = new Array[Boolean](c.nRate)
+      val dirtyStat = new Array[Boolean](c.nStat)
+      val out = Seq.newBuilder[SAlert]
+      var i = 0
+      while (i < evs.length) {
+        val e = evs(i)
+        processEventN(c, e.key, e.eventId, e.tsSec, e.vals, e.present,
+          e.original, rate, stat, dirtyRate, dirtyStat, out, logRuleError)
+        i += 1
+      }
+      state.update(DetStateN(rate.map(_.toArray), stat.map(_.toArray)))
+      out.result().iterator
+    }
+  }
+
+  /** FUSED detect+throttle — the production topology
+    * (`throttled(alertsTws(...))`) as ONE stateful operator.
+    *
+    * The staged form pays a second key exchange and a second RocksDB
+    * store for the throttle, and under an alert storm (the regime the
+    * throttle exists for) the alert volume approaches the event volume —
+    * so the throttle stage re-shuffles nearly every event and commits a
+    * (rule, key) row for nearly every key, per batch. The round-13
+    * harness-free decomposition (tools/StreamCoreBench) measured the two
+    * stores' update+commit at ~60% of steady-state core time, split
+    * roughly 1:2 throttle:detector.
+    *
+    * Fusion is sound because the throttle key (rule_name, key) REFINES
+    * the detector key: every alert of a (rule, key) pair is produced
+    * inside that key's detector group, so the same per-batch
+    * [[StreamingThrottle.survivors]] fold can run there against a
+    * per-rule watermark slot in the detector's own state row — same
+    * fold, same input set, same state granularity; the second exchange
+    * and store carry no information the first didn't have. Output is
+    * set-identical to the staged form (FusedThrottleSpec pins the
+    * equivalence on a storm replay); only the cross-group emission
+    * order differs, which the staged form never defined either.
+    *
+    * Deltas vs staged, by design: one `ttl` evicts detector AND throttle
+    * state together (staged could configure them separately), and
+    * suppression metrics are observed at this operator instead of a
+    * dedicated throttle stage. COMPATIBILITY: its own state schema
+    * ("detthr") — start from a fresh checkpointLocation when switching
+    * between staged and fused. */
+  def alertsTwsThrottled(events: Dataset[SEvent], rules: Seq[DetectionRule],
+      periodSec: Long, ttl: TTLConfig = TTLConfig.NONE): Dataset[SAlert] = {
+    import events.sparkSession.implicits._
+    require(periodSec > 0, s"throttle period must be positive; got $periodSec")
+    val c = new CompiledRules(rules.toIndexedSeq)
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    narrowEvents(events.toDF(), c)
+      .groupBy(col("key")).as[String, NEvent]
+      .transformWithState(new DetectorThrottleProcessor(c, periodSec, ttl),
+        timeMode, OutputMode.Append())
+  }
+
+  /** The per-key processor behind [[alertsTwsThrottled]]: one ValueState
+    * slot holding [[DetThrState]] — detector deques plus one throttle
+    * watermark per distinct rule name. */
+  final class DetectorThrottleProcessor private[streaming] (c: CompiledRules,
+      periodSec: Long, ttl: TTLConfig)
+      extends StatefulProcessor[String, NEvent, SAlert] {
+
+    @transient private var state: ValueState[DetThrState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[DetThrState]("detthr",
+        Encoders.product[DetThrState], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[NEvent],
+        timerValues: TimerValues): Iterator[SAlert] = {
+      val evs = rows.toArray
+      evs.sortInPlace()(arrivalOrderN)
+      val prior = Option(state.get())
+      prior.foreach { s =>
+        require(s.rate.length == c.nRate && s.stat.length == c.nStat &&
+            s.thr.length == c.nRules,
+          s"checkpointed detector+throttle state has ${s.rate.length} rate / " +
+            s"${s.stat.length} stat / ${s.thr.length} throttle slots but the " +
+            s"rule set compiles to ${c.nRate}/${c.nStat}/${c.nRules} — state " +
+            "slots are positional; restarting with a changed rule set " +
+            "requires a fresh checkpointLocation")
+      }
+      val rate: Array[Vector[Long]] = prior match {
+        case Some(s) => s.rate.map(_.toVector)
+        case None => Array.fill(c.nRate)(Vector.empty[Long])
+      }
+      val stat: Array[Vector[Double]] = prior match {
+        case Some(s) => s.stat.map(_.toVector)
+        case None => Array.fill(c.nStat)(Vector.empty[Double])
+      }
+      val thr: Array[Long] = prior match {
+        case Some(s) => s.thr.clone()
+        case None => Array.fill(c.nRules)(Long.MinValue)
+      }
+      val dirtyRate = new Array[Boolean](c.nRate)
+      val dirtyStat = new Array[Boolean](c.nStat)
+      val out = Seq.newBuilder[SAlert]
+      var i = 0
+      while (i < evs.length) {
+        val e = evs(i)
+        processEventN(c, e.key, e.eventId, e.tsSec, e.vals, e.present,
+          e.original, rate, stat, dirtyRate, dirtyStat, out, logRuleError)
+        i += 1
+      }
+      // the staged throttle's per-batch fold, run per rule slot against
+      // this key's alerts — identical input set, identical watermark
+      // granularity (rule_name x key)
+      val all = out.result()
+      val surv = Seq.newBuilder[SAlert]
+      if (all.nonEmpty) {
+        val perSlot =
+          new Array[scala.collection.mutable.ArrayBuffer[SAlert]](c.nRules)
+        all.foreach { a =>
+          val s = c.thrSlot(a.rule_name)
+          if (perSlot(s) == null)
+            perSlot(s) = new scala.collection.mutable.ArrayBuffer[SAlert]
+          perSlot(s) += a
+        }
+        var s = 0
+        while (s < c.nRules) {
+          if (perSlot(s) != null) {
+            val (kept, newLast) =
+              StreamingThrottle.survivors(thr(s), perSlot(s).iterator, periodSec)
+            surv ++= kept
+            thr(s) = newLast
+          }
+          s += 1
+        }
+      }
+      state.update(
+        DetThrState(rate.map(_.toArray), stat.map(_.toArray), thr))
+      surv.result().iterator
     }
   }
 
@@ -305,7 +708,7 @@ object StreamingDetectors {
     *  - `handleExpiredTimer` drains buffered events with
     *    `tsSec*1000 < watermark` (strict: a row AT the watermark can
     *    still legally arrive, Spark's late filter admits `>=`), sorted by
-    *    (tsSec, eventId, original), through the same [[processEvent]]
+    *    (tsSec, eventId, original), through the same [[processEventN]]
     *    transition, and re-arms while anything stays buffered. Each drain
     *    is wholly later in event time than the last (late rows below the
     *    previous watermark were filtered), so per-key processing order is
@@ -324,11 +727,23 @@ object StreamingDetectors {
       .withWatermark("ets", s"${maxDisorder.getSeconds} seconds")
       .as[SEventT]
       .groupByKey(_.key)
-      .transformWithState(new EventTimeDetectorProcessor(rules),
+      .transformWithState(
+        new EventTimeDetectorProcessor(new CompiledRules(rules.toIndexedSeq)),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
-  final class EventTimeDetectorProcessor(rules: Seq[DetectionRule])
+  /** Event-time drain order: (tsSec, eventId, original). */
+  private val eventTimeOrder: Ordering[SEvent] = new Ordering[SEvent] {
+    def compare(a: SEvent, b: SEvent): Int = {
+      val c1 = java.lang.Long.compare(a.tsSec, b.tsSec)
+      if (c1 != 0) return c1
+      val c2 = java.lang.Long.compare(a.eventId, b.eventId)
+      if (c2 != 0) return c2
+      a.original.compareTo(b.original)
+    }
+  }
+
+  final class EventTimeDetectorProcessor private[streaming] (c: CompiledRules)
       extends StatefulProcessor[String, SEventT, SAlert] {
 
     @transient private var buf: ListState[SEvent] = _
@@ -356,13 +771,9 @@ object StreamingDetectors {
       if (rest.nonEmpty) getHandle.registerTimer(wm + 1L)
       if (ready.isEmpty) Iterator.empty
       else {
-        var st = Option(det.get()).getOrElse(DetState(Map.empty, Map.empty))
-        val out = ready.sortBy(e => (e.tsSec, e.eventId, e.original)).flatMap { e =>
-          val (alerts, next) = processEvent(rules, e, st)
-          st = next
-          alerts
-        }
-        det.update(st)
+        val st = Option(det.get()).getOrElse(DetState(Map.empty, Map.empty))
+        val (out, next) = processSEvents(c, ready.sorted(eventTimeOrder), st)
+        det.update(next)
         buf.clear()
         if (rest.nonEmpty) buf.put(rest.toArray)
         out.iterator

@@ -40,8 +40,20 @@ object StreamingThrottle {
     // its throttle state. Deployments upgrading across that change must
     // start from a fresh checkpointLocation (throttle state is a single
     // last-emitted bucket per key, so the cost is at most one duplicate
-    // alert per (rule, key) in the first period after the reset).
-    alerts.groupByKey(a => (a.rule_name, a.key))
+    // alert per (rule, key) in the first period after the reset). The
+    // r13 move to column grouping below changes the grouping schema
+    // again — same fresh-checkpoint posture, same bounded cost.
+    //
+    // `groupBy(cols).as[...]` groups on the EXISTING columns, so the map
+    // side of the exchange stays row-to-row whole-stage codegen — the
+    // old groupByKey(lambda) paid a deserialize→tuple→serialize object
+    // round trip per alert, and under an alert storm the alert volume is
+    // the event volume (StreamThroughputBench's core phase measures
+    // exactly that regime).
+    alerts.toDF()
+      .groupBy(org.apache.spark.sql.functions.col("rule_name"),
+        org.apache.spark.sql.functions.col("key"))
+      .as[(String, String), SAlert]
       .transformWithState(new ThrottleProcessor(periodSec, ttl), timeMode,
         OutputMode.Append())
   }

@@ -1,0 +1,127 @@
+package graft.tools
+
+import graft.model._
+import graft.streaming.{SEvent, StreamingDetectors, StreamingThrottle}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-core throughput WITHOUT the MemoryStream harness tax.
+  *
+  * Round-13 thread-profile finding: in [[StreamThroughputBench]]'s `core`
+  * phase the top RUNNABLE executor frames are `UnsafeRow.readExternal`
+  * under `ObjectInputStream` — JAVA deserialization of the driver-held
+  * MemoryStream rows being shipped to tasks every batch. That is the
+  * measurement HARNESS, not the detector pipeline: the round-12
+  * decomposition's "~70% micro-batch machinery" is mostly this tax, which
+  * also explains why pipeline-side exchange optimizations barely move the
+  * MemoryStream number.
+  *
+  * This bench swaps the source for `rate-micro-batch` — a deterministic
+  * rows-per-trigger source whose rows are SYNTHESIZED ON THE EXECUTORS
+  * from (start, end) offset ranges (nothing driver-held, no Java
+  * serialization) — and builds the exact same workload in Catalyst:
+  * 100k-key population, values cycling 0..99 (threshold fires ~4%), the
+  * rate deque fully loaded, `original` = "{}". Same rules, same throttle,
+  * same RocksDB/changelog posture as the `core` phase; what remains is
+  * the pipeline itself: exchange + detector transition + state store.
+  *
+  * Per-batch times come from the engine's own progress stream
+  * (`triggerExecution` ms per completed batch via `recentProgress`), so
+  * the driver's pacing loop adds nothing to what's measured. Run:
+  *   sbt "runMain graft.tools.StreamCoreBench [perBatch] [batches]"
+  * with SPARK_GRAFT_MASTER=local[32] (default). */
+object StreamCoreBench {
+
+  private val rules: Seq[DetectionRule] = Seq(
+    ThresholdRule("t1", "value", 95.0),
+    RateRule("r1", "key", 3600, 5.0),
+    StatisticalRule("s1", "value", windowSize = 10, deviationFactor = 3.0))
+
+  private val nKeys = 100000L
+  // steady state starts once the 3600 s rate window SATURATES: tsSec
+  // advances perBatch/1000 per batch, so with the default 500k that is
+  // ~7.2 batches of deque growth (and growing RocksDB values) before the
+  // per-batch work is stationary — warm must cover it
+  private def warmFor(batches: Int): Int = math.min(batches - 1, 8)
+
+  private def pct(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s((p * (s.size - 1)).round.toInt)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val perBatch = args.lift(0).map(_.toInt).getOrElse(500000)
+    val batches = args.lift(1).map(_.toInt).getOrElse(24)
+    // staged = throttled(alertsTws(...)) (two stateful ops);
+    // fused = alertsTwsThrottled (one exchange, one store)
+    val topo = args.lift(2).getOrElse("staged")
+    require(topo == "staged" || topo == "fused", s"unknown topology: $topo")
+    val warm = warmFor(batches)
+    require(batches > warm, s"need > $warm batches for a steady state")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val spark = graft.sources.Sessions.builder(master, 32)
+      .config("spark.executor.memory", "7g")
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    import spark.implicits._
+
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", perBatch.toLong)
+      .option("numPartitions", 32)
+      .load()
+    // same event formula as StreamThroughputBench.core, built in Catalyst:
+    // id -> (key, eventId, tsSec, {value -> id % 100}, "{}")
+    val ev = src.select(
+        concat(lit("k"), expr(s"value % $nKeys")).as("key"),
+        col("value").as("eventId"),
+        expr("value div 1000").as("tsSec"),
+        map(lit("value"), expr("CAST(value % 100 AS DOUBLE)")).as("fields"),
+        lit("{}").as("original"))
+      .as[SEvent]
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scb").toString
+    val alerts =
+      if (topo == "fused") StreamingDetectors.alertsTwsThrottled(ev, rules, 600L)
+      else StreamingThrottle.throttled(
+        StreamingDetectors.alertsTws(ev, rules), 600L)
+    val q = alerts
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+
+    try {
+      // drain until `batches` batches have completed (batchIds 0..batches-1)
+      while (Option(q.lastProgress).forall(_.batchId < batches - 1)) {
+        q.awaitTermination(200L)
+      }
+      q.stop()
+      val prog = q.recentProgress.toSeq
+        .filter(p => p.batchId < batches && p.numInputRows > 0)
+        .sortBy(_.batchId)
+      prog.foreach { p =>
+        val dt = p.durationMs.get("triggerExecution").toDouble / 1000.0
+        val ops = p.stateOperators.zipWithIndex.map { case (so, i) =>
+          f"op$i upd=${so.allUpdatesTimeMs / 1000.0}%.1f commit=${so.commitTimeMs / 1000.0}%.1f" }
+          .mkString(" ")
+        val add = p.durationMs.get("addBatch") / 1000.0
+        println(f"coregen b${p.batchId}%-3d ${dt}%6.2f s  " +
+          f"${p.numInputRows / dt}%,.0f ev/s  addBatch=$add%.1f  $ops")
+      }
+      val times = prog.drop(warm)
+        .map(_.durationMs.get("triggerExecution").toDouble / 1000.0)
+      val rows = prog.drop(warm).map(_.numInputRows).sum
+      val eps = rows / times.sum
+      println(f"""{"phase":"coregen-$topo","batches":${prog.size},"per_batch":$perBatch,""" +
+        f""""steady_events_per_sec":${eps.round},"batch_p50_s":${pct(times, 0.5)}%.2f,""" +
+        f""""batch_p95_s":${pct(times, 0.95)}%.2f,"total_s":${times.sum}%.1f}""")
+    } finally if (q.isActive) q.stop()
+    spark.stop()
+  }
+}

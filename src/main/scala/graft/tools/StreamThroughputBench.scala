@@ -55,10 +55,20 @@ object StreamThroughputBench {
   private def opBreakdown(q: org.apache.spark.sql.streaming.StreamingQuery)
       : String = {
     val p = q.lastProgress
-    p.stateOperators.zipWithIndex.map { case (so, i) =>
+    val ops = p.stateOperators.zipWithIndex.map { case (so, i) =>
       f"op$i upd=${so.allUpdatesTimeMs / 1000.0}%.1fs " +
         f"commit=${so.commitTimeMs / 1000.0}%.1fs rows=${so.numRowsTotal}"
     }.mkString("  ")
+    // the engine's own phase decomposition (ms): addBatch = plan execution,
+    // the rest is trigger machinery — the measured basis for "where does
+    // the non-state time go"
+    val dur = p.durationMs.entrySet().iterator()
+    val sb = new StringBuilder
+    while (dur.hasNext) {
+      val e = dur.next()
+      if (e.getValue >= 100L) sb.append(s" ${e.getKey}=${e.getValue / 1000.0}s")
+    }
+    ops + sb.toString
   }
 
   private def summarize(tag: String, times: Seq[Double], perBatch: Int): String = {
@@ -100,11 +110,21 @@ object StreamThroughputBench {
 
     val summaries = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    if (phase == "all" || phase == "core") {
+    // `core` = staged throttled(alertsTws(...)) — the r12 protocol;
+    // `fusedcore` = the fused alertsTwsThrottled single-operator topology
+    // on the same MemoryStream protocol, so the two are directly
+    // comparable (the harness tax — java-deserializing driver-held
+    // MemoryStream rows into tasks each batch — is identical in both;
+    // tools/StreamCoreBench measures the tax-free numbers).
+    for (tag <- Seq("core", "fusedcore") if phase == "all" || phase == tag) {
       val ms = MemoryStream[SEvent]
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-stb-core").toString
-      val q = StreamingThrottle.throttled(
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-stb-$tag").toString
+      val alerts =
+        if (tag == "fusedcore")
+          StreamingDetectors.alertsTwsThrottled(ms.toDS(), rules, 600L)
+        else StreamingThrottle.throttled(
           StreamingDetectors.alertsTws(ms.toDS(), rules), 600L)
+      val q = alerts
         .writeStream.format("noop")
         .option("checkpointLocation", ckpt).start()
       val times = Seq.newBuilder[Double]
@@ -120,11 +140,11 @@ object StreamThroughputBench {
           q.processAllAvailable()
           val dt = (System.nanoTime() - t0) / 1e9
           times += dt
-          println(f"core b$b%-3d ${dt}%6.2f s  ${perBatch / dt}%,.0f ev/s  " +
+          println(f"$tag b$b%-3d ${dt}%6.2f s  ${perBatch / dt}%,.0f ev/s  " +
             opBreakdown(q))
         }
       } finally q.stop()
-      summaries += summarize("core", times.result(), perBatch)
+      summaries += summarize(tag, times.result(), perBatch)
     }
 
     if (phase == "all" || phase == "topology") {
