@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,7 +40,18 @@ object Corpus {
 
   // ---------------------------------------------------- dedup clusters
 
-  private val maxIters = 20
+  /** Label-propagation round cap. Each round combines neighbor-min with a
+    * pointer-jump whose lookup table is HALF A ROUND STALE (see the loop
+    * comment), so chains shrink multiplicatively but slower than true
+    * doubling — r13 measured a dense-URL sf1 crossmodal stress graph
+    * (every doc in a URL star-triple, triples chained through text-dup
+    * families — a path-of-stars shape real crawl graphs produce too)
+    * needing >20 rounds where the near-clique text graphs converged in
+    * <6. 40 rounds covers that shape with the same
+    * O(log diameter) cost per the loop's own argument; the cap only
+    * binds when the loop has NOT converged, so raising it never slows a
+    * converged query. */
+  private val maxIters = 40
 
   /** Duplicate edges: exact-dup (keeper, dup) pairs plus verified n-gram
     * Jaccard near-dup pairs over canonical docs. */
@@ -393,6 +404,164 @@ object Corpus {
        |  count(*) * cluster_size AS n_docs
        |FROM cs GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------ URL canonical dedup
+
+  /** Deterministic per-document crawl URL — the fixture's documents table
+    * carries no URL column, so this derives one from doc_id. Docs with
+    * `doc_id % 20 < 3` form a "page triple" (pid = doc_id div 20), each
+    * member carrying a DIFFERENT raw decoration of the same logical URL
+    * (uppercase scheme+host, `www.`, explicit `:80`, trailing slash, a
+    * `#fragment`, shuffled query-param order, per-doc `utm_*`/`gclid`
+    * tracking params); the other 85% get a per-doc UNIQUE url that is
+    * still decorated (`https` + `:443`, non-www subdomain, `utm_medium`,
+    * fragment), so canonicalization runs corpus-wide but only triple
+    * members collide. Every normalization branch in [[canonicalUrl]] is
+    * load-bearing: drop any one and some variant pair stops deduping
+    * (UrlDedupSpec pins this). The 15% duplicate share mirrors a real
+    * crawl, where decorated re-crawls are a minority of pages — and the
+    * density is load-bearing for the ORACLE, not for Spark: a dense
+    * variant (every doc in a triple) chains text-dup families into
+    * path-of-stars components that [[components]]' pointer-jumping
+    * closes in <40 rounds but whose all-pairs recursive closure DuckDB
+    * cannot finish at sf1 (SCALE_NOTES round-13). A deployment replaces
+    * this generator with its real URL column. */
+  private[graft] def rawUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("doc_id div 20").as("pid"), (col("doc_id") % 20L).as("v"))
+      .withColumn("url",
+        when(col("v") === 0L,
+          concat(lit("HTTP://WWW.example.com:80/page/"), col("pid"),
+            lit("/?id="), col("pid"), lit("&b=2&utm_source=crawler#sec")))
+        .when(col("v") === 1L,
+          concat(lit("http://example.com/page/"), col("pid"),
+            lit("?b=2&utm_campaign=x&id="), col("pid")))
+        .when(col("v") === 2L,
+          concat(lit("http://EXAMPLE.com/page/"), col("pid"),
+            lit("?gclid=z"), col("doc_id"), lit("&id="), col("pid"),
+            lit("&b=2")))
+        .otherwise(
+          concat(lit("HTTPS://news.example.com:443/item/"), col("doc_id"),
+            lit("/?utm_medium=feed&ref="), col("pid"), lit("#top"))))
+      .select("doc_id", "url")
+
+  // NOTE: this fragment is interpolated into stripMargin'd oracles, so
+  // no line may begin with (whitespace +) '|' — a second stripMargin
+  // would eat one pipe of a leading '||'
+  private[operators] val rawUrlsSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 20
+      |    WHEN 0 THEN 'HTTP://WWW.example.com:80/page/' || (doc_id // 20) ||
+      |      '/?id=' || (doc_id // 20) || '&b=2&utm_source=crawler#sec'
+      |    WHEN 1 THEN 'http://example.com/page/' || (doc_id // 20) ||
+      |      '?b=2&utm_campaign=x&id=' || (doc_id // 20)
+      |    WHEN 2 THEN 'http://EXAMPLE.com/page/' || (doc_id // 20) ||
+      |      '?gclid=z' || doc_id || '&id=' || (doc_id // 20) || '&b=2'
+      |    ELSE 'HTTPS://news.example.com:443/item/' || doc_id ||
+      |      '/?utm_medium=feed&ref=' || (doc_id // 20) || '#top'
+      |  END AS url
+      |FROM documents""".stripMargin
+
+  /** Crawl-URL canonicalization — the cheapest dedup channel a crawl
+    * pipeline runs, BEFORE any text pass: pure string normalization, no
+    * fetch, no tokenization.
+    *  - scheme and host lowercase (case-insensitive per RFC 3986);
+    *  - default port stripped (`:80` for http, `:443` for https);
+    *  - leading `www.` stripped;
+    *  - fragment stripped (never sent to the server);
+    *  - tracking params removed (`utm_*`, `fbclid`, `gclid`) and the
+    *    surviving params SORTED (param order is not semantic), empty
+    *    query dropped;
+    *  - trailing path slashes stripped.
+    * Everything is regexp/split/sort on short strings — scan-side
+    * whole-stage codegen, oracle-expressible, zero shuffle. */
+  private[graft] def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val noFrag = regexp_replace(
+      regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "#.*$", "")
+    val hostPort = lower(regexp_extract(noFrag, "^([^/?]*)", 1))
+    val host = regexp_replace(
+      when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+        .otherwise(hostPort),
+      "^www\\.", "")
+    val rest = noFrag.substr(length(hostPort) + 1, lit(Int.MaxValue))
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_replace(rest, "^[^?]*\\??", "")
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+    val q2 = array_join(kept, "&")
+    concat(scheme, lit("://"), host, path,
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
+
+  /** DuckDB twin of [[canonicalUrl]] over a relation exposing `url`. */
+  private[operators] def canonicalUrlSql(rel: String): String =
+    s"""SELECT doc_id, canon_url FROM (
+       |  SELECT doc_id,
+       |    scheme || '://' ||
+       |    regexp_replace(
+       |      CASE WHEN scheme = 'http'
+       |             THEN regexp_replace(hostport, ':80$$', '')
+       |           WHEN scheme = 'https'
+       |             THEN regexp_replace(hostport, ':443$$', '')
+       |           ELSE hostport END,
+       |      '^www\\.', '') ||
+       |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') ||
+       |    CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url
+       |  FROM (
+       |    SELECT doc_id, scheme, hostport, rest,
+       |      coalesce(list_aggregate(list_sort(list_filter(
+       |        string_split(regexp_replace(rest, '^[^?]*\\??', ''), '&'),
+       |        p -> p <> '' AND NOT regexp_matches(p,
+       |          '^(utm_[^=]*|fbclid|gclid)='))), 'string_agg', '&'), '') AS q2
+       |    FROM (
+       |      SELECT doc_id,
+       |        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |          AS scheme,
+       |        lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS hostport,
+       |        substr(nofrag,
+       |          length(regexp_extract(nofrag, '^([^/?]*)', 1)) + 1) AS rest
+       |      FROM (
+       |        SELECT doc_id, regexp_replace(
+       |          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |          '#.*$$', '') AS nofrag, url
+       |        FROM ($rel)
+       |      )
+       |    )
+       |  )
+       |)""".stripMargin
+
+  /** URL-canonical duplicate groups — one row per document whose
+    * canonical URL is shared (keeper = smallest doc_id of the group).
+    * One hash agg on the canonical string; the scan-side normalization
+    * never shuffles raw URLs, only canonical ones. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val canon = rawUrls(Tables.documents(spark, dir))
+      .withColumn("canon_url", canonicalUrl(col("url")))
+    val w = Window.partitionBy("canon_url")
+    canon
+      .withColumn("keeper", min("doc_id").over(w))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .filter(col("n_docs") > 1L)
+      .select("doc_id", "canon_url", "keeper", "n_docs")
+  }
+
+  val urlDedupSql: String =
+    s"""WITH ru AS ($rawUrlsSql),
+       |cu AS (${canonicalUrlSql("SELECT * FROM ru")})
+       |SELECT doc_id, canon_url,
+       |  min(doc_id) OVER (PARTITION BY canon_url) AS keeper,
+       |  count(*) OVER (PARTITION BY canon_url) AS n_docs
+       |FROM cu
+       |QUALIFY count(*) OVER (PARTITION BY canon_url) > 1""".stripMargin
+
+  /** Star edges (keeper, doc) of the URL channel for
+    * [[crossmodalClusters]]. */
+  private def urlEdges(spark: SparkSession, dir: String): DataFrame =
+    urlDedup(spark, dir)
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("d1"), col("doc_id").as("d2"))
+
   // ------------------------------------------------- cross-modal clusters
 
   /** Cross-modal duplicate clusters — the real curation gate for a
@@ -400,13 +569,16 @@ object Corpus {
     * ([[dedupClusters]]) and perceptual-hash dedup
     * ([[Multimodal.phashClusters]]) each close their OWN edge set, but a
     * scraped page re-hosted with the same image and paraphrased text (or
-    * identical text and a re-encoded image) is one duplicate either way.
-    * This unions the two candidate edge sets — exact + verified-Jaccard
-    * text pairs, banded pHash pairs — and closes components ONCE, so a
-    * doc that text-matches A and image-matches B merges A's and B's
-    * clusters (precisely what running the two channels independently can
-    * never do). Keeper = component-min doc_id, the same survivorship
-    * rule both channels use alone.
+    * identical text and a re-encoded image) is one duplicate either way —
+    * and a page re-crawled under a tracking-decorated URL is a duplicate
+    * before any content pass at all. This unions the THREE candidate
+    * edge sets — exact + verified-Jaccard text pairs, banded pHash
+    * pairs, and [[urlDedup]]'s canonical-URL star edges (r13) — and
+    * closes components ONCE, so a doc that text-matches A and
+    * image-matches B (or URL-matches C) merges their clusters (precisely
+    * what running the channels independently can never do). Keeper =
+    * component-min doc_id, the same survivorship rule each channel uses
+    * alone.
     *
     * Scale shape: both edge generators are the already-bucketed
     * candidate joins (never all-pairs); the union adds no shuffle beyond
@@ -417,7 +589,8 @@ object Corpus {
   def crossmodalClusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = Dedup.eager(
       dupEdges(spark, dir).select("d1", "d2")
-        .union(Multimodal.phashDedup(spark, dir).select("d1", "d2")))
+        .union(Multimodal.phashDedup(spark, dir).select("d1", "d2"))
+        .union(urlEdges(spark, dir)))
     val lab = Tables.documents(spark, dir).select("doc_id")
       .join(components(edges), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -428,8 +601,9 @@ object Corpus {
         col("cluster_size"))
   }
 
-  /** Oracle: the text channels' CTEs plus the pHash pair subquery,
-    * unioned before ONE recursive transitive closure. */
+  /** Oracle: the text channels' CTEs plus the pHash pair subquery plus
+    * the URL-canonical star edges, unioned before ONE recursive
+    * transitive closure. */
   val crossmodalClustersSql: String =
     s"""WITH RECURSIVE ${Dedup.jaccardPairsCtes},
        |ex AS (
@@ -442,9 +616,18 @@ object Corpus {
        |pp AS MATERIALIZED (
        |  SELECT d1, d2 FROM (${Multimodal.phashDedupSql})
        |),
+       |ru AS ($rawUrlsSql),
+       |cuu AS (${canonicalUrlSql("SELECT * FROM ru")}),
+       |uu AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT min(doc_id) OVER (PARTITION BY canon_url) AS d1,
+       |      doc_id AS d2
+       |    FROM cuu
+       |  ) WHERE d1 <> d2
+       |),
        |e0 AS (SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM ex
-       |  UNION SELECT d1, d2 FROM pp),
-       |edges AS (
+       |  UNION SELECT d1, d2 FROM pp UNION SELECT d1, d2 FROM uu),
+       |edges AS MATERIALIZED (
        |  SELECT d1 AS src, d2 AS dst FROM e0
        |  UNION SELECT d2, d1 FROM e0
        |),
@@ -1672,6 +1855,7 @@ object Corpus {
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_profile" -> (dedupProfile _),
     "crossmodal_clusters" -> (crossmodalClusters _),
+    "url_dedup" -> (urlDedup _),
     "corpus_split" -> (corpusSplit _),
     "grouped_split_audit" -> (groupedSplitAudit _),
     "packing_efficiency" -> (packingEfficiency _),
@@ -1699,6 +1883,7 @@ object Corpus {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_profile" -> dedupProfileSql,
     "crossmodal_clusters" -> crossmodalClustersSql,
+    "url_dedup" -> urlDedupSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "corpus_split" -> corpusSplitSql,
     "grouped_split_audit" -> groupedSplitAuditSql,
