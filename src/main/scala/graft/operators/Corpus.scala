@@ -562,6 +562,58 @@ object Corpus {
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("d1"), col("doc_id").as("d2"))
 
+  /** The canonical-URL keeper table — the persistent artifact an
+    * incremental crawl keeps between increments: one
+    * (canon_url, base_doc_id) row per distinct canonical URL in the
+    * base, keeper = smallest doc_id. The URL analog of
+    * [[Dedup.baseDigests]]. */
+  def urlBaseCanon(baseUrls: DataFrame): DataFrame =
+    baseUrls.groupBy(canonicalUrl(col("url")).as("canon_url"))
+      .agg(min("doc_id").as("base_doc_id"))
+
+  /** Core of the incremental URL shape, shared verbatim by
+    * [[urlDedupIncremental]] and the streaming twin
+    * ([[graft.streaming.StreamingUrlDedup]]) so the two paths agree by
+    * construction: canonicalize the batch's raw URLs and equi-join the
+    * base keeper table. Each doc's verdict depends only on (doc, base) —
+    * never on other batch docs — which makes the operator splittable
+    * into arbitrary micro-batches against a static base. Scale shape:
+    * one hash equi-join keyed by the canonical string, batch side small
+    * (AQE broadcasts it), base never re-joined against itself. */
+  private[graft] def urlHitsAgainstBase(newUrls: DataFrame,
+      baseCanon: DataFrame): DataFrame =
+    newUrls.select(col("doc_id"), canonicalUrl(col("url")).as("canon_url"))
+      .join(baseCanon, "canon_url")
+      .select(col("doc_id"), col("base_doc_id"), col("canon_url"))
+
+  /** INCREMENTAL canonical-URL dedup — today's crawl against the
+    * existing corpus's URL keeper table, the same daily shape as
+    * [[Dedup.incrementalDedup]] but on the cheapest channel (no text is
+    * read at all). The `doc_id % 10 == 1` slice stands in for the new
+    * batch — NOT the text family's `% 10 == 7`, because the fixture's
+    * URL-duplicated population is the `doc_id % 20 < 3` triples and a
+    * `% 10 == 7` batch would miss it entirely (every hit row would
+    * vanish, failing the non-trivial-result gate); `% 10 == 1` puts the
+    * v=1 decoration of every page triple in the batch, so each page
+    * yields one exact URL hit against its base keeper. */
+  def urlDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val urls = rawUrls(Tables.documents(spark, dir))
+    urlHitsAgainstBase(
+      urls.filter(col("doc_id") % 10L === 1L),
+      urlBaseCanon(urls.filter(col("doc_id") % 10L =!= 1L)))
+  }
+
+  val urlDedupIncrementalSql: String =
+    s"""WITH ru AS ($rawUrlsSql),
+       |cu AS (${canonicalUrlSql("SELECT * FROM ru")}),
+       |b AS (
+       |  SELECT canon_url, min(doc_id) AS base_doc_id
+       |  FROM cu WHERE doc_id % 10 <> 1 GROUP BY 1
+       |)
+       |SELECT n.doc_id, b.base_doc_id, n.canon_url
+       |FROM (SELECT * FROM cu WHERE doc_id % 10 = 1) n
+       |JOIN b USING (canon_url)""".stripMargin
+
   // ------------------------------------------------- cross-modal clusters
 
   /** Cross-modal duplicate clusters — the real curation gate for a
@@ -1856,6 +1908,7 @@ object Corpus {
     "dedup_profile" -> (dedupProfile _),
     "crossmodal_clusters" -> (crossmodalClusters _),
     "url_dedup" -> (urlDedup _),
+    "url_dedup_incremental" -> (urlDedupIncremental _),
     "corpus_split" -> (corpusSplit _),
     "grouped_split_audit" -> (groupedSplitAudit _),
     "packing_efficiency" -> (packingEfficiency _),
@@ -1884,6 +1937,7 @@ object Corpus {
     "dedup_profile" -> dedupProfileSql,
     "crossmodal_clusters" -> crossmodalClustersSql,
     "url_dedup" -> urlDedupSql,
+    "url_dedup_incremental" -> urlDedupIncrementalSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "corpus_split" -> corpusSplitSql,
     "grouped_split_audit" -> groupedSplitAuditSql,

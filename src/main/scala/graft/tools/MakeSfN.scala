@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   * collapse onto replica-0 user_ids and HALF of all events land on ONE
   * user — the hot-key adversary for the detector/session family.
   *
-  * Usage: runMain graft.tools.MakeSfN [baseDir] [outDir] [mult]
+  * Usage: runMain graft.tools.MakeSfN [baseDir] [outDir] [mult] [tables]
+  * `tables` (optional) = comma-list restricting which tables to write —
+  * the r13 sf10 (x100) probe only needs documents+embeddings, and the
+  * x100 lineitem/events replicas would cost 100x the disk and wall for
+  * queries that never read them.
   */
 object MakeSfN {
 
@@ -33,6 +37,10 @@ object MakeSfN {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/sf1"
     val mult = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
+      else None
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark: SparkSession = graft.sources.Sessions
       .builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -60,11 +68,12 @@ object MakeSfN {
 
     def replicate(name: String, keyCols: Seq[String],
         salt: Boolean = false): Unit =
-      write((0 until mult).map(r => shifted(tbl(name), keyCols, r, salt))
-        .reduce(_ unionAll _), name)
+      if (wanted(name))
+        write((0 until mult).map(r => shifted(tbl(name), keyCols, r, salt))
+          .reduce(_ unionAll _), name)
 
     // fixed dims, copied once
-    Seq("region", "nation").foreach(n => write(tbl(n), n))
+    Seq("region", "nation").filter(wanted).foreach(n => write(tbl(n), n))
     replicate("customer", Seq("c_custkey"))
     replicate("supplier", Seq("s_suppkey"))
     replicate("part", Seq("p_partkey"))
@@ -76,6 +85,7 @@ object MakeSfN {
 
     // hot-key adversary: same 10x event volume, replica-0 user ids only,
     // and half of ALL events on user 42
+    if (!wanted("events_hot")) { spark.stop(); return }
     val ev = tbl("events")
     val hot = (0 until mult).map { r =>
       ev.withColumn("event_id", col("event_id") + lit(r * K))
