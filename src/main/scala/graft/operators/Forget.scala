@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   *    `rows_rekeyed` column counts exactly those).
   *
   *  - the `forget*Base` rewriters: the executable artifact-level delete
-  *    for the three streaming base layouts
+  *    for the four streaming base layouts
   *    ([[graft.streaming.StreamingIncrementalDedup]] `digests/` +
   *    `shingles/`, [[graft.streaming.StreamingSpanDedup]] `spans/`,
-  *    [[graft.streaming.StreamingEmbeddingDedup]] `cells/`), each
+  *    [[graft.streaming.StreamingEmbeddingDedup]] `cells/`,
+  *    [[graft.streaming.StreamingUrlDedup]] `canon/`), each
   *    materializing the surviving rows BEFORE overwriting (the plan reads
   *    the same path it rewrites).
   *
@@ -136,11 +137,39 @@ object Forget {
     rewrite(cells.join(kill, Seq("vec_id"), "left_anti"), s"$baseDir/cells")
   }
 
+  /** Delete `killIds` (one `doc_id` column) from a canonical-URL keeper
+    * base ([[graft.streaming.StreamingUrlDedup]] `canon/` — the FOURTH
+    * streaming base layout, added r13). With `rekeyFrom` = the surviving
+    * corpus's (doc_id, url) rows, a canonical URL whose KEEPER died but
+    * which a surviving doc still carries is re-keyed (canon_url → min
+    * surviving doc_id) instead of dropped — the same survivorship
+    * contract as [[forgetIncrementalBase]]: without corpus access the
+    * artifact stores no second copy to promote, so the URL is forgotten
+    * and re-enters the base as novel on its next appearance. */
+  def forgetUrlBase(spark: SparkSession, baseDir: String,
+      killIds: DataFrame, rekeyFrom: Option[DataFrame] = None): Unit = {
+    val kill = broadcast(killIds.select(col("doc_id")).distinct())
+    val canon = spark.read.parquet(s"$baseDir/canon")
+    val kept = canon.join(kill,
+      canon("base_doc_id") === kill("doc_id"), "left_anti")
+    val out = rekeyFrom match {
+      case None => kept
+      case Some(surv) =>
+        val orphan = canon.join(kill,
+            canon("base_doc_id") === kill("doc_id"), "left_semi")
+          .select("canon_url")
+        kept.unionByName(Corpus.urlBaseCanon(surv)
+          .join(broadcast(orphan), Seq("canon_url"), "left_semi"))
+    }
+    rewrite(out, s"$baseDir/canon")
+  }
+
   // ---- the oracle-gated accounting query ---------------------------------
 
   /** Per-artifact forget accounting over the deterministic kill list —
     * see the class doc. Output: one row per artifact family
-    * (corpus, digests, shingles, spans, cells, cells_nonempty) with
+    * (corpus, digests, shingles, spans, cells, cells_nonempty,
+    * url_canon) with
     * rows_before / rows_after_forget (artifact-level delete) /
     * rows_rederived (recompute from survivors) / rows_rekeyed. */
   def corpusForget(spark: SparkSession, dir: String): DataFrame = {
@@ -217,8 +246,22 @@ object Forget {
       count(when(col("n_a") > 0, 1)),
       lit(0))(byCell)
 
+    // url keeper table: same keeper-vs-survivor accounting as digests,
+    // keyed by the canonical URL instead of the text digest
+    val uf = Corpus.rawUrls(docs)
+      .groupBy(Corpus.canonicalUrl(col("url")).as("canon_url"))
+      .agg(min("doc_id").as("keeper_all"),
+        min(when(col("doc_id") % forgetMod =!= forgetRem, col("doc_id")))
+          .as("keeper_surv"))
+    val urlKeeperKilled = col("keeper_all") % forgetMod === forgetRem
+    val urlCanon = leg("url_canon",
+      count(lit(1)),
+      count(when(!urlKeeperKilled, 1)),
+      count(col("keeper_surv")),
+      count(when(urlKeeperKilled && col("keeper_surv").isNotNull, 1)))(uf)
+
     corpus.unionByName(digests).unionByName(shingles).unionByName(spans)
-      .unionByName(cells).unionByName(cellsNonempty)
+      .unionByName(cells).unionByName(cellsNonempty).unionByName(urlCanon)
   }
 
   val corpusForgetSql: String = {
@@ -253,6 +296,12 @@ object Forget {
        |  SELECT cell, count(*) AS n_b,
        |    sum(CASE WHEN NOT ($killSqlVec) THEN 1 ELSE 0 END) AS n_a
        |  FROM a2 GROUP BY 1
+       |), ru AS (${Corpus.rawUrlsSql}),
+       |cuq AS (${Corpus.canonicalUrlSql("SELECT * FROM ru")}),
+       |uf AS (
+       |  SELECT canon_url, min(doc_id) AS keeper_all,
+       |    min(CASE WHEN NOT ($killSqlDoc) THEN doc_id END) AS keeper_surv
+       |  FROM cuq GROUP BY 1
        |)
        |SELECT 'corpus' AS artifact,
        |  CAST(count(*) AS BIGINT) AS rows_before,
@@ -293,7 +342,15 @@ object Forget {
        |  CAST(count(CASE WHEN n_a > 0 THEN 1 END) AS BIGINT),
        |  CAST(count(CASE WHEN n_a > 0 THEN 1 END) AS BIGINT),
        |  CAST(0 AS BIGINT)
-       |FROM bycell""".stripMargin
+       |FROM bycell
+       |UNION ALL
+       |SELECT 'url_canon', CAST(count(*) AS BIGINT),
+       |  CAST(count(CASE WHEN NOT (keeper_all % $forgetMod = $forgetRem)
+       |    THEN 1 END) AS BIGINT),
+       |  CAST(count(keeper_surv) AS BIGINT),
+       |  CAST(count(CASE WHEN keeper_all % $forgetMod = $forgetRem
+       |    AND keeper_surv IS NOT NULL THEN 1 END) AS BIGINT)
+       |FROM uf""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

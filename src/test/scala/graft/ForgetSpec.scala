@@ -149,4 +149,50 @@ class ForgetSpec extends SparkSpec {
     assert(!partners.exists(_ < 50L),
       s"no pair may reference a deleted vector: $partners")
   }
+
+  test("url base: killed keeper re-keyed with corpus access, dropped without") {
+    import graft.streaming.StreamingUrlDedup
+    def urlsDf(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "url")
+    // docs 1 and 5 share a canonical URL (different decorations); 1 is
+    // the keeper. Doc 2's URL is owned solely by 2.
+    val corpus = urlsDf(
+      1L -> "http://example.com/a?x=1",
+      2L -> "http://example.com/b?y=2",
+      5L -> "HTTP://WWW.example.com:80/a?utm_source=z&x=1#f")
+
+    // WITH corpus access: forget 1 -> a re-keys to 5
+    val d1 = tmp("graft-forget-url-rekey")
+    StreamingUrlDedup.initBase(corpus, d1)
+    Forget.forgetUrlBase(spark, d1, Seq(1L).toDF("doc_id"),
+      rekeyFrom = Some(corpus.filter(col("doc_id") =!= 1L)))
+    val canon1 = spark.read.parquet(s"$d1/canon")
+    assert(canon1.filter(col("base_doc_id") === 1L).count() == 0)
+    val aKeeper = canon1.filter(col("canon_url") === "http://example.com/a?x=1")
+      .select("base_doc_id").as[Long].collect().toSeq
+    assert(aKeeper == Seq(5L), s"url must re-key to 5: $aKeeper")
+    // a decorated re-crawl hits the RE-KEYED keeper, not the deleted doc
+    var hits = Set.empty[(Long, Long)]
+    StreamingUrlDedup.onBatch(d1, growBase = false,
+      (h, _) => hits ++= h.select("doc_id", "base_doc_id")
+        .as[(Long, Long)].collect())(
+      urlsDf(300L -> "http://EXAMPLE.com/a?x=1&gclid=q"), 0L)
+    assert(hits == Set((300L, 5L)), s"must hit the new keeper: $hits")
+
+    // WITHOUT corpus access: forget 2 -> url dropped, re-enters as novel
+    val d2 = tmp("graft-forget-url-drop")
+    StreamingUrlDedup.initBase(corpus, d2)
+    Forget.forgetUrlBase(spark, d2, Seq(2L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$d2/canon")
+      .filter(col("base_doc_id") === 2L).count() == 0)
+    hits = Set.empty
+    StreamingUrlDedup.onBatch(d2, growBase = true,
+      (h, _) => hits ++= h.select("doc_id", "base_doc_id")
+        .as[(Long, Long)].collect())(
+      urlsDf(400L -> "http://example.com/b?y=2"), 0L)
+    assert(hits.isEmpty, s"forgotten url must not hit: $hits")
+    val regrown = spark.read.parquet(s"$d2/canon")
+      .filter(col("canon_url") === "http://example.com/b?y=2")
+      .select("base_doc_id").as[Long].collect().toSeq
+    assert(regrown == Seq(400L), s"url must re-enter under doc 400: $regrown")
+  }
 }
