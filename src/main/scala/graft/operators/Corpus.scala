@@ -134,11 +134,14 @@ object Corpus {
       // pointer jumping: also adopt the label OF the current label
       // (labels are always component-member ids, so the lookup always
       // resolves) — chains shrink multiplicatively, so convergence needs
-      // O(log diameter) rounds and the maxIters cap covers diameters up
-      // to ~2^20, not 20. The lookup table is LAB (last round's
+      // O(log diameter) rounds. The lookup table is LAB (last round's
       // checkpointed labels), not prop: prop is referenced once so the
       // neighbor-min join isn't recomputed, and a half-round-stale jump
-      // target is still monotone-decreasing toward the same fixpoint.
+      // target is still monotone-decreasing toward the same fixpoint —
+      // but HALF A ROUND STALE, so the shrink factor is below true
+      // doubling and the cap must NOT be sized as log2(diameter); see
+      // the maxIters scaladoc for the measured path-of-stars case that
+      // needed >20 rounds.
       // the changed-row count rides the materialization job (columns:
       // doc_id, cluster_id, prev)
       val (next, nextRdd, changed) = ckpt(prop.as("x")

@@ -55,19 +55,25 @@ final case class DetState(rate: Map[String, Seq[Long]],
   * reconstruction — measured as a material share of the per-event state
   * cost in the round-12 throughput decomposition.
   *
-  * COMPATIBILITY: slots are POSITIONAL. Restarting a checkpointed query
-  * with a different rule set (and the pre-r13 Map-shaped "detectors"
-  * state) is refused loudly — start from a fresh checkpointLocation; the
-  * deques rebuild within one trailing window. */
-final case class DetStateN(rate: Array[Array[Long]], stat: Array[Array[Double]])
+  * COMPATIBILITY: slots are POSITIONAL. `fp` is the compiled rule set's
+  * identity fingerprint ([[StreamingDetectors.CompiledRules.stateFp]]),
+  * written with every row and required equal on read — so restarting a
+  * checkpointed query with ANY changed rule set is refused loudly even
+  * when the slot COUNTS coincide (two renamed/reordered rate rules would
+  * otherwise silently read each other's deques); the pre-r13 Map-shaped
+  * "detectors" state fails the encoder schema check the same loud way.
+  * Start from a fresh checkpointLocation; the deques rebuild within one
+  * trailing window. */
+final case class DetStateN(rate: Array[Array[Long]],
+    stat: Array[Array[Double]], fp: Long)
 
 /** [[DetStateN]] plus the per-rule throttle watermark (`thr(i)` = last
   * emitted period bucket of the i-th distinct rule NAME, `Long.MinValue`
   * = none yet) — the single-store state of the fused
   * [[StreamingDetectors.alertsTwsThrottled]] path. Same positional-slot
-  * compatibility posture as [[DetStateN]]. */
+  * + fingerprint compatibility posture as [[DetStateN]]. */
 final case class DetThrState(rate: Array[Array[Long]],
-    stat: Array[Array[Double]], thr: Array[Long])
+    stat: Array[Array[Double]], thr: Array[Long], fp: Long)
 
 /** Minimal wire shape of the production detector path: the rule set's
   * measured fields extracted from the event map to primitive arrays IN
@@ -142,11 +148,22 @@ object StreamingDetectors {
     try Some(body)
     catch { case scala.util.control.NonFatal(t) => onError(ruleName, t); None }
 
+  /** Locale-PINNED Formatter for alert detail fragments: the constant
+    * fragments render on the DRIVER at query build ([[CompiledRules]])
+    * and the variable ones on EXECUTORS per alert, so without a fixed
+    * locale one alert string could mix decimal conventions (or digit
+    * sets) whenever the two JVMs' default locales differ. Locale.ROOT
+    * formats %.Nf identically to the en defaults every earlier round's
+    * oracle hashes were built under. */
+  @inline private[streaming] def fmtRoot(pattern: String,
+      args: AnyRef*): String =
+    String.format(java.util.Locale.ROOT, pattern, args: _*)
+
   /** `%.2f` of the one VARIABLE double in an alert detail — same Formatter
-    * semantics (HALF_UP, default locale) the f-interpolator used, paid
-    * once per variable instead of re-parsing the whole pattern per alert. */
+    * semantics (HALF_UP) the f-interpolator used, paid once per variable
+    * instead of re-parsing the whole pattern per alert. */
   @inline private def fmt2(v: Double): String =
-    String.format("%.2f", Double.box(v))
+    fmtRoot("%.2f", Double.box(v))
 
   // ------------------------------------------------------- compiled rules
 
@@ -191,17 +208,32 @@ object StreamingDetectors {
     def nRules: Int = ruleNames.length
     def thrSlot(name: String): Int = tIdx(name)
 
+    /** Identity fingerprint of the ORDERED rule list (names, kinds, and
+      * every parameter — DetectionRule is a case-class family, so
+      * toString is a stable total rendering). Written into every
+      * [[DetStateN]]/[[DetThrState]] row and required equal on read:
+      * slot counts alone cannot distinguish two same-cardinality rule
+      * sets whose slots mean different things. Two independent 32-bit
+      * murmur seeds packed into one Long. */
+    val stateFp: Long = {
+      val s = rules.map(_.toString).mkString("|")
+      (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong &
+          0xffffffffL)
+    }
+
     val arms: Array[Arm] = rules.map[Arm] {
       case t: ThresholdRule => ThresholdArm(t.name, fIdx(t.field), t.threshold,
         s"Threshold exceeded: ${t.field}=",
-        f" (threshold: ${t.threshold}%.2f)")
+        " (threshold: " + fmtRoot("%.2f", Double.box(t.threshold)) + ")")
       case r: RateRule => RateArm(r.name, rIdx(r.name), r.windowSeconds.toLong,
         r.threshold,
-        f" events in ${r.windowSeconds}%d seconds (threshold: ${r.threshold}%.0f)")
+        " events in " + r.windowSeconds + " seconds (threshold: " +
+          fmtRoot("%.0f", Double.box(r.threshold)) + ")")
       case s: StatisticalRule => StatArm(s.name, fIdx(s.field), sIdx(s.name),
         s.windowSize, s.deviationFactor, math.pow(10, s.quantScale),
         s"Statistical outlier: ${s.field}=",
-        f", factor=${s.deviationFactor}%.1f)")
+        ", factor=" + fmtRoot("%.1f", Double.box(s.deviationFactor)) + ")")
     }.toArray
   }
 
@@ -534,6 +566,12 @@ object StreamingDetectors {
       evs.sortInPlace()(arrivalOrderN)
       val prior = Option(state.get())
       prior.foreach { s =>
+        require(s.fp == c.stateFp,
+          s"checkpointed detector state was written by a DIFFERENT rule set " +
+            s"(fingerprint ${s.fp} vs ${c.stateFp}) — state slots are " +
+            "positional, so a renamed/reordered/re-parameterized rule would " +
+            "silently read another rule's deque; restarting with a changed " +
+            "rule set requires a fresh checkpointLocation")
         require(s.rate.length == c.nRate && s.stat.length == c.nStat,
           s"checkpointed detector state has ${s.rate.length} rate / " +
             s"${s.stat.length} stat slots but the rule set compiles to " +
@@ -558,7 +596,8 @@ object StreamingDetectors {
           e.original, rate, stat, dirtyRate, dirtyStat, out, logRuleError)
         i += 1
       }
-      state.update(DetStateN(rate.map(_.toArray), stat.map(_.toArray)))
+      state.update(
+        DetStateN(rate.map(_.toArray), stat.map(_.toArray), c.stateFp))
       out.result().iterator
     }
   }
@@ -624,6 +663,13 @@ object StreamingDetectors {
       evs.sortInPlace()(arrivalOrderN)
       val prior = Option(state.get())
       prior.foreach { s =>
+        require(s.fp == c.stateFp,
+          s"checkpointed detector+throttle state was written by a DIFFERENT " +
+            s"rule set (fingerprint ${s.fp} vs ${c.stateFp}) — state slots " +
+            "are positional, so a renamed/reordered/re-parameterized rule " +
+            "would silently read another rule's deque or watermark; " +
+            "restarting with a changed rule set requires a fresh " +
+            "checkpointLocation")
         require(s.rate.length == c.nRate && s.stat.length == c.nStat &&
             s.thr.length == c.nRules,
           s"checkpointed detector+throttle state has ${s.rate.length} rate / " +
@@ -680,7 +726,7 @@ object StreamingDetectors {
         }
       }
       state.update(
-        DetThrState(rate.map(_.toArray), stat.map(_.toArray), thr))
+        DetThrState(rate.map(_.toArray), stat.map(_.toArray), thr, c.stateFp))
       surv.result().iterator
     }
   }

@@ -39,10 +39,13 @@ object StreamCoreBench {
 
   private val nKeys = 100000L
   // steady state starts once the 3600 s rate window SATURATES: tsSec
-  // advances perBatch/1000 per batch, so with the default 500k that is
-  // ~7.2 batches of deque growth (and growing RocksDB values) before the
-  // per-batch work is stationary — warm must cover it
-  private def warmFor(batches: Int): Int = math.min(batches - 1, 8)
+  // advances perBatch/1000 per batch, so saturation takes
+  // ceil(3.6e6 / perBatch) batches of deque growth (and growing RocksDB
+  // values) before the per-batch work is stationary — ~7.2 with the
+  // default 500k, but inversely MORE with smaller batches, so warm is
+  // derived from perBatch rather than hardcoded for the default
+  private def warmFor(batches: Int, perBatch: Int): Int =
+    math.min(batches - 1, (3600000L + perBatch - 1) / perBatch + 1).toInt
 
   private def pct(xs: Seq[Double], p: Double): Double = {
     val s = xs.sorted
@@ -56,8 +59,9 @@ object StreamCoreBench {
     // fused = alertsTwsThrottled (one exchange, one store)
     val topo = args.lift(2).getOrElse("staged")
     require(topo == "staged" || topo == "fused", s"unknown topology: $topo")
-    val warm = warmFor(batches)
-    require(batches > warm, s"need > $warm batches for a steady state")
+    val warm = warmFor(batches, perBatch)
+    require(batches > warm, s"need > $warm batches (rate-window " +
+      s"saturation at $perBatch rows/batch) for a steady state")
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
     val spark = graft.sources.Sessions.builder(master, 32)
       .config("spark.executor.memory", "7g")
@@ -69,6 +73,11 @@ object StreamCoreBench {
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
+    // recentProgress is a ring buffer (default 100 entries); a run with
+    // more batches would silently lose the EARLIEST ones and drop(warm)
+    // would then discard the wrong batches — size it to hold every batch
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (batches + 16).toString)
     import spark.implicits._
 
     val src = spark.readStream.format("rate-micro-batch")

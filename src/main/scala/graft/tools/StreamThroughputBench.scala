@@ -82,8 +82,14 @@ object StreamThroughputBench {
       f""""batch_p95_s":${pct(steady, 0.95)}%.2f,"total_s":${times.sum}%.1f}"""
   }
 
+  private val phases = Set("all", "core", "fusedcore", "topology", "batchref")
+
   def main(args: Array[String]): Unit = {
     val phase = args.headOption.getOrElse("all")
+    // a typo'd phase would otherwise match no tag and silently run
+    // NOTHING — the same loud-misuse posture as Verify --only
+    require(phases.contains(phase),
+      s"unknown phase '$phase'; expected one of ${phases.mkString(", ")}")
     val perBatch = args.lift(1).map(_.toInt).getOrElse(500000)
     val batches = args.lift(2).map(_.toInt).getOrElse(24)
     require(batches > warm, s"need > $warm batches (the warm-up) for a " +

@@ -31,6 +31,13 @@ for i, a in enumerate(sys.argv):
 con = duckdb.connect()
 # spill to /tmp, never to the repo cwd (.tmp/ in the worktree)
 con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+# Optional hard cap for the sf10-class monster oracles: DuckDB's default
+# (80% of RAM) races other JVMs on a shared host and dies on raw malloc
+# ("bad allocation") instead of spilling; a bounded limit spills to the
+# temp_directory instead.
+_ml = os.environ.get("ORACLE_MEMORY_LIMIT")
+if _ml:
+    con.execute(f"SET memory_limit='{_ml}'")
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(p)[:-len(".parquet")]
     # driver fixtures are single files; Spark-written replicas (MakeSfN)
@@ -45,9 +52,15 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
 # our own generated text, so rewrite the two ts idioms mechanically:
 # epoch_ns(BIGINT ns) is the identity, and strftime only formats at day
 # granularity so microsecond truncation is lossless there.
-ts_is_bigint = any(
-    c[0] == "ts" and c[1] == "BIGINT"
-    for c in con.execute("DESCRIBE events").fetchall())
+# Partial replicas (e.g. the sf10 documents+embeddings probe set) carry
+# no events table at all; none of their oracles touch ts, so skip the
+# probe instead of crashing before the first query.
+try:
+    ts_is_bigint = any(
+        c[0] == "ts" and c[1] == "BIGINT"
+        for c in con.execute("DESCRIBE events").fetchall())
+except duckdb.CatalogException:
+    ts_is_bigint = False
 
 def adapt(sql: str) -> str:
     if not ts_is_bigint:
