@@ -211,6 +211,23 @@ class PlanInvariantSpec extends SparkSpec {
     }
   }
 
+  test("url_dedup: scan reads ONLY doc_id; one exchange; incremental broadcasts the batch") {
+    // the whole URL channel derives from doc_id on the fixture (a real
+    // deployment reads its url column instead) — canonicalization is
+    // scan-side, so the only exchange is the canon_url window partition
+    val plan = formatted("url_dedup")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && !read.contains("text"), read)
+    def nodes(p: String, op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(p).length
+    assert(nodes(plan, "Exchange") <= 1, plan)
+    // the daily shape: batch side small -> broadcast, base aggregated
+    // once, NO sort-merge join anywhere
+    val inc = formatted("url_dedup_incremental")
+    assert(nodes(inc, "BroadcastHashJoin") >= 1, inc)
+    assert(nodes(inc, "SortMergeJoin") == 0, inc)
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
