@@ -82,7 +82,8 @@ object StreamThroughputBench {
       f""""batch_p95_s":${pct(steady, 0.95)}%.2f,"total_s":${times.sum}%.1f}"""
   }
 
-  private val phases = Set("all", "core", "fusedcore", "topology", "batchref")
+  private val phases =
+    Set("all", "core", "fusedcore", "topology", "fusedtopology", "batchref")
 
   def main(args: Array[String]): Unit = {
     val phase = args.headOption.getOrElse("all")
@@ -180,6 +181,37 @@ object StreamThroughputBench {
         }
       } finally q.stop()
       summaries += summarize("topology", times.result(), perBatch)
+    }
+
+    if (phase == "all" || phase == "fusedtopology") {
+      // same full topology (raw JSON in -> JSON alerts out) with the
+      // r13 FUSED detect+throttle core in place of the staged pair
+      val ms = MemoryStream[String]
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-stb-ftopo").toString
+      val sev = StreamingDetectors.parsedEvents(
+        ms.toDS().toDF("value"), rules, keyField = "user_id")
+      val q = graft.sources.EventJson.serializeAlerts(
+          StreamingDetectors.alertsTwsThrottled(sev, rules, 600L).toDF())
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      val times = Seq.newBuilder[Double]
+      try {
+        (0 until batches).foreach { b =>
+          val raw = (0 until perBatch).map { i =>
+            val id = b.toLong * perBatch + i
+            s"""{"user_id":"u${id % nKeys}","event_id":$id,"ts":${id / 1000},"value":${id % 100}}"""
+          }
+          ms.addData(raw)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
+          times += dt
+          println(f"ftopo b$b%-3d ${dt}%6.2f s  ${perBatch / dt}%,.0f ev/s  " +
+            opBreakdown(q))
+        }
+      } finally q.stop()
+      summaries += summarize("fusedtopology", times.result(), perBatch)
     }
 
     if (phase == "all" || phase == "batchref") {
