@@ -617,6 +617,57 @@ object Corpus {
        |FROM (SELECT * FROM cu WHERE doc_id % 10 = 1) n
        |JOIN b USING (canon_url)""".stripMargin
 
+  /** Per-(host, language) crawl-governance profile — the URL-side
+    * companion of [[corpusDomainCap]] (which caps on the `source`
+    * column): doc volume, distinct canonical pages, URL-duplicated doc
+    * count and its exact ppm share, per canonical host and document
+    * language. This is the report a crawl budgeter reads before
+    * re-pointing fetch capacity — a host whose dup share is high is
+    * being re-crawled through decorated URLs, not yielding new pages.
+    *
+    * Scale shape: one per-page count keyed by canon_url (the SAME
+    * shuffle key the dedup channel uses), one broadcast-sized join back
+    * through doc_id to pick up `lang` (doc-keyed equi-join), then a
+    * (host, lang) hash agg whose domain is tiny. Exactness: dup share
+    * as integer ppm floor-division — n_dup_docs x 1e6 overflows BIGINT
+    * only past ~9.2e12 docs per (host, lang) cell, far beyond any
+    * per-host corpus. */
+  def urlHostProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val canon = rawUrls(docs)
+      .withColumn("canon_url", canonicalUrl(col("url")))
+      .withColumn("host",
+        regexp_extract(col("canon_url"), "^[a-z0-9+.-]+://([^/?]*)", 1))
+    val perPage = canon.groupBy("canon_url")
+      .agg(count(lit(1)).as("n_on_page"))
+    canon.join(perPage, "canon_url")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("host", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("canon_url").as("n_pages"),
+        count(when(col("n_on_page") > 1L, 1)).as("n_dup_docs"))
+      .withColumn("dup_share_ppm",
+        expr("n_dup_docs * 1000000L div n_docs"))
+  }
+
+  val urlHostProfileSql: String =
+    s"""WITH ru AS ($rawUrlsSql),
+       |cu AS (${canonicalUrlSql("SELECT * FROM ru")}),
+       |h AS (
+       |  SELECT doc_id, canon_url,
+       |    regexp_extract(canon_url, '^[a-z0-9+.-]+://([^/?]*)', 1) AS host
+       |  FROM cu
+       |),
+       |pc AS (SELECT canon_url, count(*) AS n_on_page FROM h GROUP BY 1)
+       |SELECT host, lang,
+       |  count(*) AS n_docs,
+       |  count(DISTINCT canon_url) AS n_pages,
+       |  count(CASE WHEN n_on_page > 1 THEN 1 END) AS n_dup_docs,
+       |  count(CASE WHEN n_on_page > 1 THEN 1 END) * 1000000
+       |    // count(*) AS dup_share_ppm
+       |FROM h JOIN pc USING (canon_url) JOIN documents USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------- cross-modal clusters
 
   /** Cross-modal duplicate clusters — the real curation gate for a
@@ -1912,6 +1963,7 @@ object Corpus {
     "crossmodal_clusters" -> (crossmodalClusters _),
     "url_dedup" -> (urlDedup _),
     "url_dedup_incremental" -> (urlDedupIncremental _),
+    "url_host_profile" -> (urlHostProfile _),
     "corpus_split" -> (corpusSplit _),
     "grouped_split_audit" -> (groupedSplitAudit _),
     "packing_efficiency" -> (packingEfficiency _),
@@ -1941,6 +1993,7 @@ object Corpus {
     "crossmodal_clusters" -> crossmodalClustersSql,
     "url_dedup" -> urlDedupSql,
     "url_dedup_incremental" -> urlDedupIncrementalSql,
+    "url_host_profile" -> urlHostProfileSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "corpus_split" -> corpusSplitSql,
     "grouped_split_audit" -> groupedSplitAuditSql,

@@ -64,6 +64,22 @@ class UrlDedupSpec extends SparkSpec {
       (0L until 500L).filter(_ % 20 < 3).toSet)
   }
 
+  test("host profile: doc counts conserve, dup docs == the dedup channel's rows") {
+    val prof = Corpus.urlHostProfile(spark, dir)
+      .select("host", "n_docs", "n_pages", "n_dup_docs", "dup_share_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // every doc lands in exactly one (host, lang) cell
+    assert(prof.map(_._2).sum == 500L)
+    // the dup population IS url_dedup's row set, partitioned by host
+    assert(prof.map(_._4).sum == Corpus.urlDedup(spark, dir).count())
+    // the unique-URL host never dedups; the page host always has some
+    val byHost = prof.groupBy(_._1)
+    assert(byHost("news.example.com").forall(_._4 == 0L))
+    assert(byHost("example.com").map(_._4).sum > 0L)
+    // ppm share is the exact floor division per cell
+    prof.foreach { case (_, n, _, d, ppm) => assert(ppm == d * 1000000L / n) }
+  }
+
   test("crossmodal clusters merge a pair connected by NO content channel") {
     // text-cluster members (non-singleton) and phash-pair members
     val textDup = Corpus.dedupClusters(spark, dir)
