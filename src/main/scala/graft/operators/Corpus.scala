@@ -668,6 +668,76 @@ object Corpus {
        |FROM h JOIN pc USING (canon_url) JOIN documents USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Channel-overlap audit of the three duplicate channels
+    * [[crossmodalClusters]] unions — text (exact + verified Jaccard),
+    * perceptual hash, canonical URL: one row per channel COMBINATION
+    * with its doc count (the all-zeros row = docs no channel flags, so
+    * the counts conserve to the corpus). This is the redundancy audit a
+    * pipeline owner reads before paying for a channel at 100 TB: a
+    * channel whose docs are all caught by the others adds merge edges
+    * but no new duplicate mass, while a large exclusive count is
+    * exactly the population only that channel can catch.
+    *
+    * Scale shape: each channel's doc set is the channel's own bucketed
+    * candidate generator (text clusters and the pHash pairs are the
+    * session-memoized substrates other queries already share), reduced
+    * to distinct doc_ids before three doc-keyed left joins and a
+    * constant-domain (2^3-cell) hash agg. */
+  def dedupChannelOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val de = dupEdges(spark, dir)
+    val txt = de.select(col("d1").as("doc_id"))
+      .unionAll(de.select(col("d2").as("doc_id"))).distinct()
+      .withColumn("t", lit(1))
+    val ph = Multimodal.phashDedup(spark, dir)
+    val phd = ph.select(col("d1").as("doc_id"))
+      .unionAll(ph.select(col("d2").as("doc_id"))).distinct()
+      .withColumn("p", lit(1))
+    val u = urlDedup(spark, dir).select("doc_id").withColumn("u", lit(1))
+    docs.join(txt, Seq("doc_id"), "left")
+      .join(phd, Seq("doc_id"), "left")
+      .join(u, Seq("doc_id"), "left")
+      .select(coalesce(col("t"), lit(0)).as("in_text"),
+        coalesce(col("p"), lit(0)).as("in_phash"),
+        coalesce(col("u"), lit(0)).as("in_url"))
+      .groupBy("in_text", "in_phash", "in_url")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val dedupChannelOverlapSql: String =
+    s"""WITH ${Dedup.jaccardPairsCtes},
+       |ex AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS d1,
+       |      doc_id AS d2
+       |    FROM documents
+       |  ) WHERE d1 <> d2
+       |),
+       |e0 AS (SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM ex),
+       |td AS (SELECT d1 AS doc_id FROM e0 UNION SELECT d2 FROM e0),
+       |pp AS MATERIALIZED (
+       |  SELECT d1, d2 FROM (${Multimodal.phashDedupSql})
+       |),
+       |pd AS (SELECT d1 AS doc_id FROM pp UNION SELECT d2 FROM pp),
+       |ru AS ($rawUrlsSql),
+       |cuo AS (${canonicalUrlSql("SELECT * FROM ru")}),
+       |ud AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, count(*) OVER (PARTITION BY canon_url) AS n
+       |    FROM cuo
+       |  ) WHERE n > 1
+       |)
+       |SELECT
+       |  CASE WHEN td.doc_id IS NULL THEN 0 ELSE 1 END AS in_text,
+       |  CASE WHEN pd.doc_id IS NULL THEN 0 ELSE 1 END AS in_phash,
+       |  CASE WHEN ud.doc_id IS NULL THEN 0 ELSE 1 END AS in_url,
+       |  count(*) AS n_docs
+       |FROM documents d
+       |LEFT JOIN td ON d.doc_id = td.doc_id
+       |LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |LEFT JOIN ud ON d.doc_id = ud.doc_id
+       |GROUP BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------- cross-modal clusters
 
   /** Cross-modal duplicate clusters — the real curation gate for a
@@ -1964,6 +2034,7 @@ object Corpus {
     "url_dedup" -> (urlDedup _),
     "url_dedup_incremental" -> (urlDedupIncremental _),
     "url_host_profile" -> (urlHostProfile _),
+    "dedup_channel_overlap" -> (dedupChannelOverlap _),
     "corpus_split" -> (corpusSplit _),
     "grouped_split_audit" -> (groupedSplitAudit _),
     "packing_efficiency" -> (packingEfficiency _),
@@ -1994,6 +2065,7 @@ object Corpus {
     "url_dedup" -> urlDedupSql,
     "url_dedup_incremental" -> urlDedupIncrementalSql,
     "url_host_profile" -> urlHostProfileSql,
+    "dedup_channel_overlap" -> dedupChannelOverlapSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "corpus_split" -> corpusSplitSql,
     "grouped_split_audit" -> groupedSplitAuditSql,

@@ -80,6 +80,24 @@ class UrlDedupSpec extends SparkSpec {
     prof.foreach { case (_, n, _, d, ppm) => assert(ppm == d * 1000000L / n) }
   }
 
+  test("channel overlap: counts conserve; each marginal matches its source channel") {
+    val rows = Corpus.dedupChannelOverlap(spark, dir)
+      .select("in_text", "in_phash", "in_url", "n_docs")
+      .as[(Int, Int, Int, Long)].collect()
+    assert(rows.map(_._4).sum == 500L, "cells must conserve to the corpus")
+    // the url marginal is exactly url_dedup's doc population
+    assert(rows.filter(_._3 == 1).map(_._4).sum ==
+      Corpus.urlDedup(spark, dir).count())
+    // the phash marginal is exactly the distinct pair-member population
+    val ph = Multimodal.phashDedup(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(rows.filter(_._2 == 1).map(_._4).sum == ph.size.toLong)
+    // at least one doc is caught by NO channel and one by some channel
+    assert(rows.exists(r => r._1 == 0 && r._2 == 0 && r._3 == 0 && r._4 > 0))
+    assert(rows.exists(r => r._1 + r._2 + r._3 > 0 && r._4 > 0))
+  }
+
   test("crossmodal clusters merge a pair connected by NO content channel") {
     // text-cluster members (non-singleton) and phash-pair members
     val textDup = Corpus.dedupClusters(spark, dir)
