@@ -471,10 +471,19 @@ object Corpus {
     *  - default port stripped (`:80` for http, `:443` for https);
     *  - leading `www.` stripped;
     *  - fragment stripped (never sent to the server);
-    *  - tracking params removed (`utm_*`, `fbclid`, `gclid`) and the
-    *    surviving params SORTED (param order is not semantic), empty
-    *    query dropped;
+    *  - tracking params removed (`utm_*`, `fbclid`, `gclid` — with OR
+    *    without an `=value`, so a bare `?gclid` decorations strips too)
+    *    and the surviving params SORTED (param order is not semantic),
+    *    empty query dropped;
     *  - trailing path slashes stripped.
+    * PRECONDITION RELAXED (r14, ADVICE r13): a row that does not start
+    * with `scheme://` (relative URL, garbage, empty) passes through
+    * UNCHANGED — it can only collide with a byte-identical row, never
+    * with a normalized one (the pre-r14 form parsed its first path
+    * segment as a host and could silently merge distinct relative
+    * URLs). Real crawl columns carry such rows; the fixture does not,
+    * so fixture oracles are unchanged. UrlCanonPropertySpec pins the
+    * contract on adversarial shapes.
     * Everything is regexp/split/sort on short strings — scan-side
     * whole-stage codegen, oracle-expressible, zero shuffle. */
   private[graft] def canonicalUrl(url: Column): Column = {
@@ -491,17 +500,23 @@ object Corpus {
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
     val query = regexp_replace(rest, "^[^?]*\\??", "")
     val kept = array_sort(filter(split(query, "&"), p =>
-      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)")))
     val q2 = array_join(kept, "&")
-    concat(scheme, lit("://"), host, path,
-      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+    when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      concat(scheme, lit("://"), host, path,
+        when(q2 === "", lit("")).otherwise(concat(lit("?"), q2))))
+      .otherwise(url)
   }
 
-  /** DuckDB twin of [[canonicalUrl]] over a relation exposing `url`. */
+  /** DuckDB twin of [[canonicalUrl]] over a relation exposing `url` —
+    * including the scheme-less pass-through and the bare-tracking-param
+    * strip (r14). */
   private[operators] def canonicalUrlSql(rel: String): String =
     s"""SELECT doc_id, canon_url FROM (
        |  SELECT doc_id,
-       |    scheme || '://' ||
+       |    CASE WHEN NOT regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+       |    THEN url
+       |    ELSE scheme || '://' ||
        |    regexp_replace(
        |      CASE WHEN scheme = 'http'
        |             THEN regexp_replace(hostport, ':80$$', '')
@@ -510,15 +525,16 @@ object Corpus {
        |           ELSE hostport END,
        |      '^www\\.', '') ||
        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '') ||
-       |    CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url
+       |    CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END END AS canon_url
        |  FROM (
-       |    SELECT doc_id, scheme, hostport, rest,
+       |    SELECT doc_id, url, scheme, hostport, rest,
        |      coalesce(list_aggregate(list_sort(list_filter(
        |        string_split(regexp_replace(rest, '^[^?]*\\??', ''), '&'),
        |        p -> p <> '' AND NOT regexp_matches(p,
-       |          '^(utm_[^=]*|fbclid|gclid)='))), 'string_agg', '&'), '') AS q2
+       |          '^(utm_[^=]*|fbclid|gclid)(=|$$)'))), 'string_agg', '&'), '')
+       |        AS q2
        |    FROM (
-       |      SELECT doc_id,
+       |      SELECT doc_id, url,
        |        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
        |          AS scheme,
        |        lower(regexp_extract(nofrag, '^([^/?]*)', 1)) AS hostport,

@@ -1960,6 +1960,13 @@ object Similarity {
     // the audit guard must not pay a full embeddings scan on every
     // construction (ADVICE/VERDICT r12: the eager base.count() ran a job
     // before the query even planned). Parquet count() reads footers only.
+    // Documented trades (ADVICE r13): a corpus whose raw rows exceed the
+    // cap but whose nonzero-norm vectors fit under it is rejected (the
+    // pre-r13 exact count would have accepted it — conservative by
+    // design, the cap guards a crossJoin), and the per-(session, dir)
+    // memo serves a stale count if the directory's parquet is rewritten
+    // mid-session (directories are immutable in every harness path; a
+    // mutable deployment should key the cache on a snapshot/version id).
     val n = embCountCache.get(spark, dir)(
       Tables.embeddings(spark, dir).count(): java.lang.Long).longValue()
     require(n <= auditMaxRows,

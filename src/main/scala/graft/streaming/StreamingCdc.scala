@@ -24,10 +24,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    distinct chunk digest seen so far, keeper = smallest doc_id —
   *    exactly [[TextAnalysis.cdcBaseDigestsOf]] of the corpus so far.
   *
-  * Per micro-batch, wrapped in [[BatchLedger]] so match delivery AND
-  * base growth happen at most once per batch id across restarts
-  * (replayed appends would duplicate digest rows and let a batch match
-  * its own chunks):
+  * Per micro-batch, wrapped in [[BatchLedger]]. Delivery guarantee:
+  * AT-LEAST-ONCE. The ledger marker is written only after the body
+  * completes, so every replay after the marker is skipped, but a crash
+  * in the window between the grow-mode append and the marker replays
+  * the whole body once — the replayed anti-join then sees the already-
+  * grown base (its own digests included), so growth converges (fresh
+  * is empty, no duplicate digest rows land) while the re-delivered
+  * match set can carry EXTRA self-hit rows the first delivery did not
+  * (batch chunks now matching the digests the crashed run appended).
+  * A crash MID-append can additionally leave partial part files under
+  * `chunks/` that need manual cleanup before restart. Only a
+  * transactional target closes this window; downstream consumers must
+  * key on (batch doc, base doc, chunk) if they need dedup.
   *
   *  1. matches = batch chunks x base digests equi-join on chunk_md5
   *     ([[TextAnalysis.cdcMatchAgainstBase]] — the batch operator's

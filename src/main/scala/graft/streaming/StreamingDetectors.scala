@@ -628,7 +628,14 @@ object StreamingDetectors {
     * Deltas vs staged, by design: one `ttl` evicts detector AND throttle
     * state together (staged could configure them separately), and
     * suppression metrics are observed at this operator instead of a
-    * dedicated throttle stage. COMPATIBILITY: its own state schema
+    * dedicated throttle stage. Consequence of the single TTL: evicting
+    * an idle key drops its throttle WATERMARK with its deques, so a key
+    * that re-awakens after eviction can re-emit an alert for a period
+    * bucket it already emitted before going idle — the staged form
+    * could give the throttle store a longer TTL to bound exactly this.
+    * Deployments using a TTL should size it above the throttle period
+    * horizon (ttl >> periodSec) so the duplicate window only opens for
+    * keys idle far longer than any bucket they could double-fire. COMPATIBILITY: its own state schema
     * ("detthr") — start from a fresh checkpointLocation when switching
     * between staged and fused. */
   def alertsTwsThrottled(events: Dataset[SEvent], rules: Seq[DetectionRule],

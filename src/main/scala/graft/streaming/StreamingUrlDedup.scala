@@ -20,10 +20,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    canonical base URL, keeper = smallest doc_id
   *    ([[Corpus.urlBaseCanon]]).
   *
-  * Per micro-batch (wrapped in [[BatchLedger]] so delivery AND base
-  * growth happen at most once per batch id across restarts — replaying
-  * growth would duplicate keeper rows and flag the batch against its
-  * own survivors):
+  * Per micro-batch, wrapped in [[BatchLedger]]. Delivery guarantee:
+  * AT-LEAST-ONCE. The marker is written only after the body completes,
+  * so replays after the marker are skipped — but a crash between the
+  * grow-mode append and the marker replays the body once: the replayed
+  * hit join then sees the grown base, so the batch's surviving keepers
+  * hit THEMSELVES (extra self-hit rows in the re-delivery), and the
+  * shrunken survivor set re-appends nothing new (growth converges; the
+  * keeper rows are deterministic, so no divergent duplicates land). A
+  * crash MID-append can leave partial part files under `canon/`
+  * needing cleanup. Only a transactional target closes this window:
   *
   *  1. hits = canonicalize + equi-join against the base as-of batch
   *     start; `deliver(hits, batchId)`.
