@@ -19,6 +19,19 @@ package graft.model
   *  - `DEFAULT_KEY_FIELD` (userId) — the event field keyBy coerces to
   *    string (StreamSentinelJob.java:121-124)
   *
+  * Engine-specific extensions beyond the reference's nine variables
+  * (defaults preserve its behavior when unset):
+  *  - `DETECTOR_ENGINE` (tws) — `tws` runs the measured-best production
+  *    topology (pruned-schema parse + `transformWithState`/RocksDB;
+  *    [[graft.streaming.SentinelJob.buildPipeline]]); `fmgws` keeps the
+  *    reference-parity `flatMapGroupsWithState` topology for
+  *    HDFS-backed-store deployments. Switching engines (or turning the
+  *    throttle on/off under `tws`) changes the state schema — restart
+  *    from a fresh checkpointLocation.
+  *  - `ALERT_THROTTLE_SEC` (0 = off) — alert-storm suppression period:
+  *    at most one alert per (rule, key, period bucket). Requires the
+  *    `tws` engine (the throttle is a transformWithState operator).
+  *
   * Env semantics match `JobConfig.env` (:278-281): unset OR blank value
   * falls back to the default. Numeric parse failure surfaces as
   * IllegalStateException like `fromEnvironment` (:94-97).
@@ -32,7 +45,9 @@ final case class JobConfig(
     checkpointIntervalMs: Long = 60000L,
     rulesConfigPath: String = "",
     healthPort: Int = 8080,
-    defaultKeyField: String = "userId") {
+    defaultKeyField: String = "userId",
+    detectorEngine: String = "tws",
+    alertThrottleSec: Long = 0L) {
 
   /** Validation identical to JobConfig.Builder.build (:244-264); throws
     * IllegalArgumentException with the reference's messages. */
@@ -55,6 +70,16 @@ final case class JobConfig(
     if (healthPort < 1 || healthPort > 65535)
       throw new IllegalArgumentException(
         s"healthPort must be in [1, 65535], got: $healthPort")
+    if (!Set("tws", "fmgws").contains(detectorEngine))
+      throw new IllegalArgumentException(
+        s"detectorEngine must be 'tws' or 'fmgws', got: $detectorEngine")
+    if (alertThrottleSec < 0)
+      throw new IllegalArgumentException(
+        s"alertThrottleSec must be >= 0, got: $alertThrottleSec")
+    if (alertThrottleSec > 0 && detectorEngine != "tws")
+      throw new IllegalArgumentException(
+        "alertThrottleSec requires the tws engine (the throttle is a " +
+          "transformWithState operator)")
     this
   }
 }
@@ -75,7 +100,9 @@ object JobConfig {
       checkpointIntervalMs = e("FLINK_CHECKPOINT_INTERVAL_MS", "60000").toLong,
       rulesConfigPath = e("RULES_CONFIG_PATH", ""),
       healthPort = e("HEALTH_PORT", "8080").toInt,
-      defaultKeyField = e("DEFAULT_KEY_FIELD", "userId")
+      defaultKeyField = e("DEFAULT_KEY_FIELD", "userId"),
+      detectorEngine = e("DETECTOR_ENGINE", "tws"),
+      alertThrottleSec = e("ALERT_THROTTLE_SEC", "0").toLong
     ).validated
     catch {
       case ex: NumberFormatException =>

@@ -11,8 +11,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   1. config from env (JobConfig.fromEnvironment — :81-98)
   *   2. rules (explicit path -> env -> classpath, loadRules :146-152)
   *   3. Kafka source, earliest offsets (:106-112)
-  *   4. the EP1 dataflow ([[StreamingDetectors.jsonPipeline]]: deserialize
-  *      -> null filter -> keyBy -> stateful multi-rule process -> serialize)
+  *   4. the EP1 dataflow ([[buildPipeline]]: deserialize -> null filter
+  *      -> keyBy -> stateful multi-rule process [fused with the alert
+  *      throttle when configured] -> serialize; engine selected by
+  *      DETECTOR_ENGINE — the measured-best transformWithState plan by
+  *      default, the reference-parity flatMapGroupsWithState on request)
   *   5. Kafka sink to the alerts topic (:129-139)
   *   6. checkpointing (:154-165 — Spark: checkpointLocation; exactly-once
   *      state, at-least-once Kafka publish; the delta is documented in
@@ -54,15 +57,56 @@ object SentinelJob {
         .ProcessingTime(cfg.checkpointIntervalMs))
       .start()
 
+  /** The EP1 dataflow for a raw source frame, selected by config — the
+    * testable seam between the Kafka edges and the engine (EndToEndSpec
+    * drives it through the YAML -> config -> alerts lifecycle on a
+    * MemoryStream):
+    *
+    *  - `detectorEngine = "tws"` (default): the measured-best topology —
+    *    pruned-schema parse ([[StreamingDetectors.narrowParse]]: only
+    *    rule-referenced fields leave Jackson) into ONE
+    *    `transformWithState` operator, fused with the alert throttle
+    *    when `alertThrottleSec > 0` ([[StreamingDetectors
+    *    .jsonPipelineFused]], the r13 1.75x-core plan). Requires the
+    *    RocksDB state store provider ([[main]] sets it).
+    *  - `detectorEngine = "fmgws"`: the reference-parity
+    *    `flatMapGroupsWithState` topology ([[StreamingDetectors
+    *    .jsonPipeline]]) for HDFS-backed-store deployments; no throttle
+    *    (validation rejects the combination).
+    *
+    * COMPATIBILITY: the engines persist different state schemas
+    * ("detectors" narrow/Map forms vs "detthr"), so switching engines —
+    * or toggling the throttle under tws — needs a fresh
+    * checkpointLocation; detector state rebuilds within one trailing
+    * window. */
+  def buildPipeline(raw: DataFrame, cfg: JobConfig,
+      rules: Seq[graft.model.DetectionRule]): DataFrame =
+    cfg.detectorEngine match {
+      case "fmgws" =>
+        StreamingDetectors.jsonPipeline(raw, rules, cfg.defaultKeyField)
+      case _ =>
+        if (cfg.alertThrottleSec > 0)
+          StreamingDetectors.jsonPipelineFused(raw, rules,
+            cfg.defaultKeyField, cfg.alertThrottleSec)
+        else
+          StreamingDetectors.jsonPipelineTws(raw, rules, cfg.defaultKeyField)
+    }
+
   def main(args: Array[String]): Unit = {
     val cfg = JobConfig.fromEnvironment()
     val rules = JobConfig.loadRules(cfg).rules
     if (rules.isEmpty) // startup error, StreamSentinelJob.java:70-75
       throw new IllegalStateException("no detection rules configured")
-    val spark = graft.sources.Sessions
+    val builder = graft.sources.Sessions
       .builder(s"local[${cfg.parallelism}]", cfg.parallelism)
       .appName("stream-sentinel-spark")
-      .getOrCreate()
+    // the production engine's stateful operators run on RocksDB
+    // (transformWithState does not run on the default HDFS store)
+    if (cfg.detectorEngine == "tws")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     val listener = new graft.observe.SentinelQueryListener()
     spark.streams.addListener(listener)
     // K8s probe endpoints (HealthServer.java:46-68) plus the /metrics
@@ -70,8 +114,7 @@ object SentinelJob {
     // shutdown hook to let the JVM exit.
     val health = new graft.observe.HealthServer(Some(() => listener.snapshot))
     health.start(cfg.healthPort)
-    val alerts = StreamingDetectors.jsonPipeline(
-      kafkaSource(spark, cfg), rules, cfg.defaultKeyField)
+    val alerts = buildPipeline(kafkaSource(spark, cfg), cfg, rules)
     val query = kafkaSink(alerts, cfg,
       sys.env.getOrElse("CHECKPOINT_DIR", "/tmp/graft-checkpoint"))
     try query.awaitTermination()

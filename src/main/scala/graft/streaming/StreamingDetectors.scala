@@ -534,12 +534,21 @@ object StreamingDetectors {
     * run on the default HDFS-backed store. */
   def alertsTws(events: Dataset[SEvent], rules: Seq[DetectionRule],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[SAlert] = {
-    import events.sparkSession.implicits._
     val c = new CompiledRules(rules.toIndexedSeq)
+    twsNarrow(narrowEvents(events.toDF(), c), c, ttl)
+  }
+
+  /** The transformWithState invocation over an ALREADY-narrow (NEvent-
+    * shaped) frame — shared by [[alertsTws]] (typed-SEvent callers) and
+    * [[jsonPipelineTws]] (raw-JSON callers, which narrow INSIDE the
+    * parse and never build the event map at all). */
+  private def twsNarrow(narrow: DataFrame, c: CompiledRules,
+      ttl: TTLConfig): Dataset[SAlert] = {
+    val spark = narrow.sparkSession
+    import spark.implicits._
     val timeMode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
-    narrowEvents(events.toDF(), c)
-      .groupBy(col("key")).as[String, NEvent]
+    narrow.groupBy(col("key")).as[String, NEvent]
       .transformWithState(new DetectorProcessorN(c, ttl), timeMode,
         OutputMode.Append())
   }
@@ -640,13 +649,19 @@ object StreamingDetectors {
     * between staged and fused. */
   def alertsTwsThrottled(events: Dataset[SEvent], rules: Seq[DetectionRule],
       periodSec: Long, ttl: TTLConfig = TTLConfig.NONE): Dataset[SAlert] = {
-    import events.sparkSession.implicits._
-    require(periodSec > 0, s"throttle period must be positive; got $periodSec")
     val c = new CompiledRules(rules.toIndexedSeq)
+    twsThrottledNarrow(narrowEvents(events.toDF(), c), c, periodSec, ttl)
+  }
+
+  /** Fused-operator twin of [[twsNarrow]]. */
+  private def twsThrottledNarrow(narrow: DataFrame, c: CompiledRules,
+      periodSec: Long, ttl: TTLConfig): Dataset[SAlert] = {
+    val spark = narrow.sparkSession
+    import spark.implicits._
+    require(periodSec > 0, s"throttle period must be positive; got $periodSec")
     val timeMode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
-    narrowEvents(events.toDF(), c)
-      .groupBy(col("key")).as[String, NEvent]
+    narrow.groupBy(col("key")).as[String, NEvent]
       .transformWithState(new DetectorThrottleProcessor(c, periodSec, ttl),
         timeMode, OutputMode.Append())
   }
@@ -937,5 +952,100 @@ object StreamingDetectors {
       ingestionClock: Boolean = false): DataFrame = {
     val sev = parsedEvents(raw, rules, keyField, rawCol, ingestionClock)
     graft.sources.EventJson.serializeAlerts(alerts(sev, rules).toDF())
+  }
+
+  /** Name of the corrupt-record column [[narrowParse]] asks `from_json`
+    * to fill on malformed input — `IS NULL` on it is EXACTLY the
+    * map-form's `from_json(raw, map).isNotNull` drop set (garbage,
+    * JSON arrays/scalars/`null` — anything but an object; an empty
+    * object `{}` is VALID in both forms). The parser's actual schema
+    * excludes this field, so a real event field with the same name is
+    * simply not extracted — it cannot mark valid rows corrupt. */
+  private[graft] val corruptCol = "__graft_corrupt"
+
+  /** PRUNED-SCHEMA ingest: raw JSON straight to the [[NEvent]] wire
+    * shape, parsing ONLY the fields the compiled rule set references
+    * (the measured fields, the key field, `event_id`, and — unless the
+    * ingestion clock is on — `ts`). The full-map form
+    * ([[parsedEvents]]) materializes EVERY field of every event into a
+    * `MAP<STRING,STRING>` and then probes it per referenced field (a
+    * linear scan per probe); here `from_json` carries a struct of just
+    * the referenced columns, so unreferenced event fields are tokenized
+    * and skipped inside Jackson without ever allocating — the r13
+    * full-topology decomposition named exactly this parse as the
+    * dominant non-core cost. The rule-visible values are IDENTICAL to
+    * the map form's by construction: each field is extracted as a
+    * string (nested objects/arrays render as their raw JSON text, same
+    * as the map's values) and coerced with the same `try_cast`s
+    * (NarrowParseSpec pins byte-parity of the resulting alerts on an
+    * adversarial corpus). One deliberate delta, matching the REFERENCE
+    * rather than the map form: on duplicate JSON keys the struct parse
+    * keeps the LAST occurrence (Jackson map semantics,
+    * Event.java:33-59), where Spark's map form surfaces the first.
+    *
+    * Malformed input drops via the corrupt-record column (see
+    * [[corruptCol]]) — the reference's null-filter contract — without a
+    * second parse. */
+  private[graft] def narrowParse(raw: DataFrame, c: CompiledRules,
+      keyField: String, rawCol: String = "value",
+      ingestionClock: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val names =
+      (c.fields ++ Seq(keyField, "event_id") ++
+        (if (ingestionClock) Nil else Seq("ts"))).distinct
+    require(!names.contains(corruptCol),
+      s"'$corruptCol' is reserved for the malformed-record marker")
+    val schema = StructType(
+      names.map(StructField(_, StringType)) :+ StructField(corruptCol, StringType))
+    val parsed = raw
+      .withColumn("__p", from_json(col(rawCol).cast("string"), schema,
+        Map("columnNameOfCorruptRecord" -> corruptCol, "mode" -> "PERMISSIVE")))
+      .withColumn("ingest_ts", current_timestamp())
+      .filter(col("__p").getField(corruptCol).isNull)
+    def f(n: String): Column = col("__p").getField(n)
+    val clock =
+      if (ingestionClock) unix_timestamp(col("ingest_ts"))
+      else coalesce(f("ts").try_cast("long"), unix_timestamp(col("ingest_ts")))
+    val valsCol: Column =
+      if (c.fields.isEmpty) lit(Array.empty[Double])
+      else array(c.fields.map(n =>
+        coalesce(f(n).try_cast("double"), lit(Double.NaN))): _*)
+    val presentCol: Column =
+      if (c.fields.isEmpty) lit(Array.empty[Boolean])
+      else array(c.fields.map(n => f(n).try_cast("double").isNotNull): _*)
+    parsed.select(
+      coalesce(f(keyField), lit("__unknown__")).as("key"),
+      coalesce(f("event_id").try_cast("long"), lit(0L)).as("eventId"),
+      clock.as("tsSec"),
+      valsCol.as("vals"), presentCol.as("present"),
+      col(rawCol).cast("string").as("original"))
+  }
+
+  /** [[jsonPipeline]] on the PRODUCTION operator stack: pruned-schema
+    * parse ([[narrowParse]]) straight to the wire shape, the
+    * `transformWithState`/RocksDB detector, JSON alerts out. Same
+    * alert bytes as [[jsonPipeline]] (NarrowParseSpec); requires the
+    * RocksDB state store provider like [[alertsTws]]. */
+  def jsonPipelineTws(raw: DataFrame, rules: Seq[DetectionRule],
+      keyField: String, ttl: TTLConfig = TTLConfig.NONE,
+      rawCol: String = "value", ingestionClock: Boolean = false): DataFrame = {
+    val c = new CompiledRules(rules.toIndexedSeq)
+    graft.sources.EventJson.serializeAlerts(
+      twsNarrow(narrowParse(raw, c, keyField, rawCol, ingestionClock),
+        c, ttl).toDF())
+  }
+
+  /** The measured-best full topology (r13 fused core + r14 pruned
+    * parse): raw JSON -> [[narrowParse]] -> ONE fused detect+throttle
+    * stateful operator -> JSON alerts. Same state-schema compatibility
+    * posture as [[alertsTwsThrottled]] (fresh checkpointLocation when
+    * switching from the staged form). */
+  def jsonPipelineFused(raw: DataFrame, rules: Seq[DetectionRule],
+      keyField: String, periodSec: Long, ttl: TTLConfig = TTLConfig.NONE,
+      rawCol: String = "value", ingestionClock: Boolean = false): DataFrame = {
+    val c = new CompiledRules(rules.toIndexedSeq)
+    graft.sources.EventJson.serializeAlerts(
+      twsThrottledNarrow(narrowParse(raw, c, keyField, rawCol, ingestionClock),
+        c, periodSec, ttl).toDF())
   }
 }

@@ -56,9 +56,17 @@ object StreamCoreBench {
     val perBatch = args.lift(0).map(_.toInt).getOrElse(500000)
     val batches = args.lift(1).map(_.toInt).getOrElse(24)
     // staged = throttled(alertsTws(...)) (two stateful ops);
-    // fused = alertsTwsThrottled (one exchange, one store)
+    // fused = alertsTwsThrottled (one exchange, one store);
+    // jsontopo / jsonnarrow = the FULL topology (raw JSON in -> JSON
+    // alerts out) with executor-synthesized JSON lines — map-shaped
+    // parse vs the r14 pruned-schema parse. Suffix "-wide" pads each
+    // event with 12 decoy fields (a realistic bus event carries far
+    // more fields than any rule set references — the population the
+    // pruned parse exists for).
     val topo = args.lift(2).getOrElse("staged")
-    require(topo == "staged" || topo == "fused", s"unknown topology: $topo")
+    val topos = Set("staged", "fused", "jsontopo", "jsonnarrow",
+      "jsontopo-wide", "jsonnarrow-wide")
+    require(topos.contains(topo), s"unknown topology: $topo")
     val warm = warmFor(batches, perBatch)
     require(batches > warm, s"need > $warm batches (rate-window " +
       s"saturation at $perBatch rows/batch) for a steady state")
@@ -94,11 +102,44 @@ object StreamCoreBench {
         lit("{}").as("original"))
       .as[SEvent]
 
+    // same event content as `ev`, rendered as a JSON line IN CATALYST on
+    // the executors (codegen'd concat — negligible next to the parse it
+    // feeds); the wide form appends 12 decoy fields the rules never read
+    val wide = topo.endsWith("-wide")
+    val decoys = if (!wide) lit("}") else
+      concat(lit(",\"source\":\"bench\",\"region\":\"r"),
+        expr("value % 7"),
+        lit("\",\"sess\":\"s"), expr("value % 1000"),
+        lit("\",\"f1\":1,\"f2\":2.5,\"f3\":\"abc\",\"f4\":true,\"f5\":null," +
+          "\"f6\":[1,2,3],\"f7\":{\"nested\":{\"deep\":1}}," +
+          "\"f8\":\"xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx\",\"f9\":"),
+        expr("value % 97"), lit(",\"f10\":\"tail\"}"))
+    val raw = src.select(concat(
+        lit("{\"user_id\":\"u"), expr(s"value % $nKeys"),
+        lit("\",\"event_id\":"), col("value"),
+        lit(",\"ts\":"), expr("value div 1000"),
+        lit(",\"value\":"), expr("value % 100"),
+        decoys).as("value"))
+    // jsontopo rules key on the user_id FIELD (the json pipelines
+    // extract the key from the event, not from a pre-built column)
+    val jsonRules: Seq[DetectionRule] = Seq(
+      ThresholdRule("t1", "value", 95.0),
+      RateRule("r1", "user_id", 3600, 5.0),
+      StatisticalRule("s1", "value", windowSize = 10, deviationFactor = 3.0))
+
     val ckpt = java.nio.file.Files.createTempDirectory("graft-scb").toString
-    val alerts =
-      if (topo == "fused") StreamingDetectors.alertsTwsThrottled(ev, rules, 600L)
+    val alerts: org.apache.spark.sql.DataFrame =
+      if (topo == "fused")
+        StreamingDetectors.alertsTwsThrottled(ev, rules, 600L).toDF()
+      else if (topo.startsWith("jsonnarrow"))
+        StreamingDetectors.jsonPipelineFused(raw, jsonRules, "user_id", 600L)
+      else if (topo.startsWith("jsontopo"))
+        graft.sources.EventJson.serializeAlerts(
+          StreamingDetectors.alertsTwsThrottled(
+            StreamingDetectors.parsedEvents(raw, jsonRules, "user_id"),
+            jsonRules, 600L).toDF())
       else StreamingThrottle.throttled(
-        StreamingDetectors.alertsTws(ev, rules), 600L)
+        StreamingDetectors.alertsTws(ev, rules), 600L).toDF()
     val q = alerts
       .writeStream.format("noop")
       .option("checkpointLocation", ckpt)

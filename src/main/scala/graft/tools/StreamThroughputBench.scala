@@ -82,8 +82,8 @@ object StreamThroughputBench {
       f""""batch_p95_s":${pct(steady, 0.95)}%.2f,"total_s":${times.sum}%.1f}"""
   }
 
-  private val phases =
-    Set("all", "core", "fusedcore", "topology", "fusedtopology", "batchref")
+  private val phases = Set("all", "core", "fusedcore", "topology",
+    "fusedtopology", "narrowtopology", "batchref")
 
   def main(args: Array[String]): Unit = {
     val phase = args.headOption.getOrElse("all")
@@ -212,6 +212,38 @@ object StreamThroughputBench {
         }
       } finally q.stop()
       summaries += summarize("fusedtopology", times.result(), perBatch)
+    }
+
+    if (phase == "all" || phase == "narrowtopology") {
+      // the r14 production EP1 plan: pruned-schema parse (from_json on a
+      // struct of ONLY the rule-referenced fields — no event map ever
+      // materializes) -> the fused detect+throttle single operator ->
+      // JSON alerts out; directly comparable to `fusedtopology`, whose
+      // only delta is the map-shaped parse
+      val ms = MemoryStream[String]
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-stb-ntopo").toString
+      val q = StreamingDetectors.jsonPipelineFused(
+          ms.toDS().toDF("value"), rules, keyField = "user_id", periodSec = 600L)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      val times = Seq.newBuilder[Double]
+      try {
+        (0 until batches).foreach { b =>
+          val raw = (0 until perBatch).map { i =>
+            val id = b.toLong * perBatch + i
+            s"""{"user_id":"u${id % nKeys}","event_id":$id,"ts":${id / 1000},"value":${id % 100}}"""
+          }
+          ms.addData(raw)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
+          times += dt
+          println(f"ntopo b$b%-3d ${dt}%6.2f s  ${perBatch / dt}%,.0f ev/s  " +
+            opBreakdown(q))
+        }
+      } finally q.stop()
+      summaries += summarize("narrowtopology", times.result(), perBatch)
     }
 
     if (phase == "all" || phase == "batchref") {

@@ -19,6 +19,30 @@ class JobConfigSpec extends AnyFunSuite {
     assert(c.rulesConfigPath == "")
     assert(c.healthPort == 8080)
     assert(c.defaultKeyField == "userId")
+    // engine extensions default to reference-equivalent behavior
+    assert(c.detectorEngine == "tws")
+    assert(c.alertThrottleSec == 0L)
+  }
+
+  test("engine extensions: resolution and validation") {
+    val c = JobConfig.fromEnvironment(Map(
+      "DETECTOR_ENGINE" -> "fmgws"))
+    assert(c.detectorEngine == "fmgws")
+    val t = JobConfig.fromEnvironment(Map("ALERT_THROTTLE_SEC" -> "600"))
+    assert(t.alertThrottleSec == 600L && t.detectorEngine == "tws")
+    val ex = intercept[IllegalArgumentException] {
+      JobConfig(detectorEngine = "flink").validated
+    }
+    assert(ex.getMessage == "detectorEngine must be 'tws' or 'fmgws', got: flink")
+    intercept[IllegalArgumentException](JobConfig(alertThrottleSec = -1L).validated)
+    // the throttle is a transformWithState operator: fmgws can't host it
+    val ex2 = intercept[IllegalArgumentException] {
+      JobConfig(detectorEngine = "fmgws", alertThrottleSec = 60L).validated
+    }
+    assert(ex2.getMessage.contains("requires the tws engine"))
+    intercept[IllegalStateException] {
+      JobConfig.fromEnvironment(Map("ALERT_THROTTLE_SEC" -> "10s"))
+    }
   }
 
   test("env values override defaults; blank values fall back (:278-281)") {
