@@ -778,19 +778,131 @@ object Corpus {
     * per-channel loops — its cost is O(log diameter) rounds over edge
     * endpoints only (singleton docs never enter). Output is one row per
     * document with its fused cluster and the cluster size. */
-  def crossmodalClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.eager(
-      dupEdges(spark, dir).select("d1", "d2")
-        .union(Multimodal.phashDedup(spark, dir).select("d1", "d2"))
-        .union(urlEdges(spark, dir)))
-    val lab = Tables.documents(spark, dir).select("doc_id")
-      .join(components(edges), Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+  /** The three channels' candidate edges, unioned — the edge set both
+    * the full closure and the incremental merge consume. */
+  private def crossmodalEdges(spark: SparkSession, dir: String): DataFrame =
+    dupEdges(spark, dir).select("d1", "d2")
+      .union(Multimodal.phashDedup(spark, dir).select("d1", "d2"))
+      .union(urlEdges(spark, dir))
+
+  /** Shared output assembly: labels (doc_id, cluster_id) -> the
+    * (doc_id, cluster_id, is_keeper, cluster_size) report. */
+  private def clusterReport(lab: DataFrame): DataFrame = {
     val cs = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     lab.join(cs, "cluster_id")
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"),
         col("cluster_size"))
+  }
+
+  def crossmodalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.eager(crossmodalEdges(spark, dir))
+    val lab = Tables.documents(spark, dir).select("doc_id")
+      .join(components(edges), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    clusterReport(lab)
+  }
+
+  /** UNION-FIND MERGE of new edges into PERSISTED components — the
+    * closure half of an incremental cross-modal pass, without
+    * re-closing the historical graph (VERDICT r13 #4).
+    *
+    * Inputs: `baseLabels` (doc_id, cluster_id) — the persisted label
+    * table of the existing corpus, cluster_id = component-min doc_id
+    * (docs absent from it default to singleton-self via the left
+    * joins); `newEdges` (d1, d2) — every edge INCIDENT TO a batch doc
+    * (batch-batch and batch-base; base-base edges are unchanged by a
+    * new crawl, so none arrive).
+    *
+    * Mechanics: each endpoint contracts to its representative — a base
+    * doc to its persisted cluster_id, a batch doc to itself — and ONE
+    * [[components]] closure runs over the CONTRACTED edge set, whose
+    * size is O(batch-incident edges), not O(corpus). Base labels are
+    * then re-keyed through the merged representatives (one broadcast-
+    * sized hash join: only representatives whose components merged
+    * appear), batch docs take their merged label or themselves.
+    *
+    * Correctness: contraction by any vertex partition that refines the
+    * final components and whose classes are connected in the full graph
+    * preserves connectivity — components(baseEdges) is exactly such a
+    * partition, so merge(clusters(base), newEdges) == clusters(base
+    * UNION batch) EXACTLY (CrossmodalIncrementalSpec proves it on
+    * random graphs; the registered query hash-matches the full-closure
+    * oracle). Labels stay component-min ids because the contracted
+    * node set is {base component mins} UNION {batch doc ids} and min
+    * distributes over the union.
+    *
+    * Scale shape: the persisted-label join is doc-keyed (the label
+    * table is the artifact a daily pipeline keeps anyway, exactly like
+    * [[Dedup.baseDigests]]); the closure loop — the only iterative,
+    * O(log diameter)-round cost — touches ONLY contracted batch-
+    * incident edges. A quiet crawl day closes a near-empty graph no
+    * matter how large the history. */
+  def crossmodalMerge(baseLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val bl = baseLabels.select(col("doc_id"), col("cluster_id"))
+    val ne = newEdges.select(col("d1"), col("d2"))
+    val contracted = ne
+      .join(bl.select(col("doc_id").as("d1"), col("cluster_id").as("c1")),
+        Seq("d1"), "left")
+      .join(bl.select(col("doc_id").as("d2"), col("cluster_id").as("c2")),
+        Seq("d2"), "left")
+      .select(coalesce(col("c1"), col("d1")).as("d1"),
+        coalesce(col("c2"), col("d2")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    // ONE closure over the contracted graph — O(batch-incident edges)
+    val mrep = components(contracted)
+      .select(col("doc_id").as("rep"), col("cluster_id").as("mc"))
+    val baseOut = bl.join(mrep, bl("cluster_id") === mrep("rep"), "left")
+      .select(bl("doc_id"),
+        coalesce(col("mc"), bl("cluster_id")).as("cluster_id"))
+    // new (non-base) endpoints contract to themselves, so every one of
+    // them has a merged-label row; new docs with NO incident edge are
+    // the caller's singletons
+    val touched = ne.select(col("d1").as("doc_id"))
+      .unionAll(ne.select(col("d2").as("doc_id"))).distinct()
+      .join(bl.select("doc_id"), Seq("doc_id"), "left_anti")
+    val newOut = touched.join(mrep, touched("doc_id") === mrep("rep"))
+      .select(touched("doc_id"), col("mc").as("cluster_id"))
+    baseOut.unionAll(newOut)
+  }
+
+  /** INCREMENTAL cross-modal clustering as a registered query: the
+    * corpus splits into base (`doc_id % 10 != 1`) and today's batch
+    * (`% 10 == 1` — the slice that intersects every channel: each page
+    * triple's v=1 URL decoration, plus its share of text and pHash
+    * families), the base closes alone (standing in for READING the
+    * persisted label table), and the batch's incident edges merge via
+    * [[crossmodalMerge]] — the historical graph is never re-closed.
+    * The fixture's edge substrates are the full generators filtered by
+    * endpoint membership (a test-harness stand-in: a production day
+    * feeds the per-channel batch-vs-base incremental generators —
+    * [[Dedup.hitsAgainstBase]], [[urlHitsAgainstBase]], the pHash
+    * banded join against the persisted band table — which produce
+    * exactly the batch-incident set). Oracle: the FULL closure
+    * ([[crossmodalClustersSql]]) — the merge must be hash-exact against
+    * recomputing everything. */
+  def crossmodalIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch1 = col("d1") % 10L === 1L
+    val isBatch2 = col("d2") % 10L === 1L
+    val edges = Dedup.eager(crossmodalEdges(spark, dir))
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val baseDocs = docs.filter(col("doc_id") % 10L =!= 1L)
+    val batchDocs = docs.filter(col("doc_id") % 10L === 1L)
+    // the persisted artifact a daily pipeline reads from disk:
+    val baseLabels = baseDocs
+      .join(components(edges.filter(!isBatch1 && !isBatch2)),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val merged =
+      crossmodalMerge(baseLabels, edges.filter(isBatch1 || isBatch2))
+    // batch docs no new edge touched stay singletons
+    val untouched = batchDocs
+      .join(merged.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // `edges` stays cached for the result's own evaluation, exactly like
+    // crossmodalClusters's edge frame (evicted under memory pressure;
+    // the components outputs are checkpoint-backed and independent)
+    clusterReport(merged.unionAll(untouched))
   }
 
   /** Oracle: the text channels' CTEs plus the pHash pair subquery plus
@@ -1371,13 +1483,19 @@ object Corpus {
     * O(selected), not O(corpus). The projection is evaluated once per
     * pass (two scans of a 3-column frame); at 100 TB the first pass's
     * subtotal job reads the same pruned columns, not the corpus text. */
-  def qualityBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+  /** Budget-prefix selection core, shared by the heuristic and LEARNED
+    * rankers: input (doc_id, score, n_tokens), rank by (score desc,
+    * doc_id asc), keep every row whose cumulative token count BEFORE it
+    * is under the budget. Range-partition + per-partition offsets — the
+    * global sort never lands on one task. */
+  private def budgetPrefix(df: DataFrame, budget: Long): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val budget = selectBudgetTokens
-    val scored = TextAnalysis.textStatsOf(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
-      .repartitionByRange(col("quality_score").desc, col("doc_id").asc)
-      .sortWithinPartitions(col("quality_score").desc, col("doc_id").asc)
+    val scored = df
+      .select(col("doc_id").cast("long"), col("score").cast("double"),
+        col("n_tokens").cast("long"))
+      .repartitionByRange(col("score").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("score").desc, col("doc_id").asc)
       .as[(Long, Double, Long)]
     val rdd = scored.rdd
     val subtotals = rdd
@@ -1399,8 +1517,80 @@ object Corpus {
           (docId, q, nTok, acc)
         }
       }
-    }.toDF("doc_id", "quality_score", "n_tokens", "cum_tokens")
+    }.toDF("doc_id", "score", "n_tokens", "cum_tokens")
   }
+
+  def qualityBudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    budgetPrefix(
+      TextAnalysis.textStatsOf(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("quality_score").as("score"),
+          col("n_tokens")),
+      selectBudgetTokens)
+      .select(col("doc_id"), col("score").as("quality_score"),
+        col("n_tokens"), col("cum_tokens"))
+
+  /** The selector A/B a pipeline owner runs before SWITCHING scorers
+    * (VERDICT r13 #7): rank the same corpus by the heuristic quality
+    * score AND by the learned NB log-odds
+    * ([[TextAnalysis.nbQualityLogOdds]] — the distilled scorer
+    * `nb_quality_classify` trains), cut both at the same token budget,
+    * and report the selection overlap. A high Jaccard says the student
+    * reproduces the teacher's cut and the cheap scorer can take over; a
+    * low one names exactly how many documents would enter/leave the
+    * training set on switch. Exactness: the learned score is integer
+    * sfp (ordering preserved through the double cast far below 2^53),
+    * ties break on doc_id in both engines, counts are exact ppm.
+    *
+    * Scale shape: the NB scoring join is term-keyed like the
+    * classifier's; each selection is the same range-partitioned prefix
+    * as [[qualityBudgetSelect]]; the overlap is one doc-keyed
+    * full-outer join collapsed map-side to a single row. */
+  def budgetSelectLearned(spark: SparkSession, dir: String): DataFrame = {
+    val stats = TextAnalysis.textStatsOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    val odds = TextAnalysis.nbQualityLogOdds(spark, dir)
+    val h = budgetPrefix(
+      stats.select(col("doc_id"), col("quality_score").as("score"),
+        col("n_tokens")), selectBudgetTokens).select("doc_id")
+    val l = budgetPrefix(
+      stats.join(odds, "doc_id")
+        .select(col("doc_id"), col("log_odds").as("score"), col("n_tokens")),
+      selectBudgetTokens).select("doc_id")
+    h.withColumn("h", lit(1))
+      .join(l.withColumn("l", lit(1)), Seq("doc_id"), "full_outer")
+      .agg(count(col("h")).as("n_heur"), count(col("l")).as("n_learned"),
+        count(when(col("h").isNotNull && col("l").isNotNull, 1)).as("n_both"))
+      .withColumn("jaccard_ppm",
+        expr("n_both * 1000000 div (n_heur + n_learned - n_both)"))
+  }
+
+  val budgetSelectLearnedSql: String =
+    s"""${TextAnalysis.nbQualityOddsCtes},
+       |hr AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(sum(n_tokens) OVER (
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM q
+       |),
+       |hsel AS (SELECT doc_id FROM hr WHERE cum_before < $selectBudgetTokens),
+       |lr AS (
+       |  SELECT q.doc_id,
+       |    CAST(coalesce(sum(q.n_tokens) OVER (
+       |      ORDER BY o.log_odds DESC, q.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM q JOIN odds o USING (doc_id)
+       |),
+       |lsel AS (SELECT doc_id FROM lr WHERE cum_before < $selectBudgetTokens)
+       |SELECT n_heur, n_learned, n_both,
+       |  (n_both * 1000000) // (n_heur + n_learned - n_both) AS jaccard_ppm
+       |FROM (
+       |  SELECT (SELECT count(*) FROM hsel) AS n_heur,
+       |    (SELECT count(*) FROM lsel) AS n_learned,
+       |    (SELECT count(*) FROM hsel JOIN lsel USING (doc_id)) AS n_both
+       |)""".stripMargin
 
   val qualityBudgetSelectSql: String =
     s"""WITH ${TextAnalysis.textStatsCtes("documents")},
@@ -2047,6 +2237,7 @@ object Corpus {
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_profile" -> (dedupProfile _),
     "crossmodal_clusters" -> (crossmodalClusters _),
+    "crossmodal_incremental" -> (crossmodalIncremental _),
     "url_dedup" -> (urlDedup _),
     "url_dedup_incremental" -> (urlDedupIncremental _),
     "url_host_profile" -> (urlHostProfile _),
@@ -2066,6 +2257,7 @@ object Corpus {
     "corpus_domain_cap" -> (domainCap _),
     "curation_funnel" -> (curationFunnel _),
     "quality_budget_select" -> (qualityBudgetSelect _),
+    "budget_select_learned" -> (budgetSelectLearned _),
     "corpus_manifest" -> (corpusManifest _),
     "length_match_sample" -> (lengthMatchSample _),
     "dedup_bcubed" -> (dedupBcubed _),
@@ -2078,6 +2270,8 @@ object Corpus {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_profile" -> dedupProfileSql,
     "crossmodal_clusters" -> crossmodalClustersSql,
+    // the incremental merge must be hash-exact against the FULL closure
+    "crossmodal_incremental" -> crossmodalClustersSql,
     "url_dedup" -> urlDedupSql,
     "url_dedup_incremental" -> urlDedupIncrementalSql,
     "url_host_profile" -> urlHostProfileSql,
@@ -2098,6 +2292,7 @@ object Corpus {
     "corpus_domain_cap" -> domainCapSql,
     "curation_funnel" -> curationFunnelSql,
     "quality_budget_select" -> qualityBudgetSelectSql,
+    "budget_select_learned" -> budgetSelectLearnedSql,
     "corpus_manifest" -> corpusManifestSql,
     "length_match_sample" -> lengthMatchSampleSql,
     "dedup_bcubed" -> dedupBcubedSql,
