@@ -1661,44 +1661,52 @@ object TextAnalysis {
     * train on `doc_id % 4 != 0`, predict the held-out quarter. Input is
     * a labeled token stream (doc_id, label, term); output one row per
     * held-out doc (doc_id, true_label, pred_label). */
-  private def nbPredictions(tk: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val train = tk.filter(col("doc_id") % nbTestMod =!= 0L)
-    val test = tk.filter(col("doc_id") % nbTestMod === 0L)
+  // fractional-bit surprisal of the exact rational num/den:
+  //   bits·2^16 − floor((num/den·2^bits − 1)·2^16)
+  private def fracBits(num: Column, den: Column): Column = {
+    val sft = (length(bin(den)) - length(bin(num))).cast("int")
+    val bits = when(num > call_function("shiftright", den - 1, sft), sft)
+      .otherwise(sft + 1).cast("long")
+    val m = num.cast("double") / den.cast("double") *
+      pow(lit(2.0), bits.cast("double"))
+    bits * 65536L - floor((m - 1.0) * 65536.0).cast("long")
+  }
 
+  /** NB model from `train` + per-(doc, label) total surprisal over the
+    * `score` population — the shared core of [[nbPredictions]] (which
+    * scores the held-out quarter) and the learned-log-odds scorer
+    * (which scores EVERY doc for the selector A/B). Both frames are
+    * (doc_id, label, term) token streams; returns one row per scored
+    * doc per model label: (doc_id, true_label, m_label, total_sfp). */
+  private def nbTotalSfp(train: DataFrame, score: DataFrame): DataFrame = {
     val cw = train.groupBy("label", "term").agg(count(lit(1)).as("cw"))
     val cl = cw.groupBy("label").agg(sum("cw").as("cl"))
     val vv = train.agg(countDistinct("term").as("v"))
     val nd = train.groupBy("label").agg(countDistinct("doc_id").as("nd"))
     val nt = nd.agg(sum("nd").as("n_train"), count(lit(1)).as("n_labels"))
 
-    // fractional-bit surprisal of the exact rational num/den:
-    //   bits·2^16 − floor((num/den·2^bits − 1)·2^16)
-    def fracBits(num: Column, den: Column): Column = {
-      val sft = (length(bin(den)) - length(bin(num))).cast("int")
-      val bits = when(num > call_function("shiftright", den - 1, sft), sft)
-        .otherwise(sft + 1).cast("long")
-      val m = num.cast("double") / den.cast("double") *
-        pow(lit(2.0), bits.cast("double"))
-      bits * 65536L - floor((m - 1.0) * 65536.0).cast("long")
-    }
-
     val lab = cl.join(nd, "label").crossJoin(vv).crossJoin(nt)
       .withColumn("prior_sfp",
         fracBits(col("nd") + 1L, col("n_train") + col("n_labels")))
       .select(col("label").as("m_label"), col("cl"), col("v"), col("prior_sfp"))
 
-    val dt = test.groupBy(col("doc_id"), col("label").as("true_label"), col("term"))
+    val dt = score.groupBy(col("doc_id"), col("label").as("true_label"), col("term"))
       .agg(count(lit(1)).as("k"))
     val sr = dt.crossJoin(broadcast(lab))
       .join(cw.select(col("label").as("m_label"), col("term"), col("cw")),
         Seq("m_label", "term"), "left")
       .withColumn("s_fp",
         fracBits(coalesce(col("cw"), lit(0L)) + 1L, col("cl") + col("v")))
-    val ds = sr
-      .groupBy("doc_id", "true_label", "m_label", "prior_sfp")
+    sr.groupBy("doc_id", "true_label", "m_label", "prior_sfp")
       .agg(sum(col("k") * col("s_fp")).as("lk_sfp"))
       .withColumn("total_sfp", col("lk_sfp") + col("prior_sfp"))
+  }
+
+  private def nbPredictions(tk: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = nbTotalSfp(
+      tk.filter(col("doc_id") % nbTestMod =!= 0L),
+      tk.filter(col("doc_id") % nbTestMod === 0L))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("total_sfp").asc, col("m_label").asc)
     ds.withColumn("rn", row_number().over(w))
@@ -1878,11 +1886,47 @@ object TextAnalysis {
       .select("band", "n_docs", "n_pred_hi", "share_hi_fp")
   }
 
+  /** Per-doc LEARNED quality log-odds (1/2^16-bit fixed point): the
+    * quality-NB model of [[nbQualityClassify]] (same training split,
+    * same smoothing, same surprisal arithmetic) scoring EVERY tokened
+    * doc — log-odds = total_sfp(lo) − total_sfp(hi), so bigger = the
+    * student is more confident the doc is `hi`. This is the ranking
+    * signal [[Corpus.budgetSelectLearned]] runs as the alternative
+    * selector policy (VERDICT r13 #7). Exact integers end to end, so
+    * the selection order is oracle-reproducible. */
+  private[operators] def nbQualityLogOdds(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val teach = nbQualityTeacher(docs)
+    val tk = docs.join(teach.select("doc_id", "label"), "doc_id")
+      .select(col("doc_id"), col("label"), explode(tokens(col("text"))).as("term"))
+    nbTotalSfp(tk.filter(col("doc_id") % nbTestMod =!= 0L), tk)
+      .groupBy("doc_id")
+      .agg(sum(when(col("m_label") === "lo", col("total_sfp"))
+        .otherwise(-col("total_sfp"))).as("log_odds"))
+  }
+
   /** Shared CTE chain of the quality-NB oracles: teacher labels from the
     * stats CTEs, then the same train/score chain as [[nbLangClassifySql]]
     * with `label` for `lang`, ending at per-doc predictions `pr`
-    * (doc_id, true_label, pred_label, rn=1 rows). */
-  private def nbQualityCtes: String =
+    * (doc_id, true_label, pred_label, rn=1 rows). `scorePop` picks the
+    * scored population: `te` (the held-out quarter — the classifier and
+    * calibration oracles) or `tk` (every tokened doc — the learned-
+    * selector oracle). */
+  private def nbQualityCtes: String = nbQualityCtesFrom("te")
+
+  /** [[nbQualityCtes]] ending at `odds` (doc_id, log_odds) over every
+    * tokened doc — the oracle twin of [[nbQualityLogOdds]]. */
+  private[operators] def nbQualityOddsCtes: String =
+    s"""${nbQualityCtesFrom("tk")},
+       |odds AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN m_label = 'lo' THEN total_sfp
+       |      ELSE -total_sfp END) AS BIGINT) AS log_odds
+       |  FROM ds GROUP BY 1
+       |)""".stripMargin
+
+  private def nbQualityCtesFrom(scorePop: String): String =
     s"""WITH ${textStatsCtes("documents")},
        |q AS (
        |$textStatsSelect
@@ -1934,7 +1978,7 @@ object TextAnalysis {
        |  FROM lab2
        |), dt AS (
        |  SELECT doc_id, label AS true_label, term, count(*) AS k
-       |  FROM te GROUP BY 1, 2, 3
+       |  FROM $scorePop GROUP BY 1, 2, 3
        |), sr AS (
        |  SELECT dt.doc_id, dt.true_label, lab.m_label, lab.prior_sfp, dt.k,
        |    coalesce(cw.cw, 0) + 1 AS num, lab.cl + lab.v AS den
