@@ -954,15 +954,6 @@ object StreamingDetectors {
     graft.sources.EventJson.serializeAlerts(alerts(sev, rules).toDF())
   }
 
-  /** Name of the corrupt-record column [[narrowParse]] asks `from_json`
-    * to fill on malformed input — `IS NULL` on it is EXACTLY the
-    * map-form's `from_json(raw, map).isNotNull` drop set (garbage,
-    * JSON arrays/scalars/`null` — anything but an object; an empty
-    * object `{}` is VALID in both forms). The parser's actual schema
-    * excludes this field, so a real event field with the same name is
-    * simply not extracted — it cannot mark valid rows corrupt. */
-  private[graft] val corruptCol = "__graft_corrupt"
-
   /** PRUNED-SCHEMA ingest: raw JSON straight to the [[NEvent]] wire
     * shape, parsing ONLY the fields the compiled rule set references
     * (the measured fields, the key field, `event_id`, and — unless the
@@ -983,9 +974,20 @@ object StreamingDetectors {
     * keeps the LAST occurrence (Jackson map semantics,
     * Event.java:33-59), where Spark's map form surfaces the first.
     *
-    * Malformed input drops via the corrupt-record column (see
-    * [[corruptCol]]) — the reference's null-filter contract — without a
-    * second parse. */
+    * Malformed-drop contract (the reference's null filter), in two
+    * tiers because the struct parse yields the SAME all-null row for
+    * malformed input and for a valid object carrying none of the
+    * referenced fields: a row where ANY referenced field parsed is
+    * valid by construction (Jackson produced it from an object) and
+    * pays nothing; only the all-null residue — rare on a real bus,
+    * where events carry at least the key — re-parses as
+    * `MAP<STRING,STRING>` to apply the map form's own null criterion.
+    * The `or` short-circuits in codegen, so the hot path never runs
+    * the second parse. (The earlier corrupt-record-column form needed
+    * no second parse but made EVERY row ~1.9x more expensive —
+    * FailureSafeParser's per-row corrupt bookkeeping — measured in the
+    * r14 parse micro-bench; this form is the fast path on exactly the
+    * rows that dominate.) */
   private[graft] def narrowParse(raw: DataFrame, c: CompiledRules,
       keyField: String, rawCol: String = "value",
       ingestionClock: Boolean = false): DataFrame = {
@@ -993,15 +995,16 @@ object StreamingDetectors {
     val names =
       (c.fields ++ Seq(keyField, "event_id") ++
         (if (ingestionClock) Nil else Seq("ts"))).distinct
-    require(!names.contains(corruptCol),
-      s"'$corruptCol' is reserved for the malformed-record marker")
-    val schema = StructType(
-      names.map(StructField(_, StringType)) :+ StructField(corruptCol, StringType))
+    val schema = StructType(names.map(StructField(_, StringType)))
+    val anyParsed = names
+      .map(n => col("__p").getField(n).isNotNull)
+      .reduce(_ || _)
     val parsed = raw
-      .withColumn("__p", from_json(col(rawCol).cast("string"), schema,
-        Map("columnNameOfCorruptRecord" -> corruptCol, "mode" -> "PERMISSIVE")))
+      .withColumn("__p", from_json(col(rawCol).cast("string"), schema))
       .withColumn("ingest_ts", current_timestamp())
-      .filter(col("__p").getField(corruptCol).isNull)
+      .filter(anyParsed ||
+        from_json(col(rawCol).cast("string"),
+          graft.sources.EventJson.fieldsType).isNotNull)
     def f(n: String): Column = col("__p").getField(n)
     val clock =
       if (ingestionClock) unix_timestamp(col("ingest_ts"))
