@@ -19,8 +19,16 @@ package graft.model
   *  - `DEFAULT_KEY_FIELD` (userId) — the event field keyBy coerces to
   *    string (StreamSentinelJob.java:121-124)
   *
-  * Engine-specific extensions beyond the reference's nine variables
-  * (defaults preserve its behavior when unset):
+  * Engine-specific extensions beyond the reference's nine variables.
+  * Defaults preserve the reference's ALERT SEMANTICS when unset (same
+  * alerts, byte-for-byte), but NOT checkpoint compatibility: the
+  * default engine is the measured-best `tws` plan, so an in-place
+  * upgrade of a pre-r14 deployment that restarts against an existing
+  * flatMapGroupsWithState checkpoint fails loudly on the operator
+  * mismatch — set `DETECTOR_ENGINE=fmgws` to keep the old topology on
+  * the old checkpoint, or start the tws engine from a fresh
+  * checkpointLocation (detector state rebuilds within one trailing
+  * window).
   *  - `DETECTOR_ENGINE` (tws) — `tws` runs the measured-best production
   *    topology (pruned-schema parse + `transformWithState`/RocksDB;
   *    [[graft.streaming.SentinelJob.buildPipeline]]); `fmgws` keeps the

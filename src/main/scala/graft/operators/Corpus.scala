@@ -484,6 +484,13 @@ object Corpus {
     * URLs). Real crawl columns carry such rows; the fixture does not,
     * so fixture oracles are unchanged. UrlCanonPropertySpec pins the
     * contract on adversarial shapes.
+    * ARTIFACT COMPATIBILITY: the r14 changes (pass-through + bare
+    * tracking params like `?gclid` now stripping) alter the canonical
+    * form of exactly those row classes, so a PERSISTED keeper table
+    * ([[urlBaseCanon]] output, `StreamingUrlDedup`'s `canon/` base)
+    * built pre-r14 no longer joins against post-r14 canonicalization
+    * for them — a silent missed-dedup, not an error. Rebuild persisted
+    * canon bases from the raw URLs when upgrading across this change.
     * Everything is regexp/split/sort on short strings — scan-side
     * whole-stage codegen, oracle-expressible, zero shuffle. */
   private[graft] def canonicalUrl(url: Column): Column = {
@@ -1552,10 +1559,16 @@ object Corpus {
     val h = budgetPrefix(
       stats.select(col("doc_id"), col("quality_score").as("score"),
         col("n_tokens")), selectBudgetTokens).select("doc_id")
-    val l = budgetPrefix(
+    // budgetPrefix runs TWO jobs over its input (subtotal collect +
+    // output scan) and the final overlap agg a third — for the
+    // heuristic side that input is a cheap stats projection, but the
+    // learned side embeds the whole NB train+score DAG, so pin the
+    // tiny (doc_id, score, n_tokens) frame once instead of re-scoring
+    // the corpus per pass (r14 self-review finding)
+    val learnedScored = Dedup.eager(
       stats.join(odds, "doc_id")
-        .select(col("doc_id"), col("log_odds").as("score"), col("n_tokens")),
-      selectBudgetTokens).select("doc_id")
+        .select(col("doc_id"), col("log_odds").as("score"), col("n_tokens")))
+    val l = budgetPrefix(learnedScored, selectBudgetTokens).select("doc_id")
     h.withColumn("h", lit(1))
       .join(l.withColumn("l", lit(1)), Seq("doc_id"), "full_outer")
       .agg(count(col("h")).as("n_heur"), count(col("l")).as("n_learned"),

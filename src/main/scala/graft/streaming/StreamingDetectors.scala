@@ -971,8 +971,11 @@ object StreamingDetectors {
     * (NarrowParseSpec pins byte-parity of the resulting alerts on an
     * adversarial corpus). One deliberate delta, matching the REFERENCE
     * rather than the map form: on duplicate JSON keys the struct parse
-    * keeps the LAST occurrence (Jackson map semantics,
-    * Event.java:33-59), where Spark's map form surfaces the first.
+    * keeps the LAST occurrence (the reference's Jackson-Map put
+    * semantics, Event.java:33-59), while the map form's `getItem`
+    * surfaces the FIRST of the duplicate entries the parser retains —
+    * measured on this build and pinned by NarrowParseSpec's dedicated
+    * duplicate-key test.
     *
     * Malformed-drop contract (the reference's null filter), in two
     * tiers because the struct parse yields the SAME all-null row for

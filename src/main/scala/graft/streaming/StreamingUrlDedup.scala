@@ -18,7 +18,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   *  - `canon/` parquet (canon_url, base_doc_id): one row per distinct
   *    canonical base URL, keeper = smallest doc_id
-  *    ([[Corpus.urlBaseCanon]]).
+  *    ([[Corpus.urlBaseCanon]]). NOTE: a base written by a pre-r14
+  *    build must be REBUILT from raw URLs on upgrade — r14 changed the
+  *    canonical form of scheme-less rows and bare tracking params, so
+  *    stale keeper strings silently stop matching (see the
+  *    [[Corpus.canonicalUrl]] artifact-compatibility note).
   *
   * Per micro-batch, wrapped in [[BatchLedger]]. Delivery guarantee:
   * AT-LEAST-ONCE. The marker is written only after the body completes,

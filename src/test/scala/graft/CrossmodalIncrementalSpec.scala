@@ -41,9 +41,14 @@ class CrossmodalIncrementalSpec extends SparkSpec {
       val baseDocs = (0L until n.toLong).filterNot(inBatch)
       val baseCl = ufComponents(n, baseEdges)
       val baseLabels = baseDocs.map(d => (d, baseCl(d))).toDF("doc_id", "cluster_id")
-      val got = Corpus.crossmodalMerge(baseLabels,
+      val gotRows = Corpus.crossmodalMerge(baseLabels,
           newEdges.toDF("d1", "d2"))
-        .as[(Long, Long)].collect().toMap
+        .as[(Long, Long)].collect().toSeq
+      // exactly one label row per doc — a duplicate/conflicting-label
+      // regression must fail here, not vanish into the Map collapse
+      assert(gotRows.map(_._1).distinct.size == gotRows.size,
+        s"trial $trial: duplicate doc_id labels in ${gotRows.sorted}")
+      val got = gotRows.toMap
       // expected: full closure, restricted to base docs + touched batch docs
       val full = ufComponents(n, edges)
       val touched = newEdges.flatMap(e => Seq(e._1, e._2)).toSet

@@ -35,6 +35,11 @@ class NarrowParseSpec extends SparkSpec {
         case 5 => s"""{"user_id":"u${i % 5}","event_id":$i,"ts":$ts,"aux":${rnd.nextInt(10)},"extra1":"x","extra2":[1,2,3],"extra3":{"deep":{"er":true}}}""" // extra fields
         case 6 => s"""{"user_id":"u${i % 5}","event_id":"$i","ts":"$ts","value":${rnd.nextInt(100)}}""" // string event_id/ts
         case 7 => s"""{"user_id":"u${i % 5}","event_id":$i,"ts":$ts,"value":true,"aux":1e1}""" // boolean / exponent literals
+        // duplicate-key rows are deliberately NOT in the parity corpus:
+        // the parses DIVERGE there by design (struct keeps the LAST
+        // occurrence = the reference's Jackson-Map semantics; the map
+        // form's getItem surfaces the FIRST) — pinned by the dedicated
+        // duplicate-key test below
         case 8 => "this is not json at all {"
         case 9 => Seq("[1,2,3]", "123", "null", "\"str\"")(rnd.nextInt(4))
         // keep the clock deterministic: every VALID row carries ts (the
@@ -87,6 +92,20 @@ class NarrowParseSpec extends SparkSpec {
       StreamingDetectors.parsedEvents(raw, rules, "user_id").toDF(), c)))
     // ingestion clock engaged: tsSec is a real recent timestamp
     assert(n.select(min("tsSec")).as[Long].head() > 1700000000L)
+  }
+
+  test("duplicate JSON keys: struct parse keeps LAST (reference), map getItem keeps FIRST") {
+    val c = new StreamingDetectors.CompiledRules(rules.toIndexedSeq)
+    val raw = Seq(
+      """{"user_id":"d","event_id":1,"ts":10,"value":1,"value":2}""")
+      .toDF("value")
+    val narrow = StreamingDetectors.narrowParse(raw, c, "user_id")
+      .select("vals").collect().head.getSeq[Double](0)
+    val mapped = StreamingDetectors.narrowEvents(
+        StreamingDetectors.parsedEvents(raw, rules, "user_id").toDF(), c)
+      .select("vals").collect().head.getSeq[Double](0)
+    assert(narrow.head == 2.0, "struct parse must keep the last occurrence")
+    assert(mapped.head == 1.0, "map getItem surfaces the first occurrence")
   }
 
   test("jsonPipelineTws (pruned parse, streamed) == jsonPipeline (map parse, batch) byte-for-byte") {
