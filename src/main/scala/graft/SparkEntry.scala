@@ -121,7 +121,8 @@ object SparkEntry {
     "multimodal_phash_radius_curve" -> ((s, dir) => Multimodal.phashRadiusCurve(s, dir)),
   ) ++ Analytics.queries ++ Warehouse.queries ++ Dedup.queries ++
     TextAnalysis.queries ++ Similarity.queries ++ Corpus.queries ++
-    Retrieval.queries ++ Graph.queries ++ Linkage.queries ++ Forget.queries
+    Retrieval.queries ++ Graph.queries ++ Linkage.queries ++
+    Forget.queries ++ Crawl.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -167,5 +168,6 @@ object SparkEntry {
         |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50.0""".stripMargin,
   ) ++ Analytics.oracles ++ Warehouse.oracles ++ Dedup.oracles ++
     TextAnalysis.oracles ++ Similarity.oracles ++ Corpus.oracles ++
-    Retrieval.oracles ++ Graph.oracles ++ Linkage.oracles ++ Forget.oracleSql
+    Retrieval.oracles ++ Graph.oracles ++ Linkage.oracles ++
+    Forget.oracleSql ++ Crawl.oracles
 }

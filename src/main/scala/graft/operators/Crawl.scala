@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.plans.TopKPerKey
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl governance — the decisions a large-scale crawler makes BEFORE
+  * it spends fetch budget, completing the URL channel's story upstream
+  * of [[Corpus.urlDedup]]: which URLs robots.txt permits (RFC 9309
+  * longest-match semantics), which hosts deserve frontier priority
+  * (PageRank over the host link graph, Page et al. 1999), and what the
+  * web "calls" each host (top anchor terms per link target — the
+  * signal crawl schedulers and quality filters both read).
+  *
+  * Fixture synthesis: the driver's documents table carries no frontier,
+  * robots rules, or link graph, so all three are derived DETERMINISTICALLY
+  * from doc_id over a 53-host domain (`h<k>.example.org`, k = doc_id %
+  * 53; 53 prime so the multiplicative link maps spread). A deployment
+  * replaces [[frontier]] / [[robotsRules]] / the link derivation with
+  * its real crawl tables; every operator downstream of the synthesis is
+  * shape-generic.
+  *
+  * Scale shapes (the 100 TB posture of each):
+  *  - [[robotsFilter]]: rules are per-HOST and small (real robots files
+  *    cap at a few hundred lines) — a broadcast hash join against the
+  *    frontier with the prefix test inside the join, then ONE
+  *    map-combinable agg keyed by the url row. No sort, no window, no
+  *    shuffle of the frontier beyond the verdict agg.
+  *  - [[hostFrontierRank]]: the DATA-scale work is reducing the
+  *    doc-level link derivation to the (src, dst, w) HOST graph — one
+  *    hash agg; the 10 power iterations then run on the aggregated
+  *    graph (|hosts|^2 worst case, not the corpus), integer fixed-point
+  *    throughout, `localCheckpoint` per round to keep lineage flat —
+  *    the same discipline as [[Graph.typeMarkovRank]].
+  *  - [[anchorTopk]]: map-combinable (host, term) count agg, then the
+  *    native bounded-heap [[TopKPerKey]] operator — at most k rows per
+  *    host cross the exchange, never the full term distribution of a
+  *    hot host.
+  *
+  * Exactness: PageRank uses the repo-standard integer fixed point
+  * (ranks 1e-12, edge probabilities 1e-6, floor division in both
+  * engines — see [[Graph.typeMarkovRank]]'s overflow-headroom note);
+  * robots verdicts and anchor counts are pure integer/string ops, so
+  * every oracle is hash-exact. */
+object Crawl {
+
+  private val H = 53L                // host-domain size (prime)
+  private val SCALE = 1000000000000L // 1e-12 fixed-point rank
+  private val PSCALE = 1000000L      // 1e-6 fixed-point edge probability
+  private val iters = 10
+  private val anchorK = 3
+
+  private def hostOf(k: Column): Column =
+    concat(lit("h"), k, lit(".example.org"))
+
+  /** Deterministic crawl frontier: every document becomes one candidate
+    * URL on host h(doc_id % 53) with a path class (doc_id % 5) chosen so
+    * every robots rule below is load-bearing: /private (blanket
+    * disallow), /private/pub (longest-match Allow override), /public
+    * and bare /page (no rule), /tmp (host-conditional disallow). */
+  private[graft] def frontier(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        hostOf(col("doc_id") % H).as("host"),
+        (col("doc_id") % 5L).as("v"))
+      .withColumn("path",
+        when(col("v") === 0L, concat(lit("/private/page"), col("doc_id")))
+          .when(col("v") === 1L, concat(lit("/private/pub/page"), col("doc_id")))
+          .when(col("v") === 2L, concat(lit("/public/page"), col("doc_id")))
+          .when(col("v") === 3L, concat(lit("/tmp/page"), col("doc_id")))
+          .otherwise(concat(lit("/page"), col("doc_id"))))
+      .select("doc_id", "host", "path")
+
+  // NOTE: interpolated into stripMargin'd oracles — no leading '|' lines.
+  private val frontierSql: String =
+    """SELECT doc_id,
+      |  'h' || (doc_id % 53) || '.example.org' AS host,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN '/private/page' || doc_id
+      |    WHEN 1 THEN '/private/pub/page' || doc_id
+      |    WHEN 2 THEN '/public/page' || doc_id
+      |    WHEN 3 THEN '/tmp/page' || doc_id
+      |    ELSE '/page' || doc_id END AS path
+      |FROM documents""".stripMargin
+
+  /** Deterministic robots rule set, one row per (host, path-prefix,
+    * allow-bit). Every host disallows /private but Allow-overrides
+    * /private/pub (the longest-match case RFC 9309 §2.2.2 specifies);
+    * every 7th host additionally disallows /tmp; every 13th host
+    * carries a full block (`Disallow: /`) — which longest-match still
+    * pierces for /private/pub, the subtlety naive implementations get
+    * wrong. */
+  private[graft] def robotsRules(spark: SparkSession): DataFrame = {
+    val hosts = spark.range(H)
+      .select(col("id").as("k"), hostOf(col("id")).as("host"))
+    val everyHost = hosts.select(col("k"), col("host"),
+        explode(array(
+          struct(lit("/private").as("rule_path"), lit(0L).as("is_allow")),
+          struct(lit("/private/pub").as("rule_path"), lit(1L).as("is_allow")))).as("r"))
+      .select(col("k"), col("host"), col("r.rule_path"), col("r.is_allow"))
+    val tmp = hosts.filter(col("k") % 7L === 0L)
+      .select(col("k"), col("host"), lit("/tmp").as("rule_path"), lit(0L).as("is_allow"))
+    val block = hosts.filter(col("k") % 13L === 0L)
+      .select(col("k"), col("host"), lit("/").as("rule_path"), lit(0L).as("is_allow"))
+    everyHost.unionByName(tmp).unionByName(block).drop("k")
+  }
+
+  private val robotsRulesSql: String =
+    """SELECT host, rule_path, is_allow FROM (
+      |  SELECT range AS k, 'h' || range || '.example.org' AS host FROM range(53)
+      |) h CROSS JOIN LATERAL (
+      |  SELECT '/private' AS rule_path, CAST(0 AS BIGINT) AS is_allow
+      |  UNION ALL SELECT '/private/pub', 1
+      |  UNION ALL SELECT '/tmp', 0 WHERE h.k % 7 = 0
+      |  UNION ALL SELECT '/', 0 WHERE h.k % 13 = 0
+      |) r""".stripMargin
+
+  /** RFC 9309 robots verdict per frontier URL: among the host's rules
+    * whose path-prefix matches, the LONGEST wins; on a length tie Allow
+    * wins; no match means allowed. One row per URL with the winning
+    * rule (null when no rule matched) and the crawl verdict.
+    *
+    * The winner is selected with `max_by` on `2*len(rule) + is_allow` —
+    * an integer that encodes exactly the RFC's (length, allow) order;
+    * rule paths are unique per host so the key is collision-free among
+    * a URL's matches. */
+  def robotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    val f = frontier(Tables.documents(spark, dir))
+    val rules = robotsRules(spark)
+    val rank = (length(col("rule_path")).cast("long") * 2L + col("is_allow")).as("rank")
+    val j = f.join(broadcast(rules),
+      f("host") === rules("host") && f("path").startsWith(rules("rule_path")),
+      "left")
+      .select(f("doc_id"), f("host"), f("path"), rules("rule_path"), rank)
+    j.groupBy("doc_id", "host", "path")
+      .agg(max_by(col("rule_path"), col("rank")).as("rule_path"),
+        coalesce(max(col("rank")) % 2L === 1L, lit(true)).as("allowed"))
+  }
+
+  val robotsFilterSql: String =
+    s"""WITH f AS ($frontierSql),
+       |rules AS ($robotsRulesSql),
+       |j AS (
+       |  SELECT f.doc_id, f.host, f.path, r.rule_path,
+       |    length(r.rule_path) * 2 + r.is_allow AS rank
+       |  FROM f LEFT JOIN rules r
+       |    ON f.host = r.host AND starts_with(f.path, r.rule_path)
+       |)
+       |SELECT doc_id, host, path,
+       |  max_by(rule_path, rank) AS rule_path,
+       |  coalesce(max(rank) % 2 = 1, TRUE) AS allowed
+       |FROM j GROUP BY 1, 2, 3""".stripMargin
+
+  /** Doc-derived host link graph: each document contributes two
+    * directed host edges, src = h(doc_id % 53) to h((7*doc_id + 11) %
+    * 53) and to h((31*doc_id + 5) % 53) (distinct multiplicative maps
+    * so in/out degree vary across hosts); self-loops dropped, weights
+    * by multiplicity. */
+  private def hostEdges(docs: DataFrame): DataFrame = {
+    val src = hostOf(col("doc_id") % H).as("src")
+    val e1 = docs.select(src, hostOf((col("doc_id") * 7L + 11L) % H).as("dst"))
+    val e2 = docs.select(src, hostOf((col("doc_id") * 31L + 5L) % H).as("dst"))
+    e1.unionByName(e2).filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** Crawl-priority PageRank of frontier hosts (damping 0.85, 10 power
+    * iterations, all-integer fixed point — see [[Graph.typeMarkovRank]]
+    * for the exactness argument). Node set = hosts present in the
+    * frontier; contributions to a non-frontier host leak like dangling
+    * mass, identically in both engines. Output: (host, rank_fp) in
+    * 1e-12 fixed point. */
+  def hostFrontierRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val edges = hostEdges(docs)
+    val out = edges.groupBy("src").agg(sum("w").as("out"))
+    val p = edges.join(out, "src")
+      .withColumn("p", expr(s"(w * $PSCALE) div out"))
+      .localCheckpoint()
+    val nodes = docs.select(hostOf(col("doc_id") % H).as("node"))
+      .distinct().localCheckpoint()
+
+    // host-domain cardinality: a bounded driver scalar (the aggregated
+    // host domain, not the corpus) feeding the teleport constant — the
+    // same adjudicated pattern as typeMarkovRank's node count
+    val n = nodes.count()
+    val r0 = SCALE / n
+    val teleport = (15L * r0) / 100L
+
+    var ranks = nodes.withColumn("r", lit(r0))
+    for (_ <- 0 until iters) {
+      val contrib = p.join(ranks, p("src") === ranks("node"))
+        .select(col("dst"), expr(s"(r * p) div $PSCALE").as("ct"))
+        .groupBy("dst").agg(sum("ct").as("contrib"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as("host"), col("r").as("rank_fp"))
+  }
+
+  val hostFrontierRankSql: String =
+    s"""WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+       |ed AS (
+       |  SELECT src, dst, count(*) AS w FROM (
+       |    SELECT 'h' || (doc_id % 53) || '.example.org' AS src,
+       |      'h' || ((doc_id * 7 + 11) % 53) || '.example.org' AS dst FROM d
+       |    UNION ALL
+       |    SELECT 'h' || (doc_id % 53) || '.example.org',
+       |      'h' || ((doc_id * 31 + 5) % 53) || '.example.org' FROM d
+       |  ) WHERE src <> dst GROUP BY 1, 2
+       |),
+       |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ed GROUP BY 1),
+       |p AS (
+       |  SELECT ed.src, ed.dst, (ed.w * $PSCALE) // o.outw AS p
+       |  FROM ed JOIN o USING (src)
+       |),
+       |nodes AS (
+       |  SELECT DISTINCT 'h' || (doc_id % 53) || '.example.org' AS node FROM d
+       |),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |it(i, node, r) AS (
+       |  SELECT 0, node, (SELECT $SCALE // n FROM nn) FROM nodes
+       |  UNION ALL
+       |  SELECT i, node, r FROM (
+       |    SELECT coalesce(c.i, max(c.i) OVER ()) + 1 AS i, n2.node,
+       |      (SELECT (15 * ($SCALE // n)) // 100 FROM nn)
+       |        + (85 * coalesce(c.contrib, 0)) // 100 AS r
+       |    FROM nodes n2 LEFT JOIN (
+       |      SELECT it.i AS i, p.dst, CAST(sum((it.r * p.p) // $PSCALE) AS BIGINT) AS contrib
+       |      FROM it JOIN p ON it.node = p.src
+       |      WHERE it.i < $iters
+       |      GROUP BY 1, 2
+       |    ) c ON c.dst = n2.node
+       |  ) WHERE i IS NOT NULL
+       |)
+       |SELECT node AS host, CAST(r AS BIGINT) AS rank_fp
+       |FROM it WHERE i = $iters""".stripMargin
+
+  /** Top anchor terms per link-target host: every document "links" to
+    * h((7*doc_id + 11) % 53) (the first [[hostEdges]] map) with anchor
+    * term = its first token; counts per (host, term), then the top 3
+    * terms per host by (count desc, term asc) through the bounded-heap
+    * [[TopKPerKey]] operator. Output: (host, anchor, cnt). */
+  def anchorTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val anchors = docs.select(
+        hostOf((col("doc_id") * 7L + 11L) % H).as("host"),
+        element_at(Dedup.tokens(col("text")), 1).as("anchor"))
+      .filter(col("anchor").isNotNull)
+    val counts = anchors.groupBy("host", "anchor").agg(count(lit(1)).as("cnt"))
+    TopKPerKey.topK(counts, Seq(col("host")),
+        Seq(col("cnt").desc, col("anchor").asc), anchorK)
+      .select("host", "anchor", "cnt")
+  }
+
+  val anchorTopkSql: String =
+    s"""WITH a AS (
+       |  SELECT 'h' || ((doc_id * 7 + 11) % 53) || '.example.org' AS host,
+       |    (${Dedup.tokensSql("text")})[1] AS anchor
+       |  FROM documents
+       |), c AS (
+       |  SELECT host, anchor, count(*) AS cnt FROM a
+       |  WHERE anchor IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT host, anchor, cnt FROM (
+       |  SELECT host, anchor, cnt, row_number() OVER (
+       |    PARTITION BY host ORDER BY cnt DESC, anchor) AS rn FROM c
+       |) WHERE rn <= $anchorK""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "robots_filter" -> (robotsFilter _),
+    "host_frontier_rank" -> (hostFrontierRank _),
+    "anchor_topk" -> (anchorTopk _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "robots_filter" -> robotsFilterSql,
+    "host_frontier_rank" -> hostFrontierRankSql,
+    "anchor_topk" -> anchorTopkSql,
+  )
+}

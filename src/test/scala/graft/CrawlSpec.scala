@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Crawl
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the crawl-governance semantics:
+  *  - robots verdicts follow RFC 9309 longest-match (Allow overrides a
+  *    shorter Disallow; a full-block host is still pierced by the
+  *    longer /private/pub Allow; ties cannot arise in the fixture);
+  *  - the host PageRank conserves fixed-point mass up to the documented
+  *    truncation/dangling leak and never produces a non-positive rank;
+  *  - the bounded-heap anchor top-k emits exactly the window-plan rows. */
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("robots_filter verdict table matches RFC 9309 longest-match by hand") {
+    val rows = Crawl.robotsFilter(spark, dir)
+      .select("doc_id", "allowed", "rule_path")
+      .as[(Long, Boolean, Option[String])].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (doc, allowed, rule) =>
+      val k = doc % 53
+      val full = k % 13 == 0
+      val tmpBlocked = k % 7 == 0
+      (doc % 5, full) match {
+        case (0, _) => // /private/pageN: blanket disallow everywhere
+          assert(!allowed && rule.contains("/private"), s"doc $doc")
+        case (1, _) => // /private/pub/pageN: longest-match Allow wins,
+          // EVEN on a full-block host — the RFC subtlety
+          assert(allowed && rule.contains("/private/pub"), s"doc $doc")
+        case (2, f) => // /public/pageN: only '/' can match
+          assert(allowed == !f, s"doc $doc")
+          assert(rule == (if (f) Some("/") else None), s"doc $doc")
+        case (3, f) => // /tmp/pageN: host-conditional disallow beats '/'
+          if (tmpBlocked) assert(!allowed && rule.contains("/tmp"), s"doc $doc")
+          else {
+            assert(allowed == !f, s"doc $doc")
+            assert(rule == (if (f) Some("/") else None), s"doc $doc")
+          }
+        case (_, f) => // bare /pageN: only '/' can match
+          assert(allowed == !f, s"doc $doc")
+          assert(rule == (if (f) Some("/") else None), s"doc $doc")
+      }
+    }
+    // both verdicts are populated (the fixture exercises both branches)
+    assert(rows.count(_._2) > 0 && rows.count(!_._2) > 0)
+  }
+
+  test("host_frontier_rank conserves fixed-point mass and stays positive") {
+    val ranks = Crawl.hostFrontierRank(spark, dir)
+      .select("host", "rank_fp").as[(String, Long)].collect()
+    assert(ranks.length == 53) // sf0.001 has 500 docs -> all 53 hosts hit
+    assert(ranks.forall(_._2 > 0L))
+    // mass <= SCALE (teleport + damped contributions can only lose mass
+    // to integer truncation and dangling leak, never create it), and the
+    // leak is bounded: at damping 0.85 the surviving mass stays > 0.15
+    val total = ranks.map(_._2).sum
+    assert(total <= 1000000000000L, s"mass created: $total")
+    assert(total > 150000000000L, s"mass over-leaked: $total")
+    // ranks differentiate (the multiplicative maps skew in-degree)
+    assert(ranks.map(_._2).distinct.length > 10)
+  }
+
+  test("anchor_topk equals the window-plan rows, at most k per host") {
+    val native = Crawl.anchorTopk(spark, dir)
+    val counts = native.groupBy("host").count()
+      .select("count").as[Long].collect()
+    assert(counts.forall(_ <= 3L))
+    // reference plan: full window sort + row_number filter
+    val base = graft.sources.Tables.documents(spark, dir).select(
+        concat(lit("h"), (col("doc_id") * 7L + 11L) % 53L, lit(".example.org")).as("host"),
+        element_at(graft.operators.Dedup.tokens(col("text")), 1).as("anchor"))
+      .filter(col("anchor").isNotNull)
+      .groupBy("host", "anchor").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("host").orderBy(col("cnt").desc, col("anchor").asc)
+    val windowed = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("host", "anchor", "cnt")
+    val got = native.as[(String, String, Long)].collect().toSet
+    val want = windowed.as[(String, String, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
