@@ -270,15 +270,76 @@ object Crawl {
        |    PARTITION BY host ORDER BY cnt DESC, anchor) AS rn FROM c
        |) WHERE rn <= $anchorK""".stripMargin
 
+  /** Fetch-budget apportionment — the decision the governance trio
+    * exists to feed: split a global budget of [[budgetB]] fetches
+    * across hosts proportional to [[hostFrontierRank]], by Hamilton's
+    * largest-remainder method (exact integers: floor shares + one +1
+    * bonus per leftover unit, remainders ranked (rem desc, host asc)),
+    * then cap each host at its robots-ALLOWED URL count — a quota the
+    * crawler can actually spend. Cap overflow is reported as unspent
+    * (`quota < base+bonus`), not redistributed: water-filling is an
+    * iteration of this same operator a deployment loops to a fixed
+    * point, and one pass keeps the oracle a single window.
+    *
+    * Scale shape: everything after the two substrate aggs is
+    * HOST-domain sized — the remainder ranking is a window over the
+    * aggregated host table (53 rows here; bounded by the host domain,
+    * never the corpus), and the totals legs are 1-row broadcasts.
+    * Output: (host, allowed_n, rank_fp, quota). */
+  def crawlBudgetAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val allowed = robotsFilter(spark, dir)
+      .groupBy("host")
+      .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("allowed_n"))
+    val ranks = hostFrontierRank(spark, dir)
+    val j = ranks.join(allowed, "host")
+    val tot = j.agg(sum("rank_fp").as("r_total"))
+    val based = j.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budgetB * rank_fp) div r_total"))
+      .withColumn("rem", expr(s"($budgetB * rank_fp) % r_total"))
+    val spent = based.agg(sum("base").as("b_spent"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("host").asc)
+    based.crossJoin(broadcast(spent))
+      .withColumn("rn", row_number().over(w))
+      .select(col("host"), col("allowed_n"), col("rank_fp"),
+        least(col("base") +
+            when(col("rn") <= lit(budgetB) - col("b_spent"), 1L).otherwise(0L),
+          col("allowed_n")).as("quota"))
+  }
+
+  private val budgetB = 1000L
+
+  val crawlBudgetAllocSql: String =
+    s"""WITH r AS ($hostFrontierRankSql),
+       |al AS (
+       |  SELECT host, CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS allowed_n
+       |  FROM ($robotsFilterSql) GROUP BY 1
+       |),
+       |j AS (SELECT r.host, al.allowed_n, r.rank_fp FROM r JOIN al USING (host)),
+       |t AS (SELECT CAST(sum(rank_fp) AS BIGINT) AS r_total FROM j),
+       |b AS (
+       |  SELECT j.*, ($budgetB * rank_fp) // r_total AS base,
+       |    ($budgetB * rank_fp) % r_total AS rem
+       |  FROM j CROSS JOIN t
+       |),
+       |s AS (SELECT CAST(sum(base) AS BIGINT) AS b_spent FROM b)
+       |SELECT host, allowed_n, rank_fp,
+       |  least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, host)
+       |    <= $budgetB - b_spent THEN 1 ELSE 0 END, allowed_n) AS quota
+       |FROM b CROSS JOIN s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "robots_filter" -> (robotsFilter _),
     "host_frontier_rank" -> (hostFrontierRank _),
     "anchor_topk" -> (anchorTopk _),
+    "crawl_budget_alloc" -> (crawlBudgetAlloc _),
   )
 
   val oracles: Map[String, String] = Map(
     "robots_filter" -> robotsFilterSql,
     "host_frontier_rank" -> hostFrontierRankSql,
     "anchor_topk" -> anchorTopkSql,
+    "crawl_budget_alloc" -> crawlBudgetAllocSql,
   )
 }

@@ -64,6 +64,30 @@ class CrawlSpec extends SparkSpec {
     assert(ranks.map(_._2).distinct.length > 10)
   }
 
+  test("crawl_budget_alloc: Hamilton apportionment conserves the budget") {
+    val rows = Crawl.crawlBudgetAlloc(spark, dir)
+      .select("host", "allowed_n", "rank_fp", "quota")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == 53)
+    rows.foreach { case (h, allowedN, rankFp, quota) =>
+      assert(quota >= 0L && quota <= allowedN, s"$h quota $quota > cap $allowedN")
+      assert(rankFp > 0L)
+    }
+    // uncapped Hamilton shares sum EXACTLY to the budget; the robots cap
+    // can only forfeit budget, never create it
+    val spent = rows.map(_._4).sum
+    assert(spent <= 1000L, s"overspent: $spent")
+    // the fixture's caps bind somewhere (~19 allowed URLs/host at sf0.001
+    // vs ~19 quota units/host), so spent < B proves the cap leg runs;
+    // if nothing capped, spent == B proves conservation. Either way the
+    // uncapped reconstruction must hit B exactly:
+    val ranksTotal = rows.map(_._3).sum
+    val base = rows.map(r => 1000L * r._3 / ranksTotal)
+    val leftover = 1000L - base.sum
+    assert(leftover >= 0 && leftover < rows.length,
+      s"largest-remainder leftover out of range: $leftover")
+  }
+
   test("anchor_topk equals the window-plan rows, at most k per host") {
     val native = Crawl.anchorTopk(spark, dir)
     val counts = native.groupBy("host").count()
