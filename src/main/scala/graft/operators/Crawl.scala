@@ -329,11 +329,147 @@ object Crawl {
        |    <= $budgetB - b_spent THEN 1 ELSE 0 END, allowed_n) AS quota
        |FROM b CROSS JOIN s""".stripMargin
 
+  /** Crawl-trap detector — the governance check that catches infinite
+    * URL spaces (calendar pages, session ids, faceted-search
+    * explosions) before they eat the fetch budget: collapse every
+    * digit run in the path to `N` (the URL "template"), then per host
+    * compare distinct URLs against distinct templates. A host whose
+    * url:template ratio explodes is enumerating a template, not
+    * publishing content. Ratio in 1e-6 fixed point (integer division;
+    * both engines floor), flagged above [[trapRatioFp]].
+    *
+    * Scale shape: the template is a scan-side regexp (no shuffle of
+    * raw paths beyond the distinct agg); distinct URLs and distinct
+    * templates reduce through one (host, template) agg each —
+    * map-combinable, key space bounded by the host's real template
+    * count, which is exactly what a trap host inflates and what the
+    * operator exists to surface. Output one row per host. */
+  def crawlTrapDetect(spark: SparkSession, dir: String): DataFrame = {
+    val f = trapLog(Tables.documents(spark, dir))
+      .withColumn("tmpl", regexp_replace(col("path"), "[0-9]+", "N"))
+    val perHost = f.groupBy("host").agg(
+      countDistinct(col("path")).as("n_urls"),
+      countDistinct(col("tmpl")).as("n_templates"))
+    perHost.select(col("host"), col("n_urls"), col("n_templates"),
+      expr(s"(n_urls * $PSCALE) div n_templates").as("ratio_fp"),
+      (expr(s"(n_urls * $PSCALE) div n_templates") > trapRatioFp).as("trap"))
+  }
+
+  /** Fetch-log synthesis for the trap detector, SEPARATE from
+    * [[frontier]] (whose per-doc-unique paths would flag every host):
+    * every 3rd host enumerates a calendar template (`/cal/page<doc>`,
+    * one fresh URL per fetch — the trap), the rest serve a 4-page
+    * static site. */
+  private def trapLog(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), hostOf(col("doc_id") % H).as("host"))
+      .withColumn("path",
+        when((col("doc_id") % H) % 3L === 0L,
+          concat(lit("/cal/page"), col("doc_id")))
+          .otherwise(element_at(
+            array(lit("/about"), lit("/contact"), lit("/index"), lit("/news")),
+            ((col("doc_id") % 4L) + 1L).cast("int"))))
+      .select("host", "path")
+
+  private val trapRatioFp = 3L * PSCALE / 2L // 1.5 urls per template
+
+  val crawlTrapDetectSql: String =
+    s"""WITH f AS (
+       |  SELECT host, path, regexp_replace(path, '[0-9]+', 'N', 'g') AS tmpl
+       |  FROM (
+       |    SELECT 'h' || (doc_id % 53) || '.example.org' AS host,
+       |      CASE WHEN (doc_id % 53) % 3 = 0 THEN '/cal/page' || doc_id
+       |        ELSE (['/about', '/contact', '/index', '/news'])[(doc_id % 4) + 1]
+       |      END AS path
+       |    FROM documents
+       |  )
+       |),
+       |p AS (
+       |  SELECT host, count(DISTINCT path) AS n_urls,
+       |    count(DISTINCT tmpl) AS n_templates
+       |  FROM f GROUP BY 1
+       |)
+       |SELECT host, n_urls, n_templates,
+       |  (n_urls * $PSCALE) // n_templates AS ratio_fp,
+       |  (n_urls * $PSCALE) // n_templates > $trapRatioFp AS trap
+       |FROM p""".stripMargin
+
+  /** Change-rate recrawl scheduling (the decision studied by Cho &
+    * Garcia-Molina, "Effective Page Refresh Policies", 2003 — here in
+    * the exact-integer inverse-frequency form): treat the events table
+    * as a fetch log (user_id = page, ts order = fetch order,
+    * floor(value/100) = the content-signature band each fetch
+    * observed), count a CHANGE whenever consecutive fetches of a page
+    * disagree, and schedule the next revisit at BASE * fetches /
+    * changes seconds, ceiling-clamped at 30 days. No floor clamp: a
+    * page changes at most once per fetch, so the raw interval is >
+    * BASE by algebra — only the stable-page ceiling is reachable
+    * (RecrawlClampSpec-style constructed log in CrawlSpec pins it; the
+    * fixture's churny pages exercise the open interval).
+    *
+    * Exactness: no logarithms (a float `ln` is not cross-engine stable
+    * at a fixed-point quantization boundary) — the signature band is
+    * one IEEE divide+floor on the same stored double in both engines,
+    * and everything after is integer. Scale shape: the change scan is
+    * one hash exchange on page feeding an in-partition window `lag`
+    * (the [[Graph.typeMarkovRank]] transition-extraction shape), then
+    * a map-combinable page agg; no joins. Output one row per page. */
+  def recrawlSchedule(spark: SparkSession, dir: String): DataFrame =
+    recrawlFrom(Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").as("page"),
+        floor(col("value") / lit(100.0)).cast("long").as("sig"),
+        col("ts_sec"), col("event_id")))
+
+  /** Core scoring over a (page, sig, ts_sec, event_id) fetch log —
+    * split out so specs can drive constructed logs through the clamp. */
+  private[graft] def recrawlFrom(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("page").orderBy(col("ts_sec"), col("event_id"))
+    log
+      .withColumn("prev", lag("sig", 1).over(w))
+      .groupBy("page").agg(
+        count(lit(1)).as("n_fetches"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("sig"), 1L)
+          .otherwise(0L)).as("n_changes"))
+      .select(col("page"), col("n_fetches"), col("n_changes"),
+        expr(s"(n_changes * $PSCALE) div n_fetches").as("change_rate_fp"),
+        least(expr(s"($recrawlBaseSec * n_fetches) div greatest(n_changes, 1L)"),
+          lit(2592000L)).as("interval_sec"))
+  }
+
+  private val recrawlBaseSec = 86400L
+
+  val recrawlScheduleSql: String =
+    s"""WITH f AS (
+       |  SELECT user_id AS page,
+       |    CAST(floor(value / 100.0) AS BIGINT) AS sig,
+       |    epoch_ns(ts) // 1000000000 AS ts_sec, event_id
+       |  FROM events WHERE user_id IS NOT NULL
+       |),
+       |c AS (
+       |  SELECT page, sig, lag(sig) OVER (
+       |    PARTITION BY page ORDER BY ts_sec, event_id) AS prev
+       |  FROM f
+       |),
+       |p AS (
+       |  SELECT page, count(*) AS n_fetches,
+       |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> sig
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT page, n_fetches, n_changes,
+       |  (n_changes * $PSCALE) // n_fetches AS change_rate_fp,
+       |  least(($recrawlBaseSec * n_fetches) // greatest(n_changes, 1),
+       |    2592000) AS interval_sec
+       |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "robots_filter" -> (robotsFilter _),
     "host_frontier_rank" -> (hostFrontierRank _),
     "anchor_topk" -> (anchorTopk _),
     "crawl_budget_alloc" -> (crawlBudgetAlloc _),
+    "crawl_trap_detect" -> (crawlTrapDetect _),
+    "recrawl_schedule" -> (recrawlSchedule _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,5 +477,7 @@ object Crawl {
     "host_frontier_rank" -> hostFrontierRankSql,
     "anchor_topk" -> anchorTopkSql,
     "crawl_budget_alloc" -> crawlBudgetAllocSql,
+    "crawl_trap_detect" -> crawlTrapDetectSql,
+    "recrawl_schedule" -> recrawlScheduleSql,
   )
 }

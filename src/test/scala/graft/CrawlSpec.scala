@@ -88,6 +88,55 @@ class CrawlSpec extends SparkSpec {
       s"largest-remainder leftover out of range: $leftover")
   }
 
+  test("crawl_trap_detect flags exactly the calendar-template hosts") {
+    val rows = Crawl.crawlTrapDetect(spark, dir)
+      .select("host", "n_urls", "n_templates", "ratio_fp", "trap")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 53)
+    rows.foreach { case (host, nUrls, nTmpl, ratioFp, trap) =>
+      val k = host.stripPrefix("h").takeWhile(_.isDigit).toLong
+      if (k % 3 == 0) {
+        // calendar host: every fetch a fresh URL over ONE template
+        assert(nTmpl == 1L && trap && ratioFp == nUrls * 1000000L, s"$host")
+      } else {
+        // 4-page static site: ratio exactly 1.0
+        assert(nUrls <= 4L && nUrls == nTmpl && ratioFp == 1000000L && !trap,
+          s"$host")
+      }
+    }
+  }
+
+  test("recrawl_schedule: integer intervals respect the ceiling and formula") {
+    val rows = Crawl.recrawlSchedule(spark, dir)
+      .select("page", "n_fetches", "n_changes", "interval_sec")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (page, n, x, iv) =>
+      assert(x >= 0 && x < n, s"page $page: changes $x of $n fetches")
+      val raw = 86400L * n / math.max(x, 1L)
+      assert(iv == math.min(raw, 2592000L), s"page $page")
+      assert(iv > 86400L || n == 1L, s"page $page: raw interval > BASE by algebra")
+    }
+    // the fixture's value column churns across the band edge, so the
+    // OPEN interval occurs; intervals differentiate across pages
+    assert(rows.exists(_._4 < 2592000L))
+    assert(rows.map(_._4).distinct.length > 5)
+  }
+
+  test("recrawl ceiling: a never-changing page parks at 30 days") {
+    // constructed fetch log: page 1 stable for 40 fetches (raw interval
+    // 86400*40 > 30 d -> ceiling); page 2 alternates every fetch (raw
+    // 86400*40/39 ~ 1.026 d, open)
+    val log = (0 until 40).flatMap { i =>
+      Seq((1L, 7L, i.toLong, i.toLong), (2L, (i % 2).toLong, i.toLong, 100L + i))
+    }.toDF("page", "sig", "ts_sec", "event_id")
+    val got = Crawl.recrawlFrom(log)
+      .select("page", "n_changes", "interval_sec")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0L, 2592000L)))
+    assert(got(1) == ((2L, 39L, 86400L * 40L / 39L)))
+  }
+
   test("anchor_topk equals the window-plan rows, at most k per host") {
     val native = Crawl.anchorTopk(spark, dir)
     val counts = native.groupBy("host").count()
