@@ -414,11 +414,15 @@ object Crawl {
     * (the [[Graph.typeMarkovRank]] transition-extraction shape), then
     * a map-combinable page agg; no joins. Output one row per page. */
   def recrawlSchedule(spark: SparkSession, dir: String): DataFrame =
-    recrawlFrom(Tables.events(spark, dir)
+    recrawlFrom(fetchLog(spark, dir))
+
+  /** The events table read as a fetch log: (page, sig, ts_sec, event_id). */
+  private def fetchLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("user_id").as("page"),
         floor(col("value") / lit(100.0)).cast("long").as("sig"),
-        col("ts_sec"), col("event_id")))
+        col("ts_sec"), col("event_id"))
 
   /** Core scoring over a (page, sig, ts_sec, event_id) fetch log —
     * split out so specs can drive constructed logs through the clamp. */
@@ -438,6 +442,64 @@ object Crawl {
   }
 
   private val recrawlBaseSec = 86400L
+
+  /** Incremental recrawl-state merge — the daily form: the first 80%
+    * of the fetch timeline is the PERSISTED per-page state (fetch
+    * count, change count, last signature), the last 20% is today's
+    * batch; merging adds the batch's internal changes plus ONE
+    * boundary comparison (state's last signature vs the batch's first)
+    * per page both sides touch. The oracle is the FULL recompute
+    * ([[recrawlScheduleSql]]) — the merge must be hash-exact against
+    * it, the same merge==recompute theorem every other incremental
+    * family pins. The 80/20 cutoff is exact integer arithmetic on the
+    * ts range, identical in both engines.
+    *
+    * Scale shape: base-state extraction and batch scoring are each the
+    * same page-keyed window shape as [[recrawlFrom]]; the merge is one
+    * page-keyed full outer join — in production against a persisted
+    * state table 1/corpus-th the fetch log's size, and the batch side
+    * is a day's crawl, typically broadcastable per shard. */
+  def recrawlIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val log = fetchLog(spark, dir)
+    val cut = log.agg(
+      expr("min(ts_sec) + (4 * (max(ts_sec) - min(ts_sec))) div 5").as("cut"))
+    val tagged = log.crossJoin(broadcast(cut))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("page").orderBy(col("ts_sec"), col("event_id"))
+    def state(side: DataFrame, lastNotFirst: Boolean): DataFrame = {
+      val edgeRn = row_number().over(
+        if (lastNotFirst)
+          org.apache.spark.sql.expressions.Window.partitionBy("page")
+            .orderBy(col("ts_sec").desc, col("event_id").desc)
+        else
+          org.apache.spark.sql.expressions.Window.partitionBy("page")
+            .orderBy(col("ts_sec").asc, col("event_id").asc))
+      side
+        .withColumn("prev", lag("sig", 1).over(w))
+        .withColumn("edge_rn", edgeRn)
+        .groupBy("page").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("prev").isNotNull && col("prev") =!= col("sig"), 1L)
+            .otherwise(0L)).as("x"),
+          max(when(col("edge_rn") === 1, col("sig"))).as("edge_sig"))
+    }
+    val base = state(tagged.filter(col("ts_sec") <= col("cut")), lastNotFirst = true)
+      .withColumnRenamed("n", "bn").withColumnRenamed("x", "bx")
+      .withColumnRenamed("edge_sig", "last_sig")
+    val batch = state(tagged.filter(col("ts_sec") > col("cut")), lastNotFirst = false)
+      .withColumnRenamed("n", "nn").withColumnRenamed("x", "nx")
+      .withColumnRenamed("edge_sig", "first_sig")
+    base.join(batch, Seq("page"), "full_outer")
+      .select(col("page"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("nn"), lit(0L))).as("n_fetches"),
+        (coalesce(col("bx"), lit(0L)) + coalesce(col("nx"), lit(0L)) +
+          when(col("last_sig").isNotNull && col("first_sig").isNotNull &&
+            col("last_sig") =!= col("first_sig"), 1L).otherwise(0L)).as("n_changes"))
+      .select(col("page"), col("n_fetches"), col("n_changes"),
+        expr(s"(n_changes * $PSCALE) div n_fetches").as("change_rate_fp"),
+        least(expr(s"($recrawlBaseSec * n_fetches) div greatest(n_changes, 1L)"),
+          lit(2592000L)).as("interval_sec"))
+  }
 
   val recrawlScheduleSql: String =
     s"""WITH f AS (
@@ -470,6 +532,7 @@ object Crawl {
     "crawl_budget_alloc" -> (crawlBudgetAlloc _),
     "crawl_trap_detect" -> (crawlTrapDetect _),
     "recrawl_schedule" -> (recrawlSchedule _),
+    "recrawl_incremental" -> (recrawlIncremental _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -479,5 +542,7 @@ object Crawl {
     "crawl_budget_alloc" -> crawlBudgetAllocSql,
     "crawl_trap_detect" -> crawlTrapDetectSql,
     "recrawl_schedule" -> recrawlScheduleSql,
+    // the incremental merge must be hash-exact against the FULL recompute
+    "recrawl_incremental" -> recrawlScheduleSql,
   )
 }

@@ -137,6 +137,15 @@ class CrawlSpec extends SparkSpec {
     assert(got(1) == ((2L, 39L, 86400L * 40L / 39L)))
   }
 
+  test("recrawl_incremental merge == full recompute (boundary flip exact)") {
+    val full = Crawl.recrawlSchedule(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val merged = Crawl.recrawlIncremental(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(merged == full)
+    assert(merged.nonEmpty)
+  }
+
   test("anchor_topk equals the window-plan rows, at most k per host") {
     val native = Crawl.anchorTopk(spark, dir)
     val counts = native.groupBy("host").count()
