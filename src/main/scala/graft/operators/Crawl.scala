@@ -417,7 +417,7 @@ object Crawl {
     recrawlFrom(fetchLog(spark, dir))
 
   /** The events table read as a fetch log: (page, sig, ts_sec, event_id). */
-  private def fetchLog(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def fetchLog(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("user_id").as("page"),
@@ -426,20 +426,41 @@ object Crawl {
 
   /** Core scoring over a (page, sig, ts_sec, event_id) fetch log —
     * split out so specs can drive constructed logs through the clamp. */
-  private[graft] def recrawlFrom(log: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+  private[graft] def recrawlFrom(log: DataFrame): DataFrame =
+    scheduleFrom(pageState(log)
+      .select(col("page"), col("n").as("n_fetches"), col("x").as("n_changes")))
+
+  /** Per-page reduction of one fetch-log SLICE: fetch count `n`,
+    * internal consecutive-change count `x`, both edge signatures (for
+    * boundary merges across slices), and the slice's last-fetch order
+    * key — the partial state every recrawl form (batch, incremental,
+    * streaming) reduces through. One page-keyed exchange; both edge
+    * row_numbers share the window sort. */
+  private[graft] def pageState(log: DataFrame): DataFrame = {
+    val wa = org.apache.spark.sql.expressions.Window
       .partitionBy("page").orderBy(col("ts_sec"), col("event_id"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("page").orderBy(col("ts_sec").desc, col("event_id").desc)
     log
-      .withColumn("prev", lag("sig", 1).over(w))
+      .withColumn("prev", lag("sig", 1).over(wa))
+      .withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
       .groupBy("page").agg(
-        count(lit(1)).as("n_fetches"),
+        count(lit(1)).as("n"),
         sum(when(col("prev").isNotNull && col("prev") =!= col("sig"), 1L)
-          .otherwise(0L)).as("n_changes"))
-      .select(col("page"), col("n_fetches"), col("n_changes"),
-        expr(s"(n_changes * $PSCALE) div n_fetches").as("change_rate_fp"),
-        least(expr(s"($recrawlBaseSec * n_fetches) div greatest(n_changes, 1L)"),
-          lit(2592000L)).as("interval_sec"))
+          .otherwise(0L)).as("x"),
+        max(when(col("rn_a") === 1, col("sig"))).as("first_sig"),
+        max(when(col("rn_d") === 1, col("sig"))).as("last_sig"),
+        max(when(col("rn_d") === 1, col("ts_sec"))).as("last_ts"),
+        max(when(col("rn_d") === 1, col("event_id"))).as("last_eid"))
   }
+
+  /** The shared schedule projection over (page, n_fetches, n_changes). */
+  private[graft] def scheduleFrom(counts: DataFrame): DataFrame =
+    counts.select(col("page"), col("n_fetches"), col("n_changes"),
+      expr(s"(n_changes * $PSCALE) div n_fetches").as("change_rate_fp"),
+      least(expr(s"($recrawlBaseSec * n_fetches) div greatest(n_changes, 1L)"),
+        lit(2592000L)).as("interval_sec"))
 
   private val recrawlBaseSec = 86400L
 
@@ -464,41 +485,16 @@ object Crawl {
     val cut = log.agg(
       expr("min(ts_sec) + (4 * (max(ts_sec) - min(ts_sec))) div 5").as("cut"))
     val tagged = log.crossJoin(broadcast(cut))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("page").orderBy(col("ts_sec"), col("event_id"))
-    def state(side: DataFrame, lastNotFirst: Boolean): DataFrame = {
-      val edgeRn = row_number().over(
-        if (lastNotFirst)
-          org.apache.spark.sql.expressions.Window.partitionBy("page")
-            .orderBy(col("ts_sec").desc, col("event_id").desc)
-        else
-          org.apache.spark.sql.expressions.Window.partitionBy("page")
-            .orderBy(col("ts_sec").asc, col("event_id").asc))
-      side
-        .withColumn("prev", lag("sig", 1).over(w))
-        .withColumn("edge_rn", edgeRn)
-        .groupBy("page").agg(
-          count(lit(1)).as("n"),
-          sum(when(col("prev").isNotNull && col("prev") =!= col("sig"), 1L)
-            .otherwise(0L)).as("x"),
-          max(when(col("edge_rn") === 1, col("sig"))).as("edge_sig"))
-    }
-    val base = state(tagged.filter(col("ts_sec") <= col("cut")), lastNotFirst = true)
-      .withColumnRenamed("n", "bn").withColumnRenamed("x", "bx")
-      .withColumnRenamed("edge_sig", "last_sig")
-    val batch = state(tagged.filter(col("ts_sec") > col("cut")), lastNotFirst = false)
-      .withColumnRenamed("n", "nn").withColumnRenamed("x", "nx")
-      .withColumnRenamed("edge_sig", "first_sig")
-    base.join(batch, Seq("page"), "full_outer")
+    val base = pageState(tagged.filter(col("ts_sec") <= col("cut")))
+      .select(col("page"), col("n").as("bn"), col("x").as("bx"), col("last_sig"))
+    val batch = pageState(tagged.filter(col("ts_sec") > col("cut")))
+      .select(col("page"), col("n").as("nn"), col("x").as("nx"), col("first_sig"))
+    scheduleFrom(base.join(batch, Seq("page"), "full_outer")
       .select(col("page"),
         (coalesce(col("bn"), lit(0L)) + coalesce(col("nn"), lit(0L))).as("n_fetches"),
         (coalesce(col("bx"), lit(0L)) + coalesce(col("nx"), lit(0L)) +
           when(col("last_sig").isNotNull && col("first_sig").isNotNull &&
-            col("last_sig") =!= col("first_sig"), 1L).otherwise(0L)).as("n_changes"))
-      .select(col("page"), col("n_fetches"), col("n_changes"),
-        expr(s"(n_changes * $PSCALE) div n_fetches").as("change_rate_fp"),
-        least(expr(s"($recrawlBaseSec * n_fetches) div greatest(n_changes, 1L)"),
-          lit(2592000L)).as("interval_sec"))
+            col("last_sig") =!= col("first_sig"), 1L).otherwise(0L)).as("n_changes")))
   }
 
   val recrawlScheduleSql: String =

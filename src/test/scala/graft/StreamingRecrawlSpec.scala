@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Crawl
+import graft.streaming.StreamingRecrawl
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Parity + idempotency theorems for the streaming recrawl state table:
+  *  - any in-order micro-batch split of the fetch log yields the batch
+  *    operator's schedule byte-for-byte;
+  *  - a crash-and-replay of a batch (ledger marker removed, partial
+  *    state re-written) changes NOTHING — the per-batchId overwrite
+  *    makes growth idempotent, not merely at-least-once. */
+class StreamingRecrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("3-batch replay == batch recrawl_schedule; replay is idempotent") {
+    val base = Files.createTempDirectory("recrawl_state").toString
+    val log = Crawl.fetchLog(spark, dir).cache()
+    try {
+      val Seq(t40, t80) = log.stat
+        .approxQuantile("ts_sec", Array(0.4, 0.8), 0.0).toSeq.map(_.toLong)
+      val chunk0 = log.filter(col("ts_sec") <= t40)
+      val chunk1 = log.filter(col("ts_sec") > t40 && col("ts_sec") <= t80)
+      val chunk2 = log.filter(col("ts_sec") > t80)
+      assert(chunk0.count() > 0 && chunk1.count() > 0 && chunk2.count() > 0)
+
+      StreamingRecrawl.initBase(chunk0, base)
+      var delivered = 0
+      val body = StreamingRecrawl.onBatch(base, (_, _) => delivered += 1)
+      body(chunk1, 0L)
+      body(chunk2, 1L)
+      assert(delivered == 2)
+
+      val want = Crawl.recrawlSchedule(spark, dir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val got = StreamingRecrawl.schedule(spark, base)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want)
+
+      // crash-and-replay batch 1: remove the ledger marker, run again —
+      // the batch=1 partition is overwritten in place, counts unchanged
+      val marker = new java.io.File(s"$base/_graft_recrawl_ledger/1")
+      assert(marker.exists())
+      assert(marker.delete())
+      body(chunk2, 1L)
+      val replayed = StreamingRecrawl.schedule(spark, base)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(replayed == want)
+
+      // ledger short-circuit: with the marker present the body is a no-op
+      body(chunk2, 1L)
+      assert(delivered == 3) // replay delivered once more; no-op did not
+    } finally {
+      log.unpersist(blocking = false)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+}
