@@ -111,4 +111,51 @@ object StreamingRecrawl {
         .groupBy("page").agg(
           sum("n").as("n_fetches"),
           sum("x_total").as("n_changes")))
+
+  /** OFFLINE state compaction: roll every `batch <= uptoBatch` partition
+    * into ONE partial row per page stored under `batch=<uptoBatch>`,
+    * pass later partitions through unchanged, and atomically swap the
+    * new layout in. Bounds the schedule read at O(pages + pages x
+    * batches-since-compaction) instead of O(pages x all batches).
+    *
+    * Correctness: n and x_total are additive across a page's partials
+    * (each batch's boundary flip is already inside ITS x_total), and
+    * the rolled last_sig/last_ts/last_eid are the argmax row's — so
+    * onBatch boundary checks and schedule() see identical state before
+    * and after (CompactionSpec case in StreamingRecrawlSpec).
+    *
+    * Crash contract: must not run concurrently with [[onBatch]] /
+    * [[schedule]] (it rewrites the directory they read). The swap is
+    * two renames; a crash between them leaves no `state` dir — loud,
+    * and recoverable by renaming `state_old` back. A crash while
+    * writing `state_tmp` changes nothing visible. */
+  def compact(spark: SparkSession, baseDir: String, uptoBatch: Long): Unit = {
+    val sd = stateDir(baseDir)
+    val all = spark.read.parquet(sd)
+    val w = Window.partitionBy("page")
+      .orderBy(col("last_ts").desc, col("last_eid").desc)
+    val rolled = all.filter(col("batch") <= uptoBatch)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("page").agg(
+        sum("n").as("n"),
+        sum("x_total").as("x_total"),
+        max(when(col("rn") === 1, col("last_sig"))).as("last_sig"),
+        max(when(col("rn") === 1, col("last_ts"))).as("last_ts"),
+        max(when(col("rn") === 1, col("last_eid"))).as("last_eid"))
+      .withColumn("batch", lit(uptoBatch))
+    val keep = all.filter(col("batch") > uptoBatch)
+      .select("page", "n", "x_total", "last_sig", "last_ts", "last_eid", "batch")
+    rolled.select("page", "n", "x_total", "last_sig", "last_ts", "last_eid", "batch")
+      .unionByName(keep)
+      .write.partitionBy("batch").mode("overwrite").parquet(s"$baseDir/state_tmp")
+    val fs = new org.apache.hadoop.fs.Path(sd).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val state = new org.apache.hadoop.fs.Path(sd)
+    val tmp = new org.apache.hadoop.fs.Path(s"$baseDir/state_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$baseDir/state_old")
+    fs.delete(old, true)
+    require(fs.rename(state, old), s"compact: could not retire $state")
+    require(fs.rename(tmp, state), s"compact: could not install $tmp")
+    fs.delete(old, true)
+  }
 }

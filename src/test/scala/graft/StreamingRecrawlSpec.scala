@@ -53,6 +53,31 @@ class StreamingRecrawlSpec extends SparkSpec {
       // ledger short-circuit: with the marker present the body is a no-op
       body(chunk2, 1L)
       assert(delivered == 3) // replay delivered once more; no-op did not
+
+      // offline compaction: roll batch <= 0 into one partition; the
+      // schedule and the partition layout both come out right
+      StreamingRecrawl.compact(spark, base, 0L)
+      val partitions = new java.io.File(s"$base/state").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(partitions.toSeq == Seq("batch=0", "batch=1"), partitions.toSeq)
+      val compacted = StreamingRecrawl.schedule(spark, base)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(compacted == want)
+
+      // and a batch fed AFTER compaction still merges correctly: rebuild
+      // from scratch with compaction between batches
+      val base2 = Files.createTempDirectory("recrawl_state2").toString
+      try {
+        StreamingRecrawl.initBase(chunk0, base2)
+        val body2 = StreamingRecrawl.onBatch(base2, (_, _) => ())
+        body2(chunk1, 0L)
+        StreamingRecrawl.compact(spark, base2, 0L)
+        body2(chunk2, 1L)
+        val got2 = StreamingRecrawl.schedule(spark, base2)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(got2 == want)
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base2))
     } finally {
       log.unpersist(blocking = false)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
