@@ -124,9 +124,14 @@ object Crawl {
     * an integer that encodes exactly the RFC's (length, allow) order;
     * rule paths are unique per host so the key is collision-free among
     * a URL's matches. */
-  def robotsFilter(spark: SparkSession, dir: String): DataFrame = {
-    val f = frontier(Tables.documents(spark, dir))
-    val rules = robotsRules(spark)
+  def robotsFilter(spark: SparkSession, dir: String): DataFrame =
+    robotsVerdict(frontier(Tables.documents(spark, dir)), robotsRules(spark))
+
+  /** The verdict core over ANY (doc_id, host, path) frontier and
+    * (host, rule_path, is_allow) rule table — split out so the
+    * ScalaCheck property can drive random rule sets through the same
+    * plan the fixture query runs (RobotsPropertySpec). */
+  private[graft] def robotsVerdict(f: DataFrame, rules: DataFrame): DataFrame = {
     val rank = (length(col("rule_path")).cast("long") * 2L + col("is_allow")).as("rank")
     val j = f.join(broadcast(rules),
       f("host") === rules("host") && f("path").startsWith(rules("rule_path")),
