@@ -1553,8 +1553,12 @@ object Corpus {
     * as [[qualityBudgetSelect]]; the overlap is one doc-keyed
     * full-outer join collapsed map-side to a single row. */
   def budgetSelectLearned(spark: SparkSession, dir: String): DataFrame = {
-    val stats = TextAnalysis.textStatsOf(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    // pinned like the learned frame below: budgetPrefix's two jobs plus
+    // the overlap agg would otherwise re-run the corpus-scale
+    // tokenization scan three times (r14 review, second pass)
+    val stats = Dedup.eager(
+      TextAnalysis.textStatsOf(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("quality_score"), col("n_tokens")))
     val odds = TextAnalysis.nbQualityLogOdds(spark, dir)
     val h = budgetPrefix(
       stats.select(col("doc_id"), col("quality_score").as("score"),

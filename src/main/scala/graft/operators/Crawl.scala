@@ -253,7 +253,12 @@ object Crawl {
     val docs = Tables.documents(spark, dir)
     val anchors = docs.select(
         hostOf((col("doc_id") * 7L + 11L) % H).as("host"),
-        element_at(Dedup.tokens(col("text")), 1).as("anchor"))
+        // try_element_at, NOT element_at: under the session default
+        // ANSI mode an empty token array (punctuation-only / non-latin
+        // text — real in any crawl corpus) would ABORT the job where
+        // the oracle's (list)[1] returns NULL; try_ restores the
+        // null-then-filter semantics both engines share (r14 review)
+        try_element_at(Dedup.tokens(col("text")), lit(1)).as("anchor"))
       .filter(col("anchor").isNotNull)
     val counts = anchors.groupBy("host", "anchor").agg(count(lit(1)).as("cnt"))
     TopKPerKey.topK(counts, Seq(col("host")),

@@ -137,6 +137,25 @@ class CrawlSpec extends SparkSpec {
     assert(got(1) == ((2L, 39L, 86400L * 40L / 39L)))
   }
 
+  test("anchor_topk survives token-empty documents (ANSI element_at trap)") {
+    // a punctuation-only / non-latin doc tokenizes to an empty array;
+    // under the session default ANSI mode a bare element_at would abort
+    // the job — the operator must null-and-drop it like the oracle does
+    val tmp = java.nio.file.Files.createTempDirectory("crawl_empty").toString
+    try {
+      Seq(
+        (0L, "real words here", "en", "web", 15L),
+        (1L, "!!! ... ???", "en", "web", 11L),
+        (2L, "", "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val rows = Crawl.anchorTopk(spark, tmp)
+        .as[(String, String, Long)].collect()
+      assert(rows.length == 1 && rows.head._2 == "real")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("recrawl_incremental merge == full recompute (boundary flip exact)") {
     val full = Crawl.recrawlSchedule(spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
@@ -154,7 +173,7 @@ class CrawlSpec extends SparkSpec {
     // reference plan: full window sort + row_number filter
     val base = graft.sources.Tables.documents(spark, dir).select(
         concat(lit("h"), (col("doc_id") * 7L + 11L) % 53L, lit(".example.org")).as("host"),
-        element_at(graft.operators.Dedup.tokens(col("text")), 1).as("anchor"))
+        try_element_at(graft.operators.Dedup.tokens(col("text")), lit(1)).as("anchor"))
       .filter(col("anchor").isNotNull)
       .groupBy("host", "anchor").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("host").orderBy(col("cnt").desc, col("anchor").asc)
