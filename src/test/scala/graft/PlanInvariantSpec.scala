@@ -228,6 +228,35 @@ class PlanInvariantSpec extends SparkSpec {
     assert(nodes(inc, "SortMergeJoin") == 0, inc)
   }
 
+  test("crawl family: broadcast rules, bounded-heap top-k, doc_id-only scans") {
+    def nodes(p: String, op: String): Int =
+      s"""\\(\\d+\\) $op\n""".r.findAllIn(p).length
+    // robots_filter: frontier synthesizes from a doc_id-only scan, the
+    // rule table BROADCASTS (never a shuffle join against the frontier),
+    // and the only exchange is the per-URL verdict agg
+    val rf = formatted("robots_filter")
+    val rfRead = rf.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rfRead.contains("doc_id") && !rfRead.contains("text"), rfRead)
+    assert(nodes(rf, "BroadcastHashJoin") >= 1, rf)
+    assert(nodes(rf, "SortMergeJoin") == 0 && nodes(rf, "ShuffledHashJoin") == 0, rf)
+    assert(nodes(rf, "Exchange") <= 1, rf)
+    // anchor_topk: the bounded-heap operator plans as partial+final pair
+    // around ONE exchange; scan reads only (doc_id, text)
+    val at = formatted("anchor_topk")
+    assert(nodes(at, "TopKPerKey") == 2, at)
+    val atRead = at.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(atRead.contains("doc_id") && atRead.contains("text") &&
+      !atRead.contains("lang"), atRead)
+    // trap detect: no joins at all — scan-side template + two-level agg
+    val td = formatted("crawl_trap_detect")
+    assert(nodes(td, "BroadcastHashJoin") + nodes(td, "SortMergeJoin") +
+      nodes(td, "ShuffledHashJoin") == 0, td)
+    // recrawl_schedule: the one data-scale shape is the page window —
+    // a hash exchange, never a global sort
+    val rs = formatted("recrawl_schedule")
+    assert(nodes(rs, "Window") >= 1 && !rs.contains("rangepartitioning"), rs)
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
