@@ -787,7 +787,7 @@ object Corpus {
     * document with its fused cluster and the cluster size. */
   /** The three channels' candidate edges, unioned — the edge set both
     * the full closure and the incremental merge consume. */
-  private def crossmodalEdges(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def crossmodalEdges(spark: SparkSession, dir: String): DataFrame =
     dupEdges(spark, dir).select("d1", "d2")
       .union(Multimodal.phashDedup(spark, dir).select("d1", "d2"))
       .union(urlEdges(spark, dir))

@@ -292,10 +292,17 @@ object Crawl {
     * point, and one pass keeps the oracle a single window.
     *
     * Scale shape: everything after the two substrate aggs is
-    * HOST-domain sized — the remainder ranking is a window over the
-    * aggregated host table (53 rows here; bounded by the host domain,
-    * never the corpus), and the totals legs are 1-row broadcasts.
-    * Output: (host, allowed_n, rank_fp, quota). */
+    * HOST-domain sized, and the one global ordering Hamilton needs — the
+    * largest-remainder selection — is BUDGET-bounded, not host-bounded:
+    * the leftover R = B - Σ floor(share) is < B by construction, so the
+    * top-B remainders (TakeOrdered: per-partition bounded heaps merged
+    * on the driver, `orderBy.limit` — no single-task global sort, no
+    * full-domain shuffle) already contain every bonus recipient. The
+    * row_number that turns them into ranks runs over ≤ B rows (a
+    * CONSTANT), and the bonus set broadcast-joins back to the host
+    * table. An open 10^8-host web domain therefore never serializes
+    * through one window task (the r14 watch item); the totals legs are
+    * 1-row broadcasts. Output: (host, allowed_n, rank_fp, quota). */
   def crawlBudgetAlloc(spark: SparkSession, dir: String): DataFrame = {
     val allowed = robotsFilter(spark, dir)
       .groupBy("host")
@@ -307,13 +314,21 @@ object Crawl {
       .withColumn("base", expr(s"($budgetB * rank_fp) div r_total"))
       .withColumn("rem", expr(s"($budgetB * rank_fp) % r_total"))
     val spent = based.agg(sum("base").as("b_spent"))
+    // top-B remainders via TakeOrdered (bounded heaps), ranked over the
+    // resulting <= B rows; rank > leftover (or absent) earns no bonus —
+    // identical to ranking ALL hosts, since leftover < B
+    val topRem = based.select("host", "rem")
+      .orderBy(col("rem").desc, col("host").asc).limit(budgetB.toInt)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("host").asc)
+    val ranked = topRem.withColumn("rn", row_number().over(w))
+      .select("host", "rn")
     based.crossJoin(broadcast(spent))
-      .withColumn("rn", row_number().over(w))
+      .join(broadcast(ranked), Seq("host"), "left")
       .select(col("host"), col("allowed_n"), col("rank_fp"),
         least(col("base") +
-            when(col("rn") <= lit(budgetB) - col("b_spent"), 1L).otherwise(0L),
+            when(col("rn").isNotNull &&
+              col("rn") <= lit(budgetB) - col("b_spent"), 1L).otherwise(0L),
           col("allowed_n")).as("quota"))
   }
 
@@ -375,7 +390,12 @@ object Crawl {
       .withColumn("path",
         when((col("doc_id") % H) % 3L === 0L,
           concat(lit("/cal/page"), col("doc_id")))
-          .otherwise(element_at(
+          // try_element_at, for symmetry with anchorTopk: a negative
+          // doc_id makes the index <= 0 (Spark % keeps the dividend's
+          // sign), which plain element_at ABORTS on under ANSI mode;
+          // try_ yields null/from-end — the same thing DuckDB's list
+          // index does (r14 review)
+          .otherwise(try_element_at(
             array(lit("/about"), lit("/contact"), lit("/index"), lit("/news")),
             ((col("doc_id") % 4L) + 1L).cast("int"))))
       .select("host", "path")
@@ -435,10 +455,22 @@ object Crawl {
         col("ts_sec"), col("event_id"))
 
   /** Core scoring over a (page, sig, ts_sec, event_id) fetch log —
-    * split out so specs can drive constructed logs through the clamp. */
-  private[graft] def recrawlFrom(log: DataFrame): DataFrame =
-    scheduleFrom(pageState(log)
-      .select(col("page"), col("n").as("n_fetches"), col("x").as("n_changes")))
+    * split out so specs can drive constructed logs through the clamp.
+    * Lean path (r15, closing the r14 ADVICE note): the batch schedule
+    * needs only (n, x), so it skips [[pageState]]'s second (descending)
+    * window sort and the edge-signature columns — those exist for the
+    * boundary merges of the incremental/streaming forms, which keep the
+    * full partial state. */
+  private[graft] def recrawlFrom(log: DataFrame): DataFrame = {
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("page").orderBy(col("ts_sec"), col("event_id"))
+    scheduleFrom(log
+      .withColumn("prev", lag("sig", 1).over(wa))
+      .groupBy("page").agg(
+        count(lit(1)).as("n_fetches"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("sig"), 1L)
+          .otherwise(0L)).as("n_changes")))
+  }
 
   /** Per-page reduction of one fetch-log SLICE: fetch count `n`,
     * internal consecutive-change count `x`, both edge signatures (for

@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   *    ([[graft.streaming.StreamingIncrementalDedup]] `digests/` +
   *    `shingles/`, [[graft.streaming.StreamingSpanDedup]] `spans/`,
   *    [[graft.streaming.StreamingEmbeddingDedup]] `cells/`,
-  *    [[graft.streaming.StreamingUrlDedup]] `canon/`), each
-  *    materializing the surviving rows BEFORE overwriting (the plan reads
-  *    the same path it rewrites).
+  *    [[graft.streaming.StreamingUrlDedup]] `canon/` — all under the
+  *    [[graft.streaming.PartitionedBase]] per-batchId layout since r15),
+  *    each materializing the surviving rows BEFORE the layout-preserving
+  *    swap (the plan reads the same path it rewrites). A forget compacts
+  *    the base into one `batch=-1` partition as a side effect; like the
+  *    recrawl compactor, it must not run concurrently with the stream.
   *
   * 100 TB shape: every leg is a keyed anti-join against the (small,
   * broadcastable) kill list — O(artifact) scan, no self-join, no driver
@@ -58,12 +61,15 @@ object Forget {
 
   // ---- artifact-level rewriters (streaming base layouts) -----------------
 
-  /** Overwrite a base parquet dir with `rows`, materializing first: the
-    * plan reads the very path it replaces, and a lazy overwrite would
-    * delete its own input mid-scan. */
-  private def rewrite(rows: DataFrame, path: String): Unit = {
+  /** Replace a [[graft.streaming.PartitionedBase]]-layout base dir with
+    * `rows` (rolled into one `batch=-1` partition), materializing first:
+    * the plan reads the very path it replaces, and a lazy overwrite would
+    * delete its own input mid-scan. Layout-preserving — the streaming
+    * twins' `batch < batchId` reads keep working after a forget. */
+  private def rewrite(spark: SparkSession, rows: DataFrame,
+      path: String): Unit = {
     val (mat, rdd) = graft.util.Ckpt.materialize(rows)
-    try mat.write.mode("overwrite").parquet(path)
+    try graft.streaming.PartitionedBase.replace(spark, path, mat)
     finally rdd.unpersist(blocking = false)
   }
 
@@ -79,8 +85,8 @@ object Forget {
   def forgetIncrementalBase(spark: SparkSession, baseDir: String,
       killIds: DataFrame, rekeyFrom: Option[DataFrame] = None): Unit = {
     val kill = broadcast(killIds.select(col("doc_id")).distinct())
-    val dig = spark.read.parquet(s"$baseDir/digests")
-    val sh = spark.read.parquet(s"$baseDir/shingles")
+    val dig = graft.streaming.PartitionedBase.all(spark, s"$baseDir/digests")
+    val sh = graft.streaming.PartitionedBase.all(spark, s"$baseDir/shingles")
     val keptDig = dig.join(kill,
       dig("base_doc_id") === kill("doc_id"), "left_anti")
     val keptSh = sh.join(kill, Seq("doc_id"), "left_anti")
@@ -97,13 +103,15 @@ object Forget {
             rekeyDocs.select(col("fp"), col("doc_id").as("base_doc_id"))),
           keptSh.unionByName(Dedup.shingleRows(rekeyDocs)))
     }
-    // materialize BOTH before the first overwrite: newSh's plan reads
+    // materialize BOTH before the first swap: newSh's plan reads
     // `digests/` (through orphanFp), which the first rewrite replaces
     val (digMat, digRdd) = graft.util.Ckpt.materialize(newDig)
     val (shMat, shRdd) = graft.util.Ckpt.materialize(newSh)
     try {
-      digMat.write.mode("overwrite").parquet(s"$baseDir/digests")
-      shMat.write.mode("overwrite").parquet(s"$baseDir/shingles")
+      graft.streaming.PartitionedBase.replace(spark,
+        s"$baseDir/digests", digMat)
+      graft.streaming.PartitionedBase.replace(spark,
+        s"$baseDir/shingles", shMat)
     } finally {
       digRdd.unpersist(blocking = false)
       shRdd.unpersist(blocking = false)
@@ -121,8 +129,8 @@ object Forget {
     val stillAttested = Dedup.spanRows(survivors).select("h")
       .join(broadcast(killedH), Seq("h"), "left_semi").distinct()
     val drop = killedH.join(stillAttested, Seq("h"), "left_anti")
-    val spans = spark.read.parquet(s"$baseDir/spans")
-    rewrite(spans.join(broadcast(drop), Seq("h"), "left_anti"),
+    val spans = graft.streaming.PartitionedBase.all(spark, s"$baseDir/spans")
+    rewrite(spark, spans.join(broadcast(drop), Seq("h"), "left_anti"),
       s"$baseDir/spans")
   }
 
@@ -133,8 +141,9 @@ object Forget {
   def forgetEmbeddingBase(spark: SparkSession, baseDir: String,
       killIds: DataFrame): Unit = {
     val kill = broadcast(killIds.select(col("vec_id")).distinct())
-    val cells = spark.read.parquet(s"$baseDir/cells")
-    rewrite(cells.join(kill, Seq("vec_id"), "left_anti"), s"$baseDir/cells")
+    val cells = graft.streaming.PartitionedBase.all(spark, s"$baseDir/cells")
+    rewrite(spark, cells.join(kill, Seq("vec_id"), "left_anti"),
+      s"$baseDir/cells")
   }
 
   /** Delete `killIds` (one `doc_id` column) from a canonical-URL keeper
@@ -149,7 +158,7 @@ object Forget {
   def forgetUrlBase(spark: SparkSession, baseDir: String,
       killIds: DataFrame, rekeyFrom: Option[DataFrame] = None): Unit = {
     val kill = broadcast(killIds.select(col("doc_id")).distinct())
-    val canon = spark.read.parquet(s"$baseDir/canon")
+    val canon = graft.streaming.PartitionedBase.all(spark, s"$baseDir/canon")
     val kept = canon.join(kill,
       canon("base_doc_id") === kill("doc_id"), "left_anti")
     val out = rekeyFrom match {
@@ -161,7 +170,7 @@ object Forget {
         kept.unionByName(Corpus.urlBaseCanon(surv)
           .join(broadcast(orphan), Seq("canon_url"), "left_semi"))
     }
-    rewrite(out, s"$baseDir/canon")
+    rewrite(spark, out, s"$baseDir/canon")
   }
 
   // ---- the oracle-gated accounting query ---------------------------------

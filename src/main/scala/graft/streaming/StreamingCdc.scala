@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming twin of [[graft.operators.TextAnalysis.cdcIncremental]] —
@@ -19,33 +18,33 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * window — still lands on the base's chunk digests after the first
   * post-edit boundary.
   *
-  * Base layout under `baseDir`:
-  *  - `chunks/` parquet (chunk_md5, base_doc, n_toks): one row per
-  *    distinct chunk digest seen so far, keeper = smallest doc_id —
-  *    exactly [[TextAnalysis.cdcBaseDigestsOf]] of the corpus so far.
+  * Base layout under `baseDir` ([[PartitionedBase]] — per-batchId
+  * overwrite partitions):
+  *  - `chunks/batch=<id>/` parquet (chunk_md5, base_doc, n_toks): one row
+  *    per distinct chunk digest FIRST seen in that batch, keeper =
+  *    smallest doc_id; bootstrap = `batch=-1`. The union over partitions
+  *    is exactly [[TextAnalysis.cdcBaseDigestsOf]] of the corpus so far
+  *    (each batch's fresh set is anti-joined against everything earlier,
+  *    so a digest appears in exactly one partition). A flat pre-r15 base
+  *    migrates with [[PartitionedBase.migrateFlat]].
   *
   * Per micro-batch, wrapped in [[BatchLedger]]. Delivery guarantee:
-  * AT-LEAST-ONCE. The ledger marker is written only after the body
-  * completes, so every replay after the marker is skipped, but a crash
-  * in the window between the grow-mode append and the marker replays
-  * the whole body once — the replayed anti-join then sees the already-
-  * grown base (its own digests included), so growth converges (fresh
-  * is empty, no duplicate digest rows land) while the re-delivered
-  * match set can carry EXTRA self-hit rows the first delivery did not
-  * (batch chunks now matching the digests the crashed run appended).
-  * A crash MID-append can additionally leave partial part files under
-  * `chunks/` that need manual cleanup before restart. Only a
-  * transactional target closes this window; downstream consumers must
-  * key on (batch doc, base doc, chunk) if they need dedup.
+  * at-least-once with BYTE-IDENTICAL re-delivery; state growth:
+  * idempotent (exactly-once effective). Matching and the fresh-digest
+  * anti-join both read `batch < batchId`, and growth overwrites the
+  * batch's own partition — so a crash-and-replay (even mid-write, with
+  * partial part files left in the partition) recomputes the same match
+  * set against the same base and lands the same fresh digests in the
+  * same directory. The extra-self-hit re-delivery and the
+  * manual-cleanup-after-mid-append-crash caveats of the flat-append
+  * layout are both gone (see [[PartitionedBase]]).
   *
   *  1. matches = batch chunks x base digests equi-join on chunk_md5
   *     ([[TextAnalysis.cdcMatchAgainstBase]] — the batch operator's
   *     core); `deliver(matches, batchId)`.
-  *  2. grow mode: the batch's digests NOT already in the base (one
-  *     keeper per digest, smallest batch doc_id) append to `chunks/`.
-  *    The anti-join's plan reads the base path, so the survivor set is
-  *    lineage-pinned BEFORE the append (same refreshByPath hazard and
-  *    same cure as StreamingIncrementalDedup.grow).
+  *  2. grow mode: the batch's digests NOT already in the base-so-far
+  *     (one keeper per digest, smallest batch doc_id) overwrite
+  *     `chunks/batch=<id>`.
   *
   * Contract, matching the batch operator: matches pair a batch chunk
   * against the BASE only — two copies of a chunk inside one micro-batch
@@ -54,30 +53,33 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * matches depend only on (doc, base), so any micro-batch split of the
   * same documents emits exactly the batch operator's rows — the parity
   * theorem StreamingCdcSpec checks, plus the corpus-replay
-  * reconstruction of `cdc_dedup`'s duplicate-digest set.
+  * reconstruction of `cdc_dedup`'s duplicate-digest set and the
+  * marker-deleted replay case.
   *
   * Scale shape: identical to the batch operator — the chunker is a
   * zero-shuffle per-doc loop, the attribution an equi-join on digest
   * with the increment as the small side, the base never re-paired
-  * against itself; growth is an append of O(new digests), never O(base).
+  * against itself; growth is an O(new digests) partition overwrite,
+  * never O(base).
   */
 object StreamingCdc {
 
   /** Materialize the digest base from an initial corpus (the one-time
     * bootstrap before streaming increments). */
   def initBase(baseDocs: DataFrame, baseDir: String): Unit =
-    TextAnalysis.cdcBaseDigestsOf(TextAnalysis.cdcChunksOf(baseDocs))
-      .write.mode("overwrite").parquet(s"$baseDir/chunks")
+    PartitionedBase.init(
+      TextAnalysis.cdcBaseDigestsOf(TextAnalysis.cdcChunksOf(baseDocs)),
+      s"$baseDir/chunks")
 
   /** Matches for one micro-batch, given its ALREADY-chunked table
     * (chunked once per batch — matching and grow-mode growth share it,
-    * so the per-token MD5 loop never runs twice). Materialized before
-    * return; caches are reported to `track` for end-of-batch
-    * unpersist. */
-  def batchMatches(batchChunks: DataFrame, baseDir: String,
+    * so the per-token MD5 loop never runs twice), against the base
+    * as-of `batchId`. Materialized before return; caches are reported
+    * to `track` for end-of-batch unpersist. */
+  def batchMatches(batchChunks: DataFrame, baseDir: String, batchId: Long,
       track: DataFrame => Unit): DataFrame = {
     val spark = batchChunks.sparkSession
-    val base = spark.read.parquet(s"$baseDir/chunks")
+    val base = PartitionedBase.before(spark, s"$baseDir/chunks", batchId)
     val m = TextAnalysis.cdcMatchAgainstBase(batchChunks, base)
     m.cache(); m.count(); track(m)
     m
@@ -94,15 +96,16 @@ object StreamingCdc {
         // chunk ONCE: matching and grow mode both read it
         val chunks = TextAnalysis.cdcChunksOf(batch)
         chunks.cache(); cached += chunks
-        val m = batchMatches(chunks, baseDir, cached += _)
+        val m = batchMatches(chunks, baseDir, batchId, cached += _)
         try {
           deliver(m, batchId)
           if (growBase) {
             val fresh = TextAnalysis.cdcBaseDigestsOf(chunks)
-              .join(spark.read.parquet(s"$baseDir/chunks")
-                .select("chunk_md5"), Seq("chunk_md5"), "left_anti")
+              .join(PartitionedBase
+                  .before(spark, s"$baseDir/chunks", batchId)
+                  .select("chunk_md5"), Seq("chunk_md5"), "left_anti")
             val (pinned, rdd) = graft.util.Ckpt.materialize(fresh)
-            try pinned.write.mode("append").parquet(s"$baseDir/chunks")
+            try PartitionedBase.write(pinned, s"$baseDir/chunks", batchId)
             finally rdd.unpersist(blocking = false)
           }
         } finally cached.foreach(_.unpersist())

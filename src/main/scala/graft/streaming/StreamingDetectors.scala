@@ -67,13 +67,17 @@ final case class DetState(rate: Map[String, Seq[Long]],
 final case class DetStateN(rate: Array[Array[Long]],
     stat: Array[Array[Double]], fp: Long)
 
-/** [[DetStateN]] plus the per-rule throttle watermark (`thr(i)` = last
+/** The per-rule throttle watermarks of the fused
+  * [[StreamingDetectors.alertsTwsThrottled]] path (`thr(i)` = last
   * emitted period bucket of the i-th distinct rule NAME, `Long.MinValue`
-  * = none yet) — the single-store state of the fused
-  * [[StreamingDetectors.alertsTwsThrottled]] path. Same positional-slot
-  * + fingerprint compatibility posture as [[DetStateN]]. */
-final case class DetThrState(rate: Array[Array[Long]],
-    stat: Array[Array[Double]], thr: Array[Long], fp: Long)
+  * = none yet) — held in its OWN state slot, SEPARATE from the detector
+  * deques ([[DetStateN]]), so the watermark can be given a longer (or
+  * no) TTL than the deques: evicting an idle key's detector state must
+  * not forget which buckets were already emitted, or the re-awakened key
+  * would double-fire a bucket (the r14 verdict's documented duplicate
+  * window — closed by this split). Same positional-slot + fingerprint
+  * compatibility posture as [[DetStateN]]. */
+final case class FusedThrState(thr: Array[Long], fp: Long)
 
 /** Minimal wire shape of the production detector path: the rule set's
   * measured fields extracted from the event map to primitive arrays IN
@@ -211,7 +215,7 @@ object StreamingDetectors {
     /** Identity fingerprint of the ORDERED rule list (names, kinds, and
       * every parameter — DetectionRule is a case-class family, so
       * toString is a stable total rendering). Written into every
-      * [[DetStateN]]/[[DetThrState]] row and required equal on read:
+      * [[DetStateN]]/[[FusedThrState]] row and required equal on read:
       * slot counts alone cannot distinguish two same-cardinality rule
       * sets whose slots mean different things. Two independent 32-bit
       * murmur seeds packed into one Long. */
@@ -634,50 +638,64 @@ object StreamingDetectors {
     * equivalence on a storm replay); only the cross-group emission
     * order differs, which the staged form never defined either.
     *
-    * Deltas vs staged, by design: one `ttl` evicts detector AND throttle
-    * state together (staged could configure them separately), and
-    * suppression metrics are observed at this operator instead of a
-    * dedicated throttle stage. Consequence of the single TTL: evicting
-    * an idle key drops its throttle WATERMARK with its deques, so a key
-    * that re-awakens after eviction can re-emit an alert for a period
-    * bucket it already emitted before going idle — the staged form
-    * could give the throttle store a longer TTL to bound exactly this.
-    * Deployments using a TTL should size it above the throttle period
-    * horizon (ttl >> periodSec) so the duplicate window only opens for
-    * keys idle far longer than any bucket they could double-fire. COMPATIBILITY: its own state schema
-    * ("detthr") — start from a fresh checkpointLocation when switching
-    * between staged and fused. */
+    * Deltas vs staged, by design: suppression metrics are observed at
+    * this operator instead of a dedicated throttle stage. The state is
+    * TWO slots in the one store (r15; pre-r15 fused a single slot):
+    * `detthr_det` holds the detector deques under `ttl`, `detthr_thr`
+    * holds the per-rule throttle watermarks under `thrTtl` — DEFAULT
+    * unbounded. Evicting an idle key's deques therefore never forgets
+    * which buckets were already emitted: the pre-r15 duplicate window
+    * (idle-evicted key re-awakens inside an already-emitted bucket and
+    * re-fires it) is closed, pinned by FusedThrottleSpec's idle-evict
+    * case. An unbounded watermark slot costs 8 bytes per rule per key —
+    * the same footprint as the staged throttle store with no TTL; set
+    * `thrTtl` (>> periodSec, and >= `ttl` to keep the staged form's
+    * separate-store semantics) only when key cardinality demands it.
+    * COMPATIBILITY: its own state schema ("detthr_det"/"detthr_thr",
+    * changed in r15) — start from a fresh checkpointLocation when
+    * switching between staged and fused, or from a pre-r15 fused
+    * checkpoint. */
   def alertsTwsThrottled(events: Dataset[SEvent], rules: Seq[DetectionRule],
-      periodSec: Long, ttl: TTLConfig = TTLConfig.NONE): Dataset[SAlert] = {
+      periodSec: Long, ttl: TTLConfig = TTLConfig.NONE,
+      thrTtl: TTLConfig = TTLConfig.NONE): Dataset[SAlert] = {
     val c = new CompiledRules(rules.toIndexedSeq)
-    twsThrottledNarrow(narrowEvents(events.toDF(), c), c, periodSec, ttl)
+    twsThrottledNarrow(narrowEvents(events.toDF(), c), c, periodSec, ttl,
+      thrTtl)
   }
 
   /** Fused-operator twin of [[twsNarrow]]. */
   private def twsThrottledNarrow(narrow: DataFrame, c: CompiledRules,
-      periodSec: Long, ttl: TTLConfig): Dataset[SAlert] = {
+      periodSec: Long, ttl: TTLConfig,
+      thrTtl: TTLConfig = TTLConfig.NONE): Dataset[SAlert] = {
     val spark = narrow.sparkSession
     import spark.implicits._
     require(periodSec > 0, s"throttle period must be positive; got $periodSec")
     val timeMode =
-      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+      if (ttl == TTLConfig.NONE && thrTtl == TTLConfig.NONE) TimeMode.None()
+      else TimeMode.ProcessingTime()
     narrow.groupBy(col("key")).as[String, NEvent]
-      .transformWithState(new DetectorThrottleProcessor(c, periodSec, ttl),
+      .transformWithState(
+        new DetectorThrottleProcessor(c, periodSec, ttl, thrTtl),
         timeMode, OutputMode.Append())
   }
 
-  /** The per-key processor behind [[alertsTwsThrottled]]: one ValueState
-    * slot holding [[DetThrState]] — detector deques plus one throttle
-    * watermark per distinct rule name. */
+  /** The per-key processor behind [[alertsTwsThrottled]]: a detector
+    * slot ([[DetStateN]] deques, evicted by `ttl`) plus a throttle slot
+    * ([[FusedThrState]] — one watermark per distinct rule name, evicted
+    * by `thrTtl`, default never). */
   final class DetectorThrottleProcessor private[streaming] (c: CompiledRules,
-      periodSec: Long, ttl: TTLConfig)
+      periodSec: Long, ttl: TTLConfig, thrTtl: TTLConfig)
       extends StatefulProcessor[String, NEvent, SAlert] {
 
-    @transient private var state: ValueState[DetThrState] = _
+    @transient private var state: ValueState[DetStateN] = _
+    @transient private var thrState: ValueState[FusedThrState] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[DetThrState]("detthr",
-        Encoders.product[DetThrState], ttl)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[DetStateN]("detthr_det",
+        Encoders.product[DetStateN], ttl)
+      thrState = getHandle.getValueState[FusedThrState]("detthr_thr",
+        Encoders.product[FusedThrState], thrTtl)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[NEvent],
         timerValues: TimerValues): Iterator[SAlert] = {
@@ -686,18 +704,26 @@ object StreamingDetectors {
       val prior = Option(state.get())
       prior.foreach { s =>
         require(s.fp == c.stateFp,
-          s"checkpointed detector+throttle state was written by a DIFFERENT " +
+          s"checkpointed detector state was written by a DIFFERENT " +
             s"rule set (fingerprint ${s.fp} vs ${c.stateFp}) — state slots " +
             "are positional, so a renamed/reordered/re-parameterized rule " +
-            "would silently read another rule's deque or watermark; " +
+            "would silently read another rule's deque; " +
             "restarting with a changed rule set requires a fresh " +
             "checkpointLocation")
-        require(s.rate.length == c.nRate && s.stat.length == c.nStat &&
-            s.thr.length == c.nRules,
-          s"checkpointed detector+throttle state has ${s.rate.length} rate / " +
-            s"${s.stat.length} stat / ${s.thr.length} throttle slots but the " +
-            s"rule set compiles to ${c.nRate}/${c.nStat}/${c.nRules} — state " +
+        require(s.rate.length == c.nRate && s.stat.length == c.nStat,
+          s"checkpointed detector state has ${s.rate.length} rate / " +
+            s"${s.stat.length} stat slots but the " +
+            s"rule set compiles to ${c.nRate}/${c.nStat} — state " +
             "slots are positional; restarting with a changed rule set " +
+            "requires a fresh checkpointLocation")
+      }
+      val priorThr = Option(thrState.get())
+      priorThr.foreach { s =>
+        require(s.fp == c.stateFp && s.thr.length == c.nRules,
+          s"checkpointed throttle watermarks were written by a DIFFERENT " +
+            s"rule set (fingerprint ${s.fp} vs ${c.stateFp}, " +
+            s"${s.thr.length} slots vs ${c.nRules}) — watermark slots are " +
+            "positional per rule name; restarting with a changed rule set " +
             "requires a fresh checkpointLocation")
       }
       val rate: Array[Vector[Long]] = prior match {
@@ -708,7 +734,7 @@ object StreamingDetectors {
         case Some(s) => s.stat.map(_.toVector)
         case None => Array.fill(c.nStat)(Vector.empty[Double])
       }
-      val thr: Array[Long] = prior match {
+      val thr: Array[Long] = priorThr match {
         case Some(s) => s.thr.clone()
         case None => Array.fill(c.nRules)(Long.MinValue)
       }
@@ -727,6 +753,7 @@ object StreamingDetectors {
       // granularity (rule_name x key)
       val all = out.result()
       val surv = Seq.newBuilder[SAlert]
+      var thrChanged = false
       if (all.nonEmpty) {
         val perSlot =
           new Array[scala.collection.mutable.ArrayBuffer[SAlert]](c.nRules)
@@ -742,13 +769,18 @@ object StreamingDetectors {
             val (kept, newLast) =
               StreamingThrottle.survivors(thr(s), perSlot(s).iterator, periodSec)
             surv ++= kept
-            thr(s) = newLast
+            if (newLast != thr(s)) { thr(s) = newLast; thrChanged = true }
           }
           s += 1
         }
       }
       state.update(
-        DetThrState(rate.map(_.toArray), stat.map(_.toArray), thr, c.stateFp))
+        DetStateN(rate.map(_.toArray), stat.map(_.toArray), c.stateFp))
+      // written only on watermark movement, like the staged store — the
+      // throttle slot's (optional) TTL clock runs from last EMISSION,
+      // not last activity, so a hot-but-suppressed key cannot keep an
+      // already-emitted bucket alive forever under a bounded thrTtl
+      if (thrChanged) thrState.update(FusedThrState(thr, c.stateFp))
       surv.result().iterator
     }
   }
@@ -1048,10 +1080,23 @@ object StreamingDetectors {
     * switching from the staged form). */
   def jsonPipelineFused(raw: DataFrame, rules: Seq[DetectionRule],
       keyField: String, periodSec: Long, ttl: TTLConfig = TTLConfig.NONE,
-      rawCol: String = "value", ingestionClock: Boolean = false): DataFrame = {
-    val c = new CompiledRules(rules.toIndexedSeq)
+      rawCol: String = "value", ingestionClock: Boolean = false,
+      thrTtl: TTLConfig = TTLConfig.NONE): DataFrame =
     graft.sources.EventJson.serializeAlerts(
-      twsThrottledNarrow(narrowParse(raw, c, keyField, rawCol, ingestionClock),
-        c, periodSec, ttl).toDF())
+      fusedAlertsFromJson(raw, rules, keyField, periodSec, ttl, rawCol,
+        ingestionClock, thrTtl).toDF())
+
+  /** [[jsonPipelineFused]] WITHOUT the output serializer — the typed
+    * alert frame the serializer consumes. Split out so the r15 residual
+    * profile ([[graft.tools.StreamCoreBench]] `jsonnoser` topologies)
+    * can measure the alert-serialization share of the full topology
+    * differentially instead of guessing from thread dumps. */
+  def fusedAlertsFromJson(raw: DataFrame, rules: Seq[DetectionRule],
+      keyField: String, periodSec: Long, ttl: TTLConfig = TTLConfig.NONE,
+      rawCol: String = "value", ingestionClock: Boolean = false,
+      thrTtl: TTLConfig = TTLConfig.NONE): Dataset[SAlert] = {
+    val c = new CompiledRules(rules.toIndexedSeq)
+    twsThrottledNarrow(narrowParse(raw, c, keyField, rawCol, ingestionClock),
+      c, periodSec, ttl, thrTtl)
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -17,24 +17,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - `centroids/` parquet (cent_id, cv, cn): the trained k-means cells —
   *    the artifact ONE training run produces and every later batch
   *    reuses (re-training = rebuilding this dir + reindexing, exactly
-  *    the production cadence);
-  *  - `cells/` parquet (vec_id, v, norm, cell): the multi-probe cell
-  *    index over the base vectors ([[Similarity.cellIndex]] shape).
+  *    the production cadence). Flat: centroids are statistics, not
+  *    per-batch state.
+  *  - `cells/batch=<id>/` parquet (vec_id, v, norm, cell): the
+  *    multi-probe cell index ([[Similarity.cellIndex]] shape) under the
+  *    [[PartitionedBase]] layout — the batch's novel vectors live in its
+  *    own partition, bootstrap = `batch=-1`. A flat pre-r15 `cells/`
+  *    migrates with [[PartitionedBase.migrateFlat]].
   *
-  * Per micro-batch, wrapped in [[BatchLedger]] (pair delivery AND index
-  * growth are side effects, at-most-once per batch id across restarts):
-  * hits via the SAME [[Similarity.pairsAgainstBase]] core as the batch
-  * operator — each new vector's verdict depends only on (vector, base),
-  * so against a static base ANY micro-batch split emits exactly the
-  * batch operator's pairs (the parity theorem the spec checks). The
-  * batch's hits frame and the novel-vector index rows are materialized
-  * BEFORE the appends (localCheckpoint — the write path's refreshByPath
-  * would otherwise re-derive them against the grown index, the same trap
-  * [[StreamingIncrementalDedup]] documents).
+  * Per micro-batch, wrapped in [[BatchLedger]]. Delivery guarantee:
+  * at-least-once with BYTE-IDENTICAL re-delivery; index growth:
+  * idempotent (exactly-once effective) — pairing reads `batch <
+  * batchId` and growth overwrites the batch's own partition, so a
+  * crash-and-replay recomputes the same pairs against the same index
+  * and lands the same novel rows in the same directory (see
+  * [[PartitionedBase]]). Hits via the SAME [[Similarity.pairsAgainstBase]]
+  * core as the batch operator — each new vector's verdict depends only on
+  * (vector, base), so against a static base ANY micro-batch split emits
+  * exactly the batch operator's pairs (the parity theorem the spec
+  * checks, including across a marker-deleted replay).
   *
   * Scale shape: centroids broadcast (tiny), one hash shuffle on the cell
-  * id per batch, appends are blind parquet writes — per-batch cost is
-  * O(batch x touched cells), never O(index). */
+  * id per batch, growth an O(novel) partition overwrite — per-batch cost
+  * is O(batch x touched cells), never O(index). */
 object StreamingEmbeddingDedup {
 
   /** Bootstrap the persistent artifacts: centroids (trained on `dir`'s
@@ -47,8 +52,8 @@ object StreamingEmbeddingDedup {
     // `spark.graft.ann.artifactDir` (Similarity.saveIndexArtifacts)
     Similarity.saveIndexArtifacts(spark, dir, baseDir)
     val cents = spark.read.parquet(s"$baseDir/centroids")
-    Similarity.cellIndex(baseVecs, cents)
-      .write.mode("overwrite").parquet(s"$baseDir/cells")
+    PartitionedBase.init(Similarity.cellIndex(baseVecs, cents),
+      s"$baseDir/cells")
   }
 
   /** The `foreachBatch` body, exposed for deterministic testing: the
@@ -59,20 +64,22 @@ object StreamingEmbeddingDedup {
       BatchLedger.once(s"$baseDir/_graft_embdedup_ledger", batch, batchId) {
         val spark = batch.sparkSession
         val cents = spark.read.parquet(s"$baseDir/centroids")
-        val baseIdx = spark.read.parquet(s"$baseDir/cells")
+        val baseIdx = PartitionedBase.before(spark, s"$baseDir/cells", batchId)
         val newIdx = Similarity.cellIndex(
           Similarity.normalized(batch), cents)
-        // pin hits + the batch index to the base-as-of-batch-start: the
-        // appends below refresh the cells path and would re-derive both
+        // materialized to compute the index scan once across the two
+        // consumers (pairing + growth), not for the refreshByPath trap —
+        // the batch<batchId filter already excludes the written partition
         val (hits, hitsRdd) = graft.util.Ckpt.materialize(
           Similarity.pairsAgainstBase(newIdx, baseIdx))
         val (idx, idxRdd) = graft.util.Ckpt.materialize(newIdx)
         try {
           deliver(hits, batchId)
           if (growBase) {
-            idx.join(hits.select(col("v1").as("vec_id")).distinct(),
-                Seq("vec_id"), "left_anti")
-              .write.mode("append").parquet(s"$baseDir/cells")
+            PartitionedBase.write(
+              idx.join(hits.select(col("v1").as("vec_id")).distinct(),
+                Seq("vec_id"), "left_anti"),
+              s"$baseDir/cells", batchId)
           }
         } finally {
           hitsRdd.unpersist(blocking = false)

@@ -1,8 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming twin of [[graft.operators.Dedup.incrementalDedup]] — the
@@ -11,28 +10,39 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * keeps between increments), and — in grow mode — the batch's surviving
   * texts join the base so later increments dedup against them.
   *
-  * Base layout under `baseDir` (both exactly the batch operator's inputs,
-  * see [[Dedup.hitsAgainstBase]], which this twin shares verbatim — the
-  * two paths agree by construction AND by the parity spec):
+  * Base layout under `baseDir` (both artifacts under the
+  * [[PartitionedBase]] per-batchId overwrite layout; the per-partition
+  * row shapes are exactly the batch operator's inputs, see
+  * [[Dedup.hitsAgainstBase]], which this twin shares verbatim — the two
+  * paths agree by construction AND by the parity spec):
   *
-  *  - `digests/`  parquet (fp, base_doc_id): one row per distinct base
-  *    text, keeper = smallest doc_id — the exact-dedup join target.
-  *  - `shingles/` parquet (doc_id, sh): word-3-shingle rows over canonical
-  *    base docs — the near-dup inverted index. The hot-shingle DF cap is
-  *    re-derived from the CURRENT base each batch, so a shingle that goes
-  *    hot as the base grows stops generating candidate pairs from that
-  *    batch on.
+  *  - `digests/batch=<id>/`  parquet (fp, base_doc_id): one row per
+  *    distinct text FIRST surviving in that batch, keeper = smallest
+  *    doc_id — the exact-dedup join target (bootstrap = `batch=-1`).
+  *  - `shingles/batch=<id>/` parquet (doc_id, sh): word-3-shingle rows
+  *    over that batch's surviving canonical docs — the near-dup inverted
+  *    index. The hot-shingle DF cap is re-derived from the base-so-far
+  *    each batch, so a shingle that goes hot as the base grows stops
+  *    generating candidate pairs from that batch on.
   *
-  * Per micro-batch (wrapped in [[BatchLedger]] so delivery AND base growth
-  * happen at most once per batch id across restarts — base growth is a
-  * side effect exactly like alert delivery, and replaying it would both
-  * duplicate digest rows and flag the batch against its own survivors):
+  *  Flat pre-r15 dirs migrate with [[PartitionedBase.migrateFlat]] (run
+  *  once per artifact dir, stream stopped).
+  *
+  * Per micro-batch, wrapped in [[BatchLedger]]. Delivery guarantee:
+  * at-least-once with BYTE-IDENTICAL re-delivery; base growth:
+  * idempotent (exactly-once effective). The hits read and the growth
+  * write follow the [[PartitionedBase]] discipline (`batch < batchId` in,
+  * overwrite-own-partition out), so a crash-and-replay — even one that
+  * crashed mid-write — recomputes the same hits against the same base
+  * and lands the same keeper/shingle rows in the same directories. The
+  * flat layout's replay artifact (a batch exact-hitting its own crashed
+  * growth) cannot occur.
   *
   *  1. hits = exact (digest join) ∪ near (capped-shingle Jaccard >= 0.8)
   *     against the base as-of batch start; `deliver(hits, batchId)`.
   *  2. grow mode: batch docs with NO hit, collapsed to one keeper per
-  *     distinct text (min doc_id), append to `digests/`; their shingle
-  *     rows append to `shingles/`.
+  *     distinct text (min doc_id); digest rows overwrite
+  *     `digests/batch=<id>`, shingle rows `shingles/batch=<id>`.
   *
   * Contract notes, matching the batch operator:
   *  - hits pair a new doc against the BASE only — two near-dup docs inside
@@ -43,67 +53,61 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - against a STATIC base (grow = false), each doc's verdict depends
   *    only on (doc, base), so ANY micro-batch split of the same documents
   *    emits exactly the batch operator's rows — the parity theorem
-  *    StreamingIncrementalDedupSpec checks.
+  *    StreamingIncrementalDedupSpec checks, including across a
+  *    marker-deleted replay.
   *
   * Scale shape: identical to the batch operator (hash equi-joins keyed by
   * digest/shingle, increment side small, base never re-paired against
-  * itself); the appends are blind parquet writes (no read-modify-write of
-  * the base), so a batch's cost is O(batch + touched base partitions),
-  * never O(base). A transactional table format would additionally close
-  * the crash-between-append-and-marker window the ledger documents.
+  * itself); growth is two O(batch-survivors) partition overwrites (no
+  * read-modify-write of the base), so a batch's cost is O(batch + touched
+  * base partitions), never O(base).
   */
 object StreamingIncrementalDedup {
 
   /** Materialize the base artifacts from an initial corpus (the one-time
     * bootstrap a production pipeline runs before streaming increments). */
   def initBase(baseDocs: DataFrame, baseDir: String): Unit = {
-    Dedup.baseDigests(baseDocs)
-      .write.mode("overwrite").parquet(s"$baseDir/digests")
-    Dedup.shingleRows(Dedup.canonicalDocs(baseDocs))
-      .write.mode("overwrite").parquet(s"$baseDir/shingles")
+    PartitionedBase.init(Dedup.baseDigests(baseDocs), s"$baseDir/digests")
+    PartitionedBase.init(Dedup.shingleRows(Dedup.canonicalDocs(baseDocs)),
+      s"$baseDir/shingles")
   }
 
   /** Hits for one micro-batch of documents (`doc_id`, `text`) against the
-    * persistent base — the batch operator's core on parquet-read base
-    * artifacts. Result is materialized (the caller reads it at least
-    * twice: deliver + growth anti-join); all caches this creates are
-    * reported to `track` for end-of-batch unpersist (a cache surviving
-    * the batch could serve a STALE base after grow-mode appends — cached
-    * plans match by canonicalized equality, not files on disk). */
-  def batchHits(batch: DataFrame, baseDir: String,
+    * base as-of `batchId` — the batch operator's core on parquet-read
+    * base artifacts (partitions strictly before `batchId`). Result is
+    * materialized (the caller reads it at least twice: deliver + growth
+    * anti-join); all caches this creates are reported to `track` for
+    * end-of-batch unpersist. */
+  def batchHits(batch: DataFrame, baseDir: String, batchId: Long,
       track: DataFrame => Unit): DataFrame = {
     val spark = batch.sparkSession
     val hits = Dedup.hitsAgainstBase(batch,
-      spark.read.parquet(s"$baseDir/digests"),
-      spark.read.parquet(s"$baseDir/shingles"), track)
+      PartitionedBase.before(spark, s"$baseDir/digests", batchId),
+      PartitionedBase.before(spark, s"$baseDir/shingles", batchId), track)
     hits.cache()
     hits.count()
     track(hits)
     hits
   }
 
-  /** Append the batch's surviving texts to the base: docs with no hit,
-    * one keeper per distinct text (smallest doc_id — within-batch exact
-    * copies collapse here), digest + shingle rows.
+  /** Grow the base: docs with no hit, one keeper per distinct text
+    * (smallest doc_id — within-batch exact copies collapse here), digest
+    * + shingle rows overwritten into the batch's own partitions.
     *
-    * `keepers` is localCheckpoint-ed BEFORE the first append: the plan
-    * reads the base parquet (through `hits`), and Spark's write-path
-    * `refreshByPath` invalidates-and-recomputes every cached plan that
-    * references the written path — so after the digest append, a merely
-    * `cache()`d survivor set would silently re-derive against the GROWN
-    * digests, the batch's own keepers would exact-hit themselves, and
-    * the shingle append would write nothing (observed exactly so).
-    * Truncating the lineage pins the survivor set to the base-as-of-
-    * batch-start for both appends. */
-  private def grow(batch: DataFrame, hits: DataFrame, baseDir: String): Unit = {
+    * `keepers` is localCheckpoint-ed BEFORE the writes so the canonical
+    * scan runs once for both artifacts (the refreshByPath trap the flat
+    * layout had to pin against is structurally gone — both reads filter
+    * `batch < batchId`, which excludes the written partitions). */
+  private def grow(batch: DataFrame, hits: DataFrame, baseDir: String,
+      batchId: Long): Unit = {
     val survivors = batch
       .join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     val (keepers, rdd) = graft.util.Ckpt.materialize(Dedup.canonicalDocs(survivors))
     try {
-      Dedup.baseDigests(keepers)
-        .write.mode("append").parquet(s"$baseDir/digests")
-      Dedup.shingleRows(keepers)
-        .write.mode("append").parquet(s"$baseDir/shingles")
+      PartitionedBase.write(Dedup.baseDigests(keepers),
+        s"$baseDir/digests", batchId)
+      PartitionedBase.write(Dedup.shingleRows(keepers),
+        s"$baseDir/shingles", batchId)
     } finally rdd.unpersist(blocking = false)
   }
 
@@ -114,10 +118,10 @@ object StreamingIncrementalDedup {
     (batch, batchId) =>
       BatchLedger.once(s"$baseDir/_graft_dedup_ledger", batch, batchId) {
         val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        val hits = batchHits(batch, baseDir, cached += _)
+        val hits = batchHits(batch, baseDir, batchId, cached += _)
         try {
           deliver(hits, batchId)
-          if (growBase) grow(batch, hits, baseDir)
+          if (growBase) grow(batch, hits, baseDir, batchId)
         } finally cached.foreach(_.unpersist())
       }
   }

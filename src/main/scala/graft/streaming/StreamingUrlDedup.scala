@@ -12,33 +12,35 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * gate of a streaming crawl ingest: it fires before any text is even
   * fetched, on the URL string alone.
   *
-  * Base layout under `baseDir` (exactly the batch operator's input, see
-  * [[Corpus.urlHitsAgainstBase]], which this twin shares verbatim — the
-  * two paths agree by construction AND by the parity spec):
+  * Base layout under `baseDir` ([[PartitionedBase]] — per-batchId
+  * overwrite partitions; the row shape per partition is exactly the batch
+  * operator's input, see [[Corpus.urlHitsAgainstBase]], which this twin
+  * shares verbatim — the two paths agree by construction AND by the
+  * parity spec):
   *
-  *  - `canon/` parquet (canon_url, base_doc_id): one row per distinct
-  *    canonical base URL, keeper = smallest doc_id
-  *    ([[Corpus.urlBaseCanon]]). NOTE: a base written by a pre-r14
-  *    build must be REBUILT from raw URLs on upgrade — r14 changed the
-  *    canonical form of scheme-less rows and bare tracking params, so
-  *    stale keeper strings silently stop matching (see the
-  *    [[Corpus.canonicalUrl]] artifact-compatibility note).
+  *  - `canon/batch=<id>/` parquet (canon_url, base_doc_id): one row per
+  *    distinct canonical URL first surviving in that batch, keeper =
+  *    smallest doc_id ([[Corpus.urlBaseCanon]]); bootstrap = `batch=-1`.
+  *    NOTE: a base written by a pre-r14 build must be REBUILT from raw
+  *    URLs on upgrade — r14 changed the canonical form of scheme-less
+  *    rows and bare tracking params (see the [[Corpus.canonicalUrl]]
+  *    artifact-compatibility note); a FLAT pre-r15 base migrates with
+  *    [[PartitionedBase.migrateFlat]].
   *
   * Per micro-batch, wrapped in [[BatchLedger]]. Delivery guarantee:
-  * AT-LEAST-ONCE. The marker is written only after the body completes,
-  * so replays after the marker are skipped — but a crash between the
-  * grow-mode append and the marker replays the body once: the replayed
-  * hit join then sees the grown base, so the batch's surviving keepers
-  * hit THEMSELVES (extra self-hit rows in the re-delivery), and the
-  * shrunken survivor set re-appends nothing new (growth converges; the
-  * keeper rows are deterministic, so no divergent duplicates land). A
-  * crash MID-append can leave partial part files under `canon/`
-  * needing cleanup. Only a transactional target closes this window:
+  * at-least-once with BYTE-IDENTICAL re-delivery; state growth:
+  * idempotent (exactly-once effective). Both reads are pinned to
+  * `batch < batchId` and the growth overwrites the batch's own
+  * partition, so a crash-and-replay — before or after the marker, even
+  * mid-write — recomputes the same hits against the same base and lands
+  * the same keeper rows in the same directory (see [[PartitionedBase]];
+  * the self-hit re-delivery artifact the flat-append layout documented
+  * is gone).
   *
   *  1. hits = canonicalize + equi-join against the base as-of batch
   *     start; `deliver(hits, batchId)`.
   *  2. grow mode: batch docs with NO hit, collapsed to one keeper per
-  *     distinct canonical URL (min doc_id), append to `canon/`.
+  *     distinct canonical URL (min doc_id), overwrite `canon/batch=<id>`.
   *
   * Contract notes, matching the batch operator: hits pair a new doc
   * against the BASE only — two copies of a page inside one micro-batch
@@ -47,53 +49,52 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * base). Against a STATIC base, each doc's verdict depends only on
   * (doc, base), so ANY micro-batch split of the same documents emits
   * exactly the batch operator's rows — the parity theorem
-  * StreamingUrlDedupSpec checks.
+  * StreamingUrlDedupSpec checks, including across a marker-deleted
+  * replay.
   *
   * Scale shape: identical to the batch operator (one hash equi-join on
   * the canonical string, batch side small, base never re-joined against
-  * itself); growth is a blind parquet append, so a batch's cost is
-  * O(batch + matched base partitions), never O(base). */
+  * itself); growth is an O(batch-survivors) partition overwrite, never
+  * O(base), and the `batch < batchId` filter prunes at directory-listing
+  * time. */
 object StreamingUrlDedup {
 
   /** Materialize the keeper table from an initial corpus's (doc_id, url)
     * rows — the one-time bootstrap before streaming increments. */
   def initBase(baseUrls: DataFrame, baseDir: String): Unit =
-    Corpus.urlBaseCanon(baseUrls)
-      .write.mode("overwrite").parquet(s"$baseDir/canon")
+    PartitionedBase.init(Corpus.urlBaseCanon(baseUrls), s"$baseDir/canon")
 
-  /** Hits for one micro-batch of (doc_id, url) rows against the
-    * persistent base. Materialized via cache — the caller reads it at
-    * least twice (deliver + growth anti-join); the cache is reported to
-    * `track` for end-of-batch unpersist (a cache surviving the batch
-    * could serve a STALE base after grow-mode appends). */
-  def batchHits(batch: DataFrame, baseDir: String,
+  /** Hits for one micro-batch of (doc_id, url) rows against the base
+    * as-of `batchId` (partitions strictly before it). Materialized via
+    * cache — the caller reads it at least twice (deliver + growth
+    * anti-join); the cache is reported to `track` for end-of-batch
+    * unpersist. */
+  def batchHits(batch: DataFrame, baseDir: String, batchId: Long,
       track: DataFrame => Unit): DataFrame = {
     val spark = batch.sparkSession
     val hits = Corpus.urlHitsAgainstBase(batch,
-      spark.read.parquet(s"$baseDir/canon"))
+      PartitionedBase.before(spark, s"$baseDir/canon", batchId))
     hits.cache()
     hits.count()
     track(hits)
     hits
   }
 
-  /** Append the batch's surviving URLs to the base: docs with no hit,
-    * one keeper per distinct canonical URL (smallest doc_id — within-
-    * batch copies of a page collapse here).
+  /** Grow the base: docs with no hit, one keeper per distinct canonical
+    * URL (smallest doc_id — within-batch copies of a page collapse
+    * here), overwritten into the batch's own partition.
     *
-    * `keepers` is localCheckpoint-ed BEFORE the append: the hits plan
-    * reads the base parquet, and Spark's write-path `refreshByPath`
-    * recomputes every cached plan referencing the written path — a
-    * merely cache()d survivor set would re-derive against the GROWN
-    * base and the batch's own keepers would hit themselves (the exact
-    * failure [[StreamingIncrementalDedup]] documents). */
-  private def grow(batch: DataFrame, hits: DataFrame,
-      baseDir: String): Unit = {
+    * `keepers` is localCheckpoint-ed BEFORE the write: not for
+    * correctness anymore (the hits plan's `batch < batchId` filter
+    * excludes the written partition, so a refreshByPath recompute would
+    * see the same rows) but to avoid paying the join twice. */
+  private def grow(batch: DataFrame, hits: DataFrame, baseDir: String,
+      batchId: Long): Unit = {
     val survivors = batch
       .join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     val (keepers, rdd) =
       graft.util.Ckpt.materialize(Corpus.urlBaseCanon(survivors))
-    try keepers.write.mode("append").parquet(s"$baseDir/canon")
+    try PartitionedBase.write(keepers, s"$baseDir/canon", batchId)
     finally rdd.unpersist(blocking = false)
   }
 
@@ -104,10 +105,10 @@ object StreamingUrlDedup {
     (batch, batchId) =>
       BatchLedger.once(s"$baseDir/_graft_url_ledger", batch, batchId) {
         val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        val hits = batchHits(batch, baseDir, cached += _)
+        val hits = batchHits(batch, baseDir, batchId, cached += _)
         try {
           deliver(hits, batchId)
-          if (growBase) grow(batch, hits, baseDir)
+          if (growBase) grow(batch, hits, baseDir, batchId)
         } finally cached.foreach(_.unpersist())
       }
   }

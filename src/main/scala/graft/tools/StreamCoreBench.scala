@@ -63,9 +63,12 @@ object StreamCoreBench {
     // event with 12 decoy fields (a realistic bus event carries far
     // more fields than any rule set references — the population the
     // pruned parse exists for).
+    // jsonnoser[-wide] = jsonnarrow minus the output serializer (typed
+    // alerts straight to the noop sink): the jsonnarrow delta over it is
+    // the alert-serialization residual, measured differentially
     val topo = args.lift(2).getOrElse("staged")
     val topos = Set("staged", "fused", "jsontopo", "jsonnarrow",
-      "jsontopo-wide", "jsonnarrow-wide")
+      "jsontopo-wide", "jsonnarrow-wide", "jsonnoser", "jsonnoser-wide")
     require(topos.contains(topo), s"unknown topology: $topo")
     val warm = warmFor(batches, perBatch)
     require(batches > warm, s"need > $warm batches (rate-window " +
@@ -133,6 +136,9 @@ object StreamCoreBench {
         StreamingDetectors.alertsTwsThrottled(ev, rules, 600L).toDF()
       else if (topo.startsWith("jsonnarrow"))
         StreamingDetectors.jsonPipelineFused(raw, jsonRules, "user_id", 600L)
+      else if (topo.startsWith("jsonnoser"))
+        StreamingDetectors.fusedAlertsFromJson(
+          raw, jsonRules, "user_id", 600L).toDF()
       else if (topo.startsWith("jsontopo"))
         graft.sources.EventJson.serializeAlerts(
           StreamingDetectors.alertsTwsThrottled(

@@ -89,6 +89,74 @@ class FusedThrottleSpec extends SparkSpec {
     withRocksDBProvider { restartBody() }
   }
 
+  test("idle-evicted key cannot re-emit an already-emitted bucket") {
+    withRocksDBProvider { idleEvictBody() }
+  }
+
+  /** The r14-documented duplicate window, now closed: the detector TTL
+    * evicts an idle key's deques, the key re-awakens INSIDE a period
+    * bucket it already emitted — the separate (unbounded-TTL) throttle
+    * slot must still suppress it. The stat rule doubles as the eviction
+    * witness: if the deques had survived, the post-idle outlier would
+    * fire against the pre-idle window; with eviction its history is
+    * empty and it stays silent — so the test cannot pass vacuously. */
+  private def idleEvictBody(): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.TTLConfig
+    val evictRules: Seq[DetectionRule] = Seq(
+      RateRule("r1", "key", 3600, 0.0), // fires on every event
+      StatisticalRule("s1", "value", windowSize = 5, deviationFactor = 2.0))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fus-ttl").toString
+    val gotBuf = new scala.collection.mutable.ArrayBuffer[SAlert]
+    // ONE MemoryStream across both runs (the checkpoint's committed
+    // offsets are source positions — a fresh stream would replay as
+    // already-consumed). NOT processAllAvailable/AvailableNow: a TTL
+    // query runs in ProcessingTime mode and keeps scheduling batches for
+    // TTL cleanup, so neither ever settles (the documented alertsTws TTL
+    // caveat). Poll the progress stream until the fed rows are consumed,
+    // then stop the query explicitly.
+    val ms = MemoryStream[SEvent]
+    def runOnce(data: Seq[SEvent]): Unit = {
+      ms.addData(data)
+      val q = StreamingDetectors.alertsTwsThrottled(ms.toDS(), evictRules,
+          period, ttl = TTLConfig(java.time.Duration.ofMillis(900)))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[SAlert], _: Long) =>
+          val rows = b.collect()
+          gotBuf.synchronized { gotBuf ++= rows }
+          ()
+        }.start()
+      try {
+        val deadline = System.currentTimeMillis() + 120000L
+        def consumed(): Long = q.recentProgress.map(_.numInputRows).sum
+        while (consumed() < data.size && System.currentTimeMillis() < deadline)
+          q.awaitTermination(100L)
+        assert(consumed() >= data.size,
+          s"query consumed ${consumed()} of ${data.size} rows before timeout")
+      } finally q.stop()
+    }
+    def ev(id: Long, ts: Long, v: Double): SEvent =
+      SEvent("k1", id, ts, Map("value" -> v), "{}")
+    // run 1: three events in bucket 0 feed the deques; the rate rule's
+    // survivor for bucket 0 is id 0
+    runOnce(Seq(ev(0L, 0L, 10.0), ev(1L, 1L, 10.0), ev(2L, 2L, 10.0)))
+    // idle past the detector TTL so the deques evict
+    Thread.sleep(2500L)
+    // run 2, same checkpoint: id 10 re-awakens INSIDE bucket 0 (ts 10) —
+    // its rate alert must stay suppressed; id 11 opens bucket 1 (ts 700)
+    runOnce(Seq(ev(10L, 10L, 99.0), ev(11L, 700L, 99.0)))
+    val got = gotBuf.synchronized(gotBuf.toVector)
+    assert(got.filter(_.rule_name == "r1").map(_.event_id).toSet ==
+      Set(0L, 11L),
+      s"bucket 0 must not re-emit after idle eviction: $got")
+    // eviction witness: with the pre-idle window ([10,10,10], sigma 0)
+    // surviving, value 99 at id 10 would have fired the stat rule; an
+    // evicted (empty) history cannot (needs >= 2 prior values)
+    assert(!got.exists(a => a.rule_name == "s1" && a.event_id == 10L),
+      s"stat fired against a window the TTL should have evicted: $got")
+  }
+
   private def restartBody(): Unit = {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-fus-rec").toString

@@ -99,6 +99,38 @@ class StreamingCdcSpec extends SparkSpec {
     assert(batches(2L).size == editedCount)
   }
 
+  test("marker-deleted replay: identical re-delivery, identical base") {
+    val body = (1 to 60).map(i => s"rep$i ab$i").mkString(" ")
+    val baseDir = tmp("graft-cdc-replay")
+    StreamingCdc.initBase(
+      Seq((1L, (1 to 30).map(i => s"base$i qq$i").mkString(" ")))
+        .toDF("doc_id", "text"), baseDir)
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Long, String, Long)]]
+    val onBatch = StreamingCdc.onBatch(baseDir, growBase = true,
+      (m, id) => got(id) = rows(m))
+    onBatch(Seq((10L, body)).toDF("doc_id", "text"), 0L)
+    onBatch(Seq((20L, body)).toDF("doc_id", "text"), 1L) // full match vs 10
+    val delivered1 = got(1L)
+    assert(delivered1.nonEmpty && delivered1.forall(_._5 == 10L))
+    def baseNow(): Set[(String, Long, Int)] =
+      spark.read.parquet(s"$baseDir/chunks")
+        .select("chunk_md5", "base_doc", "batch")
+        .as[(String, Long, Int)].collect().toSet
+    val before = baseNow()
+
+    // crash: marker gone; the replay reads batch < 1 so its match set
+    // cannot carry the self-hit extras the flat layout documented, and
+    // the batch=1 overwrite re-lands the same (empty) fresh set
+    val marker = new java.io.File(s"$baseDir/_graft_cdc_ledger/1")
+    assert(marker.exists() && marker.delete())
+    got.remove(1L)
+    onBatch(Seq((20L, body)).toDF("doc_id", "text"), 1L)
+    assert(got(1L) == delivered1,
+      "re-delivery must be byte-identical (no self-hit extras)")
+    assert(baseNow() == before)
+  }
+
   test("grow-mode corpus replay reconstructs cdc_dedup's duplicate-digest set") {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text")

@@ -73,5 +73,20 @@ class StreamingEmbeddingDedupSpec extends SparkSpec {
     onBatch(Seq((30L, unit(7))).toDF("vec_id", "embedding"), 2L)
     assert(got(2L).map(t => (t._1, t._2)) == Set((30L, 11L)),
       s"paired vectors must not grow the index: ${got(2L)}")
+
+    // marker-deleted replay of batch 1: identical re-delivery, identical
+    // index — the replay reads batch < 1 (cannot pair against its own
+    // crashed growth) and overwrites cells/batch=1 with the same rows
+    def idxNow(): Set[(Long, Long, Int)] =
+      spark.read.parquet(s"$baseDir/cells").select("vec_id", "cell", "batch")
+        .as[(Long, Long, Int)].collect().toSet
+    val before = idxNow()
+    val delivered1 = got(1L)
+    val marker = new java.io.File(s"$baseDir/_graft_embdedup_ledger/1")
+    assert(marker.exists() && marker.delete())
+    got.remove(1L)
+    onBatch(Seq((20L, unit(7, 9))).toDF("vec_id", "embedding"), 1L)
+    assert(got(1L) == delivered1)
+    assert(idxNow() == before)
   }
 }

@@ -82,6 +82,39 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     assert(got(2L) == Set((31L, 11L, "exact", 1.0)))
   }
 
+  test("marker-deleted replay: identical re-delivery, identical base") {
+    val baseDir = tmp("graft-incr-replay")
+    val text1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val text2 = (1 to 30).map(i => f"tok$i%02d").mkString(" ")
+    StreamingIncrementalDedup.initBase(
+      Seq((1L, text1)).toDF("doc_id", "text"), baseDir)
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, String, Double)]]
+    val onBatch = StreamingIncrementalDedup.onBatch(baseDir, growBase = true,
+      (hits, id) => got(id) = hitRows(hits))
+    onBatch(Seq((10L, text2)).toDF("doc_id", "text"), 0L)
+    onBatch(Seq((20L, text2), (21L, "fully novel words here")).toDF("doc_id", "text"), 1L)
+    val delivered1 = got(1L)
+    assert(delivered1 == Set((20L, 10L, "exact", 1.0)))
+    def baseNow(): (Set[(String, Long, Int)], Long) = (
+      spark.read.parquet(s"$baseDir/digests")
+        .select("fp", "base_doc_id", "batch")
+        .as[(String, Long, Int)].collect().toSet,
+      spark.read.parquet(s"$baseDir/shingles").count())
+    val before = baseNow()
+    assert(before._1.exists(r => r._2 == 21L && r._3 == 1),
+      s"doc 21 must have grown into the batch=1 partition: ${before._1}")
+
+    // crash: marker gone, replay the whole body — the replay reads
+    // batch < 1 (cannot exact-hit its own crashed growth) and overwrites
+    // its own partitions (no duplicate digest/shingle rows)
+    val marker = new java.io.File(s"$baseDir/_graft_dedup_ledger/1")
+    assert(marker.exists() && marker.delete())
+    got.remove(1L)
+    onBatch(Seq((20L, text2), (21L, "fully novel words here")).toDF("doc_id", "text"), 1L)
+    assert(got(1L) == delivered1)
+    assert(baseNow() == before)
+  }
+
   test("end-to-end streaming query over a MemoryStream") {
     val baseDir = tmp("graft-incr-stream")
     val ckpt = tmp("graft-incr-ckpt")

@@ -81,4 +81,32 @@ class StreamingSpanDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$baseDir/spans").count() ==
       spark.read.parquet(s"$baseDir/spans").distinct().count())
   }
+
+  test("marker-deleted replay: identical re-delivery, identical base") {
+    val baseDir = tmp("graft-span-replay")
+    val novel = (1 to 15).map(i => f"rep$i%02d").mkString(" ")
+    StreamingSpanDedup.initBase(
+      Seq((1L, "short base")).toDF("doc_id", "text"), baseDir)
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long, String)]]
+    val onBatch = StreamingSpanDedup.onBatch(baseDir, growBase = true,
+      (cleaned, id) => got(id) = rows(cleaned))
+    onBatch(Seq((10L, novel)).toDF("doc_id", "text"), 0L)
+    onBatch(Seq((20L, novel)).toDF("doc_id", "text"), 1L) // fully covered
+    val delivered1 = got(1L)
+    assert(delivered1.head._3 == 0L, s"batch 1 must be fully cleaned: $delivered1")
+    def baseNow(): Set[(String, Int)] =
+      spark.read.parquet(s"$baseDir/spans").select("h", "batch")
+        .as[(String, Int)].collect().toSet
+    val before = baseNow()
+
+    // crash: marker gone; the replay reads batch < 1 (same digest set as
+    // the first attempt) and overwrites batch=1 (here: the empty novel
+    // set — doc 20's windows were all first seen in batch 0)
+    val marker = new java.io.File(s"$baseDir/_graft_spandedup_ledger/1")
+    assert(marker.exists() && marker.delete())
+    got.remove(1L)
+    onBatch(Seq((20L, novel)).toDF("doc_id", "text"), 1L)
+    assert(got(1L) == delivered1)
+    assert(baseNow() == before)
+  }
 }

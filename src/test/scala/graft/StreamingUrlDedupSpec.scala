@@ -79,4 +79,45 @@ class StreamingUrlDedupSpec extends SparkSpec {
     onBatch2(Seq((40L, "http://example.com/b?y=2&z=3")).toDF("doc_id", "url"), 5L)
     assert(got(5L) == Set((40L, 11L, "http://example.com/b?y=2&z=3")))
   }
+
+  test("marker-deleted replay: identical re-delivery, identical base, even mid-write") {
+    val baseDir = tmp("graft-url-replay")
+    StreamingUrlDedup.initBase(
+      Seq((1L, "http://example.com/a?x=1")).toDF("doc_id", "url"), baseDir)
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, String)]]
+    val onBatch = StreamingUrlDedup.onBatch(baseDir, growBase = true,
+      (hits, id) => got(id) = hitRows(hits))
+    onBatch(Seq((10L, "http://example.com/c?p=1")).toDF("doc_id", "url"), 0L)
+    onBatch(Seq((20L, "http://EXAMPLE.com/c?p=1&utm_source=z"), // hits keeper 10
+                (21L, "http://example.com/d")).toDF("doc_id", "url"), 1L)
+    val delivered1 = got(1L)
+    assert(delivered1 == Set((20L, 10L, "http://example.com/c?p=1")))
+    def baseNow(): Set[(String, Long, Int)] =
+      spark.read.parquet(s"$baseDir/canon")
+        .select("canon_url", "base_doc_id", "batch")
+        .as[(String, Long, Int)].collect().toSet
+    val baseBefore = baseNow()
+    assert(baseBefore.exists(r => r._2 == 21L && r._3 == 1),
+      s"doc 21 must have grown into the batch=1 partition: $baseBefore")
+
+    // crash simulation: the marker never landed AND the crashed attempt
+    // left a partial part file in the batch's own partition
+    val marker = new java.io.File(s"$baseDir/_graft_url_ledger/1")
+    assert(marker.exists() && marker.delete())
+    val junk = new java.io.File(s"$baseDir/canon/batch=1/part-crashed.parquet")
+    java.nio.file.Files.write(junk.toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    got.remove(1L)
+    onBatch(Seq((20L, "http://EXAMPLE.com/c?p=1&utm_source=z"),
+                (21L, "http://example.com/d")).toDF("doc_id", "url"), 1L)
+    // byte-identical re-delivery: the replay read batch < 1, so it could
+    // NOT see its own crashed growth (no self-hit rows)
+    assert(got(1L) == delivered1)
+    // the overwrite cleared the partial file and re-landed the same rows
+    assert(!junk.exists(), "replay must overwrite the crashed partition")
+    assert(baseNow() == baseBefore)
+    // and the grown base still serves later batches exactly once
+    onBatch(Seq((30L, "http://example.com/d?gclid=x")).toDF("doc_id", "url"), 2L)
+    assert(got(2L) == Set((30L, 21L, "http://example.com/d")))
+  }
 }

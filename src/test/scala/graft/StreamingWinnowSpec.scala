@@ -73,4 +73,33 @@ class StreamingWinnowSpec extends SparkSpec {
     assert(batches(2L).map(_._2) == Set(10L, 11L, 20L),
       "doc 20 must be in the base exactly once after the replayed batch")
   }
+
+  test("marker-deleted replay: identical re-delivery, identical base") {
+    val u = (1 to 40).map(i => s"rp$i kk$i").mkString(" ")
+    val baseDir = tmp("graft-winnow-replay")
+    StreamingWinnow.initBase(Seq((1L, u)).toDF("doc_id", "text"), baseDir)
+    val batches = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Long, Double)]]
+    val onBatch = StreamingWinnow.onBatch(baseDir, growBase = true,
+      (m, id) => batches(id) = rows(m))
+    onBatch(Seq((10L, u)).toDF("doc_id", "text"), 0L)
+    onBatch(Seq((20L, u)).toDF("doc_id", "text"), 1L)
+    val delivered1 = batches(1L)
+    assert(delivered1.map(_._2) == Set(1L, 10L))
+    def baseNow(): Set[(Long, String, Int)] =
+      spark.read.parquet(s"$baseDir/fps").select("doc_id", "fp", "batch")
+        .as[(Long, String, Int)].collect().toSet
+    val before = baseNow()
+    assert(before.exists(r => r._1 == 20L && r._3 == 1),
+      "doc 20's fingerprints must live in the batch=1 partition")
+
+    // crash: marker gone; replay matches against batch < 1 (doc 20's own
+    // prints invisible) and overwrites fps/batch=1 with the same rows
+    val marker = new java.io.File(s"$baseDir/_graft_winnow_ledger/1")
+    assert(marker.exists() && marker.delete())
+    batches.remove(1L)
+    onBatch(Seq((20L, u)).toDF("doc_id", "text"), 1L)
+    assert(batches(1L) == delivered1)
+    assert(baseNow() == before)
+  }
 }
