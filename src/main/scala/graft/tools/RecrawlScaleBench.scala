@@ -30,11 +30,12 @@ object RecrawlScaleBench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Order-free content checksum of a schedule frame. */
+  /** Order-free content checksum of a schedule frame (bit_xor combine —
+    * sum would overflow Long under ANSI at 1M 64-bit hashes). */
   private def checksum(df: DataFrame): (Long, Long) = {
     val r = df.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(df.columns.map(col): _*)), lit(0L)).as("h"))
+      coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)).as("h"))
       .head()
     (r.getLong(0), r.getLong(1))
   }
