@@ -390,14 +390,15 @@ object Crawl {
       .withColumn("path",
         when((col("doc_id") % H) % 3L === 0L,
           concat(lit("/cal/page"), col("doc_id")))
-          // try_element_at, for symmetry with anchorTopk: a negative
-          // doc_id makes the index <= 0 (Spark % keeps the dividend's
-          // sign), which plain element_at ABORTS on under ANSI mode;
-          // try_ yields null/from-end — the same thing DuckDB's list
-          // index does (r14 review)
-          .otherwise(try_element_at(
+          // pmod keeps the index in 1..4 for ANY doc_id sign (Spark's %
+          // keeps the dividend's sign, so `% 4 + 1` could compute 0 for
+          // doc_id % 4 == -1 — an index even try_element_at aborts on
+          // under ANSI; try_ only suppresses OUT-OF-BOUND indices).
+          // Identical to the oracle's `doc_id % 4` on the fixture's
+          // non-negative ids. (r15 review)
+          .otherwise(element_at(
             array(lit("/about"), lit("/contact"), lit("/index"), lit("/news")),
-            ((col("doc_id") % 4L) + 1L).cast("int"))))
+            (pmod(col("doc_id"), lit(4L)) + 1L).cast("int"))))
       .select("host", "path")
 
   private val trapRatioFp = 3L * PSCALE / 2L // 1.5 urls per template

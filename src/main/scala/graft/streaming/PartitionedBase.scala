@@ -51,15 +51,36 @@ object PartitionedBase {
   def init(rows: DataFrame, dir: String): Unit =
     rows.write.mode("overwrite").parquet(s"$dir/batch=-1")
 
+  /** Base read with the `batch` column kept, schema pinned to the
+    * bootstrap partition when one exists: Parquet schema inference
+    * samples ONE file footer before partition filters apply, so a
+    * corrupt partial part file left in a crashed `batch=<id>` partition
+    * could otherwise be the sampled file and fail every read — replay
+    * correctness must not depend on `batch=-1` happening to sort first.
+    * The bootstrap partition is written once, atomically, by [[init]] /
+    * [[replace]], so its footers are always intact; a dir with no
+    * bootstrap partition (a flat pre-r15 base — only [[migrateFlat]]
+    * reads those) falls back to plain inference. */
+  def withBatch(spark: SparkSession, dir: String): DataFrame = {
+    val boot = new org.apache.hadoop.fs.Path(s"$dir/batch=-1")
+    val fs = boot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(boot))
+      spark.read
+        .schema(spark.read.parquet(s"$dir/batch=-1").schema
+          .add("batch", org.apache.spark.sql.types.LongType))
+        .parquet(dir)
+    else spark.read.parquet(dir)
+  }
+
   /** State-so-far for `batchId`: partitions STRICTLY before it. This is
     * the read every onBatch body must use — excluding the batch's own id
     * (and any later leftovers) is what makes replay idempotent. */
   def before(spark: SparkSession, dir: String, batchId: Long): DataFrame =
-    spark.read.parquet(dir).filter(col("batch") < batchId).drop("batch")
+    withBatch(spark, dir).filter(col("batch") < batchId).drop("batch")
 
   /** Everything, for offline reads (audits, forget rewrites, specs). */
   def all(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop("batch")
+    withBatch(spark, dir).drop("batch")
 
   /** Idempotent growth: overwrite the batch's OWN partition. */
   def write(rows: DataFrame, dir: String, batchId: Long): Unit =
@@ -77,11 +98,17 @@ object PartitionedBase {
     * back. A crash while writing `<dir>_tmp` changes nothing visible. */
   def replace(spark: SparkSession, dir: String, rows: DataFrame,
       upto: Long = -1L): Unit = {
-    rows.write.mode("overwrite").parquet(s"${dir}_tmp/batch=$upto")
     val conf = spark.sessionState.newHadoopConf()
     val cur = new org.apache.hadoop.fs.Path(dir)
     val fs = cur.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(s"${dir}_tmp")
+    // a leftover _tmp from a previously crashed swap may hold OTHER
+    // batch=<id> partitions than this call's `upto` — the overwrite
+    // below is scoped to `batch=$upto` only, so without this delete the
+    // rename would silently install those stale partitions (data
+    // resurrection, fatal for the forget/RTBF callers)
+    fs.delete(tmp, true)
+    rows.write.mode("overwrite").parquet(s"${dir}_tmp/batch=$upto")
     val old = new org.apache.hadoop.fs.Path(s"${dir}_old")
     fs.delete(old, true)
     require(fs.rename(cur, old), s"replace: could not retire $cur")

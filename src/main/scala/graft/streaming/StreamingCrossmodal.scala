@@ -57,9 +57,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * over O(batch-incident CONTRACTED edges) (a quiet day closes a
   * near-empty graph regardless of history), one O(delta) partition
   * overwrite. The label read is one doc-keyed agg over bootstrap +
-  * deltas — bounded by the same offline compaction discipline as the
-  * recrawl table ([[PartitionedBase.migrateFlat]] rolls history into
-  * one partition between stream runs). */
+  * deltas — bounded by rolling history up with [[compact]] between
+  * stream runs. Do NOT compact this table with
+  * [[PartitionedBase.migrateFlat]]: that unions the raw DELTA rows into
+  * one partition, and a doc with rows in several batches would get tied
+  * `batch` values under the last-writer-wins read (`max_by(cluster_id,
+  * batch)` picks nondeterministically among ties) — silent label
+  * corruption. [[compact]] aggregates to one row per doc FIRST. */
 object StreamingCrossmodal {
 
   private def labelsDir(baseDir: String) = s"$baseDir/labels"
@@ -76,7 +80,7 @@ object StreamingCrossmodal {
     * per doc, the row from the latest partition mentioning it. */
   private def labelsBefore(spark: SparkSession, baseDir: String,
       batchId: Long): DataFrame =
-    spark.read.parquet(labelsDir(baseDir))
+    PartitionedBase.withBatch(spark, labelsDir(baseDir))
       .filter(col("batch") < batchId)
       .groupBy("doc_id")
       .agg(max_by(col("cluster_id"), col("batch")).as("cluster_id"))
@@ -86,9 +90,24 @@ object StreamingCrossmodal {
     * the full report, exactly the [[Corpus.crossmodalIncremental]]
     * default. */
   def labels(spark: SparkSession, baseDir: String): DataFrame =
-    spark.read.parquet(labelsDir(baseDir))
+    PartitionedBase.withBatch(spark, labelsDir(baseDir))
       .groupBy("doc_id")
       .agg(max_by(col("cluster_id"), col("batch")).as("cluster_id"))
+
+  /** OFFLINE compaction of the label table: the CURRENT labels —
+    * aggregated to ONE row per doc BEFORE the swap — replace the
+    * bootstrap + delta history as a single `batch=-1` partition, so the
+    * `max_by(batch)` read stops growing with batch count. This, not
+    * [[PartitionedBase.migrateFlat]], is the compaction procedure for
+    * this table (see the class doc: migrateFlat would flatten delta
+    * rows into tied batch values and corrupt last-writer-wins). Same
+    * crash contract as every [[PartitionedBase.replace]] caller: must
+    * not run concurrently with [[onBatch]]. */
+  def compact(spark: SparkSession, baseDir: String): Unit = {
+    val (mat, rdd) = graft.util.Ckpt.materialize(labels(spark, baseDir))
+    try PartitionedBase.replace(spark, labelsDir(baseDir), mat)
+    finally rdd.unpersist(blocking = false)
+  }
 
   /** The `foreachBatch` body, exposed for direct (deterministic)
     * testing: the batch frame carries incident edges (d1, d2). Delivers
