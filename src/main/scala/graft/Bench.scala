@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = graft.sources.Sessions.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -14,14 +15,19 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // three timed runs, keep the min: a transient host-load burst during
-      // one run can inflate a query 10-50x (observed; round-1 BENCH
-      // disagreed 5-10x with a quiet-host probe), and min-of-3 defeats
-      // bursts that span a whole run. A run that throws contributes NO
-      // time — timing the exception path would report a bogus near-zero
-      // cost and silently mask the failure.
-      val times = (1 to 3).flatMap { _ =>
+    val names = SparkEntry.queries.toSeq
+    // Three INTERLEAVED full passes (pass 1 runs every query once, then
+    // pass 2, pass 3), per-query min across passes: a transient host-load
+    // burst inflates queries 10-50x (observed; round-1 BENCH disagreed
+    // 5-10x with a quiet-host probe, and r15's committed artifact drifted
+    // +23% on an unchanged query set purely from host weather). Three
+    // BACK-TO-BACK runs of one query all sit inside the same burst
+    // window; interleaving spreads a query's three samples across the
+    // whole capture, so the min defeats bursts up to a full pass long.
+    // A run that throws contributes NO time — timing the exception path
+    // would report a bogus near-zero cost and silently mask the failure.
+    val passes: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
+      names.flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop write forces full evaluation of every column (a bare
         // count() would let Catalyst prune projections and under-measure)
@@ -31,30 +37,37 @@ object Bench {
         // isolate per-query timing: no cross-query cache reuse, no
         // accumulated cache memory pressure
         spark.catalog.clearCache()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
-      name -> times.minOption
+        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
+      }.toMap
+    }
+    val results = names.map { case (name, _) =>
+      name -> (passes.flatMap(_.get(name)) match {
+        case Seq() => None
+        case ts => Some(ts.min)
+      })
     }
     val good = results.collect { case (k, Some(v)) => k -> v }
-    val failed = results.collect { case (k, None) => k }.toSeq.sorted
+    val failed = results.collect { case (k, None) => k }.sorted
     def r3(v: Double): String = f"$v%.3f"
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (good.nonEmpty) good.values.sum else 0.0
+    val total = good.map(_._2).sum
     // Full per-query map -> file + first stdout line (for humans / the
     // judge). The DRIVER only keeps the LAST 2000 chars of stdout, and the
     // full map is ~5k chars — every round's BENCH_r*.json had
     // "parsed": null because the one-line JSON never fit the capture
     // window. So the LAST line printed is a compact contract line
     // (headline total + the 25 slowest queries, 3-decimal seconds) that
-    // always fits; the full map lives in BENCH_FULL.json.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(good)},"failed":$fs,"sf":"$sfDir"}"""
+    // always fits; the full map (mins + the raw interleaved passes)
+    // lives in BENCH_FULL.json.
+    val runsJson = passes.map(p => jmap(p)).mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(good)},"failed":$fs,"sf":"$sfDir","runs":$runsJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     println(fullLine)
-    val slowest = good.toSeq.sortBy(-_._2).take(25)
+    val slowest = good.sortBy(-_._2).take(25)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${good.size},"queries":${jmap(slowest)},"failed":$fs,"sf":"$sfDir","full":"$out"}""")
     if (failed.nonEmpty) System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
     spark.stop()

@@ -912,11 +912,12 @@ object Corpus {
     clusterReport(merged.unionAll(untouched))
   }
 
-  /** Oracle: the text channels' CTEs plus the pHash pair subquery plus
-    * the URL-canonical star edges, unioned before ONE recursive
-    * transitive closure. */
-  val crossmodalClustersSql: String =
-    s"""WITH RECURSIVE ${Dedup.jaccardPairsCtes},
+  /** The three channels' edge CTEs ending in `e0(d1, d2)` (prefixed by
+    * [[Dedup.jaccardPairsCtes]]) — shared by [[crossmodalClustersSql]]
+    * and [[Forget.stateForgetSql]]'s label-table leg, so the two oracles
+    * agree on the edge substrate by construction. */
+  private[operators] val crossmodalEdgeCtes: String =
+    s"""${Dedup.jaccardPairsCtes},
        |ex AS (
        |  SELECT d1, d2 FROM (
        |    SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS d1,
@@ -937,7 +938,13 @@ object Corpus {
        |  ) WHERE d1 <> d2
        |),
        |e0 AS (SELECT d1, d2 FROM jp UNION SELECT d1, d2 FROM ex
-       |  UNION SELECT d1, d2 FROM pp UNION SELECT d1, d2 FROM uu),
+       |  UNION SELECT d1, d2 FROM pp UNION SELECT d1, d2 FROM uu)""".stripMargin
+
+  /** Oracle: the text channels' CTEs plus the pHash pair subquery plus
+    * the URL-canonical star edges, unioned before ONE recursive
+    * transitive closure. */
+  val crossmodalClustersSql: String =
+    s"""WITH RECURSIVE $crossmodalEdgeCtes,
        |edges AS MATERIALIZED (
        |  SELECT d1 AS src, d2 AS dst FROM e0
        |  UNION SELECT d2, d1 FROM e0

@@ -173,6 +173,129 @@ object Forget {
     rewrite(spark, out, s"$baseDir/canon")
   }
 
+  /** Delete `killIds` (one `doc_id` column) from a CDC chunk-digest base
+    * ([[graft.streaming.StreamingCdc]] `chunks/`). Same keeper-vs-
+    * survivor contract as [[forgetIncrementalBase]]: with `rekeyFrom` =
+    * the surviving corpus, a chunk digest whose KEEPER died but whose
+    * content survives in another doc is re-keyed (chunk_md5 → min
+    * surviving doc carrying it); without corpus access the digest is
+    * forgotten and the content re-enters the base as novel on its next
+    * appearance. */
+  def forgetCdcBase(spark: SparkSession, baseDir: String,
+      killIds: DataFrame, rekeyFrom: Option[DataFrame] = None): Unit = {
+    val kill = broadcast(killIds.select(col("doc_id")).distinct())
+    val chunks = graft.streaming.PartitionedBase.all(spark, s"$baseDir/chunks")
+    val kept = chunks.join(kill,
+      chunks("base_doc") === kill("doc_id"), "left_anti")
+    val out = rekeyFrom match {
+      case None => kept
+      case Some(surv) =>
+        val orphan = chunks.join(kill,
+            chunks("base_doc") === kill("doc_id"), "left_semi")
+          .select("chunk_md5")
+        kept.unionByName(
+          TextAnalysis.cdcBaseDigestsOf(TextAnalysis.cdcChunksOf(surv))
+            .join(broadcast(orphan), Seq("chunk_md5"), "left_semi"))
+    }
+    rewrite(spark, out, s"$baseDir/chunks")
+  }
+
+  /** Delete `killIds` (one `doc_id` column) from a winnow fingerprint
+    * base ([[graft.streaming.StreamingWinnow]] `fps/`). The artifact is
+    * per-doc ATTRIBUTION rows, not keeper rows — every doc's
+    * fingerprints live under its own id — so the delete is one keyed
+    * anti-join and artifact-level == re-derive with nothing to re-key
+    * (a surviving copy's fingerprints are already stored under the
+    * surviving doc's id). */
+  def forgetWinnowBase(spark: SparkSession, baseDir: String,
+      killIds: DataFrame): Unit = {
+    val kill = broadcast(killIds.select(col("doc_id")).distinct())
+    val fps = graft.streaming.PartitionedBase.all(spark, s"$baseDir/fps")
+    rewrite(spark, fps.join(kill, Seq("doc_id"), "left_anti"),
+      s"$baseDir/fps")
+  }
+
+  /** Delete `killPages` (one `page` column) from a recrawl state table
+    * ([[graft.streaming.StreamingRecrawl]] `state/` — partial rows keyed
+    * by page, additive across partitions). Dropping EVERY partial of a
+    * killed page removes it from the schedule and resets its history:
+    * if the page is fetched again it re-enters as new (n=1, x=0) — the
+    * RTBF contract for crawl telemetry keyed to a forgotten site. The
+    * rewrite rolls survivors into one `batch=-1` partition (the same
+    * compaction [[graft.streaming.StreamingRecrawl.compact]] performs),
+    * so a checkpointed stream resumes against the rewritten state. */
+  def forgetRecrawlState(spark: SparkSession, baseDir: String,
+      killPages: DataFrame): Unit = {
+    val kill = broadcast(killPages.select(col("page")).distinct())
+    val state = graft.streaming.PartitionedBase.all(spark, s"$baseDir/state")
+    rewrite(spark, state.join(kill, Seq("page"), "left_anti"),
+      s"$baseDir/state")
+  }
+
+  /** Delete `killIds` from a cross-modal label table
+    * ([[graft.streaming.StreamingCrossmodal]] `labels/`). The interesting
+    * RTBF case: a forgotten doc may BE the component-min label of its
+    * cluster, so dropping its rows is not enough — the surviving members
+    * must be RELABELED.
+    *
+    *  - With `survEdges` = the surviving corpus's edge set (d1, d2) —
+    *    what the per-channel generators recompute on demand — the
+    *    affected components (those containing a killed doc) are re-closed
+    *    via [[Corpus.components]] over their surviving edges ONLY:
+    *    labels stay component-min, and a component SPLIT by the deletion
+    *    (the killed doc was a cut vertex) splits here too — artifact-
+    *    level delete == re-derive. Survivors left with no surviving edge
+    *    drop out of the table (absent == singleton, the read contract).
+    *  - Without edges the artifact alone cannot see splits (it stores
+    *    labels, not connectivity — the same stores-strictly-less caveat
+    *    as the digest keeper table): surviving members of an affected
+    *    cluster keep one cluster, re-keyed to their min surviving id.
+    *
+    * Unaffected components pass through untouched (their edges cannot
+    * involve a killed doc — components are closed under edges). The
+    * rewrite aggregates to ONE row per doc before the swap, exactly like
+    * [[graft.streaming.StreamingCrossmodal.compact]], so the
+    * `max_by(batch)` read stays well-defined. Scale shape: kill list and
+    * affected-cluster set broadcast; one anti-join pass over the label
+    * table; the closure touches affected-component edges only. */
+  def forgetCrossmodalLabels(spark: SparkSession, baseDir: String,
+      killIds: DataFrame, survEdges: Option[DataFrame] = None): Unit = {
+    val kill = broadcast(killIds.select(col("doc_id")).distinct())
+    val cur = graft.streaming.StreamingCrossmodal.labels(spark, baseDir)
+    val affected = broadcast(
+      cur.join(kill, Seq("doc_id"), "left_semi")
+        .select("cluster_id").distinct())
+    val untouched = cur.join(kill, Seq("doc_id"), "left_anti")
+      .join(affected, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    val relabeled = survEdges match {
+      case Some(edges) =>
+        // restrict to affected components' SURVIVING edges: both
+        // endpoints of an edge share a component, so one endpoint check
+        // suffices for membership; killed endpoints are dropped anyway
+        val lab1 = cur.select(col("doc_id").as("d1"),
+          col("cluster_id").as("c1"))
+        val aff = edges.select(col("d1"), col("d2"))
+          .join(kill.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
+          .join(kill.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+          .join(lab1, Seq("d1"), "left")
+          .join(affected.select(col("cluster_id").as("c1")), Seq("c1"),
+            "left_semi")
+          .select("d1", "d2")
+        Corpus.components(aff)
+      case None =>
+        val affSurv = cur.join(affected, Seq("cluster_id"), "left_semi")
+          .join(kill, Seq("doc_id"), "left_anti")
+        affSurv
+          .join(affSurv.groupBy("cluster_id")
+              .agg(min("doc_id").as("new_cluster")),
+            Seq("cluster_id"))
+          .select(col("doc_id"), col("new_cluster").as("cluster_id"))
+    }
+    rewrite(spark, untouched.unionByName(relabeled),
+      s"$baseDir/labels")
+  }
+
   // ---- the oracle-gated accounting query ---------------------------------
 
   /** Per-artifact forget accounting over the deterministic kill list —
@@ -362,9 +485,164 @@ object Forget {
        |FROM uf""".stripMargin
   }
 
+  /** Forget accounting over the four STATE tables the dedup/crawl twins
+    * persist beyond the corpus-derived artifacts [[corpusForget]] covers
+    * (r15 verdict #2): CDC chunk digests, winnow fingerprints, recrawl
+    * pages, and the cross-modal label table. Same kill list, same four
+    * accounting columns. Per leg:
+    *
+    *  - `cdc_chunks`: keeper digest rows (one per distinct chunk_md5) —
+    *    the keeper-vs-survivor split of [[forgetCdcBase]]; rekeyed
+    *    counts digests whose keeper died but whose content survives.
+    *  - `winnow_fps`: per-doc attribution rows — artifact delete and
+    *    re-derive agree exactly (a doc's fingerprints depend on its text
+    *    alone), so rekeyed = 0 by construction.
+    *  - `recrawl_pages`: pages in the crawl state (kill = page % 7 = 3,
+    *    the page-keyed image of the doc rule); dropping a page resets
+    *    its history, nothing to re-key.
+    *  - `crossmodal_labels`: edge-touched label rows. after_forget is
+    *    the COMPONENT-AWARE artifact delete ([[forgetCrossmodalLabels]]
+    *    with edges): survivors of affected components re-closed over
+    *    surviving edges — which equals the re-derive by construction
+    *    (unaffected components cannot contain a killed edge endpoint);
+    *    rekeyed counts survivors whose label CHANGED (their old
+    *    component min died, or their component split).
+    *
+    * Scale note: this is the one query that closes the crossmodal graph
+    * TWICE (full + survivor) — inherent to auditing a delete against a
+    * re-derive; both closures run over the already-bucketed candidate
+    * edges, never all-pairs. */
+  def stateForget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    def leg(name: String, before: org.apache.spark.sql.Column,
+        after: org.apache.spark.sql.Column,
+        rederived: org.apache.spark.sql.Column,
+        rekeyed: org.apache.spark.sql.Column)(src: DataFrame): DataFrame =
+      src.agg(before.cast("long").as("rows_before"),
+          after.cast("long").as("rows_after_forget"),
+          rederived.cast("long").as("rows_rederived"),
+          rekeyed.cast("long").as("rows_rekeyed"))
+        .select(lit(name).as("artifact"), col("rows_before"),
+          col("rows_after_forget"), col("rows_rederived"), col("rows_rekeyed"))
+
+    // cdc chunk digests: same keeper accounting as corpus_forget's digests
+    val cfp = TextAnalysis.cdcChunksOf(docs).groupBy("chunk_md5")
+      .agg(min("doc_id").as("keeper_all"),
+        min(when(col("doc_id") % forgetMod =!= forgetRem, col("doc_id")))
+          .as("keeper_surv"))
+    val cdcKilled = col("keeper_all") % forgetMod === forgetRem
+    val cdcLeg = leg("cdc_chunks",
+      count(lit(1)),
+      count(when(!cdcKilled, 1)),
+      count(col("keeper_surv")),
+      count(when(cdcKilled && col("keeper_surv").isNotNull, 1)))(cfp)
+
+    val wfp = TextAnalysis.winnowFps(docs).select("doc_id", "fp").distinct()
+    val alive = count(when(!killDoc, 1))
+    val winnowLeg = leg("winnow_fps", count(lit(1)), alive, alive, lit(0))(wfp)
+
+    val pages = Crawl.fetchLog(spark, dir).select("page").distinct()
+    val pageAlive = count(when(col("page") % forgetMod =!= forgetRem, 1))
+    val recrawlLeg = leg("recrawl_pages",
+      count(lit(1)), pageAlive, pageAlive, lit(0))(pages)
+
+    // label table: full closure vs survivor-edge closure (cl_s is null
+    // for killed docs AND for survivors left with no surviving edge)
+    val edges = Dedup.eager(Corpus.crossmodalEdges(spark, dir))
+    val full = Corpus.components(edges)
+    val surv = Corpus.components(edges.filter(
+      col("d1") % forgetMod =!= forgetRem &&
+        col("d2") % forgetMod =!= forgetRem))
+    val cmp = full.select(col("doc_id"), col("cluster_id").as("cl_f"))
+      .join(surv.select(col("doc_id"), col("cluster_id").as("cl_s")),
+        Seq("doc_id"), "left")
+    val labelLeg = leg("crossmodal_labels",
+      count(lit(1)),
+      count(col("cl_s")),
+      count(col("cl_s")),
+      count(when(col("cl_s").isNotNull && col("cl_s") =!= col("cl_f"), 1)))(cmp)
+
+    cdcLeg.unionByName(winnowLeg).unionByName(recrawlLeg)
+      .unionByName(labelLeg)
+  }
+
+  val stateForgetSql: String = {
+    def cnt(c: String): String = s"CAST($c AS BIGINT)"
+    s"""SELECT 'cdc_chunks' AS artifact,
+       |  ${cnt("count(*)")} AS rows_before,
+       |  ${cnt(s"count(CASE WHEN NOT (keeper_all % $forgetMod = $forgetRem) THEN 1 END)")}
+       |    AS rows_after_forget,
+       |  ${cnt("count(keeper_surv)")} AS rows_rederived,
+       |  ${cnt(s"count(CASE WHEN keeper_all % $forgetMod = $forgetRem AND keeper_surv IS NOT NULL THEN 1 END)")}
+       |    AS rows_rekeyed
+       |FROM (
+       |  WITH ${TextAnalysis.cdcCtes}
+       |  SELECT chunk_md5, min(doc_id) AS keeper_all,
+       |    min(CASE WHEN NOT ($killSqlDoc) THEN doc_id END) AS keeper_surv
+       |  FROM cdc GROUP BY 1
+       |)
+       |UNION ALL
+       |SELECT 'winnow_fps', ${cnt("count(*)")},
+       |  ${cnt(s"count(CASE WHEN NOT ($killSqlDoc) THEN 1 END)")},
+       |  ${cnt(s"count(CASE WHEN NOT ($killSqlDoc) THEN 1 END)")},
+       |  ${cnt("0")}
+       |FROM (
+       |  WITH ${TextAnalysis.winnowCtes}
+       |  SELECT DISTINCT doc_id, fp FROM wfp
+       |)
+       |UNION ALL
+       |SELECT 'recrawl_pages', ${cnt("count(*)")},
+       |  ${cnt(s"count(CASE WHEN NOT (page % $forgetMod = $forgetRem) THEN 1 END)")},
+       |  ${cnt(s"count(CASE WHEN NOT (page % $forgetMod = $forgetRem) THEN 1 END)")},
+       |  ${cnt("0")}
+       |FROM (
+       |  SELECT DISTINCT user_id AS page FROM events WHERE user_id IS NOT NULL
+       |)
+       |UNION ALL
+       |SELECT 'crossmodal_labels', ${cnt("count(*)")},
+       |  ${cnt("count(cl_s)")},
+       |  ${cnt("count(cl_s)")},
+       |  ${cnt("count(CASE WHEN cl_s IS NOT NULL AND cl_s <> cl_f THEN 1 END)")}
+       |FROM (
+       |  WITH RECURSIVE ${Corpus.crossmodalEdgeCtes},
+       |  edges_f AS MATERIALIZED (
+       |    SELECT d1 AS src, d2 AS dst FROM e0
+       |    UNION SELECT d2, d1 FROM e0
+       |  ),
+       |  reach_f(doc_id, r) AS (
+       |    SELECT src, src FROM edges_f
+       |    UNION
+       |    SELECT e.src, reach_f.r
+       |    FROM edges_f e JOIN reach_f ON e.dst = reach_f.doc_id
+       |  ),
+       |  cl_full AS (SELECT doc_id, min(r) AS cluster_id FROM reach_f GROUP BY 1),
+       |  e1 AS (
+       |    SELECT d1, d2 FROM e0
+       |    WHERE NOT (d1 % $forgetMod = $forgetRem)
+       |      AND NOT (d2 % $forgetMod = $forgetRem)
+       |  ),
+       |  edges_s AS MATERIALIZED (
+       |    SELECT d1 AS src, d2 AS dst FROM e1
+       |    UNION SELECT d2, d1 FROM e1
+       |  ),
+       |  reach_s(doc_id, r) AS (
+       |    SELECT src, src FROM edges_s
+       |    UNION
+       |    SELECT e.src, reach_s.r
+       |    FROM edges_s e JOIN reach_s ON e.dst = reach_s.doc_id
+       |  ),
+       |  cl_surv AS (SELECT doc_id, min(r) AS cluster_id FROM reach_s GROUP BY 1)
+       |  SELECT f.cluster_id AS cl_f, s.cluster_id AS cl_s
+       |  FROM cl_full f LEFT JOIN cl_surv s USING (doc_id)
+       |)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_forget" -> (corpusForget _))
+    "corpus_forget" -> (corpusForget _),
+    "state_forget" -> (stateForget _))
 
   val oracleSql: Map[String, String] = Map(
-    "corpus_forget" -> corpusForgetSql)
+    "corpus_forget" -> corpusForgetSql,
+    "state_forget" -> stateForgetSql)
 }

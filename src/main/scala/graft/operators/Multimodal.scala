@@ -331,6 +331,37 @@ object Multimodal {
     cross.union(same)
   }
 
+  /** The batch-vs-base INCREMENTAL form of [[phashDedup]] — the pHash
+    * channel's analog of [[Dedup.hitsAgainstBase]]: every batch doc
+    * paired against base docs whose signatures sit within
+    * [[phashHammingMax]] (equal signatures included — they share every
+    * band), via the SAME banded candidate join over distinct signatures.
+    * Unlike the self-join form no `<` ordering is needed, so the one
+    * banded join carries both the near and the equal case. Feeds the
+    * image channel's incident edges to the streaming cross-modal merge
+    * ([[graft.streaming.StreamingCrossmodal]]). Scale shape: batch-side
+    * signatures are distinct + tiny (broadcastable); the base is probed
+    * per band, never self-joined; only (doc_id, 8-byte hash) shuffles. */
+  def phashPairsAgainstBase(newPh: DataFrame, basePh: DataFrame): DataFrame = {
+    val spark = newPh.sparkSession
+    val chunks = spark.range(phashBits / phashChunkBits).toDF("c")
+    def keyed(df: DataFrame) = df.select("phash").distinct()
+      .crossJoin(broadcast(chunks))
+      .withColumn("chunk_val",
+        expr(s"shiftright(phash, CAST(c * $phashChunkBits AS INT))" +
+          s" & ${(1L << phashChunkBits) - 1}"))
+    val hp = keyed(newPh).as("x").join(keyed(basePh).as("y"),
+        col("x.c") === col("y.c") && col("x.chunk_val") === col("y.chunk_val"))
+      .select(col("x.phash").as("hn"), col("y.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("hn").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= phashHammingMax)
+    newPh.as("a").join(hp, col("a.phash") === col("hn"))
+      .join(basePh.as("b"), col("b.phash") === col("hb"))
+      .select(col("a.doc_id"), col("b.doc_id").as("base_doc_id"),
+        col("hamming"))
+  }
+
   /** DuckDB twin of [[phashDedup]]: identical integer cross-multiplied
     * bits in hex-space, doc-level banded self-join (output-identical to
     * the Spark side's distinct-signature form). */

@@ -375,6 +375,60 @@ object StateScaleBench {
         s"(${expected.size} sampled users)")
     }
 
+    if (phase == "all" || phase == "thrttl") {
+      // phase 7 (round 16): the FUSED operator's throttle-watermark slot
+      // at 1M keys (r15 verdict #7). Every event alerts (value 99 > t1's
+      // 95), so every key writes a detthr_thr watermark. Detector slot
+      // TTL = 5 s both runs; run A leaves thrTtl unbounded (the default),
+      // run B sets thrTtl = 15 s. After idling past the TTLs, run A's
+      // store converges to the THROTTLE-ONLY footprint — the per-(rule,
+      // key) long the scaladoc prices — while run B's collapses toward
+      // zero. The delta between the two converged row counts/mem IS the
+      // throttle slot's cost at 1M keys; the sizing rule it backs lives
+      // on alertsTwsThrottled's scaladoc.
+      def runThr(tag: String, thrTtl: TTLConfig): Unit = {
+        val ms = MemoryStream[SEvent]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-ssb-thr").toString
+        val q = StreamingDetectors.alertsTwsThrottled(ms.toDS(), rules,
+            periodSec = 3600L,
+            ttl = TTLConfig(java.time.Duration.ofSeconds(5)),
+            thrTtl = thrTtl)
+          .writeStream.format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("2 seconds"))
+          .option("checkpointLocation", ckpt).start()
+        def rowsNow: Long = Option(q.lastProgress)
+          .filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.apply(0).numRowsTotal).getOrElse(-1L)
+        def waitFor(t: String, deadlineSec: Int)(done: => Boolean): Unit = {
+          val t0 = System.nanoTime()
+          while (!done && (System.nanoTime() - t0) / 1e9 < deadlineSec)
+            Thread.sleep(500)
+          report(t, q, (System.nanoTime() - t0) / 1e9)
+        }
+        try {
+          (0 until 4).foreach { b =>
+            ms.addData((0 until perBatch).map { i =>
+              val id = b.toLong * perBatch + i
+              SEvent(s"k$id", id, id / 1000,
+                Map("value" -> 99.0), "{}")
+            })
+          }
+          // both slots populated: >= 1M keys' worth of state rows
+          waitFor(s"$tag fill", 600)(rowsNow >= 4L * perBatch)
+          val peak = rowsNow
+          // idle past the detector TTL (and run B's throttle TTL): run A
+          // converges to the throttle-only floor (well below peak, well
+          // above zero), run B toward zero — the printed report lines
+          // carry the converged rows/mem the sizing rule reads
+          waitFor(s"$tag evict", 600)(
+            rowsNow >= 0 && (if (thrTtl == TTLConfig.NONE)
+              rowsNow < peak - 3L * perBatch else rowsNow < perBatch / 10))
+        } finally q.stop()
+      }
+      runThr("thr-unbounded", TTLConfig.NONE)
+      runThr("thr-ttl15s", TTLConfig(java.time.Duration.ofSeconds(15)))
+    }
+
     if (phase == "all" || phase == "ttl") {
       // phase 3: TTL eviction. No processAllAvailable here — a TTL query
       // batches on every trigger and never satisfies its no-new-data

@@ -195,4 +195,129 @@ class ForgetSpec extends SparkSpec {
       .select("base_doc_id").as[Long].collect().toSeq
     assert(regrown == Seq(400L), s"url must re-enter under doc 400: $regrown")
   }
+
+  test("cdc base: killed keeper dropped or re-keyed; content re-enters as novel") {
+    import graft.streaming.StreamingCdc
+    // doc 1 sole owner of tA's chunks; docs 2 and 5 share tB's (keeper 2)
+    val corpus = docsDf(1L -> tA, 2L -> tB, 5L -> tB)
+
+    // WITHOUT corpus access: tA's digests dropped, re-enter under 100
+    val d1 = tmp("graft-forget-cdc-drop")
+    StreamingCdc.initBase(corpus, d1)
+    Forget.forgetCdcBase(spark, d1, Seq(1L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$d1/chunks")
+      .filter(col("base_doc") === 1L).count() == 0)
+    var matches = Set.empty[(Long, Long)]
+    StreamingCdc.onBatch(d1, growBase = true,
+      (m, _) => matches ++= m.select("doc_id", "base_doc")
+        .as[(Long, Long)].collect())(docsDf(100L -> tA), 0L)
+    assert(matches.isEmpty, s"forgotten chunks must not match: $matches")
+    assert(spark.read.parquet(s"$d1/chunks")
+      .filter(col("base_doc") === 100L).count() > 0,
+      "tA's chunks must re-enter under doc 100")
+
+    // WITH corpus access: forget keeper 2 -> tB's digests re-key to 5
+    val d2 = tmp("graft-forget-cdc-rekey")
+    StreamingCdc.initBase(corpus, d2)
+    Forget.forgetCdcBase(spark, d2, Seq(2L).toDF("doc_id"),
+      rekeyFrom = Some(corpus.filter(col("doc_id") =!= 2L)))
+    val chunks2 = spark.read.parquet(s"$d2/chunks")
+    assert(chunks2.filter(col("base_doc") === 2L).count() == 0)
+    matches = Set.empty
+    StreamingCdc.onBatch(d2, growBase = false,
+      (m, _) => matches ++= m.select("doc_id", "base_doc")
+        .as[(Long, Long)].collect())(docsDf(101L -> tB), 0L)
+    assert(matches.nonEmpty && matches.forall(_._2 == 5L),
+      s"must match the re-keyed keeper only: $matches")
+  }
+
+  test("winnow base: forgotten doc's fingerprints vanish, survivors still attribute") {
+    import graft.streaming.StreamingWinnow
+    val corpus = docsDf(1L -> tA, 2L -> tB, 3L -> tB)
+    val d = tmp("graft-forget-winnow")
+    StreamingWinnow.initBase(corpus, d)
+    Forget.forgetWinnowBase(spark, d, Seq(1L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$d/fps")
+      .filter(col("doc_id") === 1L).count() == 0)
+    // a fresh copy of tA attributes to NOTHING; tB still attributes to
+    // both surviving carriers
+    var m = Set.empty[(Long, Long)]
+    val body = StreamingWinnow.onBatch(d, growBase = false,
+      (mm, _) => m ++= mm.select("batch_doc", "base_doc")
+        .as[(Long, Long)].collect())
+    body(docsDf(200L -> tA), 0L)
+    assert(m.isEmpty, s"forgotten fingerprints must not attribute: $m")
+    body(docsDf(201L -> tB), 1L)
+    assert(m == Set((201L, 2L), (201L, 3L)), s"survivors must attribute: $m")
+  }
+
+  test("recrawl state: forgotten page leaves the schedule, re-enters as new") {
+    import graft.streaming.StreamingRecrawl
+    def logDf(rows: (Long, Long, Long, Long)*): DataFrame =
+      rows.toDF("page", "sig", "ts_sec", "event_id")
+    val d = tmp("graft-forget-recrawl")
+    // page 3: two fetches, one change; page 8: one fetch
+    StreamingRecrawl.initBase(
+      logDf((3L, 1L, 0L, 0L), (3L, 2L, 10L, 1L), (8L, 1L, 0L, 2L)), d)
+    Forget.forgetRecrawlState(spark, d, Seq(3L).toDF("page"))
+    val sched = StreamingRecrawl.schedule(spark, d)
+    assert(sched.filter(col("page") === 3L).count() == 0,
+      "forgotten page must leave the schedule")
+    assert(sched.filter(col("page") === 8L).count() == 1,
+      "surviving page must keep its schedule")
+    // a later fetch of the forgotten page re-enters with FRESH history:
+    // n=1 and NO boundary flip against the forgotten signature
+    var got: Option[(Long, Long)] = None
+    StreamingRecrawl.onBatch(d, (s, _) =>
+      got = Some(s.filter(col("page") === 3L)
+        .select("n_fetches", "n_changes").as[(Long, Long)].collect().head))(
+      logDf((3L, 5L, 20L, 3L)), 0L)
+    assert(got.contains((1L, 0L)),
+      s"page must re-enter as new (n=1, x=0): $got")
+  }
+
+  test("crossmodal labels: killed component-min relabels; cut vertex splits with edges") {
+    import graft.streaming.StreamingCrossmodal
+    def edgesDf(rows: (Long, Long)*): DataFrame = rows.toDF("d1", "d2")
+    def labelRows(df: DataFrame): Set[(Long, Long)] =
+      df.select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    // component A: chain 1-2-3 (label 1); component B: 10-11 (label 10)
+    val baseLabels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("doc_id", "cluster_id")
+
+    // forget 1 (the component min) WITH edges: survivors re-close to 2;
+    // the untouched component passes through
+    val d1 = tmp("graft-forget-xm-min")
+    StreamingCrossmodal.initBase(baseLabels, d1)
+    Forget.forgetCrossmodalLabels(spark, d1, Seq(1L).toDF("doc_id"),
+      survEdges = Some(edgesDf(2L -> 3L, 10L -> 11L)))
+    assert(labelRows(StreamingCrossmodal.labels(spark, d1)) ==
+      Set((2L, 2L), (3L, 2L), (10L, 10L), (11L, 10L)))
+
+    // forget 2 (a CUT VERTEX) WITH edges: docs 1 and 3 split into
+    // singletons (absent == singleton, the read contract)
+    val d2 = tmp("graft-forget-xm-cut")
+    StreamingCrossmodal.initBase(baseLabels, d2)
+    Forget.forgetCrossmodalLabels(spark, d2, Seq(2L).toDF("doc_id"),
+      survEdges = Some(edgesDf(10L -> 11L)))
+    assert(labelRows(StreamingCrossmodal.labels(spark, d2)) ==
+      Set((10L, 10L), (11L, 10L)))
+
+    // forget 1 WITHOUT edges: the artifact cannot see splits — the
+    // conservative keep-together relabel to the min survivor
+    val d3 = tmp("graft-forget-xm-noedges")
+    StreamingCrossmodal.initBase(baseLabels, d3)
+    Forget.forgetCrossmodalLabels(spark, d3, Seq(1L).toDF("doc_id"))
+    assert(labelRows(StreamingCrossmodal.labels(spark, d3)) ==
+      Set((2L, 2L), (3L, 2L), (10L, 10L), (11L, 10L)))
+
+    // the rewritten base keeps streaming: an edge re-attaching the
+    // split-off 3 to component B merges them under min id 3
+    var delta = Set.empty[(Long, Long)]
+    StreamingCrossmodal.onBatch(d2,
+      (df, _) => delta = labelRows(df))(edgesDf(3L -> 10L), 5L)
+    assert(delta == Set((3L, 3L), (10L, 3L), (11L, 3L)), s"delta: $delta")
+    assert(labelRows(StreamingCrossmodal.labels(spark, d2)) ==
+      Set((3L, 3L), (10L, 3L), (11L, 3L)))
+  }
 }
