@@ -647,10 +647,18 @@ object StreamingDetectors {
     * which buckets were already emitted: the pre-r15 duplicate window
     * (idle-evicted key re-awakens inside an already-emitted bucket and
     * re-fires it) is closed, pinned by FusedThrottleSpec's idle-evict
-    * case. An unbounded watermark slot costs 8 bytes per rule per key —
-    * the same footprint as the staged throttle store with no TTL; set
-    * `thrTtl` (>> periodSec, and >= `ttl` to keep the staged form's
-    * separate-store semantics) only when key cardinality demands it.
+    * case. SIZING (measured, StateScaleBench `thrttl` at 1M keys —
+    * SCALE_NOTES r16): the watermark payload is 8 bytes per rule per
+    * key, but the live RocksDB footprint is ~310 B/row with
+    * column-family and index overhead — ~309 MB held FOREVER per 1M
+    * idle (rule, key) pairs under the default. Leave `thrTtl` unbounded
+    * while the distinct (rule, key) domain is bounded (dimension-keyed
+    * topologies): eviction can then never re-open the duplicate window.
+    * On OPEN key domains, budget ~310 B/pair and set
+    * `thrTtl >= max(ttl, several periodSec)` so only keys idle across
+    * multiple emission periods are evicted — a key re-awakening after
+    * `thrTtl` idle can duplicate at most the one bucket it last
+    * emitted, and only if it alerts again inside that same period.
     * COMPATIBILITY: its own state schema ("detthr_det"/"detthr_thr",
     * changed in r15) — start from a fresh checkpointLocation when
     * switching between staged and fused, or from a pre-r15 fused
