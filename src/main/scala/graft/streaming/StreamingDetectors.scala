@@ -648,17 +648,25 @@ object StreamingDetectors {
     * (idle-evicted key re-awakens inside an already-emitted bucket and
     * re-fires it) is closed, pinned by FusedThrottleSpec's idle-evict
     * case. SIZING (measured, StateScaleBench `thrttl` at 1M keys —
-    * SCALE_NOTES r16): the watermark payload is 8 bytes per rule per
-    * key, but the live RocksDB footprint is ~310 B/row with
-    * column-family and index overhead — ~309 MB held FOREVER per 1M
-    * idle (rule, key) pairs under the default. Leave `thrTtl` unbounded
-    * while the distinct (rule, key) domain is bounded (dimension-keyed
-    * topologies): eviction can then never re-open the duplicate window.
-    * On OPEN key domains, budget ~310 B/pair and set
-    * `thrTtl >= max(ttl, several periodSec)` so only keys idle across
-    * multiple emission periods are evicted — a key re-awakening after
-    * `thrTtl` idle can duplicate at most the one bucket it last
-    * emitted, and only if it alerts again inside that same period.
+    * SCALE_NOTES r16): the throttle slot is ONE RocksDB row PER KEY
+    * holding an Array of per-rule watermarks ([[FusedThrState]]), so
+    * the live footprint is ~310 B per idle KEY-ROW (column-family +
+    * index overhead dominating the 8-byte payload) plus only ~8 B per
+    * ADDITIONAL rule — ~309 MB held FOREVER per 1M idle keys under the
+    * default, nearly independent of rule count. Leave `thrTtl`
+    * unbounded while the distinct key domain is bounded
+    * (dimension-keyed topologies): eviction can then never re-open the
+    * duplicate window. On OPEN key domains, budget ~310 B/key-row and
+    * set `thrTtl >= max(ttl, several periodSec)` so only keys idle
+    * across multiple emission periods are evicted. Under the
+    * monotone-per-key ingestion-time input model the fuzzer pins
+    * (each key's ts_sec non-decreasing), a key re-awakening after
+    * `thrTtl` idle can then duplicate at most the one bucket it last
+    * emitted, and only if it alerts again inside that same period;
+    * with OUT-OF-ORDER ts_sec after re-awakening the reset watermark
+    * (Long.MinValue) re-admits any bucket the evicted state had
+    * already emitted or suppressed as late — size `thrTtl` past the
+    * disorder horizon if the source can rewind.
     * COMPATIBILITY: its own state schema ("detthr_det"/"detthr_thr",
     * changed in r15) — start from a fresh checkpointLocation when
     * switching between staged and fused, or from a pre-r15 fused
