@@ -257,6 +257,37 @@ class PlanInvariantSpec extends SparkSpec {
     assert(nodes(rs, "Window") >= 1 && !rs.contains("rangepartitioning"), rs)
   }
 
+  test("state_forget: kill is a predicate, closure legs read checkpointed RDDs") {
+    // The pinned contract (PLANS.md r17): the kill rule evaluates as
+    // CASE arms inside each leg's aggregate — so the plan may contain
+    // NO join keyed on a kill set (no nested loop anywhere, and the one
+    // equi-join is the full-vs-survivor label compare); the dual
+    // closure's outputs enter as checkpointed RDD scans (computed once,
+    // during construction), never as a re-derivation subtree; and the
+    // recrawl leg's events scan reads ONLY the page key column.
+    val df = SparkEntry.queries("state_forget")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"state_forget must not plan a nested loop:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"closure legs must read the checkpointed label RDDs:\n$plan")
+    val eventScans = plan.linesIterator
+      .filter(l => l.contains("events.parquet") && l.contains("ReadSchema"))
+      .toSeq
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val evRead = fmt.linesIterator.filter(_.contains("ReadSchema"))
+      .filter(_.contains("user_id")).toSeq
+    assert(eventScans.nonEmpty || evRead.nonEmpty,
+      s"expected an events scan in the plan:\n$fmt")
+    (eventScans ++ evRead).foreach { l =>
+      assert(!l.contains("value") && !l.contains("event_type"),
+        s"recrawl leg must read only the page key column: $l")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("no registered query plans a global sort or a cartesian product") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
