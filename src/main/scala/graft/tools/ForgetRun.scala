@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
   *     checkable. Passing the checkpoints is the operator's contract;
   *     the runner cannot discover them (base dirs don't record which
   *     checkpoint drives them).
-  *  2. `root/_forget.lock` — an advisory lock created atomically before
+  *  2. `root/_maintenance.lock` ([[graft.streaming.Maintenance]], shared
+  *     with [[CompactRun]]) — an advisory lock created atomically before
   *     the first rewrite and removed on exit, so two maintenance passes
   *     (forget, compaction) cannot interleave their read→swap cycles. A
   *     crashed pass leaves the lock behind deliberately: the operator
@@ -77,46 +78,6 @@ object ForgetRun {
   private def exists(spark: SparkSession, p: String): Boolean =
     fs(spark, p).exists(new org.apache.hadoop.fs.Path(p))
 
-  /** Guard 1: refuse while any stream checkpoint looks live. Public so
-    * the spec can drive it against synthetic checkpoints. */
-  def preflightCheckpoints(spark: SparkSession, checkpoints: Seq[String],
-      quiesceSecs: Long): Unit = checkpoints.foreach { cp =>
-    val f = fs(spark, cp)
-    def entries(sub: String): Seq[(Long, Long)] = {
-      val p = new org.apache.hadoop.fs.Path(s"$cp/$sub")
-      if (!f.exists(p)) Seq.empty
-      else f.listStatus(p).toSeq
-        .flatMap(s => s.getPath.getName.toLongOption
-          .map(id => (id, s.getModificationTime)))
-    }
-    val offsets = entries("offsets")
-    val commits = entries("commits").map(_._1).toSet
-    val inFlight = offsets.map(_._1).filterNot(commits.contains)
-    require(inFlight.isEmpty,
-      s"forget refused: checkpoint $cp has in-flight batch" +
-        s" ${inFlight.min} (offsets written, no commit) — the stream is" +
-        " mid-batch; stop it and re-run")
-    val newest = offsets.map(_._2).maxOption.getOrElse(0L)
-    val age = (System.currentTimeMillis() - newest) / 1000L
-    require(quiesceSecs <= 0 || offsets.isEmpty || age >= quiesceSecs,
-      s"forget refused: checkpoint $cp wrote an offset ${age}s ago" +
-        s" (quiesce ${quiesceSecs}s) — a live driver may start the next" +
-        " batch mid-rewrite; stop the stream or wait")
-  }
-
-  /** Guard 2: advisory maintenance lock under the root. */
-  private def acquireLock(spark: SparkSession, root: String): String = {
-    val lock = s"$root/_forget.lock"
-    val created =
-      try fs(spark, root).createNewFile(new org.apache.hadoop.fs.Path(lock))
-      catch { case _: java.io.IOException => false }
-    require(created,
-      s"forget refused: $lock exists — another maintenance pass is" +
-        " running (or crashed mid-swap: check for <table>_old dirs" +
-        " before removing the lock)")
-    lock
-  }
-
   /** The full pass: preflight both guards, then rewrite each selected
     * family and return the accounting. Nothing is touched if a guard
     * refuses. */
@@ -146,9 +107,9 @@ object ForgetRun {
     require(!selected.exists(_._1 == "span") || docs.nonEmpty,
       "family 'span' needs --docs: span attestation requires the" +
         " surviving corpus (the artifact stores bare digests)")
-    preflightCheckpoints(spark, checkpoints, quiesceSecs)
-    val lock = acquireLock(spark, root)
-    try {
+    graft.streaming.Maintenance.preflightCheckpoints(spark, checkpoints,
+      quiesceSecs)
+    graft.streaming.Maintenance.withLock(spark, root) {
       val survDocs = docs.map(d =>
         d.join(broadcast(kill.select("doc_id").distinct()),
           Seq("doc_id"), "left_anti"))
@@ -184,8 +145,7 @@ object ForgetRun {
           a
         }
       }
-    } finally fs(spark, root)
-      .delete(new org.apache.hadoop.fs.Path(lock), false)
+    }
   }
 
   def main(args: Array[String]): Unit = {

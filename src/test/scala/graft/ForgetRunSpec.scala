@@ -109,7 +109,7 @@ class ForgetRunSpec extends SparkSpec {
       Set((2L, 2L), (3L, 2L), (10L, 10L), (11L, 10L)))
     // advisory lock released
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root/_forget.lock")))
+      java.nio.file.Paths.get(s"$root/_maintenance.lock")))
   }
 
   /** Synthetic checkpoint dir: numeric entries under offsets/ and
@@ -146,7 +146,7 @@ class ForgetRunSpec extends SparkSpec {
     assert(e.getMessage.contains("in-flight batch 1"), e.getMessage)
     assert(countAll(root, "winnow", "fps") == before, "must touch nothing")
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root/_forget.lock")),
+      java.nio.file.Paths.get(s"$root/_maintenance.lock")),
       "refusal happens before the lock is taken")
   }
 
@@ -172,13 +172,13 @@ class ForgetRunSpec extends SparkSpec {
   test("refuses while the advisory lock is held; stale-lock message") {
     val root = buildRoot()
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$root/_forget.lock"), Array.empty[Byte])
+      java.nio.file.Paths.get(s"$root/_maintenance.lock"), Array.empty[Byte])
     val e = intercept[IllegalArgumentException] {
       ForgetRun.run(spark, root, kill, Seq("winnow"), quiesceSecs = 0L)
     }
-    assert(e.getMessage.contains("_forget.lock"), e.getMessage)
+    assert(e.getMessage.contains("_maintenance.lock"), e.getMessage)
     java.nio.file.Files.delete(
-      java.nio.file.Paths.get(s"$root/_forget.lock"))
+      java.nio.file.Paths.get(s"$root/_maintenance.lock"))
     assert(ForgetRun.run(spark, root, kill, Seq("winnow"),
       quiesceSecs = 0L).nonEmpty)
   }
