@@ -804,9 +804,12 @@ object Corpus {
 
   def crossmodalClusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = Dedup.eager(crossmodalEdges(spark, dir))
-    val lab = Tables.documents(spark, dir).select("doc_id")
+    // eager: clusterReport references the label frame twice (size agg +
+    // join back), and each uncached reference re-runs the doc scan and
+    // the label join
+    val lab = Dedup.eager(Tables.documents(spark, dir).select("doc_id")
       .join(components(edges), Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id"))))
     clusterReport(lab)
   }
 
@@ -895,13 +898,19 @@ object Corpus {
     val docs = Tables.documents(spark, dir).select("doc_id")
     val baseDocs = docs.filter(col("doc_id") % 10L =!= 1L)
     val batchDocs = docs.filter(col("doc_id") % 10L === 1L)
-    // the persisted artifact a daily pipeline reads from disk:
-    val baseLabels = baseDocs
+    // the persisted artifact a daily pipeline reads from disk — eagerly
+    // cached because crossmodalMerge references it five times (both
+    // contraction legs, the re-key join, and the touched anti-join), and
+    // clusterReport doubles every reference again: uncached, the final
+    // plan re-derived this doc-scan-plus-label-join 15x (151 parquet
+    // scans in the before-plan). At 100 TB this frame IS a stored table.
+    val baseLabels = Dedup.eager(baseDocs
       .join(components(edges.filter(!isBatch1 && !isBatch2)),
         Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-    val merged =
-      crossmodalMerge(baseLabels, edges.filter(isBatch1 || isBatch2))
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id"))))
+    // same doubling through clusterReport + the untouched anti-join
+    val merged = Dedup.eager(
+      crossmodalMerge(baseLabels, edges.filter(isBatch1 || isBatch2)))
     // batch docs no new edge touched stay singletons
     val untouched = batchDocs
       .join(merged.select("doc_id"), Seq("doc_id"), "left_anti")

@@ -732,15 +732,30 @@ object Dedup {
               j += 1
             }
             digest.reset()
-            val hex = digest.digest(sb.toString.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
-            set.add(hex)
+            set.add(md5hex(digest.digest(sb.toString.getBytes("UTF-8"))))
             i += 1
           }
           set.iterator.map(h => (docId, h))
         }
       }.toDF("doc_id", "h")
   }
+
+  /** Char-table hex of a 16-byte digest — same output as the
+    * java.util.Formatter form ("%02x" per byte), which was the measured
+    * hot spot (~2 orders over the digest itself) in the CDC loop; this
+    * loop runs per SPAN, so the span family pays it even harder. */
+  private def md5hex(d: Array[Byte]): String = {
+    val hc = md5hexChars
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hc((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hc(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+  private val md5hexChars = "0123456789abcdef".toCharArray
 
   /** Per-document duplicated-span profile: of each doc's distinct
     * `spanLen`-token windows, how many appear verbatim in at least one
@@ -831,8 +846,7 @@ object Dedup {
                 j += 1
               }
               digest.reset()
-              digest.digest(sb.toString.getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString
+              md5hex(digest.digest(sb.toString.getBytes("UTF-8")))
             } else null
             (docId, i, toks(i), h)
           }

@@ -548,12 +548,23 @@ object Forget {
       count(lit(1)), pageAlive, pageAlive, lit(0))(pages)
 
     // label table: full closure vs survivor-edge closure (cl_s is null
-    // for killed docs AND for survivors left with no surviving edge)
+    // for killed docs AND for survivors left with no surviving edge).
+    // The two closures are independent given the one materialized edge
+    // set, and each is a chain of SMALL iterative jobs that leaves most
+    // cores idle between stages — so they run on concurrent driver
+    // threads and back-fill each other's schedule gaps (guide §2.6;
+    // FIFO scheduling interleaves their tasks). Results are identical
+    // to the sequential form: each closure only touches its own frames.
     val edges = Dedup.eager(Corpus.crossmodalEdges(spark, dir))
-    val full = Corpus.components(edges)
-    val surv = Corpus.components(edges.filter(
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fullF = Future(Corpus.components(edges))
+    val survF = Future(Corpus.components(edges.filter(
       col("d1") % forgetMod =!= forgetRem &&
-        col("d2") % forgetMod =!= forgetRem))
+        col("d2") % forgetMod =!= forgetRem)))
+    val full = Await.result(fullF, Duration.Inf)
+    val surv = Await.result(survF, Duration.Inf)
     val cmp = full.select(col("doc_id"), col("cluster_id").as("cl_f"))
       .join(surv.select(col("doc_id"), col("cluster_id").as("cl_s")),
         Seq("doc_id"), "left")

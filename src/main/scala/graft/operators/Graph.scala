@@ -213,10 +213,21 @@ object Graph {
     val triangles = wedges.join(oriented.as("e3").hint("shuffle_hash"),
       col("b") === col("e3.src") && col("c") === col("e3.dst"), "left_semi")
 
-    val nNodes = deg.count()
-    val nEdges = edges.count()
-    val nWedges = deg.agg(sum(expr("deg * (deg - 1) div 2"))).head.getLong(0)
-    val nTri = triangles.count()
+    // Four independent counts over checkpointed inputs: the wedge-probe
+    // count dominates and the other three are small, so they run on
+    // concurrent driver threads and back-fill the wedge join's stragglers
+    // (guide §2.6) instead of serializing three extra job launches after it.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val nTriF = Future(triangles.count())
+    val nNodesF = Future(deg.count())
+    val nEdgesF = Future(edges.count())
+    val nWedgesF = Future(deg.agg(sum(expr("deg * (deg - 1) div 2"))).head.getLong(0))
+    val nNodes = Await.result(nNodesF, Duration.Inf)
+    val nEdges = Await.result(nEdgesF, Duration.Inf)
+    val nWedges = Await.result(nWedgesF, Duration.Inf)
+    val nTri = Await.result(nTriF, Duration.Inf)
     import spark.implicits._
     Seq((nNodes, nEdges, nWedges, nTri))
       .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")

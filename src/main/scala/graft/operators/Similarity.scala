@@ -348,8 +348,13 @@ object Similarity {
         max("nn").as("n"))
       .select(transform(col("a"),
         e => e("sfp").cast("double") / 1000000.0 / col("n")).as("mu"), col("n"))
-    val xs = raw.crossJoin(broadcast(mu))
-      .select(col("vec_id"), zip_with(col("v"), col("mu"), (a, b) => a - b).as("x"))
+    // Eagerly cached: the power loop references this frame pcaIters + 2
+    // times (every iteration + the trace leg + the final assembly), and
+    // without the cache EACH reference re-scans embeddings and re-runs
+    // the mean-center zip_with — the before-plan carried 40 parquet scans
+    // and 38 per-iteration re-centerings for an 8-iteration loop.
+    val xs = Dedup.eager(raw.crossJoin(broadcast(mu))
+      .select(col("vec_id"), zip_with(col("v"), col("mu"), (a, b) => a - b).as("x")))
     val trace = xs.agg(
       sum(floor(dot(col("x"), col("x")) * 1000000.0 + 0.5).cast("long")).as("trfp"))
     val w0 = mu.select(transform(sequence(lit(1), lit(pcaDim)),
