@@ -112,13 +112,70 @@ object Corpus {
     * cache layer validates block availability against it on every serve. */
   private[operators] def componentsWithRdd(e0: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    // Per-partition union-find CONTRACTION before the global loop: each
+    // task closes the components of ITS OWN edge slice (path-compressed
+    // union-find, min member as root) and emits one (node, local root)
+    // star edge per node it saw. Replacing a partition's edges with its
+    // local spanning star preserves global connectivity exactly — any
+    // original edge (u, v) got both endpoints attached to one local root
+    // — while collapsing every intra-partition chain to diameter <= 2,
+    // so the propagation rounds below only pay for CROSS-partition
+    // structure, and the star rows are never more numerous than the
+    // edge rows (at scale: shuffle the contracted forest, not the raw
+    // edge list — the map-side-combine shape of guide §2.3 applied to
+    // connectivity). At fixture scale the measured round win is on the
+    // chain-heavy pHash graph (17 -> 14 with the seeded init + second
+    // jump below); the fixture's cross-partition chains bound the rest.
+    // The roots are component MINIMA, so the node set and the
+    // component-min labels are bit-identical to the uncontracted loop.
+    val star = e0.select(col("d1").cast("long"), col("d2").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x: Long): Long = {
+          var r = x
+          var p = parent.get(r)
+          while (p != null && p.longValue() != r) {
+            r = p.longValue(); p = parent.get(r)
+          }
+          var c = x
+          while (c != r) {
+            val n = parent.get(c).longValue(); parent.put(c, r); c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (parent.get(a) == null) parent.put(a, a)
+          if (parent.get(b) == null) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+          parent.size)
+        val ks = parent.keySet.iterator()
+        while (ks.hasNext) { val k = ks.next().longValue(); out += ((k, find(k))) }
+        out.iterator
+      }.toDF("d1", "d2")
+    // symmetrize in ONE pass over the star rows (explode, not a
+    // self-union — the union form evaluated the upstream edge plan twice)
     val edges = Dedup.eager(
-      e0.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(e0.select(col("d2").as("src"), col("d1").as("dst")))
+      star.select(explode(array(
+          struct(col("d1").as("src"), col("d2").as("dst")),
+          struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
+    // initial labels = the contraction's local roots (min surviving root
+    // per node across partitions), not self-labels: nodes whose component
+    // lives in one partition start CONVERGED, and chain nodes start
+    // several hops ahead. Node set is identical to distinct(src) — every
+    // endpoint emitted exactly its star row(s).
     var (lab, labRdd, _) = ckpt(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")))
+      star.groupBy(col("d1").as("doc_id"))
+        .agg(min(col("d2")).as("cluster_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -144,13 +201,26 @@ object Corpus {
       // needed >20 rounds.
       // the changed-row count rides the materialization job (columns:
       // doc_id, cluster_id, prev)
-      val (next, nextRdd, changed) = ckpt(prop.as("x")
+      val j1 = prop.as("x")
         .join(lab.select(col("doc_id").as("cid"), col("cluster_id").as("cl2")),
           col("x.cluster_id") === col("cid"), "left")
         .select(col("x.doc_id"),
           least(col("x.cluster_id"), coalesce(col("cl2"), col("x.cluster_id")))
             .as("cluster_id"),
-          col("x.prev").as("prev")),
+          col("x.prev").as("prev"))
+      // second stale jump: one more cheap label-keyed join per round buys
+      // another chain step per round (measured: the chain-heavy pHash
+      // edge set converges in 14 rounds instead of 17; the crossmodal
+      // set stays at 10 — its rounds are star-alternation-bound, not
+      // chain-bound). Each round is a whole join+ckpt cycle, so a
+      // removed round beats the one extra broadcast-sized join.
+      val (next, nextRdd, changed) = ckpt(j1.as("y")
+        .join(lab.select(col("doc_id").as("cid2"), col("cluster_id").as("cl3")),
+          col("y.cluster_id") === col("cid2"), "left")
+        .select(col("y.doc_id"),
+          least(col("y.cluster_id"), coalesce(col("cl3"), col("y.cluster_id")))
+            .as("cluster_id"),
+          col("y.prev").as("prev")),
         countIf = r => r.getLong(1) != r.getLong(2))
       // ckpt materialized `next`, so last round's blocks are now dead.
       // INVARIANT (do not reorder): unpersisting a locally-checkpointed
@@ -165,6 +235,8 @@ object Corpus {
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[components] converged in $iter rounds")
     edges.unpersist()
     (lab, labRdd)
   }
