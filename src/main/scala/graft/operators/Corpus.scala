@@ -95,6 +95,43 @@ object Corpus {
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd, matched)
   }
 
+  /** Path-compressed union-find over one partition's (d1, d2) edge
+    * rows: closes the components of exactly the edges it sees and emits
+    * one (node, local root) star row per node, root = the component's
+    * MINIMUM member id (union always hangs the larger root under the
+    * smaller). Used twice by [[componentsWithRdd]]: per-partition as the
+    * pre-loop contraction, and — when the contracted forest passes the
+    * size gate — on the coalesced whole as the exact single-task solve. */
+  private def unionFindStars(it: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.get(r)
+      while (p != null && p.longValue() != r) {
+        r = p.longValue(); p = parent.get(r)
+      }
+      var c = x
+      while (c != r) {
+        val n = parent.get(c).longValue(); parent.put(c, r); c = n
+      }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (parent.get(a) == null) parent.put(a, a)
+      if (parent.get(b) == null) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      parent.size)
+    val ks = parent.keySet.iterator()
+    while (ks.hasNext) { val k = ks.next().longValue(); out += ((k, find(k))) }
+    out.iterator
+  }
+
   /** Connected components of an undirected graph given as (d1, d2) edge
     * rows: returns (doc_id, cluster_id) for every node that appears in
     * an edge, where cluster_id is the component's minimum node id.
@@ -130,36 +167,17 @@ object Corpus {
     // jump below); the fixture's cross-partition chains bound the rest.
     // The roots are component MINIMA, so the node set and the
     // component-min labels are bit-identical to the uncontracted loop.
+    // coalesce before contracting: the channel edge builds arrive as a
+    // UNION of per-channel subplans (129 cached partitions at sf0.1 for
+    // the crossmodal set), and tiny-task overhead, not data, dominated
+    // the scan; coalesce to the session's parallelism is narrow (no
+    // shuffle) and a no-op when the input already has fewer partitions
+    val par = spark.sparkContext.defaultParallelism
     val star = e0.select(col("d1").cast("long"), col("d2").cast("long"))
       .as[(Long, Long)]
-      .mapPartitions { it =>
-        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-        def find(x: Long): Long = {
-          var r = x
-          var p = parent.get(r)
-          while (p != null && p.longValue() != r) {
-            r = p.longValue(); p = parent.get(r)
-          }
-          var c = x
-          while (c != r) {
-            val n = parent.get(c).longValue(); parent.put(c, r); c = n
-          }
-          r
-        }
-        it.foreach { case (a, b) =>
-          if (parent.get(a) == null) parent.put(a, a)
-          if (parent.get(b) == null) parent.put(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) {
-            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-          }
-        }
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-          parent.size)
-        val ks = parent.keySet.iterator()
-        while (ks.hasNext) { val k = ks.next().longValue(); out += ((k, find(k))) }
-        out.iterator
-      }.toDF("d1", "d2")
+      .coalesce(par)
+      .mapPartitions(unionFindStars)
+      .toDF("d1", "d2")
     // symmetrize in ONE pass over the star rows (explode, not a
     // self-union — the union form evaluated the upstream edge plan twice)
     val edges = Dedup.eager(
@@ -168,6 +186,32 @@ object Corpus {
           struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
+    // Size-gated single-task solve — the broadcast-hash-join decision
+    // applied to connectivity: the contracted, symmetrized forest is
+    // already materialized and counted, and when it fits the same order
+    // of memory a broadcast relation would (default 4M rows of two
+    // longs ~ 64 MB; `spark.graft.cc.localSolveRows`, 0 disables), ONE
+    // task closes it exactly with the same union-find — 3 stages total
+    // instead of ~6 per propagation round for 10-17 rounds (the
+    // measured stage-latency cost that dominated every closure query's
+    // wall time at the gate SFs). Past the gate the propagation loop
+    // below is the general, spill-free path, exactly like a sort-merge
+    // join past the broadcast threshold. Labels are identical by
+    // construction: both paths emit (node, component-min) over the
+    // same node set.
+    val localSolveRows = spark.conf
+      .get("spark.graft.cc.localSolveRows", "4000000").toLong
+    if (edges.count() <= localSolveRows) {
+      val (lab, labRdd, _) = ckpt(
+        edges.select(col("src"), col("dst")).as[(Long, Long)]
+          .coalesce(1)
+          .mapPartitions(unionFindStars)
+          .toDF("doc_id", "cluster_id"))
+      edges.unpersist()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println("[components] closed by single-task solve")
+      return (lab, labRdd)
+    }
     // initial labels = the contraction's local roots (min surviving root
     // per node across partitions), not self-labels: nodes whose component
     // lives in one partition start CONVERGED, and chain nodes start

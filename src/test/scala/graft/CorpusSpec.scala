@@ -106,6 +106,41 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.components(empty).collect().isEmpty)
   }
 
+  test("components: propagation loop (gate disabled) == single-task solve") {
+    // the size gate sends every fixture-scale graph to the single-task
+    // union-find; force the loop with the gate at 0 and pin that both
+    // paths label random graphs (including long chains, the loop's
+    // worst case) identically
+    val key = "spark.graft.cc.localSolveRows"
+    val prev = spark.conf.getOption(key)
+    val rnd = new scala.util.Random(20260818L)
+    try {
+      (1 to 4).foreach { i =>
+        val es =
+          if (i == 1) (0L until 40L).map(k => (k, k + 1)) // one 41-node chain
+          else {
+            val n = 5 + rnd.nextInt(35)
+            Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+              .filter { case (a, b) => a != b }
+          }
+        if (es.nonEmpty) {
+          spark.conf.unset(key)
+          val gate = Corpus.components(es.toDF("d1", "d2"))
+            .as[(Long, Long)].collect().toMap
+          spark.conf.set(key, "0")
+          val loop = Corpus.components(es.toDF("d1", "d2"))
+            .as[(Long, Long)].collect().toMap
+          assert(loop == gate)
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("corpus_clean: composition agrees with its parts") {
     val rows = Corpus.corpusClean(spark, dir)
       .as[(Long, Long, Double)].collect()
