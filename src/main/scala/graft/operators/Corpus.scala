@@ -908,6 +908,25 @@ object Corpus {
       .union(Multimodal.phashDedup(spark, dir).select("d1", "d2"))
       .union(urlEdges(spark, dir))
 
+  /** [[crossmodalEdges]] MATERIALIZED once per (session, dir) — the same
+    * [[graft.util.SessionCache]] recipe as [[labelCache]], for the same
+    * reason: four registered queries (both crossmodal closures, the RTBF
+    * state audit, and their streaming stand-ins) consume this union, and
+    * the three channel generators behind it are the single largest
+    * repeated CPU cost left in the bench (~11 s task time per rebuild at
+    * sf0.1). At 100 TB the fused candidate-pair table IS a persisted
+    * artifact — the per-channel incremental generators append to it —
+    * so computing it once per session is the query-side image of the
+    * production layout, not a result cache (a fresh run recomputes it). */
+  private val edgeCache = new graft.util.SessionCache[
+      (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
+    valid = (spark, v) => graft.util.Ckpt.blocksPresent(spark, v._2))
+
+  private[graft] def crossmodalEdgesCached(spark: SparkSession,
+      dir: String): DataFrame =
+    edgeCache.get(spark, dir)(
+      graft.util.Ckpt.materialize(crossmodalEdges(spark, dir)))._1
+
   /** Shared output assembly: labels (doc_id, cluster_id) -> the
     * (doc_id, cluster_id, is_keeper, cluster_size) report. */
   private def clusterReport(lab: DataFrame): DataFrame = {
@@ -919,7 +938,7 @@ object Corpus {
   }
 
   def crossmodalClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.eager(crossmodalEdges(spark, dir))
+    val edges = crossmodalEdgesCached(spark, dir)
     // eager: clusterReport references the label frame twice (size agg +
     // join back), and each uncached reference re-runs the doc scan and
     // the label join
@@ -1010,7 +1029,7 @@ object Corpus {
   def crossmodalIncremental(spark: SparkSession, dir: String): DataFrame = {
     val isBatch1 = col("d1") % 10L === 1L
     val isBatch2 = col("d2") % 10L === 1L
-    val edges = Dedup.eager(crossmodalEdges(spark, dir))
+    val edges = crossmodalEdgesCached(spark, dir)
     val docs = Tables.documents(spark, dir).select("doc_id")
     val baseDocs = docs.filter(col("doc_id") % 10L =!= 1L)
     val batchDocs = docs.filter(col("doc_id") % 10L === 1L)

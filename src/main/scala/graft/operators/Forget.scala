@@ -555,7 +555,7 @@ object Forget {
     // threads and back-fill each other's schedule gaps (guide §2.6;
     // FIFO scheduling interleaves their tasks). Results are identical
     // to the sequential form: each closure only touches its own frames.
-    val edges = Dedup.eager(Corpus.crossmodalEdges(spark, dir))
+    val edges = Corpus.crossmodalEdgesCached(spark, dir)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
