@@ -3,7 +3,8 @@ object QProbe {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(",")
     val dir = args(1)
-    val spark = graft.sources.Sessions.builder("local[32]", 32).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.sources.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val ts = (1 to 3).map { _ =>

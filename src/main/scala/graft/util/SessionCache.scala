@@ -33,14 +33,27 @@ import org.apache.spark.sql.SparkSession
   * re-entrant get from inside a computation (CHM recursive-update).
   * Concurrent callers of the same key still block on the holder rather
   * than duplicating the computation.
+  *
+  * `dispose` (optional) releases resources a dropped value pins — for
+  * the checkpoint-backed frames that means unpersisting the RDD blocks,
+  * which `spark.catalog.clearCache()` never touches. It runs only on
+  * values whose computation actually completed.
   */
 final class SessionCache[V](
-    valid: (SparkSession, V) => Boolean = (_: SparkSession, _: V) => true) {
+    valid: (SparkSession, V) => Boolean = (_: SparkSession, _: V) => true,
+    dispose: V => Unit = (_: V) => ()) {
+
+  SessionCache.register(this)
 
   /** `value` memoizes under the holder's monitor (Scala lazy val); a
     * throwing computation leaves it uninitialized, so the next caller
-    * retries instead of caching the failure. */
-  private final class Holder(compute: () => V) { lazy val value: V = compute() }
+    * retries instead of caching the failure. `done` flips only after a
+    * successful computation, so [[clear]] never forces an uncomputed
+    * holder (and never disposes a half-built value). */
+  private final class Holder(compute: () => V) {
+    @volatile var done: Boolean = false
+    lazy val value: V = { val v = compute(); done = true; v }
+  }
 
   private val m = new ConcurrentHashMap[(String, String), Holder]()
   private val hooked = ConcurrentHashMap.newKeySet[String]()
@@ -72,6 +85,26 @@ final class SessionCache[V](
   /** Entry count (test hook). */
   def size: Int = m.size
 
+  /** Drop every entry belonging to `spark`'s session, disposing each
+    * fully-computed value (unpersist of checkpoint blocks for the
+    * frame-backed caches). The bench calls this through [[SessionCache.clearAll]]
+    * on its cold pass so per-query times include the artifacts the query
+    * actually needs — see Bench.scala. */
+  def clear(spark: SparkSession): Unit = {
+    val u = ids.get(spark)
+    if (u != null) {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == u) {
+          val h = e.getValue
+          it.remove()
+          if (h.done) dispose(h.value)
+        }
+      }
+    }
+  }
+
   private def hook(spark: SparkSession, u: String): Unit =
     if (hooked.add(u))
       spark.sparkContext.addSparkListener(new SparkListener {
@@ -80,4 +113,23 @@ final class SessionCache[V](
           hooked.remove(u)
         }
       })
+}
+
+/** Registry of every live SessionCache instance (all are operator-object
+  * singletons, so the set is small and append-only) — lets the bench wipe
+  * all session-memoized artifacts between queries without each call site
+  * exporting its private cache. */
+object SessionCache {
+  private val instances =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[SessionCache[_]]())
+
+  private def register(c: SessionCache[_]): Unit = instances.add(c)
+
+  /** Clear every registered cache's entries for `spark`. */
+  def clearAll(spark: SparkSession): Unit =
+    instances.synchronized {
+      val it = instances.iterator()
+      while (it.hasNext) it.next().clear(spark)
+    }
 }
