@@ -189,6 +189,14 @@ object Crawl {
     // host domain, not the corpus) feeding the teleport constant — the
     // same adjudicated pattern as typeMarkovRank's node count
     val n = nodes.count()
+    // size-gated single-task solve, same gate + exactness argument as
+    // typeMarkovRank (PageRankLocal scaladoc); the general loop below
+    // is the past-the-gate path
+    graft.plans.PageRankLocal.solve(p, nodes, iters, SCALE, PSCALE, n) match {
+      case Some(r) =>
+        return r.select(col("node").as("host"), col("r").as("rank_fp"))
+      case None => ()
+    }
     val r0 = SCALE / n
     val teleport = (15L * r0) / 100L
 

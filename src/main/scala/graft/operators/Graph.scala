@@ -64,6 +64,14 @@ object Graph {
     // the aggregated type domain, not the corpus) feeding the teleport
     // constant — same adjudicated pattern as the IVF centroid collect
     val n = nodes.count()
+    // size-gated single-task solve (guide §2.6 stage-latency removal;
+    // see PageRankLocal's exactness + memory notes): the 10 rounds below
+    // cost ~3 jobs each of pure latency on a broadcast-sized frame
+    graft.plans.PageRankLocal.solve(p, nodes, iters, SCALE, PSCALE, n) match {
+      case Some(r) =>
+        return r.select(col("node").as("event_type"), col("r").as("rank_fp"))
+      case None => ()
+    }
     val r0 = SCALE / n
     val teleport = (15L * r0) / 100L
 
@@ -191,11 +199,30 @@ object Graph {
 
   def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
     val edges = copurchaseEdges(spark, dir)
-    val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // deg is the PART domain, orders of magnitude smaller than the edge
+    // set: eager it once — it feeds the two orientation joins AND the
+    // node/edge/wedge census below (previously three separate jobs).
+    val deg = Dedup.eager(
+      edges.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg")))
+    val nNodes = deg.count() // cached-block scan; also the broadcast gate
+    // broadcast the PART-domain degree table into the two orientation
+    // joins (guide §3.1) below spark.graft.triangles.broadcastDegRows
+    // (2-long rows; the 4M default builds a ~250 MB relation, conf'd for
+    // bigger catalogs; 0 disables): the edge set then never shuffles to
+    // get keyed. The EDGE set itself stays on shuffle-hash joins for the
+    // wedge fan-out + semi probe — broadcasting it was tried and is
+    // SLOWER at sf0.1 (A/B: 5.8 s vs 4.6 s solo min): two single-threaded
+    // 2M-row driver builds plus a one-stage probe whose parallelism is
+    // the checkpoint's block count lose more than the 60M-wedge exchange
+    // costs, exactly guide §1.1's "ideal plan loses to a gotcha" loop.
+    val bcastRows = spark.conf
+      .get("spark.graft.triangles.broadcastDegRows", "4000000").toLong
+    val degJ =
+      if (nNodes <= bcastRows && bcastRows > 0) broadcast(deg) else deg
     val keyed = edges
-      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
-      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      .join(degJ.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(degJ.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
       .select(
         (shiftleft(col("du"), 32) + col("u")).as("ku"),
         (shiftleft(col("dv"), 32) + col("v")).as("kv"))
@@ -205,7 +232,8 @@ object Graph {
       .localCheckpoint()
     // shuffle-hash hints: the wedge fan-out (~30x the edge count) makes
     // sort-merge's two 10^7-row sorts the dominant cost; hash joins on
-    // packed longs skip them (measured 9.8 s -> lower at sf0.1, 8 cores)
+    // packed longs skip them (r16 measurement, re-confirmed by the r18
+    // A/B above)
     val wedges = oriented.as("e1").hint("shuffle_hash")
       .join(oriented.as("e2"), "src")
       .filter(col("e1.dst") < col("e2.dst"))
@@ -213,20 +241,21 @@ object Graph {
     val triangles = wedges.join(oriented.as("e3").hint("shuffle_hash"),
       col("b") === col("e3.src") && col("c") === col("e3.dst"), "left_semi")
 
-    // Four independent counts over checkpointed inputs: the wedge-probe
-    // count dominates and the other three are small, so they run on
-    // concurrent driver threads and back-fill the wedge join's stragglers
-    // (guide §2.6) instead of serializing three extra job launches after it.
+    // Census in ONE aggregation pass over the eager'd degree table
+    // (guide §2.3 — previously nodes/edges/wedges were three independent
+    // jobs): n_edges = sum(deg)/2 exactly (every edge contributes its two
+    // distinct endpoints), wedges = sum C(deg, 2). The heavy triangle
+    // count overlaps it on a driver thread (§2.6) so the census rides the
+    // probe stage's tail instead of serializing after it.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val nTriF = Future(triangles.count())
-    val nNodesF = Future(deg.count())
-    val nEdgesF = Future(edges.count())
-    val nWedgesF = Future(deg.agg(sum(expr("deg * (deg - 1) div 2"))).head.getLong(0))
-    val nNodes = Await.result(nNodesF, Duration.Inf)
-    val nEdges = Await.result(nEdgesF, Duration.Inf)
-    val nWedges = Await.result(nWedgesF, Duration.Inf)
+    val census = deg.agg(
+      sum(col("deg")).as("sd"),
+      sum(expr("deg * (deg - 1) div 2")).as("nw")).head
+    val nEdges = census.getLong(0) / 2L
+    val nWedges = census.getLong(1)
     val nTri = Await.result(nTriF, Duration.Inf)
     import spark.implicits._
     Seq((nNodes, nEdges, nWedges, nTri))
