@@ -102,24 +102,77 @@ object Corpus {
     * smaller). Used twice by [[componentsWithRdd]]: per-partition as the
     * pre-loop contraction, and — when the contracted forest passes the
     * size gate — on the coalesced whole as the exact single-task solve. */
+  /** Primitive open-addressing long->long parent table (linear probing,
+    * power-of-two capacity, max load 0.5, doubling growth): 16 bytes per
+    * SLOT, 32 bytes per live entry at worst-case load — so the single
+    * local-solve task at the 4M-row gate holds <= 4M nodes in a 2^23-slot
+    * table = 128 MB, measured with jcmd GC.class_histogram (two 8M-long
+    * arrays; see the gate comment below). The boxed java.util.HashMap
+    * form this replaces cost ~100 bytes/entry in Long boxes + Node
+    * objects (r17 VERDICT #2: the gate's "64 MB" claim was ~8x under). */
+  private final class ParentTable(initSlots: Int) {
+    private val EMPTY = Long.MinValue // never a doc_id: ids come from
+    // non-negative fixture keys or packed (deg<<32|id) longs; a MinValue
+    // key would need deg = -2^31, impossible for a count
+    private var cap = Integer.highestOneBit(math.max(initSlots, 64) - 1) << 1
+    private var keys = Array.fill[Long](cap)(EMPTY)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    def size: Int = n
+    private def slot(k: Long): Int = {
+      // finalizer from splitmix64: full-long avalanche so packed
+      // (deg<<32|id) keys don't cluster in the low bits
+      var h = k * -7046029254386353131L
+      h ^= (h >>> 32)
+      var i = (h & (cap - 1)).toInt
+      while (keys(i) != EMPTY && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    /** parent of k, or k's absence signalled as Long.MinValue. */
+    def get(k: Long): Long = {
+      val i = slot(k)
+      if (keys(i) == EMPTY) EMPTY else vals(i)
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (keys(i) == EMPTY) {
+        keys(i) = k; vals(i) = v; n += 1
+        if (n * 2 > cap) grow()
+      } else vals(i) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = Array.fill[Long](cap)(EMPTY)
+      vals = new Array[Long](cap)
+      n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != EMPTY) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) { if (keys(i) != EMPTY) f(keys(i)); i += 1 }
+    }
+  }
+
   private def unionFindStars(it: Iterator[(Long, Long)])
       : Iterator[(Long, Long)] = {
-    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val parent = new ParentTable(1024)
+    val EMPTY = Long.MinValue
     def find(x: Long): Long = {
       var r = x
       var p = parent.get(r)
-      while (p != null && p.longValue() != r) {
-        r = p.longValue(); p = parent.get(r)
-      }
+      while (p != EMPTY && p != r) { r = p; p = parent.get(r) }
       var c = x
-      while (c != r) {
-        val n = parent.get(c).longValue(); parent.put(c, r); c = n
-      }
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
     it.foreach { case (a, b) =>
-      if (parent.get(a) == null) parent.put(a, a)
-      if (parent.get(b) == null) parent.put(b, b)
+      if (parent.get(a) == EMPTY) parent.put(a, a)
+      if (parent.get(b) == EMPTY) parent.put(b, b)
       val ra = find(a); val rb = find(b)
       if (ra != rb) {
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
@@ -127,8 +180,7 @@ object Corpus {
     }
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
       parent.size)
-    val ks = parent.keySet.iterator()
-    while (ks.hasNext) { val k = ks.next().longValue(); out += ((k, find(k))) }
+    parent.foreachKey(k => out += ((k, find(k))))
     out.iterator
   }
 
@@ -189,9 +241,14 @@ object Corpus {
     // Size-gated single-task solve — the broadcast-hash-join decision
     // applied to connectivity: the contracted, symmetrized forest is
     // already materialized and counted, and when it fits the same order
-    // of memory a broadcast relation would (default 4M rows of two
-    // longs ~ 64 MB; `spark.graft.cc.localSolveRows`, 0 disables), ONE
-    // task closes it exactly with the same union-find — 3 stages total
+    // of memory a broadcast relation would, ONE task closes it exactly
+    // with the same union-find. Memory at the gate (r17 VERDICT #2 made
+    // the old boxed-HashMap claim honest): the solve runs on the
+    // primitive open-addressing ParentTable — 16 B/slot, power-of-two
+    // sizing at load <= 0.5 — so the default 4M rows (<= 4M distinct
+    // nodes) cost 128 MB steady / 256 MB at the worst-case doubling
+    // boundary in the one task, broadcast-relation order for real
+    // (`spark.graft.cc.localSolveRows`, 0 disables) — 3 stages total
     // instead of ~6 per propagation round for 10-17 rounds (the
     // measured stage-latency cost that dominated every closure query's
     // wall time at the gate SFs). Past the gate the propagation loop
@@ -301,7 +358,8 @@ object Corpus {
     * the cached frame is unrecomputable and must be REBUILT, not served. */
   private val labelCache = new graft.util.SessionCache[
       (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
-    valid = (spark, v) => graft.util.Ckpt.blocksPresent(spark, v._2))
+    valid = (spark, v) => graft.util.Ckpt.blocksPresent(spark, v._2),
+    dispose = v => v._2.unpersist(blocking = false))
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     labelCache.get(spark, dir)(componentsWithRdd(dupEdges(spark, dir)))._1
@@ -824,18 +882,24 @@ object Corpus {
     * constant-domain (2^3-cell) hash agg. */
   def dedupChannelOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id")
-    val de = dupEdges(spark, dir)
-    val txt = de.select(col("d1").as("doc_id"))
-      .unionAll(de.select(col("d2").as("doc_id"))).distinct()
-      .withColumn("t", lit(1))
-    val ph = Multimodal.phashDedup(spark, dir)
-    val phd = ph.select(col("d1").as("doc_id"))
-      .unionAll(ph.select(col("d2").as("doc_id"))).distinct()
-      .withColumn("p", lit(1))
-    val u = urlDedup(spark, dir).select("doc_id").withColumn("u", lit(1))
-    docs.join(txt, Seq("doc_id"), "left")
-      .join(phd, Seq("doc_id"), "left")
-      .join(u, Seq("doc_id"), "left")
+    // Each channel's flagged-doc set is exactly the endpoint set of its
+    // edges in the fused tagged artifact ([[crossmodalEdgesTagged]]):
+    //  - text: dupEdges endpoints — the edges ARE the ch=1 rows;
+    //  - pHash: phashDedup pair endpoints — the ch=2 rows verbatim;
+    //  - URL: urlDedup keeps docs of canon groups with n>1, and urlEdges
+    //    stars every such group keeper->others, so endpoints(ch=3) =
+    //    keepers ∪ others = the same set.
+    // So the audit is one explode + two doc-keyed aggs over the shared
+    // materialized table instead of re-running all three channel
+    // generators (r17 VERDICT item 5; same consumers-of-one-artifact
+    // shape the crossmodal closures already use).
+    val flags = crossmodalEdgesTagged(spark, dir)
+      .select(col("ch"), explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(max(when(col("ch") === 1, 1)).as("t"),
+        max(when(col("ch") === 2, 1)).as("p"),
+        max(when(col("ch") === 3, 1)).as("u"))
+    docs.join(flags, Seq("doc_id"), "left")
       .select(coalesce(col("t"), lit(0)).as("in_text"),
         coalesce(col("p"), lit(0)).as("in_phash"),
         coalesce(col("u"), lit(0)).as("in_url"))
@@ -904,9 +968,11 @@ object Corpus {
   /** The three channels' candidate edges, unioned — the edge set both
     * the full closure and the incremental merge consume. */
   private[graft] def crossmodalEdges(spark: SparkSession, dir: String): DataFrame =
-    dupEdges(spark, dir).select("d1", "d2")
-      .union(Multimodal.phashDedup(spark, dir).select("d1", "d2"))
-      .union(urlEdges(spark, dir))
+    dupEdges(spark, dir).select(col("d1"), col("d2"), lit(1).as("ch"))
+      .union(Multimodal.phashDedup(spark, dir)
+        .select(col("d1"), col("d2"), lit(2).as("ch")))
+      .union(urlEdges(spark, dir)
+        .select(col("d1"), col("d2"), lit(3).as("ch")))
 
   /** [[crossmodalEdges]] MATERIALIZED once per (session, dir) — the same
     * [[graft.util.SessionCache]] recipe as [[labelCache]], for the same
@@ -920,12 +986,21 @@ object Corpus {
     * production layout, not a result cache (a fresh run recomputes it). */
   private val edgeCache = new graft.util.SessionCache[
       (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
-    valid = (spark, v) => graft.util.Ckpt.blocksPresent(spark, v._2))
+    valid = (spark, v) => graft.util.Ckpt.blocksPresent(spark, v._2),
+    dispose = v => v._2.unpersist(blocking = false))
 
-  private[graft] def crossmodalEdgesCached(spark: SparkSession,
+  /** The materialized artifact carries a per-row channel tag (1 = text,
+    * 2 = pHash, 3 = canonical URL — 4 bytes/row) so the channel-overlap
+    * audit reads the SAME table instead of re-running the three channel
+    * generators; closure consumers project it away below. */
+  private[graft] def crossmodalEdgesTagged(spark: SparkSession,
       dir: String): DataFrame =
     edgeCache.get(spark, dir)(
       graft.util.Ckpt.materialize(crossmodalEdges(spark, dir)))._1
+
+  private[graft] def crossmodalEdgesCached(spark: SparkSession,
+      dir: String): DataFrame =
+    crossmodalEdgesTagged(spark, dir).select("d1", "d2")
 
   /** Shared output assembly: labels (doc_id, cluster_id) -> the
     * (doc_id, cluster_id, is_keeper, cluster_size) report. */
@@ -1710,7 +1785,9 @@ object Corpus {
     val stats = Dedup.eager(
       TextAnalysis.textStatsOf(Tables.documents(spark, dir))
         .select(col("doc_id"), col("quality_score"), col("n_tokens")))
-    val odds = TextAnalysis.nbQualityLogOdds(spark, dir)
+    // the learned leg's teacher labels derive from the SAME pinned stats
+    // frame (one corpus tokenize+score pass instead of two — r18)
+    val odds = TextAnalysis.nbQualityLogOddsFrom(spark, dir, stats)
     val h = budgetPrefix(
       stats.select(col("doc_id"), col("quality_score").as("score"),
         col("n_tokens")), selectBudgetTokens).select("doc_id")
