@@ -134,7 +134,8 @@ object Dedup {
     * every serve, evicted with the session). */
   private val idxCache = new graft.util.SessionCache[
       (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
-    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._2))
+    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._2),
+    dispose = v => v._2.unpersist(blocking = false))
 
   private def sharedShingleIndex(spark: SparkSession, dir: String): DataFrame =
     idxCache.get(spark, dir)(graft.util.Ckpt.materialize(
@@ -236,20 +237,32 @@ object Dedup {
   def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
     val idx = sharedShingleIndex(spark, dir)
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = eager(idx.as("a").join(idx.as("b"),
+    val cand = idx.as("a").join(idx.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2"))
-    curveThresholds.map { t =>
-      val q = cand.filter(expr(s"common * 100 >= $t * (n1 + n2 - common)"))
-      val nPairs = q.agg(count(lit(1)).as("n_pairs"))
-      val nDocs = q.select(explode(array(col("d1"), col("d2"))).as("d"))
-        .agg(countDistinct(col("d")).as("n_docs"))
-      nPairs.crossJoin(nDocs)
-        .select(lit(t.toLong).as("threshold_pct"), col("n_pairs"), col("n_docs"))
-    }.reduce(_ unionAll _)
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+    // All four thresholds priced in ONE aggregation pass over the
+    // candidate table (r17 VERDICT item 5; previously 2 jobs per
+    // threshold — 8 scans of the cached candidates): explode each pair
+    // into its two endpoint rows once, then per threshold a conditional
+    // endpoint count (= 2x the pair count, exactly — every qualifying
+    // pair contributes both endpoints) and a conditional distinct-doc
+    // count. The curve stays candidate-sized work with zero doubles.
+    val ends = cand.select(col("common"), col("n1"), col("n2"),
+      explode(array(col("d1"), col("d2"))).as("d"))
+    def cond(t: Int) = expr(s"common * 100 >= $t * (n1 + n2 - common)")
+    val aggs = curveThresholds.flatMap { t =>
+      Seq(coalesce(sum(when(cond(t), 1L)), lit(0L)).as(s"e$t"),
+        countDistinct(when(cond(t), col("d"))).as(s"d$t"))
+    }
+    val one = ends.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(curveThresholds.map { t =>
+        struct(lit(t.toLong).as("threshold_pct"),
+          expr(s"e$t div 2").as("n_pairs"), col(s"d$t").as("n_docs"))
+      }: _*)).as("r"))
+      .select(col("r.threshold_pct"), col("r.n_pairs"), col("r.n_docs"))
   }
 
   val dedupThresholdCurveSql: String = {
@@ -334,8 +347,35 @@ object Dedup {
   /** The shared LSH candidate machinery: (candidate pairs with EXACT
     * Jaccard, UNfiltered — false positives included — , the signature
     * frame). [[minhashLsh]] applies the threshold; [[minhashAccuracy]]
-    * audits the estimator against the exact value on every candidate. */
+    * audits the estimator against the exact value on every candidate.
+    *
+    * Both artifacts are memoized per (session, dir) over locally-
+    * checkpointed blocks — the signature table and the verified pair
+    * table are precisely what a production sketch pipeline materializes
+    * once (r17 VERDICT item 8: the accuracy audit re-ran the whole
+    * candidate build the LSH query had just finished). Same SessionCache
+    * recipe as the shingle index above: revalidated per serve, blocks
+    * disposed on clear, rebuilt cold in the bench's pass 1. */
+  private val lshCache = new graft.util.SessionCache[
+      ((DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]),
+        (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]))](
+    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._1._2) &&
+      graft.util.Ckpt.blocksPresent(s, v._2._2),
+    dispose = v => {
+      v._1._2.unpersist(blocking = false)
+      v._2._2.unpersist(blocking = false)
+    })
+
   private def lshCandidatesWithJaccard(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (p, m) = lshCache.get(spark, dir) {
+      val (pairs, mh) = buildLshCandidates(spark, dir)
+      (graft.util.Ckpt.materialize(pairs), graft.util.Ckpt.materialize(mh))
+    }
+    (p._1, m._1)
+  }
+
+  private def buildLshCandidates(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val idx = sharedShingleIndex(spark, dir)
     val mh = eager(minhashSig(idx))

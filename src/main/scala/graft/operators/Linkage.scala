@@ -59,12 +59,33 @@ object Linkage {
   private val sfxDfCap = 50L // tolerates registry-duplication floods; capped like grams
   private val maxEditDist = 2
 
-  /** Character q-grams of `name`, exploded — positions 1..len-q+1. */
-  private def gramsOf(df: DataFrame, nameCol: String): DataFrame =
-    df.filter(length(col(nameCol)) >= gramLen)
-      .withColumn("gram",
-        explode(expr(s"transform(sequence(1, length($nameCol) - ${gramLen - 1}), " +
-          s"i -> substring($nameCol, i, $gramLen))")))
+  /** Distinct (key, gram) rows via a primitive per-partition loop. The
+    * declarative `explode(transform(sequence(...)))` form this replaces
+    * evaluates interpreted higher-order functions per element — the same
+    * ~10x per-task penalty [[Dedup.shingleRows]] measured and removed in
+    * its shingle loop (guide §1.2 step 2: per-task work). Per-name gram
+    * dedup here equals the global `.distinct()` the old call sites ran
+    * (both key columns are primary keys), so the exchange that distinct
+    * paid disappears too. */
+  private def gramRows(df: DataFrame, keyCol: String, nameCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(nameCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (k, name) =>
+          if (name == null || name.length < gramLen) Iterator.empty
+          else {
+            val set = new scala.collection.mutable.LinkedHashSet[String]
+            var i = 0
+            while (i + gramLen <= name.length) {
+              set.add(name.substring(i, i + gramLen)); i += 1
+            }
+            set.iterator.map(g => (k, g))
+          }
+        }
+      }.toDF(keyCol, "gram")
+  }
 
   private def gramsSql(src: String, key: String, nameCol: String): String =
     s"""SELECT DISTINCT $key, unnest(list_transform(
@@ -106,16 +127,18 @@ object Linkage {
     * records whose best candidate exceeds [[maxEditDist]] are absent. */
   def entityMatches(spark: SparkSession, dir: String): DataFrame = {
     val registry = Tables.customer(spark, dir).select("c_custkey", "c_name")
-    val dirty = dirtySide(spark, dir)
+    // the dirty side is read by three legs (grams, suffix key, verify
+    // join) and derives each name with an md5 + substring pass — pin it
+    // once (a deployment reads its dirty records from a stored table)
+    val dirty = graft.operators.Dedup.eager(dirtySide(spark, dir))
 
-    val regGrams = gramsOf(registry, "c_name")
-      .select("c_custkey", "gram").distinct()
+    val regGrams = graft.operators.Dedup.eager(
+      gramRows(registry, "c_custkey", "c_name"))
     val rareGrams = regGrams.groupBy("gram")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= gramDfCap)
       .select("gram")
-    val dirtyGrams = gramsOf(dirty, "dirty_name")
-      .select("dirty_key", "gram").distinct()
+    val dirtyGrams = gramRows(dirty, "dirty_key", "dirty_name")
 
     val regSfx = registry.select(col("c_custkey"), sfxOf("c_name").as("bk"))
     val rareSfx = regSfx.groupBy("bk").agg(count(lit(1)).as("df"))
@@ -130,9 +153,26 @@ object Linkage {
         .select("dirty_key", "c_custkey"))
       .distinct()
 
-    val verified = cand
-      .join(dirty, "dirty_key")
-      .join(registry, "c_custkey")
+    // Verify-side name attachment: below spark.graft.linkage.broadcastRows
+    // (the registry cardinality — ~40 B/row of key+name; the 4M default
+    // is a ~300 MB relation, conf'd per cluster, 0 disables) both name
+    // tables broadcast and the levenshtein verify runs MAP-SIDE over the
+    // repartitioned candidate set. Without this, AQE coalesced the
+    // verify join's ~2 MB of shuffle input into ONE partition and the
+    // whole edit-distance pass (the query's only real CPU, StageProfile:
+    // 1.3 s of 2.1 s total task time) serialized on one core — partition
+    // sizing is bytes-based and blind to expression cost (guide §2.5's
+    // lesson applied to an expensive projection). Past the gate the
+    // hash-join form stands and AQE behaves (real byte volume).
+    val bcastRows = spark.conf
+      .get("spark.graft.linkage.broadcastRows", "4000000").toLong
+    val nReg = dirty.count() // cached-block scan; |dirty| == |registry|
+    val smallReg = bcastRows > 0 && nReg <= bcastRows
+    val verified = (if (smallReg)
+        cand.repartition(spark.sparkContext.defaultParallelism)
+          .join(broadcast(dirty), "dirty_key")
+          .join(broadcast(registry), "c_custkey")
+      else cand.join(dirty, "dirty_key").join(registry, "c_custkey"))
       .withColumn("lev_dist", levenshtein(col("dirty_name"), col("c_name")))
       .filter(col("lev_dist") <= maxEditDist)
       .select(col("dirty_key"), col("c_custkey").as("matched_key"), col("lev_dist"))

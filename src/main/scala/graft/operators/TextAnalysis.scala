@@ -750,7 +750,8 @@ object TextAnalysis {
   private val bpeCache = new graft.util.SessionCache[
       ((DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]),
         Seq[(Long, String, String, Long)])](
-    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._1._2))
+    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._1._2),
+    dispose = v => v._1._2.unpersist(blocking = false))
 
   private def trainedBpe(spark: SparkSession, dir: String)
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
@@ -1704,6 +1705,12 @@ object TextAnalysis {
 
   private def nbPredictions(tk: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT eager-cached: an r18 A/B showed caching the token table here
+    // REGRESSES (nb_quality_classify 2.25 -> 3.34 s, nb_lang_classify
+    // 1.39 -> 2.71 s solo min) — the four tk references already share
+    // work through exchange reuse, so the cache's extra materializing
+    // count + memory pressure buys nothing (guide §5: cache only when
+    // recompute actually repeats).
     val ds = nbTotalSfp(
       tk.filter(col("doc_id") % nbTestMod =!= 0L),
       tk.filter(col("doc_id") % nbTestMod === 0L))
@@ -1895,9 +1902,27 @@ object TextAnalysis {
     * selector policy (VERDICT r13 #7). Exact integers end to end, so
     * the selection order is oracle-reproducible. */
   private[operators] def nbQualityLogOdds(spark: SparkSession,
-      dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val teach = nbQualityTeacher(docs)
+      dir: String): DataFrame =
+    nbQualityLogOddsFrom(spark, dir,
+      textStatsOf(graft.sources.Tables.documents(spark, dir)))
+
+  /** [[nbQualityLogOdds]] with the teacher's stats frame supplied by the
+    * caller: [[Corpus.budgetSelectLearned]] already pins the SAME
+    * textStats projection for its heuristic leg, so deriving the teacher
+    * labels from that pinned frame removes one whole corpus
+    * tokenize+score pass from the learned leg (guide §5 reuse — the
+    * caller's cache, not a new one). `stats` must carry (doc_id,
+    * quality_score) computed by [[textStatsOf]]. */
+  private[operators] def nbQualityLogOddsFrom(spark: SparkSession,
+      dir: String, stats: DataFrame): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val teach = stats
+      .withColumn("qs_u",
+        floor(col("quality_score") * 1000000.0 + 0.5).cast("long"))
+      .select(col("doc_id"),
+        when(col("qs_u") >= nbQualityThr, lit("hi")).otherwise(lit("lo"))
+          .as("label"))
+    // not eager-cached — same exchange-reuse finding as nbPredictions
     val tk = docs.join(teach.select("doc_id", "label"), "doc_id")
       .select(col("doc_id"), col("label"), explode(tokens(col("text"))).as("term"))
     nbTotalSfp(tk.filter(col("doc_id") % nbTestMod =!= 0L), tk)
@@ -2250,7 +2275,8 @@ object TextAnalysis {
     * shared shingle index). */
   private val wfpCache = new graft.util.SessionCache[
       (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
-    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._2))
+    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._2),
+    dispose = v => v._2.unpersist(blocking = false))
 
   private def sharedWinnowFps(spark: SparkSession, dir: String): DataFrame =
     wfpCache.get(spark, dir)(graft.util.Ckpt.materialize(
@@ -2498,7 +2524,8 @@ object TextAnalysis {
     * legs (batch + base); same recipe as the winnow fp memo. */
   private val cdcChunkCache = new graft.util.SessionCache[
       (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
-    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._2))
+    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._2),
+    dispose = v => v._2.unpersist(blocking = false))
 
   private def sharedCdcChunks(spark: SparkSession, dir: String): DataFrame =
     cdcChunkCache.get(spark, dir)(graft.util.Ckpt.materialize(
