@@ -355,6 +355,73 @@ object Similarity {
     // and 38 per-iteration re-centerings for an 8-iteration loop.
     val xs = Dedup.eager(raw.crossJoin(broadcast(mu))
       .select(col("vec_id"), zip_with(col("v"), col("mu"), (a, b) => a - b).as("x")))
+    // Size-gated SINGLE-TASK solve for the trace + 8-iteration loop
+    // (spark.graft.pca.localSolveRows, 0 disables; same decision shape
+    // as the components/PageRank gates): distributed, each iteration is
+    // a corpus scan + 64-key agg + a 1-row broadcast that must complete
+    // before the next starts — 8 sequential jobs of stage latency that
+    // no core count can hide (sf1 8c/32c ratio ~0.93). Exactness is by
+    // construction: every inter-row reduction is a sum of int64
+    // fixed-point terms (floored per row exactly as the Catalyst
+    // expressions floor them), and within-row folds replicate dot()'s
+    // ascending-index IEEE chain — so the local accumulation computes
+    // bit-identical values. Memory at the gate: the one task buffers
+    // the centered vectors, 64 doubles + overhead ~0.6 KB/row = ~150 MB
+    // at the 250k default; past it the distributed loop below stands.
+    val localRows = spark.conf
+      .get("spark.graft.pca.localSolveRows", "250000").toLong
+    val nRows = xs.count() // cached-block scan over the eager'd frame
+    if (localRows > 0 && nRows <= localRows) {
+      import spark.implicits._
+      val one = xs.select(col("x")).as[Seq[Double]]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val rows = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+          var trfp = 0L
+          it.foreach { s =>
+            val a = s.toArray
+            var d = 0.0
+            var i = 0
+            while (i < a.length) { d += a(i) * a(i); i += 1 }
+            trfp += math.floor(d * 1000000.0 + 0.5).toLong
+            rows += a
+          }
+          var w = Array.tabulate(pcaDim)(i => if (i == 0) 1.0 else 0.0)
+          var nrm = 0.0
+          var t = 0
+          while (t < pcaIters) {
+            val su = new Array[Long](pcaDim)
+            rows.foreach { a =>
+              var s = 0.0
+              var i = 0
+              val n = math.min(a.length, w.length)
+              while (i < n) { s += a(i) * w(i); i += 1 }
+              var j = 0
+              while (j < pcaDim) {
+                su(j) += math.floor(s * a(j) * 1000000.0 + 0.5).toLong
+                j += 1
+              }
+            }
+            val u = su.map(_.toDouble / 1000000.0)
+            var d = 0.0
+            var i = 0
+            while (i < pcaDim) { d += u(i) * u(i); i += 1 }
+            nrm = math.sqrt(d)
+            w = u.map(_ / nrm)
+            t += 1
+          }
+          Iterator.single((trfp, w.toSeq, nrm))
+        }.toDF("trfp", "w", "nrm")
+      return one.crossJoin(broadcast(mu.select("n")))
+        .select(col("n"),
+          (col("trfp").cast("double") / 1000000.0 / col("n")).as("trace_mean"),
+          (col("nrm") / col("n")).as("lambda1"),
+          (col("nrm") / (col("trfp").cast("double") / 1000000.0)).as("var_share"),
+          simRound(element_at(col("w"), 1)).as("w1"),
+          simRound(element_at(col("w"), 2)).as("w2"),
+          simRound(element_at(col("w"), 3)).as("w3"),
+          simRound(element_at(col("w"), 4)).as("w4"))
+    }
     val trace = xs.agg(
       sum(floor(dot(col("x"), col("x")) * 1000000.0 + 0.5).cast("long")).as("trfp"))
     val w0 = mu.select(transform(sequence(lit(1), lit(pcaDim)),
