@@ -1420,6 +1420,21 @@ object Similarity {
     * gone. ~(8 + 1 + M) bytes of payload per vector vs 8*dims.
     * Persisted as `pq_codes/` by [[saveIndexArtifacts]]; loaded in
     * preference to recomputation when the artifact conf is set. */
+  /** [[pqEncodedIndex]] memoized per (session, dir) over checkpointed
+    * blocks — its own scaladoc calls it "the artifact a 100 TB
+    * deployment actually stores", and both IVF-PQ queries rebuilt it per
+    * query (the K-way assignment + codebook min_by over the corpus).
+    * Same recipe as the shingle/LSH caches: revalidated per serve,
+    * disposed on clear, rebuilt cold in the bench's pass 1. */
+  private val pqIdxCache = new graft.util.SessionCache[
+      (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])](
+    valid = (s, v) => graft.util.Ckpt.blocksPresent(s, v._2),
+    dispose = v => v._2.unpersist(blocking = false))
+
+  private def pqEncodedIndexCached(spark: SparkSession, dir: String): DataFrame =
+    pqIdxCache.get(spark, dir)(
+      graft.util.Ckpt.materialize(pqEncodedIndex(spark, dir)))._1
+
   private def pqEncodedIndex(spark: SparkSession, dir: String): DataFrame =
     loadArtifact(spark, "pq_codes").getOrElse {
       // eager: the assignment subtree feeds BOTH the code build and the
@@ -1442,7 +1457,7 @@ object Similarity {
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     // the index never carries vectors; the only raw-vector read is the
     // query set's own rows (at 100 TB: the 10-row query frame)
-    val idx = Dedup.eager(pqEncodedIndex(spark, dir))
+    val idx = pqEncodedIndexCached(spark, dir)
     val cb = pqCodebookDf(spark, dir)
     val q = vecs(spark, dir).filter(col("vec_id") < numQueries)
       .join(idx.select(col("vec_id"), col("cell")), "vec_id")
@@ -1539,7 +1554,7 @@ object Similarity {
     * sims, vec_id tie-breaks at both ranking stages. */
   def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val idx = Dedup.eager(pqEncodedIndex(spark, dir))
+    val idx = pqEncodedIndexCached(spark, dir)
     val cents = sdCentsDf(spark, dir)
     val cb = pqCodebookDf(spark, dir)
     val cw = Window.partitionBy("vec_id").orderBy(col("c_sim").desc, col("cent_id"))
