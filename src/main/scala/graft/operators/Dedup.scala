@@ -717,6 +717,12 @@ object Dedup {
         .join(baseDig, "fp")
         .select(col("doc_id"), col("base_doc_id"),
           lit("exact").as("kind"), lit(1.0).as("jaccard")))
+    // NOT materialized (r18 A/B): caching baseSh before the hot agg +
+    // capped index looked like it would halve the two base shingle
+    // passes, but measured 2.27 -> 2.80 s solo — the mapPartitions
+    // shingle stage is cheap to re-run and the extra materializing job
+    // plus cache pressure cost more than the recompute (same finding as
+    // the NB token table).
     val hot = baseSh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
     val baseIdx = mat(baseSh.join(broadcast(hot), Seq("sh"), "left_anti"))
