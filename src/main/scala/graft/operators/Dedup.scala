@@ -552,19 +552,67 @@ object Dedup {
     * the fingerprint is the sign of sum over shingles of (+-1 at bit b).
     * Computed as ONE md5 per shingle and a single-pass 60-way vote
     * aggregate — no per-bit explode, no extra shuffle. */
+  /** h60's JVM twin: the first 15 hex chars of md5("sim:" + s) as a
+    * long — bytes 0..6 fully plus the high nibble of byte 7, exactly
+    * what `conv(substring(md5(..), 1, 15), 16, 10)` parses. Pinned
+    * against the Catalyst expression by GateParitySpec. */
+  private def h60SimJvm(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(("sim:" + s)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    (h << 4) | ((d(7) >> 4) & 0xFL)
+  }
+
+  /** One row (doc_id, simhash) per canonical doc with >= 1 shingle.
+    *
+    * Fused per-partition loop (guide §1.2 step 2 + §2.3): tokenization,
+    * the distinct-shingle set, the salted 60-bit hash, and all 64 vote
+    * counters run in ONE map pass per doc — previously the plan
+    * materialized a (doc_id, sh, h) row per shingle (Catalyst
+    * md5(concat) per row), shuffled it to a 64-expression vote
+    * aggregate, and packed in a second projection. Votes are integer
+    * sums of ±1 per bit — order-free — and the hash is md5-derived on
+    * both paths, so the fused result is value-identical (GateParitySpec
+    * pins it against the declarative pipeline; the oracle pins it
+    * cross-engine). Docs whose token count is < 3 produce no shingles
+    * and are EXCLUDED, exactly like the old groupBy over zero rows. */
   def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val th = shingleRows(canonicalDocs(docs))
-      .withColumn("h", h60(lit("sim"), col("sh")))
-    val voteAggs = (0 until simhashBits).map { b =>
-      sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"v$b")
-    }
-    val packed = (0 until simhashBits).map { b =>
-      s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }.mkString(" + ")
-    th.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-      .withColumn("simhash", expr(packed))
-      .select("doc_id", "simhash")
+    import spark.implicits._
+    canonicalDocs(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, text) =>
+          val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          val set = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i + 2 < toks.length) {
+            set.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+            i += 1
+          }
+          if (set.isEmpty) Iterator.empty
+          else {
+            val votes = new Array[Long](simhashBits)
+            set.foreach { sh =>
+              val h = h60SimJvm(md, sh)
+              var b = 0
+              while (b < simhashBits) {
+                votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+                b += 1
+              }
+            }
+            var sim = 0L
+            var b = 0
+            while (b < simhashBits) {
+              if (votes(b) > 0L) sim |= (1L << b)
+              b += 1
+            }
+            Iterator.single((docId, sim))
+          }
+        }
+      }.toDF("doc_id", "simhash")
   }
 
   def simhashDocsSql: String = {

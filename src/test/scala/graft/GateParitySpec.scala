@@ -43,6 +43,31 @@ class GateParitySpec extends SparkSpec {
     assert(gated == loop)
   }
 
+  test("simhashDocs fused loop == the declarative shingle/vote pipeline") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    // the pre-r18 declarative form, reconstructed verbatim: one
+    // (doc_id, sh, h) row per shingle, 60 vote sums, packed projection
+    val th = graft.operators.Dedup.shingleRows(
+        graft.operators.Dedup.canonicalDocs(docs))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("sim"), lit(":"), col("sh"))), 1, 15),
+          16, 10).cast("long"))
+    val bits = 60 // Dedup.simhashBits
+    val voteAggs = (0 until bits).map { b =>
+      sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"v$b")
+    }
+    val packed = (0 until bits).map { b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    val reference = th.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .withColumn("simhash", expr(packed))
+      .select("doc_id", "simhash")
+    val fused = graft.operators.Dedup.simhashDocs(spark, dir)
+    assert(rows(fused) == rows(reference))
+    assert(fused.count() > 0)
+  }
+
   test("pcaPower: single-task solve == distributed iteration, bit-exact") {
     val gated = rows(graft.operators.Similarity.pcaPower(spark, dir))
     val loop = withConf("spark.graft.pca.localSolveRows", "0") {
